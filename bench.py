@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set (BASELINE.md): the reference's de-facto benchmark
+aggregate (weblog shape) plus one per operator family, and the
+north-star extensions (dedup / similarity / text) that dominate
+cost at 100 TB.
+
+Each query is timed over a full materialization (count of the result)
+after a warm-up of the session (JVM + parquet footer caches are
+session-level; the driver compares revisions, so self-consistency is
+what matters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vega_spark import registry  # noqa: E402
+from vega_spark.session import get_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "weblog_agg",          # reference's de-facto perf query (group-avg pair)
+    "join_inner",          # orders ⋈ lineitem + agg
+    "distinct",            # set ops family
+    "intersection",
+    "top_k",               # TakeOrderedAndProject
+    "agg_sweep",           # TPC-H Q1-style full agg sweep
+    "window_topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_features",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session("vega-bench", cpus=cpus)
+
+    # warm the session (JVM classloading, codegen) on a trivial job
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-frugal by construction:
+
+1. exact_dedup        — hash-groupBy on a content digest: the exchange
+                        carries a 32-byte hash + id, never the payload.
+2. ngram_jaccard      — exact near-dup on word-shingle Jaccard;
+                        candidate pairs come from an inverted-index
+                        self-join (only docs sharing a shingle meet).
+3. minhash_lsh        — MinHash signatures + banded LSH: candidate
+                        generation cost is O(docs x bands), immune to
+                        the quadratic blowup of pairwise comparison.
+4. simhash            — 64-bit sign-random-projection fingerprint;
+                        near-dups differ in few bits.
+
+Scale notes: at 100 TB the only viable near-dup strategies are the
+bucketed ones (3, 4) — candidate generation must be linear. The
+Jaccard verifier (2) then runs only on candidate pairs. Frequent
+shingles create hot buckets: ``max_bucket`` caps them (standard
+practice — a shingle shared by millions of docs carries no signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vega_spark.functions.text import tokens
+
+# deterministic MinHash parameters (Carter-Wegman style). The prime is
+# 2^31-1 so a*x + b stays < 2^62 — no 64-bit overflow JVM-side.
+_MERSENNE = (1 << 31) - 1
+
+
+def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """k (a, b) pairs for h_i(x) = (a*x + b) mod 2^31-1, seeded PRNG
+    (python's Mersenne Twister — deterministic across runs)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+            for _ in range(k)]
+
+
+def content_digest(col: Column | str) -> Column:
+    """256-bit content hash — what travels through the dedup shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id representative per distinct
+    content. groupBy(sha2) — the shuffle carries (digest, id) only."""
+    return (
+        df.select(content_digest(text_col).alias("__digest"), F.col(id_col))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct)."""
+    toks = tokens(col)
+    return F.array_distinct(F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3,
+                  max_doc_freq: int | None = None) -> DataFrame:
+    """Inverted index: (shingle, doc id), distinct. ``max_doc_freq``
+    drops stop-shingles (hot keys) — the skew guard at scale."""
+    idx = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    ).distinct()
+    if max_doc_freq:
+        hot = (idx.groupBy("shingle").count()
+               .filter(F.col("count") > max_doc_freq).select("shingle"))
+        idx = idx.join(hot, "shingle", "left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
+
+    Plan shape: inverted-index self-join on shingle (equi-join → only
+    docs sharing a shingle are compared), count common shingles,
+    join per-doc sizes, jaccard = common / (|A| + |B| - common).
+    Candidate count is bounded by the index join, not |docs|^2."""
+    idx = shingle_index(df, text_col, id_col, n, max_doc_freq)
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = idx.select(F.col("shingle"), F.col("doc").alias("doc_a"))
+    b = idx.select(F.col("shingle"), F.col("doc").alias("doc_b"))
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("doc", "doc_a")
+                    .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b")
+                    .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn("jaccard", F.col("common") /
+                    (F.col("size_a") + F.col("size_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 64, shingle_n: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """MinHash signature per document: h_i = min over shingles of
+    (a_i * x + b_i) mod 2^61-1, where x = xxhash64(shingle).
+
+    Entirely JVM-side: explode shingles once, compute the k hash
+    lanes as an array expression, aggregate with element-wise min.
+    One shuffle (groupBy id), signature is k longs."""
+    params = _hash_params(num_hashes, seed)
+    x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE))
+    lanes = F.array(*[((F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE))
+                      for a, b in params])
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).select("doc", lanes.alias("lanes"))
+    return exploded.groupBy("doc").agg(
+        F.array(*[F.min(F.col("lanes")[i]) for i in range(num_hashes)]
+                ).alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3, seed: int = 42,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Banded LSH over MinHash signatures → candidate pairs (a < b).
+
+    bands x rows = num_hashes; a pair lands in a bucket iff one band
+    of the signatures matches exactly. Candidate generation is one
+    explode (doc → bands) + one groupBy — linear in docs. ``max_bucket``
+    truncates pathological buckets (hot-key guard)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    banded = sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col("signature")[bi * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("bucket"),
+            ) for bi in range(bands)
+        ])).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    grouped = (banded.groupBy("band", "bucket")
+               .agg(F.slice(F.sort_array(F.collect_list("doc")), 1, max_bucket)
+                    .alias("docs"))
+               .filter(F.size("docs") > 1))
+    pairs = grouped.select(
+        F.explode(F.expr(
+            "flatten(transform(docs, (a, i) -> "
+            "transform(slice(docs, i + 2, size(docs) - i - 1), b -> struct(a, b))))"
+        )).alias("p"))
+    return pairs.select(F.col("p.a").alias("doc_a"),
+                        F.col("p.b").alias("doc_b")).distinct()
+
+
+def simhash(col: Column | str, text_col_tokens: Column | None = None) -> Column:
+    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, the
+    sign of each bit-sum forms the fingerprint. Pure expressions: the
+    token array is hashed once, then each of the 64 bit positions is
+    an aggregate over the hash array (bit index is a Python literal —
+    shiftright requires one)."""
+    toks = text_col_tokens if text_col_tokens is not None else tokens(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote_merge(m: int):
+        # closure factory: PySpark HOF lambdas must take exactly the
+        # declared params (a default arg would be counted as a third)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        # bit test via AND-mask (shiftright rejects lambda-variable
+        # Columns in PySpark 4); bit 63's mask is Long.MIN_VALUE
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        vote = F.aggregate(hashes, F.lit(0), _vote_merge(mask))
+        fp = fp.bitwiseOR(
+            F.when(vote > 0, F.lit(mask).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return fp
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates: block on 4 x 16-bit chunks (a pair
+    within hamming distance 3 must agree on >= 1 chunk — pigeonhole),
+    verify hamming distance on candidates. Linear candidate
+    generation, like LSH."""
+    fp = df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("fp"))
+    chunks = fp.select(
+        "doc", "fp",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftright(F.col("fp"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                     .alias("key")) for i in range(4)
+        ])).alias("c"),
+    ).select("doc", "fp", "c.chunk", "c.key")
+    a = chunks.select("chunk", "key", F.col("doc").alias("doc_a"),
+                      F.col("fp").alias("fp_a"))
+    b = chunks.select("chunk", "key", F.col("doc").alias("doc_b"),
+                      F.col("fp").alias("fp_b"))
+    cand = (a.join(b, ["chunk", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "fp_a", "fp_b").distinct())
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,118 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path logic is Column expressions (JVM-side, codegen'd) — no
+Python in the per-row path. Every operator is a narrow transform:
+zero shuffles, scales linearly with input splits.
+
+Capability context: the reference has NO scalar function library
+(SURVEY.md §2.10) — every per-row computation there is a user closure
+(e.g. string splitting, examples/file_read.rs:21). Here the same
+computations are declarative expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language — a real pipeline
+# swaps in fastText/cld3; the *shape* (narrow, expression-only,
+# argmax over per-language scores) is the scale-relevant part.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+}
+
+_MOD = 1_000_000_007
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, lowercased, empties dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def word_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: words, digits and punctuation counted as
+    separate tokens (regexp, still JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Number of DISTINCT stopwords of ``lang`` present in the text."""
+    return F.size(F.array_intersect(
+        F.array_distinct(tokens(col)),
+        F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])))
+
+
+def language_id(col: Column | str) -> Column:
+    """n-gram-heuristic language ID: argmax of per-language stopword
+    hits; ties broken by language code order; no hits → 'und'."""
+    scored = None
+    for lang in sorted(LANG_STOPWORDS):
+        s = lang_score(col, lang)
+        pair = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        scored = pair if scored is None else F.when(
+            (pair["score"] > scored["score"]), pair).otherwise(scored)
+    return F.when(scored["score"] > 0, scored["lang"]).otherwise(F.lit("und"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    toks = tokens(col)
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + low
+    punctuation + stopword presence (a stand-in for model-based
+    quality filters; the pipeline shape is identical)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(c) > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + stop_ok
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: polynomial rolling hash over tokens,
+    engine-portable (uses only length/char-code arithmetic so an
+    external oracle can reproduce it exactly):
+        acc = (acc*31 + len(tok)*7 + ascii(first char)) mod 1e9+7
+    """
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.length(t) * 7 + F.ascii(t)) % _MOD,
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bundle: all text-analysis columns in one narrow projection."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        word_token_count(text_col).alias("n_word_tokens"),
+        language_id(text_col).alias("lang_pred"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(quality_score(text_col), 2).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

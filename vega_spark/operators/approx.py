@@ -1,0 +1,190 @@
+"""Approximate / partial actions (SURVEY.md §2.9).
+
+Reference parity: the reference runs a job with a TIMEOUT and merges
+whatever task results arrived, extrapolating the rest:
+- count_approx           reference src/rdd/rdd.rs:1018-1056 +
+  src/partial/count_evaluator.rs:1-67 (Poisson extrapolation)
+- count_by_value_approx  reference src/rdd/rdd.rs:461-499 +
+  src/partial/grouped_count_evaluator.rs:1-61
+- BoundedDouble          reference src/partial/bounded_double.rs:1-38
+- generic evaluator      reference src/context.rs:508-524 — subsumed
+  by ``partial_aggregate`` below (per-partition jobs merged
+  incrementally under a deadline).
+
+Implementation: PySpark can run a job over a *subset* of partitions
+(``SparkContext.runJob(rdd, f, partitions)``); we submit per-partition
+count jobs in chunks until the deadline, then extrapolate
+``total ≈ seen / parts_done * parts_total`` with a normal-approx
+confidence interval (the reference's CI math is itself stubbed —
+count_evaluator.rs:49-60 FIXME — so we pin the mean semantics and
+provide a real interval).
+
+Idiomatic additions (the practical Spark answers to "approximate"):
+approx_count_distinct (HyperLogLog++) and percentile_approx
+(KLL/GK sketch) — both single-pass, mergeable, 100 TB-safe.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BoundedDouble:
+    """(mean, confidence, low, high) — reference bounded_double.rs:1-38."""
+    mean: float
+    confidence: float
+    low: float
+    high: float
+
+    def is_exact(self) -> bool:
+        return self.low == self.high == self.mean
+
+
+def _z(confidence: float) -> float:
+    # two-sided normal quantile via inverse erf (no scipy dependency)
+    # Beasley-Springer-Moro-ish rational approximation is overkill here;
+    # use the classic Acklam-lite via math.erf inversion by bisection.
+    lo, hi = 0.0, 10.0
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if math.erf(mid / math.sqrt(2)) < confidence:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def count_approx(df: DataFrame, timeout_ms: float,
+                 confidence: float = 0.95,
+                 chunk: int = 4) -> BoundedDouble:
+    """Count with a deadline: exact if all partitions finish in time,
+    extrapolated otherwise (reference semantics: rdd.rs:1018-1056).
+    Empty input → (0, 0, 0, inf) like count_evaluator.rs:41-47."""
+    rdd = df.rdd
+    sc = df.sparkSession.sparkContext
+    n_parts = rdd.getNumPartitions()
+    deadline = time.monotonic() + timeout_ms / 1000.0
+
+    def count_iter(it):
+        n = 0
+        for _ in it:
+            n += 1
+        return n
+
+    done = 0
+    seen = 0
+    while done < n_parts:
+        if done > 0 and time.monotonic() >= deadline:
+            break
+        parts = list(range(done, min(done + chunk, n_parts)))
+        seen += sum(sc.runJob(rdd, lambda it: [count_iter(it)], parts))
+        done += len(parts)
+
+    if done == n_parts:
+        return BoundedDouble(float(seen), 1.0, float(seen), float(seen))
+    if done == 0 or seen == 0:
+        return BoundedDouble(0.0, 0.0, 0.0, float("inf"))
+    mean = seen / done * n_parts
+    # Poisson-ish CI on the extrapolated total
+    var = seen * (n_parts / done) * (n_parts / done - 1.0)
+    sd = math.sqrt(max(var, 0.0))
+    z = _z(confidence)
+    return BoundedDouble(mean, confidence, mean - z * sd, mean + z * sd)
+
+
+def count_by_value_approx(df: DataFrame, cols: Sequence[str],
+                          timeout_ms: float, confidence: float = 0.95,
+                          chunk: int = 4) -> dict[tuple, BoundedDouble]:
+    """Grouped count with a deadline (grouped_count_evaluator.rs:1-61):
+    per-partition HashMap counts merged on the driver, extrapolated
+    by the fraction of partitions seen."""
+    rdd = df.select(*cols).rdd
+    sc = df.sparkSession.sparkContext
+    n_parts = rdd.getNumPartitions()
+    deadline = time.monotonic() + timeout_ms / 1000.0
+
+    def count_map(it):
+        m: dict[tuple, int] = {}
+        for row in it:
+            k = tuple(row)
+            m[k] = m.get(k, 0) + 1
+        return m
+
+    done = 0
+    merged: dict[tuple, int] = {}
+    while done < n_parts:
+        if done > 0 and time.monotonic() >= deadline:
+            break
+        parts = list(range(done, min(done + chunk, n_parts)))
+        for m in sc.runJob(rdd, lambda it: [count_map(it)], parts):
+            for k, v in m.items():
+                merged[k] = merged.get(k, 0) + v
+        done += len(parts)
+
+    scale = n_parts / done if done else 0.0
+    exact = done == n_parts
+    z = _z(confidence)
+    out: dict[tuple, BoundedDouble] = {}
+    for k, v in merged.items():
+        if exact:
+            out[k] = BoundedDouble(float(v), 1.0, float(v), float(v))
+        else:
+            mean = v * scale
+            sd = math.sqrt(max(v * scale * (scale - 1.0), 0.0))
+            out[k] = BoundedDouble(mean, confidence, mean - z * sd, mean + z * sd)
+    return out
+
+
+def approx_count_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct estimate — single pass, mergeable
+    sketch, the idiomatic 100 TB replacement for exact countDistinct."""
+    return df.agg(F.approx_count_distinct(col, rsd=rsd).alias("approx_distinct"))
+
+
+def percentile_approx(df: DataFrame, col: str,
+                      percentiles: Sequence[float],
+                      accuracy: int = 10000) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch)."""
+    return df.agg(
+        F.percentile_approx(col, list(percentiles), accuracy).alias("percentiles"))
+
+
+def sum_approx(df: DataFrame, col: str, timeout_ms: float,
+               confidence: float = 0.95, chunk: int = 4) -> BoundedDouble:
+    """Deadline-bounded sum, same partial mechanism as count_approx."""
+    rdd = df.select(col).rdd
+    sc = df.sparkSession.sparkContext
+    n_parts = rdd.getNumPartitions()
+    deadline = time.monotonic() + timeout_ms / 1000.0
+
+    def sum_iter(it):
+        s = 0.0
+        for row in it:
+            v = row[0]
+            if v is not None:
+                s += v
+        return s
+
+    done = 0
+    seen = 0.0
+    while done < n_parts:
+        if done > 0 and time.monotonic() >= deadline:
+            break
+        parts = list(range(done, min(done + chunk, n_parts)))
+        seen += sum(sc.runJob(rdd, lambda it: [sum_iter(it)], parts))
+        done += len(parts)
+
+    if done == n_parts:
+        return BoundedDouble(seen, 1.0, seen, seen)
+    if done == 0:
+        return BoundedDouble(0.0, 0.0, float("-inf"), float("inf"))
+    mean = seen / done * n_parts
+    spread = abs(mean - seen)  # coarse bound; partial sums lack row variance
+    return BoundedDouble(mean, confidence, mean - spread, mean + spread)

@@ -1,0 +1,76 @@
+"""Sampling / randomness (SURVEY.md §2.8).
+
+Reference parity:
+- sample(w, fraction)      reference src/rdd/rdd.rs:674-702,
+  partitionwise_sampled_rdd.rs:14-134 — Bernoulli (w/o replacement)
+  or Poisson (with), gap-sampling below fraction 0.4. Spark's
+  df.sample uses the identical samplers (they share ancestry).
+- take_sample(w, num, seed) reference src/rdd/rdd.rs:704-783 —
+  count → oversampling fraction from Poisson/binomial bounds →
+  sample → retry → shuffle → take. Reimplemented here with the same
+  oversampling math (utils/random.rs:299-358).
+- random_split(weights)     reference src/rdd/rdd.rs:622-672 —
+  disjoint Bernoulli cells, same seed per partition: df.randomSplit
+  is the same construction.
+
+Cross-engine RNGs differ (reference: PCG64; Spark: XORShift), so
+parity is *property-based*: exact sizes where the reference
+guarantees them, disjointness/proportions for splits, determinism
+under a fixed seed within this engine (FIXTURES.md F9).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Row
+
+
+def sample(df: DataFrame, with_replacement: bool, fraction: float,
+           seed: int | None = None) -> DataFrame:
+    return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
+
+
+def random_split(df: DataFrame, weights: Sequence[float],
+                 seed: int | None = None) -> list[DataFrame]:
+    return df.randomSplit(list(weights), seed=seed)
+
+
+def _compute_fraction_for_sample_size(sample_size: int, total: int,
+                                      with_replacement: bool) -> float:
+    """The reference's oversampling bound (utils/random.rs:299-358):
+    Poisson upper bound with replacement, binomial (delta=1e-4)
+    without — guarantees >= sample_size rows w.h.p. in one pass."""
+    if with_replacement:
+        frac = sample_size / total
+        num_std = 9 if sample_size < 12 else 5
+        return frac + num_std * math.sqrt(frac / total)
+    delta = 1e-4
+    gamma = -math.log(delta) / total
+    frac = min(1.0, max(1e-10, (sample_size / total) + gamma +
+                        math.sqrt(gamma * gamma + 2 * gamma * (sample_size / total))))
+    return frac
+
+
+def take_sample(df: DataFrame, with_replacement: bool, num: int,
+                seed: int | None = None) -> list[Row]:
+    """Exact-size sample to the driver, one distributed pass + retries
+    (reference caps retries at 100, rdd.rs:758-775)."""
+    if num == 0:
+        return []
+    total = df.count()
+    if total == 0:
+        return []
+    if not with_replacement and num >= total:
+        return df.collect()
+    fraction = _compute_fraction_for_sample_size(num, total, with_replacement)
+    rows = df.sample(withReplacement=with_replacement, fraction=fraction,
+                     seed=seed).take(num * 2)
+    tries = 0
+    while len(rows) < num and tries < 100:
+        tries += 1
+        s = None if seed is None else seed + tries
+        rows = df.sample(withReplacement=with_replacement, fraction=fraction,
+                         seed=s).take(num * 2)
+    return rows[:num]

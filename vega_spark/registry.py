@@ -1,0 +1,867 @@
+"""Query registry: one entry per implemented operator from SURVEY.md
+§2 (+ the north-star extensions), each with an ANSI-SQL DuckDB oracle
+where the semantics are SQL-expressible.
+
+Contract (driver): each query is ``fn(spark, sf_dir) -> DataFrame``;
+the oracle SQL runs on DuckDB views named after the tables. Column
+names and types are aligned on both sides; doubles are rounded on
+both sides (same decimals) so cross-engine float noise can't flip
+the value hash. Queries whose results are inherently engine-specific
+(seeded sampling, xxhash64-based sketches, timeout-bounded partials)
+have no oracle — the driver records a weaker rows-only check and the
+unit tests pin their properties instead.
+
+Scale notes per query are in the operator modules; the registry only
+composes them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vega_spark.functions import dedup as X_dedup
+from vega_spark.functions import multimodal as X_mm
+from vega_spark.functions import similarity as X_sim
+from vega_spark.functions import text as X_text
+from vega_spark.operators import aggregations as A
+from vega_spark.operators import joins as J
+from vega_spark.operators import setops as S
+from vega_spark.operators import topk as K
+from vega_spark.operators.core import (
+    filter_rows,
+    flat_map,
+    map_partitions,
+    select_map,
+)
+from vega_spark.session import ensure_engine_conf
+from vega_spark.tables import load_table, ts_hour_bucket_epoch_s, ts_hour_of_day
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's de-facto benchmark query (weblog shape):
+# avg(value) grouped by (category, hour-of-day) — examples/file_read.rs:13-29
+# ---------------------------------------------------------------------------
+
+@_q("weblog_agg", """
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+       ROUND(SUM(value), 2) AS sum_value,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""")
+def weblog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference computes the group mean as a (sum, count) combiner
+    # pair (examples/file_read.rs:26-28) — we expose the same pair;
+    # sums of 2-decimal data sit exactly on the 2-decimal grid, so the
+    # cross-engine rounding is boundary-free (an avg is not).
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", ts_hour_of_day("ts").alias("hour"))
+        .agg(F.round(F.sum("value"), 2).alias("sum_value"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- §2.1 sources -----------------------------------------------------------
+
+@_q("scan_filter_project", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS net
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+""")
+def scan_filter_project(spark, sf_dir):
+    # round at the product's intrinsic scale (2dec x 2dec = 4dec):
+    # lossless, so both engines land on the identical double
+    li = _t(spark, sf_dir, "lineitem")
+    return select_map(
+        filter_rows(li, (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+                    & (F.col("l_discount") > 0.05)),
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+    )
+
+
+@_q("range_inclusive", "SELECT range AS value FROM range(1, 13)")
+def range_inclusive_q(spark, sf_dir):
+    from vega_spark.sources.readers import range_inclusive
+    return range_inclusive(spark, 1, 12)
+
+
+@_q("parallelize",
+    "SELECT * FROM (VALUES (1),(1),(2),(2),(3),(3),(4),(4)) AS t(value)")
+def parallelize_q(spark, sf_dir):
+    from vega_spark.sources.readers import parallelize
+    return parallelize(spark, [(v,) for v in [1, 1, 2, 2, 3, 3, 4, 4]],
+                       "value int")
+
+
+# --- §2.2 actions (dataset-shaped) ------------------------------------------
+
+@_q("count_rows", "SELECT COUNT(*) AS cnt FROM lineitem")
+def count_rows(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_q("count_by_value", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS count
+FROM lineitem GROUP BY 1, 2
+""")
+def count_by_value_q(spark, sf_dir):
+    from vega_spark.operators.actions import count_by_value
+    return count_by_value(_t(spark, sf_dir, "lineitem"),
+                          ["l_returnflag", "l_linestatus"])
+
+
+@_q("max_min", """
+SELECT ROUND(MAX(l_extendedprice), 2) AS max_price,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       MAX(l_quantity) AS max_qty, MIN(l_quantity) AS min_qty
+FROM lineitem
+""")
+def max_min(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+    )
+
+
+@_q("reduce_sum", "SELECT ROUND(SUM(l_quantity), 1) AS total_qty FROM lineitem")
+def reduce_sum(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+
+
+@_q("fold_aggregate", """
+SELECT CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+""")
+def fold_aggregate(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.sum("o_orderkey").alias("sum_key"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@_q("first_ordered", """
+SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 1
+""")
+def first_ordered(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return K.take_ordered(o.select("o_orderkey", "o_orderstatus"), 1, ["o_orderkey"])
+
+
+@_q("take_ordered", """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders ORDER BY o_orderkey LIMIT 10
+""")
+def take_ordered_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    return K.take_ordered(o, 10, ["o_orderkey"])
+
+
+@_q("top_k", """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10
+""")
+def top_k(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+                     F.col("l_linenumber").asc()).limit(10)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_extendedprice", 2).alias("price"))
+
+
+# --- §2.3 narrow transforms --------------------------------------------------
+
+@_q("map_project", """
+SELECT p_partkey, UPPER(p_brand) AS brand,
+       ROUND(p_retailprice * 1.1, 2) AS bumped
+FROM part
+""")
+def map_project(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return select_map(p, "p_partkey", F.upper("p_brand").alias("brand"),
+                      F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped"))
+
+
+@_q("filter_rows", """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+""")
+def filter_rows_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return filter_rows(c, (F.col("c_mktsegment") == "BUILDING") &
+                       (F.col("c_acctbal") > 0)).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal"))
+
+
+@_q("flat_map_words", """
+SELECT word, COUNT(*) AS count FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+) GROUP BY word
+""")
+def flat_map_words(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = flat_map(d, X_text.tokens("text"), "word")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
+
+
+@_q("key_by", """
+SELECT o_orderkey, o_orderkey % 10 AS key FROM orders
+""")
+def key_by_q(spark, sf_dir):
+    from vega_spark.operators.core import key_by
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return key_by(o, F.col("o_orderkey") % 10, "key")
+
+
+@_q("map_values", """
+SELECT o_custkey, ROUND(o_totalprice * 0.9, 3) AS value FROM orders
+""")
+def map_values_q(spark, sf_dir):
+    from vega_spark.operators.core import map_values
+    o = _t(spark, sf_dir, "orders")
+    # 2dec x 1dec = 3dec intrinsic scale (lossless rounding)
+    return map_values(o, ["o_custkey"], F.round(F.col("o_totalprice") * 0.9, 3))
+
+
+@_q("flat_map_values", """
+SELECT o_orderkey AS key, unnest([o_orderpriority, o_orderstatus]) AS value
+FROM orders
+""")
+def flat_map_values_q(spark, sf_dir):
+    from vega_spark.operators.core import flat_map_values
+    o = _t(spark, sf_dir, "orders")
+    return flat_map_values(
+        o.select(F.col("o_orderkey").alias("key"), "o_orderpriority", "o_orderstatus"),
+        ["key"], F.array("o_orderpriority", "o_orderstatus"))
+
+
+@_q("map_partitions", """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+""")
+def map_partitions_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_discount")
+
+    def op(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "net": b["l_extendedprice"] * (1 - b["l_discount"])})
+
+    per_row = map_partitions(li, op, "net double")
+    return per_row.agg(F.round(F.sum("net"), 1).alias("revenue"),
+                       F.count(F.lit(1)).alias("n"))
+
+
+# --- §2.4 joins & cogroup -----------------------------------------------------
+
+@_q("join_inner", """
+SELECT o_orderstatus, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""")
+def join_inner(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = J.join(li, o.select("o_orderkey", "o_orderstatus"),
+               on=F.col("l_orderkey") == F.col("o_orderkey"),
+               broadcast_right=True)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1)
+        .alias("revenue"))
+
+
+@_q("join_left", """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""")
+def join_left(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = J.join(c.select("c_custkey"), o.select("o_custkey", "o_orderkey"),
+               on=F.col("c_custkey") == F.col("o_custkey"), how="left")
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@_q("join_anti", """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return J.join(c.select("c_custkey"), o.select(F.col("o_custkey")),
+                  on=F.col("c_custkey") == F.col("o_custkey"),
+                  how="left_anti")
+
+
+@_q("join_semi", """
+SELECT p_partkey FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+              AND l_quantity > 45)
+""")
+def join_semi(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return J.join(p.select("p_partkey"), li.select("l_partkey"),
+                  on=F.col("p_partkey") == F.col("l_partkey"), how="left_semi")
+
+
+@_q("cogroup", """
+WITH l AS (
+  SELECT c_nationkey AS key,
+         array_to_string(list_sort(list(c_custkey)), ',') AS left_values
+  FROM customer GROUP BY 1
+), r AS (
+  SELECT s_nationkey AS key,
+         array_to_string(list_sort(list(s_suppkey)), ',') AS right_values
+  FROM supplier GROUP BY 1
+)
+SELECT COALESCE(l.key, r.key) AS key,
+       COALESCE(left_values, '') AS left_values,
+       COALESCE(right_values, '') AS right_values
+FROM l FULL OUTER JOIN r ON l.key = r.key
+""")
+def cogroup_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cg = J.cogroup(c, s, "c_nationkey", "s_nationkey",
+                   "c_custkey", "s_suppkey", key_name="key")
+    to_str = lambda col: F.array_join(  # noqa: E731
+        F.transform(F.col(col), lambda x: x.cast("string")), ",")
+    return cg.select("key", to_str("left_values").alias("left_values"),
+                     to_str("right_values").alias("right_values"))
+
+
+@_q("cartesian", """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""")
+def cartesian_q(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return J.cartesian(r, n)
+
+
+@_q("zip", """
+WITH a AS (
+  SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS idx FROM customer
+), b AS (
+  SELECT c_name, ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS idx
+  FROM customer
+)
+SELECT a.c_custkey, b.c_name FROM a JOIN b ON a.idx = b.idx
+""")
+def zip_q(spark, sf_dir):
+    from pyspark.sql.window import Window
+    c = _t(spark, sf_dir, "customer")
+    lw = Window.orderBy(F.col("c_custkey").asc())
+    rw = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    li = c.select("c_custkey").withColumn("__idx", F.row_number().over(lw))
+    ri = c.select("c_name", "c_acctbal", "c_custkey").withColumn(
+        "__idx", F.row_number().over(rw))
+    return li.join(ri.select("__idx", "c_name"), "__idx").select(
+        "c_custkey", "c_name")
+
+
+# --- §2.5 keyed aggregation ---------------------------------------------------
+
+@_q("reduce_by_key", """
+SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_custkey
+""")
+def reduce_by_key_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return A.reduce_by_key(o, ["o_custkey"],
+                           F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@_q("group_by_key", """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS lines
+FROM lineitem GROUP BY l_orderkey
+""")
+def group_by_key_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    g = A.group_by_key(li, ["l_orderkey"], "l_linenumber", sort_values=True)
+    return g.select(
+        "l_orderkey",
+        F.array_join(F.transform("values", lambda x: x.cast("string")), ",")
+        .alias("lines"))
+
+
+@_q("combine_by_key", """
+SELECT l_suppkey, ROUND(AVG(l_quantity), 4) AS avg_qty
+FROM lineitem GROUP BY l_suppkey
+""")
+def combine_by_key_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+
+    def mean_combiner(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": [pdf["l_suppkey"].iloc[0]],
+            "avg_qty_raw": [float(pdf["l_quantity"].sum()) / len(pdf)],
+        })
+
+    out = A.combine_by_key(li, ["l_suppkey"], mean_combiner,
+                           "l_suppkey long, avg_qty_raw double")
+    return out.select("l_suppkey", F.round("avg_qty_raw", 4).alias("avg_qty"))
+
+
+@_q("group_by_derived", """
+SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal = 0 THEN 'zero' ELSE 'pos' END AS key,
+       COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+FROM customer GROUP BY 1
+""")
+def group_by_derived(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    key = (F.when(F.col("c_acctbal") < 0, "neg")
+           .when(F.col("c_acctbal") == 0, "zero").otherwise("pos"))
+    return c.groupBy(key.alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal"))
+
+
+@_q("agg_sweep", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 1) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 1) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def agg_sweep(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <=
+                      F.lit("1998-09-02").cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 1).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@_q("rollup", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 1) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return A.rollup_agg(li, ["l_returnflag", "l_linestatus"],
+                        F.count(F.lit(1)).alias("n"),
+                        F.round(F.sum("l_quantity"), 1).alias("qty"))
+
+
+@_q("cube", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return A.cube_agg(li, ["l_returnflag", "l_linestatus"],
+                      F.count(F.lit(1)).alias("n"))
+
+
+@_q("grouping_sets", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""")
+def grouping_sets_q(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return A.grouping_sets_agg(li, [["l_returnflag"], ["l_linestatus"]],
+                               ["l_returnflag", "l_linestatus"],
+                               "count(*) AS n")
+
+
+@_q("count_distinct", """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderstatus
+""")
+def count_distinct_q(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"))
+
+
+# --- §2.6 set ops -------------------------------------------------------------
+
+@_q("union_bag", """
+SELECT n_regionkey, COUNT(*) AS n FROM (
+  SELECT n_regionkey FROM nation WHERE n_nationkey < 15
+  UNION ALL
+  SELECT n_regionkey FROM nation WHERE n_nationkey >= 10
+) GROUP BY n_regionkey
+""")
+def union_bag_q(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    u = S.union_bag(n.filter(F.col("n_nationkey") < 15).select("n_regionkey"),
+                    n.filter(F.col("n_nationkey") >= 10).select("n_regionkey"))
+    return u.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q("distinct", "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")
+def distinct_q(spark, sf_dir):
+    return S.distinct(_t(spark, sf_dir, "customer"),
+                      ["c_mktsegment", "c_nationkey"])
+
+
+@_q("intersection", """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""")
+def intersection_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return S.intersection(c, s)
+
+
+@_q("subtract", """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+""")
+def subtract_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return S.subtract(c, o)
+
+
+# --- §2.7 partitioning --------------------------------------------------------
+
+@_q("repartition_agg", """
+SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+""")
+def repartition_agg(spark, sf_dir):
+    from vega_spark.operators.partitioning import repartition_by_key
+    o = repartition_by_key(_t(spark, sf_dir, "orders"), 16, ["o_custkey"])
+    return o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q("coalesce_agg", "SELECT COUNT(*) AS cnt FROM part")
+def coalesce_agg(spark, sf_dir):
+    from vega_spark.operators.partitioning import coalesce
+    return coalesce(_t(spark, sf_dir, "part"), 2).agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+# --- §2.8 sampling (no oracle — seeded RNG is engine-specific) -----------------
+
+@_q("sample_seeded")
+def sample_seeded(spark, sf_dir):
+    from vega_spark.operators.sampling import sample
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return sample(d, with_replacement=False, fraction=0.1, seed=42)
+
+
+@_q("random_split_sizes")
+def random_split_sizes(spark, sf_dir):
+    from vega_spark.operators.sampling import random_split
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    parts = random_split(d, [0.7, 0.3], seed=42)
+    return parts[0].agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
+        parts[1].agg(F.count(F.lit(1)).alias("n_right")))
+
+
+# --- §2.9 approximate ----------------------------------------------------------
+
+@_q("approx_count_distinct")
+def approx_count_distinct_q(spark, sf_dir):
+    from vega_spark.operators.approx import approx_count_distinct
+    return approx_count_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+@_q("percentile_approx")
+def percentile_approx_q(spark, sf_dir):
+    from vega_spark.operators.approx import percentile_approx
+    return percentile_approx(_t(spark, sf_dir, "lineitem"),
+                             "l_extendedprice", [0.25, 0.5, 0.75])
+
+
+# --- windows (capability superset; reference gap §2.11) ------------------------
+
+@_q("window_topk_per_group", """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price, rk
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+  FROM lineitem
+) WHERE rk <= 2
+""")
+def window_topk_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = K.topk_per_group(li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+                           ["l_orderkey"],
+                           [F.col("l_extendedprice").desc(),
+                            F.col("l_linenumber").asc()], 2)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_extendedprice", 2).alias("price"), "rk")
+
+
+@_q("window_running_sum", """
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+FROM orders
+""")
+def window_running_sum(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+    o = _t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select("o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("running"))
+
+
+# --- events / streaming-shaped ------------------------------------------------
+
+@_q("windowed_event_counts", """
+SELECT CAST(EXTRACT(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS win_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1, 2
+""")
+def windowed_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(ts_hour_bucket_epoch_s("ts").alias("win_start"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total")))
+
+
+# --- north-star: dedup ----------------------------------------------------------
+
+@_q("dedup_exact", """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text
+""")
+def dedup_exact_q(spark, sf_dir):
+    return X_dedup.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q("dedup_ngram_jaccard", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), idx AS (
+  SELECT DISTINCT doc_id AS doc, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc, COUNT(*) AS n FROM idx GROUP BY doc
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM idx a JOIN idx b USING (shingle)
+  WHERE a.doc < b.doc GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common / (sa.n + sb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE common / (sa.n + sb.n - common) >= 0.5
+""")
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    return X_dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                       "text", "doc_id", n=3, threshold=0.5)
+
+
+@_q("dedup_minhash_lsh")
+def dedup_minhash_lsh_q(spark, sf_dir):
+    return X_dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                     "text", "doc_id",
+                                     num_hashes=64, bands=16)
+
+
+@_q("dedup_simhash")
+def dedup_simhash_q(spark, sf_dir):
+    return X_dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"),
+                                      "text", "doc_id", max_hamming=3)
+
+
+# --- north-star: text analysis ---------------------------------------------------
+
+@_q("text_features", """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, t,
+         len(list_filter(['der','die','das','und','ist','nicht','ein','mit','auf','zu'],
+             s -> list_contains(list_distinct(t), s))) AS s_de,
+         len(list_filter(['the','and','of','to','in','is','that','it','was','for'],
+             s -> list_contains(list_distinct(t), s))) AS s_en,
+         len(list_filter(['el','la','los','de','que','y','en','un','es','por'],
+             s -> list_contains(list_distinct(t), s))) AS s_es,
+         len(list_filter(['le','la','les','et','est','dans','pour','que','une','des'],
+             s -> list_contains(list_distinct(t), s))) AS s_fr
+  FROM base
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       ROUND(CASE WHEN length(text) > 0 THEN
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+         / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN len(t) > 0 THEN
+         len(list_filter(t, x -> list_contains(
+           ['the','and','of','to','in','is','that','it','was','for'], x)))
+         / len(t) ELSE 0.0 END, 6) AS stopword_ratio
+FROM scored
+""")
+def text_features_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X_text.token_count("text").alias("n_tokens"),
+        X_text.language_id("text").alias("lang_pred"),
+        F.round(X_text.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(X_text.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+@_q("doc_fingerprint")
+def doc_fingerprint_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X_text.fingerprint("text").alias("fingerprint"))
+
+
+# --- north-star: similarity search ------------------------------------------------
+
+@_q("ann_cosine_topk", """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_raw
+  FROM q CROSS JOIN c
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos, rk
+FROM ranked WHERE rk <= 5
+""")
+def ann_cosine_topk_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return X_sim.cosine_topk_bruteforce(emb, queries, k=5,
+                                        id_col="vec_id",
+                                        vec_col="embedding",
+                                        query_id_col="query_id")
+
+
+@_q("ann_lsh_topk")
+def ann_lsh_topk_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return X_sim.lsh_ann_topk(emb, queries, dim=dim, k=5, num_planes=10,
+                              probes=3)
+
+
+@_q("embedding_near_dup")
+def embedding_near_dup_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    return X_sim.embedding_near_dup_pairs(emb, dim=dim, threshold=0.9,
+                                          num_planes=8)
+
+
+# --- north-star: multimodal --------------------------------------------------------
+
+@_q("multimodal_metadata", """
+SELECT doc_id AS asset_id,
+       16 + (('0x' || substr(sha256(text), 1, 2))::INT % 240) AS width,
+       16 + (('0x' || substr(sha256(text), 3, 2))::INT % 240) AS height,
+       3 AS channels, 'fake/raw' AS format
+FROM documents
+""")
+def multimodal_metadata_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    with_bin = X_mm.attach_binary(d, "text")
+    return X_mm.image_metadata(with_bin, id_col="doc_id")
+
+
+@_q("multimodal_frames")
+def multimodal_frames_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    with_bin = X_mm.attach_binary(d, "text")
+    frames = X_mm.sample_frames(with_bin, id_col="doc_id")
+    return frames.select("asset_id", "frame_idx", F.length("frame").alias("frame_len"))
