@@ -1,0 +1,63 @@
+"""Approximate/partial actions (SURVEY §2.9): deadline semantics,
+empty-input contract, exactness when the job finishes in time."""
+
+from __future__ import annotations
+
+import math
+
+from vega_spark.operators import approx as X
+
+
+def ints(spark, values, parts=4):
+    if not values:
+        return spark.createDataFrame([], "value int")
+    return spark.createDataFrame([(v,) for v in values], "value int").repartition(parts)
+
+
+def test_count_approx_exact_when_time_allows(spark):
+    df = ints(spark, list(range(500)), 4)
+    r = X.count_approx(df, timeout_ms=60_000)
+    assert r.is_exact() and r.mean == 500 and r.confidence == 1.0
+
+
+def test_count_approx_empty_contract(spark):
+    # reference count_evaluator.rs:41-47 → (0, 0, 0, inf)
+    r = X.count_approx(ints(spark, []), timeout_ms=60_000)
+    assert r.mean == 0 and r.is_exact()
+
+
+def test_count_approx_partial_extrapolates(spark):
+    df = ints(spark, list(range(2000)), 16)
+    # timeout 0 → only the first chunk runs; extrapolation must be
+    # within a sane band and the interval must contain the mean
+    r = X.count_approx(df, timeout_ms=0, chunk=4)
+    assert 0 < r.mean <= 4000
+    assert r.low <= r.mean <= r.high
+    if not r.is_exact():
+        assert r.confidence == 0.95
+
+
+def test_count_by_value_approx_exact(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2, "k string").repartition(2)
+    got = X.count_by_value_approx(df, ["k"], timeout_ms=60_000)
+    assert got[("a",)].mean == 3 and got[("b",)].mean == 2
+    assert all(v.is_exact() for v in got.values())
+
+
+def test_sum_approx_exact(spark):
+    df = ints(spark, list(range(101)), 4)
+    r = X.sum_approx(df, "value", timeout_ms=60_000)
+    assert r.is_exact() and r.mean == 5050
+
+
+def test_approx_count_distinct_tolerance(spark):
+    df = ints(spark, list(range(1000)) * 2, 4)
+    got = X.approx_count_distinct(df, "value", rsd=0.02).first()["approx_distinct"]
+    assert math.isclose(got, 1000, rel_tol=0.1)
+
+
+def test_percentile_approx(spark):
+    df = ints(spark, list(range(1, 102)), 4)
+    ps = X.percentile_approx(df, "value", [0.5]).first()["percentiles"]
+    assert abs(ps[0] - 51) <= 2

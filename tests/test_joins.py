@@ -1,0 +1,71 @@
+"""Joins & cogroup, mirroring reference tests/test_pair_rdd.rs:40-82
+(FIXTURES F4/F6): inner join with duplicate keys, cogroup with
+missing keys, cartesian, positional zip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vega_spark.operators import joins as J
+from vega_spark.operators import setops as S
+
+
+def test_inner_join_dup_keys(spark):
+    # F4: left unique keys 1..4; right has dup keys 1-3, key 4 unmatched
+    left = spark.createDataFrame(
+        [(1, "a1"), (2, "b1"), (3, "c1"), (4, "d1")], "k int, v string")
+    right = spark.createDataFrame(
+        [(1, "A1"), (1, "A2"), (2, "B1"), (2, "B2"), (3, "C1"), (3, "C2")],
+        "k int, w string")
+    out = J.join(left, right, on=["k"], how="inner")
+    rows = out.collect()
+    assert len(rows) == 6  # per-key cross product; key 4 dropped
+    assert {r.k for r in rows} == {1, 2, 3}
+    # union of two identical joins keeps duplicates (bag):
+    assert S.union_bag(out, out).count() == 12
+
+
+def test_cogroup_missing_sides(spark):
+    left = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    right = spark.createDataFrame([(2, "X"), (3, "Y")], "k int, w string")
+    out = J.cogroup(left, right, "k", "k", "v", "w")
+    got = {r.key: (list(r.left_values), list(r.right_values)) for r in out.collect()}
+    assert got == {1: (["a", "b"], []), 2: (["c"], ["X"]), 3: ([], ["Y"])}
+
+
+def test_cartesian(spark):
+    # reference tests/test_rdd.rs:354-362: [0,1] x ['α','β']
+    a = spark.createDataFrame([(0,), (1,)], "x int")
+    b = spark.createDataFrame([("α",), ("β",)], "y string")
+    rows = {(r.x, r.y) for r in J.cartesian(a, b).collect()}
+    assert rows == {(0, "α"), (0, "β"), (1, "α"), (1, "β")}
+
+
+def test_zip_by_order(spark):
+    # reference tests/test_rdd.rs:459-482: positional pairing
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5]], "value int")
+    b = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(["5a", "4b", "3c", "2d", "1a"])],
+        "pos int, label string")
+    out = J.zip_by_order(a, b.select("pos", "label"), ["value"], ["pos"])
+    got = sorted((r.value, r.label) for r in out.collect())
+    assert got == [(1, "5a"), (2, "4b"), (3, "3c"), (4, "2d"), (5, "1a")]
+
+
+def test_zip_with_index(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",)], "s string")
+    out = J.zip_with_index(df, ["s"])
+    # NB: access by key — Row.index is the tuple method, so attribute
+    # access on a column literally named "index" returns the method
+    assert {(r.s, r["index"]) for r in out.collect()} == \
+           {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_join_types_matrix(spark):
+    left = spark.createDataFrame([(1, "l1"), (2, "l2")], "k int, v string")
+    right = spark.createDataFrame([(2, "r2"), (3, "r3")], "k int, w string")
+    assert J.join(left, right, ["k"], "inner").count() == 1
+    assert J.join(left, right, ["k"], "left").count() == 2
+    assert J.join(left, right, ["k"], "full").count() == 3
+    assert {r.k for r in J.join(left, right, ["k"], "left_semi").collect()} == {2}
+    assert {r.k for r in J.join(left, right, ["k"], "left_anti").collect()} == {1}

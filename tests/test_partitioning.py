@@ -1,0 +1,90 @@
+"""Partitioning / layout (FIXTURES F10) + sampling (F9) + top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vega_spark.operators import partitioning as P
+from vega_spark.operators import sampling as R
+from vega_spark.operators import topk as K
+
+
+def ints(spark, values, parts=2):
+    return spark.createDataFrame([(v,) for v in values], "value int").repartition(parts)
+
+
+def test_coalesce_reduces_without_shuffle(spark):
+    df = ints(spark, list(range(101)), 8)
+    out = P.coalesce(df, 5)
+    assert P.num_partitions(out) == 5
+    assert out.count() == 101
+
+
+def test_repartition_up(spark):
+    # reference tests/test_rdd.rs:365-385: repartition 20 -> 100
+    df = ints(spark, list(range(100)), 20)
+    out = P.repartition(df, 100)
+    assert P.num_partitions(out) == 100
+    assert out.count() == 100
+
+
+def test_repartition_by_key_colocates(spark):
+    df = spark.createDataFrame([(i % 5, i) for i in range(100)], "k int, v int")
+    out = P.repartition_by_key(df, 4, ["k"])
+    # every key must live in exactly one partition
+    per_key = (out.withColumn("pid", F.spark_partition_id())
+               .groupBy("k").agg(F.countDistinct("pid").alias("n")).collect())
+    assert all(r.n == 1 for r in per_key)
+
+
+def test_partition_sizes_accounts_all(spark):
+    df = ints(spark, list(range(50)), 5)
+    sizes = P.partition_sizes(df).collect()
+    assert sum(r.rows for r in sizes) == 50
+
+
+def test_sample_fraction(spark):
+    df = ints(spark, list(range(1000)), 5)
+    out = R.sample(df, with_replacement=False, fraction=0.1, seed=42)
+    n = out.count()
+    assert 50 <= n <= 200  # Bernoulli bounds
+    # seed determinism within the engine
+    n2 = R.sample(df, with_replacement=False, fraction=0.1, seed=42).count()
+    assert n == n2
+
+
+def test_take_sample_exact_size(spark):
+    # reference tests/test_rdd.rs:325-351: exact num in all regimes
+    df = ints(spark, list(range(100)), 5)
+    for with_rep in (False, True):
+        rows = R.take_sample(df, with_rep, 20, seed=7)
+        assert len(rows) == 20
+    assert len(R.take_sample(df, False, 150, seed=7)) == 100  # num >= total
+    assert R.take_sample(df, False, 0, seed=7) == []
+
+
+def test_random_split_disjoint_proportional(spark):
+    # reference tests/test_rdd.rs:623-652
+    df = ints(spark, list(range(1000)), 5)
+    a, b = R.random_split(df, [0.7, 0.3], seed=42)
+    na, nb = a.count(), b.count()
+    assert na + nb == 1000
+    assert abs(na - 700) < 50 and abs(nb - 300) < 50
+    assert a.intersect(b).count() == 0
+
+
+def test_top_and_take_ordered(spark):
+    # reference tests/test_rdd.rs:655-673
+    df = ints(spark, [13, 28, 3, 4, 51, 103, 12, 113, 19])
+    top = [r.value for r in K.top(df, 3, ["value"]).collect()]
+    assert top == [113, 103, 51]
+    bottom = [r.value for r in K.take_ordered(df, 3, ["value"]).collect()]
+    assert bottom == [3, 4, 12]
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("b", 9), ("b", 2)], "k string, v int")
+    out = K.topk_per_group(df, ["k"], [F.col("v").desc()], 2)
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [("a", 3), ("a", 5), ("b", 2), ("b", 9)]

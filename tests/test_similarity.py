@@ -1,0 +1,70 @@
+"""Similarity search: brute-force correctness vs numpy, LSH-ANN
+recall, embedding near-dup detection."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vega_spark.functions import similarity as S
+
+
+def vectors(spark, n=100, dim=16, seed=3):
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_bruteforce_matches_numpy(spark):
+    rows, df = vectors(spark)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = S.cosine_topk_bruteforce(df, queries, k=5).collect()
+
+    mat = np.array([r[1] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in (0, 1):
+        cos = mat @ mat[qid] / (norms * norms[qid])
+        expect = sorted(range(len(cos)), key=lambda i: (-cos[i], i))[:5]
+        mine = [r.neighbor_id for r in sorted(
+            (x for x in got if x.query_id == qid), key=lambda r: r.rk)]
+        assert mine == expect
+
+
+def test_lsh_ann_recall(spark):
+    rows, df = vectors(spark, n=200)
+    queries = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in
+             S.cosine_topk_bruteforce(df, queries, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              S.lsh_ann_topk(df, queries, dim=16, k=3, num_planes=8,
+                             probes=4, num_tables=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ANN recall too low: {recall}"
+    # self-match must always be found (hash collision with itself)
+    assert all((q, q) in approx for q in range(10))
+
+
+def test_embedding_near_dup_finds_planted(spark):
+    rows, df = vectors(spark, n=50)
+    # plant a near-exact duplicate of vector 0
+    dup = [(1000, [v * 1.0001 for v in rows[0][1]])]
+    df2 = df.union(spark.createDataFrame(dup, "vec_id long, embedding array<double>"))
+    pairs = S.embedding_near_dup_pairs(df2, dim=16, threshold=0.99,
+                                       num_planes=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1000) in got
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<double>, b array<double>")
+    got = [r.c for r in df.select(
+        S.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert math.isclose(got[0], 0.0, abs_tol=1e-12)
+    assert math.isclose(got[1], 1.0, rel_tol=1e-12)

@@ -1,0 +1,67 @@
+"""Sources (readers), and a smoke pass over the full query registry
+at sf0.001 (the oracle equivalence itself is tools/check_oracle.py +
+the driver's t2 gate; here we only assert every query runs and the
+oracle keys stay a subset of the queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vega_spark import registry
+from vega_spark.sources import readers as SR
+
+
+def test_range_inclusive(spark):
+    # reference range is end-inclusive (tests/test_rdd.rs:524-531)
+    out = SR.range_inclusive(spark, 1, 12)
+    assert [r.value for r in out.orderBy("value").collect()] == list(range(1, 13))
+
+
+def test_parallelize_slices(spark):
+    df = SR.parallelize(spark, [(v,) for v in range(10)], "value int", num_slices=3)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 10
+
+
+def test_csv_text_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "c.csv")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string") \
+        .write.csv(p)
+    back = SR.read_csv(spark, p, "k int, v string")
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+    t = str(tmp_path / "t.txt")
+    spark.createDataFrame([("line1",), ("line2",)], "value string") \
+        .write.text(t)
+    lines = SR.read_text_lines(spark, t)
+    assert sorted(r.value for r in lines.collect()) == ["line1", "line2"]
+
+
+def test_whole_files_reader(spark, tmp_path):
+    # reference LocalFsReader whole-file-bytes mode (F7 shape)
+    d = tmp_path / "files"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.txt").write_text("This is some textual test data.\n"
+                                     "Can be converted to strings.\n")
+    df = SR.read_whole_files(spark, str(d), glob="*.txt")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(bytes(r.content).decode().count("\n") == 2 for r in rows)
+    paths = SR.read_file_paths(spark, str(d))
+    assert paths.count() == 3
+
+
+def test_registry_contract(spark):
+    assert set(registry.ORACLES) <= set(registry.QUERIES)
+    assert len(registry.QUERIES) >= 50
+
+
+def test_registry_all_queries_run(spark, sf_dir):
+    failures = []
+    for name, fn in registry.QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            df.limit(1).collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, str(e)[:200]))
+    assert not failures, failures

@@ -1,0 +1,117 @@
+"""North-star extensions: text analysis + dedup tiers, incl. an
+LSH-vs-exact-Jaccard recall measurement on planted near-dups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vega_spark.functions import dedup as D
+from vega_spark.functions import text as T
+
+
+def docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_tokens_and_counts(spark):
+    df = docs(spark, ["Hello  world foo", ""])
+    out = df.select(T.token_count("text").alias("n")).collect()
+    assert sorted(r.n for r in out) == [0, 3]
+
+
+def test_word_token_count(spark):
+    df = docs(spark, ["don't stop, it's 42!"])
+    n = df.select(T.word_token_count("text").alias("n")).first().n
+    # don ' t stop , it ' s 4 2 !  → 11
+    assert n == 11
+
+
+def test_language_id(spark):
+    df = docs(spark, [
+        "the cat and the dog sat in that house for it was warm",
+        "der hund und die katze ist nicht ein problem mit zu",
+        "le chat est dans la maison pour que les oiseaux",
+        "zzz qqq xxx",
+    ])
+    got = [r.lang for r in df.select(T.language_id("text").alias("lang"))
+           .orderBy("doc_id").collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_quality_and_ratios_bounds(spark):
+    df = docs(spark, ["the quick brown fox is one of the best foxes in town",
+                      "!!! ??? ,,, ..."])
+    rows = df.select(
+        T.quality_score("text").alias("q"),
+        T.punct_ratio("text").alias("p")).orderBy(F.desc("q")).collect()
+    assert 0.0 <= rows[1].q <= rows[0].q <= 1.0
+    assert rows[1].p > 0.5
+
+
+def test_fingerprint_deterministic_and_sensitive(spark):
+    df = docs(spark, ["a b c", "a b c", "a b d"])
+    fps = [r.fp for r in df.select(T.fingerprint("text").alias("fp"))
+           .orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_exact_dedup(spark):
+    df = docs(spark, ["same text", "same text", "other text"])
+    out = D.exact_dedup(df, "text", "doc_id").collect()
+    got = {r.doc_id: r.dup_count for r in out}
+    assert got == {0: 2, 2: 1}  # lowest-id representative survives
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = docs(spark, ["the quick brown fox jumps over the lazy dog",
+                      "the quick brown fox jumps over the lazy dog",
+                      "completely different words entirely here now"])
+    pairs = D.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.9)
+    got = [(r.doc_a, r.doc_b, r.jaccard) for r in pairs.collect()]
+    assert got == [(0, 1, 1.0)]
+
+
+def _corpus(n=40):
+    import random
+    rnd = random.Random(1)
+    vocab = [f"w{i}" for i in range(300)]
+    base = [" ".join(rnd.choices(vocab, k=30)) for _ in range(n)]
+    near = []
+    for t in base[:10]:  # plant near-dups of the first 10
+        toks = t.split()
+        toks[3] = "CHANGED"
+        near.append(" ".join(toks))
+    return base + near  # ids n..n+9 are near-dups of 0..9
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    texts = _corpus()
+    df = docs(spark, texts)
+    exact = {(r.doc_a, r.doc_b) for r in
+             D.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.6).collect()}
+    assert len(exact) >= 8  # the planted pairs are above threshold
+    cand = {(r.doc_a, r.doc_b) for r in
+            D.minhash_lsh_pairs(df, "text", "doc_id",
+                                num_hashes=64, bands=16).collect()}
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({exact - cand})"
+
+
+def test_simhash_identical_and_near(spark):
+    texts = _corpus(20)
+    df = docs(spark, texts + [texts[0]])  # exact dup of doc 0 at id 30
+    pairs = D.simhash_near_pairs(df, "text", "doc_id", max_hamming=8)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 30)) == 0  # identical text → identical fingerprint
+    # planted near-dups (1 of 30 tokens changed) measured at hamming
+    # 0-9 on this corpus; the 8-bit budget must catch most of them
+    near_found = sum(1 for (a, b) in got if b - a == 20 and a < 10)
+    assert near_found >= 7
+
+
+def test_shingle_hot_key_guard(spark):
+    texts = ["common common common"] * 30
+    df = docs(spark, texts)
+    idx = D.shingle_index(df, "text", "doc_id", n=3, max_doc_freq=10)
+    assert idx.count() == 0  # the stop-shingle was dropped

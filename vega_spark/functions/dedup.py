@@ -202,18 +202,24 @@ def simhash(col: Column | str, text_col_tokens: Column | None = None) -> Column:
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup candidates: block on 4 x 16-bit chunks (a pair
-    within hamming distance 3 must agree on >= 1 chunk — pigeonhole),
-    verify hamming distance on candidates. Linear candidate
-    generation, like LSH."""
+    """SimHash near-dup candidates: block on ``max_hamming + 1`` bit
+    chunks — by pigeonhole, a pair within the hamming budget must
+    agree exactly on at least one chunk — then verify the true
+    hamming distance on candidates only. Linear candidate generation,
+    like LSH; more chunks = more candidates but a larger guaranteed
+    radius."""
+    n_chunks = min(max_hamming + 1, 16)
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     fp = df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("fp"))
+    chunk_keys = []
+    for i in range(n_chunks):
+        start, width = bounds[i], bounds[i + 1] - bounds[i]
+        chunk_keys.append(F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright(F.col("fp"), start)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key")))
     chunks = fp.select(
-        "doc", "fp",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("chunk"),
-                     F.shiftright(F.col("fp"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                     .alias("key")) for i in range(4)
-        ])).alias("c"),
+        "doc", "fp", F.explode(F.array(*chunk_keys)).alias("c"),
     ).select("doc", "fp", "c.chunk", "c.key")
     a = chunks.select("chunk", "key", F.col("doc").alias("doc_a"),
                       F.col("fp").alias("fp_a"))

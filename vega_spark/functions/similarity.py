@@ -89,30 +89,48 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
 
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                  k: int = 10, num_planes: int = 12, probes: int = 1,
+                 num_tables: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id", seed: int = 42) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH buckets + exact rerank.
 
-    probes=1 searches the query's own bucket; probes>1 adds buckets at
-    hamming distance 1 (flipping the lowest `probes-1` plane bits) —
-    recall knob without re-hashing the corpus."""
-    planes = _random_planes(dim, num_planes, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cvec"),
-                      _bucket_expr(F.col(vec_col), planes).alias("bucket"))
-    qbase = queries.select(F.col(query_id_col).alias("query_id"),
-                           F.col(vec_col).alias("__qvec"),
-                           _bucket_expr(F.col(vec_col), planes).alias("bucket"))
-    probe_buckets = [F.col("bucket")] + [
-        F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
-        for i in range(max(0, probes - 1))
-    ]
-    q = F.broadcast(qbase.select(
-        "query_id", "__qvec",
-        F.explode(F.array(*probe_buckets)).alias("bucket")))
-    cand = c.join(q, "bucket").select(
-        "query_id", "neighbor_id",
-        cosine(F.col("__cvec"), F.col("__qvec")).alias("cos"))
+    Recall knobs, in order of effect:
+    - num_tables: independent hash tables (corpus stored x T — the
+      classic memory-for-recall trade; candidates are the union).
+    - probes: per table, also search buckets at hamming distance 1
+      from the query's bucket (flipping the lowest `probes-1` bits) —
+      recall without re-hashing the corpus.
+
+    The candidate join is a single equi-join on (table, bucket); at
+    100 TB the corpus side is hashed once per table and never
+    re-shuffled beyond that."""
+    tables = [_random_planes(dim, num_planes, seed + 1000 * t)
+              for t in range(num_tables)]
+
+    def bucket_structs(vec: Column, probe: bool) -> Column:
+        entries = []
+        for t, planes in enumerate(tables):
+            base = _bucket_expr(vec, planes)
+            buckets = [base] if not probe else [base] + [
+                base.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                for i in range(max(0, probes - 1))]
+            entries += [F.struct(F.lit(t).alias("table"), b.alias("bucket"))
+                        for b in buckets]
+        return F.array(*entries)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"),
+        F.explode(bucket_structs(F.col(vec_col), probe=False)).alias("tb"),
+    ).select("neighbor_id", "__cvec", "tb.table", "tb.bucket")
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec"),
+        F.explode(bucket_structs(F.col(vec_col), probe=True)).alias("tb"),
+    ).select("query_id", "__qvec", "tb.table", "tb.bucket"))
+    cand = (c.join(q, ["table", "bucket"])
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("__cvec"), F.col("__qvec")).alias("cos"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.first("cos").alias("cos")))  # dedup across tables/probes
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
     return (cand.withColumn("rk", F.row_number().over(w))
