@@ -115,32 +115,100 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Hashes of word n-gram shingles WITHOUT materializing shingle
+    strings: each token is xxhash64'd once, then consecutive token
+    hashes combine arithmetically (polynomial in mod-p space) via
+    zip_with over shifted slices. No string concat, no array_distinct
+    (MinHash's min is idempotent over duplicates) — an order of
+    magnitude less interpreted-HOF work than string shingling.
+
+    Documents shorter than ``n`` tokens collapse to one whole-doc
+    shingle hash, mirroring word_shingles' fallback."""
+    th = F.transform(tokens(col), lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)))
+    m = F.size(th) - (n - 1)
+    sliced = [F.slice(th, i + 1, m) for i in range(n)]
+    combined = sliced[0]
+    for s in sliced[1:]:
+        combined = F.zip_with(combined, s,
+                              lambda acc, x: (acc * 8191 + x) % F.lit(_MERSENNE))
+    whole_doc = F.array(F.aggregate(
+        th, F.lit(0).cast("long"),
+        lambda acc, x: (acc * 8191 + x) % F.lit(_MERSENNE)))
+    return F.when(F.size(th) >= n, combined).otherwise(whole_doc)
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 64, shingle_n: int = 3,
-                       seed: int = 42) -> DataFrame:
-    """MinHash signature per document: h_i = min over shingles of
-    (a_i * x + b_i) mod 2^61-1, where x = xxhash64(shingle).
+                       seed: int = 42, impl: str = "pandas") -> DataFrame:
+    """MinHash signature per document: lane_i = min over shingles of
+    (a_i * x + b_i) mod 2^31-1, x an arithmetic shingle hash.
 
-    Entirely JVM-side: explode shingles once, compute the k hash
-    lanes as an array expression, aggregate with element-wise min.
-    One shuffle (groupBy id), signature is k longs."""
+    Two implementations, both NARROW (zero shuffles — signatures
+    stream out of the scan stage; an explode+groupBy formulation
+    would push |docs|x|shingles| rows through an exchange):
+
+    - impl='expr':   pure Column expressions. Correct but the k hash
+      lanes are interpreted (higher-order functions don't enter
+      whole-stage codegen) and the 64-way expression tree costs
+      seconds of planning/JIT on first use.
+    - impl='pandas': Arrow-batched numpy — token hashes via crc32,
+      lane matrix (k x shingles) minimized vectorized. The sanctioned
+      slow path that is actually the fast path here.
+
+    The two impls use different token hash functions, so signatures
+    are impl-consistent but not cross-impl comparable (LSH guarantees
+    are identical)."""
+    if impl == "expr":
+        params = _hash_params(num_hashes, seed)
+        hashed = df.select(F.col(id_col).alias("doc"),
+                           shingle_hashes(text_col, shingle_n).alias("__hs"))
+
+        def lane(a: int, b: int):
+            return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE)
+
+        sig = F.array(*[F.array_min(F.transform(F.col("__hs"), lane(a, b)))
+                        for a, b in params])
+        return hashed.select("doc", sig.alias("signature"))
+
     params = _hash_params(num_hashes, seed)
-    x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE))
-    lanes = F.array(*[((F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE))
-                      for a, b in params])
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    ).select("doc", lanes.alias("lanes"))
-    return exploded.groupBy("doc").agg(
-        F.array(*[F.min(F.col("lanes")[i]) for i in range(num_hashes)]
-                ).alias("signature"))
+    a_vec = [a for a, _ in params]
+    b_vec = [b for _, b in params]
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+        from zlib import crc32
+
+        A = np.array(a_vec, dtype=np.int64)[:, None]
+        B = np.array(b_vec, dtype=np.int64)[:, None]
+        for pdf in batches:
+            docs_out, sigs_out = [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.lower().split()
+                th = np.array([crc32(t.encode()) for t in toks] or [0],
+                              dtype=np.int64) % _MERSENNE
+                if len(th) >= shingle_n:
+                    x = th[: len(th) - shingle_n + 1].copy()
+                    for i in range(1, shingle_n):
+                        x = (x * 8191 + th[i: len(th) - shingle_n + 1 + i]) % _MERSENNE
+                else:
+                    acc = np.int64(0)
+                    for v in th:
+                        acc = (acc * 8191 + v) % _MERSENNE
+                    x = np.array([acc], dtype=np.int64)
+                sigs_out.append(((A * x + B) % _MERSENNE).min(axis=1))
+                docs_out.append(doc)
+            yield pd.DataFrame({"doc": docs_out, "signature": sigs_out})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        compute, schema="doc long, signature array<long>")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3, seed: int = 42,
-                      max_bucket: int = 1000) -> DataFrame:
+                      max_bucket: int = 1000, impl: str = "pandas") -> DataFrame:
     """Banded LSH over MinHash signatures → candidate pairs (a < b).
 
     bands x rows = num_hashes; a pair lands in a bucket iff one band
@@ -149,7 +217,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     truncates pathological buckets (hot-key guard)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                             seed, impl=impl)
     banded = sig.select(
         "doc",
         F.explode(F.array(*[
