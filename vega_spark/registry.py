@@ -683,6 +683,87 @@ def windowed_event_counts(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("total")))
 
 
+# --- multi-join analytics (TPC-H shapes — broadcast-join planning) -------------
+
+@_q("tpch_q3_shipping", """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def tpch_q3_shipping(spark, sf_dir):
+    # dimension sides broadcast; the only exchange is the final group
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    j = (li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+    return (j.groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10))
+
+
+@_q("tpch_q5_local_supplier", """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+""")
+def tpch_q5_local_supplier(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey")
+    j = (li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) &
+               (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1)
+        .alias("revenue"))
+
+
+@_q("zip_with_index", """
+SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS idx
+FROM customer
+""")
+def zip_with_index_q(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return J.zip_with_index(c, ["c_custkey"], "idx")
+
+
+@_q("glom_sizes")
+def glom_sizes_q(spark, sf_dir):
+    from vega_spark.operators.core import glom
+    d = _t(spark, sf_dir, "nation")
+    return glom(d).select("partition_id", F.size("items").alias("n_items"))
+
+
+@_q("count_approx")
+def count_approx_q(spark, sf_dir):
+    from vega_spark.operators.approx import count_approx
+    r = count_approx(_t(spark, sf_dir, "lineitem"), timeout_ms=60_000)
+    return spark.createDataFrame(
+        [(r.mean, r.confidence, r.low, r.high)],
+        "mean double, confidence double, low double, high double")
+
+
 # --- north-star: dedup ----------------------------------------------------------
 
 @_q("dedup_exact", """
