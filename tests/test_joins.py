@@ -69,3 +69,42 @@ def test_join_types_matrix(spark):
     assert J.join(left, right, ["k"], "full").count() == 3
     assert {r.k for r in J.join(left, right, ["k"], "left_semi").collect()} == {2}
     assert {r.k for r in J.join(left, right, ["k"], "left_anti").collect()} == {1}
+
+
+# --- as-of join ---------------------------------------------------------------
+
+def test_asof_join_backward(spark):
+    from vega_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", 5, 3), ("b", 7, 4)],
+        "k string, ts long, event_id long")
+    right = spark.createDataFrame(
+        [("a", 10, 100.0), ("a", 15, 150.0), ("b", 99, 990.0)],
+        "k string, ts long, px double")
+    out = {r.event_id: r.px
+           for r in asof_join(left, right, ["k"], "ts", ["px"]).collect()}
+    # equal ts matches; ts=5 has no prior right row -> dropped (inner)
+    assert out == {1: 100.0, 2: 150.0}
+
+    outl = {r.event_id: r.px
+            for r in asof_join(left, right, ["k"], "ts", ["px"],
+                               how="left").collect()}
+    assert outl == {1: 100.0, 2: 150.0, 3: None, 4: None}
+
+
+def test_range_join_bucket_boundary(spark):
+    from vega_spark.operators.joins import range_join_bucketed
+    # radius 100; right at +100 (inclusive) and +101 (excluded);
+    # pair spans a bucket boundary (left 950 bkt 9, right 1050 bkt 10)
+    left = spark.createDataFrame([("a", 950, 1)], "k string, l_ts long, lid long")
+    right = spark.createDataFrame(
+        [("a", 1050, 10), ("a", 1051, 11), ("a", 950, 12), ("a", 949, 13)],
+        "k string, r_ts long, rid long")
+    got = sorted(r.rid for r in range_join_bucketed(
+        left, right, ["k"], "l_ts", "r_ts", max_diff=100).collect())
+    assert got == [10]  # strict lower bound drops ts-equal, 1051 out of range
+
+    got2 = sorted(r.rid for r in range_join_bucketed(
+        left, right, ["k"], "l_ts", "r_ts", max_diff=100,
+        strict_after=False).collect())
+    assert got2 == [10, 12]

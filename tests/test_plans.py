@@ -50,3 +50,34 @@ def test_registry_flagship_plan_is_one_exchange(spark, sf_dir):
     from vega_spark.registry import QUERIES
     q = QUERIES["weblog_agg"](spark, sf_dir)
     assert I.count_exchanges(q) <= 1, I.plan_text(q)
+
+
+def test_tpch_q3_broadcasts_dimensions(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    q = QUERIES["tpch_q3_shipping"](spark, sf_dir)
+    txt = I.plan_text(q)
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
+
+
+def test_range_join_is_equi_not_theta(spark, sf_dir):
+    # the bucketed plan must be a hash/broadcast equi-join — a theta
+    # join would plan CartesianProduct/BroadcastNestedLoop and die at scale
+    from vega_spark.registry import QUERIES
+    q = QUERIES["range_join"](spark, sf_dir)
+    txt = I.plan_text(q)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # core operator: union of the two sides + one window over the key
+    # = exactly one hash exchange, no join operator at all
+    from vega_spark.operators.joins import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", F.col("value").alias("px"))
+    q = asof_join(left, right, ["user_id"], "ts", ["px"])
+    txt = I.plan_text(q)
+    assert "Join" not in txt, txt
+    assert I.count_exchanges(q) <= 1, txt

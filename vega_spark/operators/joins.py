@@ -109,3 +109,79 @@ def zip_with_index(df: DataFrame, order: Sequence[str],
 
     w = Window.orderBy(*[F.col(c) for c in order])
     return df.withColumn(index_name, F.row_number().over(w) - F.lit(1))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              key_cols: Sequence[str], ts_col: str,
+              value_cols: Sequence[str], how: str = "inner") -> DataFrame:
+    """As-of (backward) join: each left row picks the latest right row
+    with ``right.ts <= left.ts`` per key — a temporal operator the
+    reference lacks entirely (only equi-joins, SURVEY §2.4).
+
+    Physical strategy (the scalable one): tag both sides, union, and
+    run one ``last(..., ignorenulls)`` window per value column over
+    (key, ts) order. That is a single hash shuffle on the key plus one
+    per-partition sort — no range-explosion cross join, no per-key
+    state on the driver, and skewed keys are still split by AQE. A
+    naive ``left.ts >= right.ts`` theta-join is O(|L|·|R|) per key and
+    would not survive 100x data.
+
+    Equal timestamps on both sides match (right sorts first).
+    ``how='inner'`` drops left rows with no prior right row
+    (DuckDB ASOF JOIN semantics); ``'left'`` keeps them with nulls.
+    """
+    from pyspark.sql.window import Window
+
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    rtypes = dict(right.dtypes)
+    l = left.withColumn("__side", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(c, F.lit(None).cast(rtypes[c]))
+    r = right.select(*key_cols, ts_col, *value_cols)
+    for c in left.columns:
+        if c not in key_cols and c != ts_col:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.withColumn("__side", F.lit(0))
+    u = l.unionByName(r)
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col(ts_col), F.col("__side"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for c in value_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1).drop("__side")
+    if how == "inner":
+        out = out.filter(F.col(value_cols[0]).isNotNull())
+    return out
+
+
+def range_join_bucketed(left: DataFrame, right: DataFrame,
+                        key_cols: Sequence[str],
+                        left_ts: str, right_ts: str,
+                        max_diff: int,
+                        strict_after: bool = True) -> DataFrame:
+    """Range (interval) join: pairs where ``0 < right.ts - left.ts <=
+    max_diff`` per key (``strict_after=False`` makes the lower bound
+    inclusive). ``ts`` columns are integers (our events use BIGINT
+    nanoseconds, so a 5-minute radius is ``300 * 10**9``).
+
+    Physical strategy: coarse time-bucketing turns the inequality into
+    an equi-join. Each left row joins buckets {b, b+1} (bucket width =
+    max_diff, so a match can span at most one boundary), then the
+    exact predicate filters. This bounds the per-key cross product to
+    two buckets instead of the whole key group — the difference
+    between O(rows x bucket_width) and O(rows x key_cardinality) at
+    100 TB. Catalyst alone would plan the raw inequality as a
+    cross/theta join.
+    """
+    key_cols = list(key_cols)
+    # integral `div`, NOT float division: BIGINT nanosecond epochs
+    # (~1.7e18) exceed double precision (2^53) and would mis-bucket
+    lbkt = F.expr(f"`{left_ts}` div {max_diff}")
+    lb = left.withColumn("__bkt", F.explode(F.array(lbkt, lbkt + 1)))
+    rb = right.withColumn("__bkt", F.expr(f"`{right_ts}` div {max_diff}"))
+    diff = F.col(right_ts) - F.col(left_ts)
+    lower = diff > 0 if strict_after else diff >= 0
+    return (lb.join(rb, on=key_cols + ["__bkt"], how="inner")
+            .filter(lower & (diff <= max_diff))
+            .drop("__bkt"))

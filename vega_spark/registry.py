@@ -946,3 +946,118 @@ def multimodal_frames_q(spark, sf_dir):
     with_bin = X_mm.attach_binary(d, "text")
     frames = X_mm.sample_frames(with_bin, id_col="doc_id")
     return frames.select("asset_id", "frame_idx", F.length("frame").alias("frame_len"))
+
+
+# --- streaming (capability superset: reference has none, SURVEY §2.11) ---------
+
+@_q("streaming_windowed_counts", """
+SELECT CAST(EXTRACT(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1, 2
+""")
+def streaming_windowed_counts_q(spark, sf_dir):
+    """End-to-end Structured Streaming: stage events as an arrival
+    directory, run a real readStream → 1h tumbling window agg →
+    memory sink with Trigger.AvailableNow, and return the drained
+    result. Window starts are epoch-aligned, so the BIGINT epoch-second
+    output is session-timezone independent on both engines."""
+    import tempfile
+    import uuid
+
+    from vega_spark.streaming import sources as SS
+
+    ev = _t(spark, sf_dir, "events")  # ts is BIGINT nanoseconds
+    stage = tempfile.mkdtemp(prefix="vega_stream_stage_")
+    (ev.select("event_id",
+               F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+               "event_type", "value")
+       .write.mode("overwrite").parquet(stage))
+
+    stream = SS.stream_parquet(
+        spark, stage, "event_id long, ts timestamp, event_type string, value double")
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total")))
+    name = "stream_wc_" + uuid.uuid4().hex[:8]
+    q = SS.to_memory(agg, name, output_mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    return (spark.table(name)
+            .select(F.col("win.start").cast("long").alias("win_start_s"),
+                    "event_type", "n", "total"))
+
+
+@_q("sessionize_gap", """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o)
+SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sess
+""")
+def sessionize_gap_q(spark, sf_dir):
+    """Gap-based sessions per user (30 min): ``F.session_window`` —
+    the batch twin of the streaming sessionizer (streaming/stateful.py).
+    Sessions merge while consecutive events are < gap apart; the
+    oracle replays the same rule with LAG + running-sum break ids."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tsu"))
+    return (t.groupBy(F.session_window("tsu", "30 minutes").alias("session"),
+                      "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_micros(F.col("session.start")).alias("session_start_us"),
+                    "n_events"))
+
+
+@_q("asof_join", """
+SELECT l.event_id, l.user_id, r.value AS last_signup_value
+FROM events l
+ASOF JOIN (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def asof_join_q(spark, sf_dir):
+    """Backward as-of join: each event picks the user's most recent
+    signup at-or-before it (right side deduped per (user, ts) so the
+    pick is well-defined on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    right = (ev.filter(F.col("event_type") == "signup")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("last_signup_value")))
+    left = ev.select("event_id", "user_id", "ts")
+    out = J.asof_join(left, right, ["user_id"], "ts",
+                      ["last_signup_value"], how="inner")
+    return out.select("event_id", "user_id", "last_signup_value")
+
+
+@_q("range_join", """
+SELECT l.event_id AS left_id, r.event_id AS right_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+""")
+def range_join_q(spark, sf_dir):
+    """Interval self-join: pairs of same-user events where the right
+    event lands within 5 minutes after the left. Bucketed equi-join
+    plan (see joins.range_join_bucketed) instead of a theta join."""
+    ev = _t(spark, sf_dir, "events")
+    l = ev.select(F.col("event_id").alias("left_id"),
+                  "user_id", F.col("ts").alias("l_ts"))
+    r = ev.select(F.col("event_id").alias("right_id"),
+                  "user_id", F.col("ts").alias("r_ts"))
+    out = J.range_join_bucketed(l, r, ["user_id"], "l_ts", "r_ts",
+                                max_diff=300 * 10**9)
+    return out.select("left_id", "right_id")
