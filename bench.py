@@ -38,6 +38,15 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "text_features",
     "ann_cosine_topk",
+    # round-1 widening (first recorded in BASELINE.md alongside the
+    # original eleven — per-query comparison, not just the total):
+    "tpch_q3_shipping",    # multi-join, broadcast dimensions
+    "tpch_q5_local_supplier",
+    "asof_join",           # single-shuffle windowed as-of
+    "range_join",          # bucketed interval equi-join
+    "sessionize_gap",      # session_window aggregation
+    "skew_salted_join",    # salting overhead vs plain join
+    "streaming_windowed_counts",  # full readStream->sink drain
 ]
 
 

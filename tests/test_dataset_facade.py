@@ -86,3 +86,25 @@ def test_cache_and_zip_with_index(spark):
     ds = ctx.make_rdd(["c", "a", "b"]).cache()
     out = ds.zip_with_index(["value"]).collect()
     assert {(r.value, r.idx) for r in out} == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_broadcast_and_accumulator(spark):
+    """Broadcast vars + accumulators — both reference gaps (SURVEY
+    §2.11; accumulators stubbed at dag_scheduler.rs:23-27)."""
+    from vega_spark.dataset import VegaContext
+    ctx = VegaContext(spark)
+    lookup = ctx.broadcast({1: "one", 2: "two"})
+    seen = ctx.accumulator(0)
+
+    ds = ctx.make_rdd([1, 2, 2, 3])
+
+    def tag(batches):
+        for pdf in batches:
+            seen.add(len(pdf))
+            pdf["name"] = pdf["value"].map(lambda v: lookup.value.get(v, "?"))
+            yield pdf
+
+    out = ds.map_partitions(tag, "value bigint, name string").collect()
+    assert sorted((r.value, r.name) for r in out) == \
+        [(1, "one"), (2, "two"), (2, "two"), (3, "?")]
+    assert seen.value == 4

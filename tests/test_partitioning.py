@@ -88,3 +88,63 @@ def test_topk_per_group(spark):
     out = K.topk_per_group(df, ["k"], [F.col("v").desc()], 2)
     got = sorted((r.k, r.v) for r in out.collect())
     assert got == [("a", 3), ("a", 5), ("b", 2), ("b", 9)]
+
+
+# --- skew salting -------------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from vega_spark.operators.skew import salted_join
+    from vega_spark.tables import load_table
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    plain = li.join(o, on="l_orderkey").groupBy("o_orderstatus").count()
+    salted = (salted_join(li, o, ["l_orderkey"], n_salt=4)
+              .groupBy("o_orderstatus").count())
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from vega_spark.operators.skew import salted_agg
+    from vega_spark.tables import load_table
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    plain = {r.event_type: (r.n, round(r.total, 2), r.vmin, r.vmax)
+             for r in ev.groupBy("event_type").agg(
+                 F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"),
+                 F.min("value").alias("vmin"), F.max("value").alias("vmax")
+             ).collect()}
+    got = {r.event_type: (r.n, round(r.total, 2), r.vmin, r.vmax)
+           for r in salted_agg(ev, ["event_type"],
+                               [("value", "count", "n"),
+                                ("value", "sum", "total"),
+                                ("value", "min", "vmin"),
+                                ("value", "max", "vmax")], n_salt=4).collect()}
+    assert plain == got
+
+
+def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
+    """Bucketed tables joined on the bucket key: no Exchange in the
+    plan — the durable form of the reference's co-partitioned shuffle
+    elision (co_grouped_rdd.rs:102-126)."""
+    from vega_spark.operators.partitioning import write_bucketed
+    from vega_spark.plans import inspect as I
+    from vega_spark.tables import load_table
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "bkt_li", 4, ["l_orderkey"],
+                       path=str(tmp_path / "bkt_li"))
+        write_bucketed(o, "bkt_o", 4, ["o_orderkey"],
+                       path=str(tmp_path / "bkt_o"))
+        j = spark.table("bkt_li").join(
+            spark.table("bkt_o"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        txt = I.plan_text(j)
+        assert "Exchange" not in txt, txt
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bkt_o")

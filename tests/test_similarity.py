@@ -68,3 +68,25 @@ def test_cosine_expression(spark):
         S.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
     assert math.isclose(got[0], 0.0, abs_tol=1e-12)
     assert math.isclose(got[1], 1.0, rel_tol=1e-12)
+
+
+def test_ivf_ann_recall(spark):
+    rows, df = vectors(spark, n=200)
+    queries = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in
+             S.cosine_topk_bruteforce(df, queries, k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              S.ivf_ann_topk(df, queries, dim=16, k=3,
+                             n_cells=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # a query always lands in (and probes) its own cell
+    assert all((q, q) in approx for q in range(10))
+
+
+def test_ivf_centroids_deterministic(spark):
+    _, df = vectors(spark, n=100)
+    a = S.train_ivf_centroids(df, dim=16, n_cells=4, iters=2)
+    b = S.train_ivf_centroids(df, dim=16, n_cells=4, iters=2)
+    assert a == b and len(a) == 4 and all(len(c) == 16 for c in a)

@@ -65,3 +65,19 @@ def test_registry_all_queries_run(spark, sf_dir):
         except Exception as e:  # noqa: BLE001
             failures.append((name, str(e)[:200]))
     assert not failures, failures
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet write; reading back with a filter on
+    the partition column must prune at planning time (PartitionFilters
+    in the scan) — the 100 TB table layout story."""
+    from vega_spark.plans import inspect as I
+    from vega_spark.tables import load_table
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    txt = I.plan_text(back)
+    assert "PartitionFilters" in txt and "event_type" in txt, txt
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == n_click

@@ -89,6 +89,22 @@ class VegaContext:
         """``Context::union(&[rdds])``."""
         return VegaDataset(_set.union_all([d.df for d in datasets]))
 
+    def broadcast(self, value: Any):
+        """Broadcast variable — absent from the reference (SURVEY
+        §2.11); Spark ships the value once per executor instead of
+        once per task. For DataFrame joins prefer ``F.broadcast`` on
+        the small side; this is for lookup structures used inside
+        mapInPandas/applyInPandas logic."""
+        return self.spark.sparkContext.broadcast(value)
+
+    def accumulator(self, init: float = 0):
+        """Accumulator — stubbed in the reference (SURVEY §2.11:
+        dag_scheduler.rs:23-27 `accum_updates` never populated).
+        Workers add, only the driver reads. Spark guarantees
+        exactly-once application only inside actions; transforms may
+        re-run on retry — use for metrics, not results."""
+        return self.spark.sparkContext.accumulator(init)
+
 
 class VegaDataset:
     """Typed-RDD surface over a DataFrame (reference Rdd trait,

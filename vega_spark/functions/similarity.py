@@ -23,6 +23,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -159,6 +161,94 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int,
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
             .distinct())
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _nearest_cells_udf(centroids: list[list[float]], n: int = 1):
+    """Vectorized (Arrow-batched) nearest-cell scorer: one numpy
+    matmul per batch against the unit-normalized centroid matrix.
+
+    Ranking by dot against normalized centroids equals ranking by
+    cosine (l2_norm(vec) is a per-row positive constant). A pure
+    Column-expression version compiles an expression tree of
+    n_cells x dim literals — codegen time dwarfs the actual math;
+    dense linear algebra is exactly the sanctioned pandas-UDF case.
+    Ties break toward the smaller cell id (stable argsort)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0.0] = 1.0
+    Cn = (C / norms[:, None]).T  # dim x n_cells
+
+    @pandas_udf("array<int>")
+    def assign(vs: pd.Series) -> pd.Series:
+        M = np.vstack(vs.to_numpy())          # batch x dim
+        order = np.argsort(-(M @ Cn), axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32") for row in order])
+
+    return assign
+
+
+def train_ivf_centroids(corpus: DataFrame, dim: int, n_cells: int = 16,
+                        iters: int = 1, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """IVF coarse quantizer: k-means with deterministic hashed init
+    (cell_0 = xxhash64(id) mod n_cells), ``iters`` Lloyd steps.
+
+    Each step is one narrow assignment pass + one (cell, position)
+    aggregation; only n_cells x dim numbers ever reach the driver, so
+    training cost is independent of corpus size beyond the scans —
+    the part that must survive 100 TB."""
+    assign = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cells))
+    for _ in range(iters):
+        means = (corpus.select(assign.alias("cell"),
+                               F.posexplode(vec_col).alias("pos", "x"))
+                 .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                 .select("cell", F.transform("pm", lambda e: e["m"]).alias("centroid"))
+                 .collect())
+        centroids = [list(r.centroid) for r in
+                     sorted(means, key=lambda r: r.cell)]
+        assign = _nearest_cells_udf(centroids, 1)(F.col(vec_col))[0]
+    return centroids
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                 k: int = 10, n_cells: int = 16, n_probe: int = 4,
+                 iters: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """IVF approximate top-k: corpus vectors index into their nearest
+    coarse cell; queries probe the ``n_probe`` nearest cells; exact
+    cosine rerank on the candidates.
+
+    The scale path alongside lsh_ann_topk: candidate generation is an
+    equi-join on the cell id, so the corpus shuffles once on a
+    low-cardinality key and the probed fraction (~n_probe/n_cells)
+    bounds rerank cost."""
+    centroids = train_ivf_centroids(corpus, dim, n_cells, iters,
+                                    id_col, vec_col)
+    cell1 = _nearest_cells_udf(centroids, 1)
+    celln = _nearest_cells_udf(centroids, n_probe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"),
+        cell1(F.col(vec_col))[0].alias("cell"))
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec"),
+        F.explode(celln(F.col(vec_col))).alias("cell")))
+    cand = (c.join(q, "cell")
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("__cvec"), F.col("__qvec")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk"))
 
 
 def exact_cosine_threshold_count(df: DataFrame, other: DataFrame,

@@ -1061,3 +1061,112 @@ def range_join_q(spark, sf_dir):
     out = J.range_join_bucketed(l, r, ["user_id"], "l_ts", "r_ts",
                                 max_diff=300 * 10**9)
     return out.select("left_id", "right_id")
+
+
+# --- skew mitigation (salting — same results as unsalted, by construction) -----
+
+@_q("skew_salted_join", """
+SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY l_returnflag
+""")
+def skew_salted_join_q(spark, sf_dir):
+    """Salted equi-join (operators/skew.py): identical results to the
+    plain join — salting is physical re-layout only, so the oracle is
+    the unsalted SQL."""
+    from vega_spark.operators.skew import salted_join
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    j = salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
+                    ["o_orderkey"], n_salt=8)
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"))
+
+
+@_q("skew_salted_agg", """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY event_type
+""")
+def skew_salted_agg_q(spark, sf_dir):
+    """Two-phase salted aggregation — splits a hot grouping key across
+    reducers; results equal the direct groupBy."""
+    from vega_spark.operators.skew import salted_agg
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_agg(ev, ["event_type"],
+                     [("value", "count", "n"), ("value", "sum", "total"),
+                      ("value", "min", "vmin"), ("value", "max", "vmax")],
+                     n_salt=8)
+    return out.select("event_type", "n", F.round("total", 2).alias("total"),
+                      "vmin", "vmax")
+
+
+@_q("percentile_exact", """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+FROM lineitem GROUP BY l_returnflag
+""")
+def percentile_exact_q(spark, sf_dir):
+    """Exact interpolated percentiles (Spark SQL `percentile`) — the
+    exact counterpart of percentile_approx; both engines use linear
+    interpolation so values match to the cent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75")))
+
+
+@_q("ann_ivf_topk")
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF ANN (deterministic hashed-init k-means cells + probe join +
+    exact rerank) — the second scale path next to ann_lsh_topk."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return X_sim.ivf_ann_topk(emb, queries, dim=dim, k=3,
+                              n_cells=16, n_probe=4)
+
+
+@_q("tpch_q18_large_orders", """
+SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey
+HAVING SUM(l_quantity) > 250
+""")
+def tpch_q18_large_orders_q(spark, sf_dir):
+    """TPC-H Q18 shape: big-big join then grouped HAVING filter. The
+    lineitem-orders join shuffles on orderkey; customer broadcasts."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+    return (j.groupBy("c_custkey", "o_orderkey")
+            .agg(F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+            .filter(F.col("total_qty") > 250))
+
+
+@_q("count_by_value_approx", """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+""")
+def count_by_value_approx_q(spark, sf_dir):
+    """Deadline-bounded grouped count (reference rdd.rs:461-499 +
+    grouped_count_evaluator.rs): with an ample deadline every
+    partition reports, so the result is exact and oracle-checkable;
+    the timeout path is pinned by unit tests instead."""
+    from vega_spark.operators.approx import count_by_value_approx
+    m = count_by_value_approx(
+        _t(spark, sf_dir, "events").select("event_type"),
+        ["event_type"], timeout_ms=120_000, chunk=32)
+    rows = sorted((k[0], int(v.mean)) for k, v in m.items())
+    return spark.createDataFrame(rows, "event_type string, n bigint")
