@@ -108,3 +108,16 @@ def test_broadcast_and_accumulator(spark):
     assert sorted((r.value, r.name) for r in out) == \
         [(1, "one"), (2, "two"), (2, "two"), (3, "?")]
     assert seen.value == 4
+
+
+def test_local_checkpoint_truncates_lineage(spark):
+    """Checkpointing — absent from the reference (SURVEY §2.11).
+    localCheckpoint materializes and cuts the logical plan."""
+    from vega_spark.dataset import VegaContext
+    ds = VegaContext(spark).range(1, 100)
+    chained = ds.map((F.col("value") * 2).alias("value")).filter(F.col("value") > 10)
+    cp = chained.checkpoint()
+    # range end is INCLUSIVE (reference semantics): 1..100, x*2>10 -> x>=6
+    assert cp.count() == chained.count() == 95
+    # lineage is cut: the checkpointed plan no longer contains the scan
+    assert "LogicalRDD" in cp.df._jdf.queryExecution().analyzed().toString()

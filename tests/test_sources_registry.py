@@ -81,3 +81,22 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in txt and "event_type" in txt, txt
     n_click = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == n_click
+
+
+def test_csv_json_write_read_roundtrip(spark, tmp_path):
+    """Writer/reader round trip for the text formats (the reference's
+    save_as_text_file writes Debug-formatted rows; CSV/JSON are the
+    structured equivalents)."""
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -0.25), (3, "", 0.0)],
+        "id long, s string, v double")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    df.write.mode("overwrite").option("header", True).csv(csv_dir)
+    df.write.mode("overwrite").json(json_dir)
+    back_csv = spark.read.option("header", True).schema(df.schema).csv(csv_dir)
+    back_json = spark.read.schema(df.schema).json(json_dir)
+    want = sorted(map(tuple, df.collect()))
+    # CSV cannot distinguish null from empty string — normalize both
+    norm = lambda rows: sorted((i, s or None, v) for i, s, v in rows)
+    assert norm(map(tuple, back_csv.collect())) == norm(want)
+    assert sorted(map(tuple, back_json.collect())) == want

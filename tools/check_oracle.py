@@ -55,9 +55,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t)}.parquet'")
 
     failures = []
+    attempted = 0
     for name, fn in registry.QUERIES.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -96,7 +98,7 @@ def main() -> int:
         else:
             print(f"ok    {name:28s} rows={len(srows):7d} {time.time()-t0:5.1f}s")
 
-    print(f"\n{len(registry.QUERIES) - len(failures)}/{len(registry.QUERIES)} passed")
+    print(f"\n{attempted - len(failures)}/{attempted} passed")
     for name, why in failures:
         print(f"  FAILED {name}: {why[:500]}")
     spark.stop()

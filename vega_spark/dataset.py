@@ -278,6 +278,14 @@ class VegaDataset:
         self.df.cache()
         return self
 
+    def checkpoint(self) -> "VegaDataset":
+        """Checkpointing — absent from the reference (SURVEY §2.11).
+        ``localCheckpoint`` materializes the partitions and truncates
+        lineage; on a cluster prefer ``spark.sparkContext.
+        setCheckpointDir`` + ``df.checkpoint()`` for fault-tolerant
+        (storage-backed) truncation of very deep plans."""
+        return VegaDataset(self.df.localCheckpoint())
+
     # --- approximate actions (§2.9) ---------------------------------------------
     def count_approx(self, timeout_ms: float, confidence: float = 0.95) -> _approx.BoundedDouble:
         return _approx.count_approx(self.df, timeout_ms, confidence)

@@ -1170,3 +1170,60 @@ def count_by_value_approx_q(spark, sf_dir):
         ["event_type"], timeout_ms=120_000, chunk=32)
     rows = sorted((k[0], int(v.mean)) for k, v in m.items())
     return spark.createDataFrame(rows, "event_type string, n bigint")
+
+
+@_q("sql_exists_subquery", """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND c_acctbal > 0
+""")
+def sql_exists_subquery_q(spark, sf_dir):
+    """Full SQL surface (reference has no SQL layer at all, SURVEY
+    §2.11): the identical SQL text runs on Spark (registered temp
+    views) and DuckDB. EXISTS decorrelates to a left-semi join in
+    Catalyst — same plan family as join_semi."""
+    from vega_spark.tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND c_acctbal > 0""")
+
+
+@_q("sum_approx", """
+SELECT ROUND(SUM(value), 2) AS total FROM events
+""")
+def sum_approx_q(spark, sf_dir):
+    """Deadline-bounded sum (same partial mechanism as count_approx,
+    reference context.rs:508-524 generic evaluator): exact when every
+    partition reports within the deadline, hence oracle-checkable."""
+    from vega_spark.operators.approx import sum_approx
+    r = sum_approx(_t(spark, sf_dir, "events").select("value"), "value",
+                   timeout_ms=120_000, chunk=32)
+    return spark.createDataFrame([(round(r.mean, 2),)], "total double")
+
+
+@_q("window_lead_lag", """
+SELECT o_orderkey,
+       LAG(o_orderkey) OVER w AS prev_key,
+       LEAD(o_orderkey) OVER w AS next_key,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+""")
+def window_lead_lag_q(spark, sf_dir):
+    """lead/lag/ntile analytics — window-function family the
+    reference lacks entirely (SURVEY §2.11)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.ntile(4).over(w).alias("quartile"))
