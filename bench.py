@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "sessionize_gap",      # session_window aggregation
     "skew_salted_join",    # salting overhead vs plain join
     "streaming_windowed_counts",  # full readStream->sink drain
+    "pipeline_clean_corpus",      # quality gate + exact dedup pipeline
 ]
 
 

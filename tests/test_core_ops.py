@@ -137,3 +137,24 @@ def test_save_and_read_back(spark, tmp_path):
     actions.save_as_text(df.select(F.col("value").cast("string")), tpath)
     back = spark.read.csv(tpath, schema="value string")
     assert sorted(int(r.value) for r in back.collect()) == [1, 2, 3, 4]
+
+
+def test_sample_stratified_fractions(spark, sf_dir):
+    from vega_spark.operators.sampling import sample_stratified
+    from vega_spark.tables import load_table
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    totals = {r.event_type: r.n for r in
+              ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = sample_stratified(ev, "event_type",
+                            {"click": 0.5, "purchase": 1.0}, seed=7)
+    got = {r.event_type: r.n for r in
+           out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"click", "purchase"}          # unlisted strata -> 0
+    assert got.get("purchase", 0) == totals["purchase"]  # fraction 1.0 keeps all
+    frac = got.get("click", 0) / totals["click"]
+    assert 0.3 <= frac <= 0.7                          # Bernoulli around 0.5
+    # seeded determinism
+    again = sample_stratified(ev, "event_type",
+                              {"click": 0.5, "purchase": 1.0}, seed=7)
+    assert sorted(r.event_id for r in out.collect()) == \
+        sorted(r.event_id for r in again.collect())

@@ -115,3 +115,22 @@ def test_shingle_hot_key_guard(spark):
     df = docs(spark, texts)
     idx = D.shingle_index(df, "text", "doc_id", n=3, max_doc_freq=10)
     assert idx.count() == 0  # the stop-shingle was dropped
+
+
+# --- end-to-end pipeline ------------------------------------------------------
+
+def test_pipeline_filters_and_dedupes(spark):
+    from vega_spark.functions.pipeline import clean_corpus, corpus_stats
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog sat in the house for a while"),
+         (2, "the cat and the dog sat in the house for a while"),  # dup of 1
+         (3, "!!! ??? ### $$$ %%%"),                               # junk punct
+         (4, "word"),                                              # too short
+         (5, "der hund und die katze sind mit auf der wiese zu hause")],
+        "doc_id long, text string")
+    out = clean_corpus(docs)
+    got = {r.doc_id: (r.lang_pred, r.quality) for r in out.collect()}
+    assert set(got) == {1, 5}          # 2 deduped, 3+4 quality-gated
+    assert got[1][0] == "en" and got[5][0] == "de"
+    stats = {r.lang_pred: r.n_docs for r in corpus_stats(out).collect()}
+    assert stats == {"en": 1, "de": 1}

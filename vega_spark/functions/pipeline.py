@@ -1,0 +1,54 @@
+"""End-to-end training-data pipeline: the composition the north-star
+extensions exist for — quality-score, filter, dedup, language/token
+stats over a documents table.
+
+Pipeline shape at 100 TB:
+1. feature pass — pure Column expressions (functions/text.py), narrow,
+   fused into the scan by whole-stage codegen; zero shuffles.
+2. quality gate — plain filter, pushed as far down as the expressions
+   allow; drops rows before anything shuffles.
+3. exact dedup — the ONE shuffle, and it carries only
+   (sha256 digest, doc_id, the kept columns); content never shuffles
+   twice. Near-dup stages (MinHash/SimHash, functions/dedup.py) chain
+   after this the same way: each adds exactly one keyed shuffle.
+4. per-language accounting — partial+final aggregate.
+
+Every stage is a DataFrame -> DataFrame function, so the pipeline
+composes with the streaming layer (the feature pass and quality gate
+run unchanged on a readStream frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vega_spark.functions import text as T
+from vega_spark.functions.dedup import content_digest
+
+
+def clean_corpus(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_quality: float = 0.7) -> DataFrame:
+    """Quality-filtered, exactly-deduped corpus with text features.
+    Keeps the lowest-id representative per distinct content."""
+    feats = docs.select(
+        F.col(id_col), F.col(text_col),
+        T.token_count(text_col).alias("n_tokens"),
+        T.language_id(text_col).alias("lang_pred"),
+        F.round(T.quality_score(text_col), 2).alias("quality"))
+    kept = feats.filter(F.col("quality") >= min_quality)
+    w = (Window.partitionBy(content_digest(text_col))
+         .orderBy(F.col(id_col)))
+    return (kept.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk", text_col))
+
+
+def corpus_stats(clean: DataFrame) -> DataFrame:
+    """Per-language accounting of the cleaned corpus."""
+    return (clean.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("quality"), 4).alias("avg_quality")))

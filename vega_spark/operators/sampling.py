@@ -74,3 +74,12 @@ def take_sample(df: DataFrame, with_replacement: bool, num: int,
         rows = df.sample(withReplacement=with_replacement, fraction=fraction,
                          seed=s).take(num * 2)
     return rows[:num]
+
+
+def sample_stratified(df: DataFrame, col: str, fractions: dict,
+                      seed: int | None = None) -> DataFrame:
+    """Stratified sampling without replacement (per-key fraction) —
+    reference gap (its samplers are global-fraction only,
+    src/utils/random.rs:36-297); Spark's sampleBy is the per-stratum
+    Bernoulli form, one narrow pass, no shuffle."""
+    return df.sampleBy(col, fractions, seed=seed)

@@ -1227,3 +1227,81 @@ def window_lead_lag_q(spark, sf_dir):
         F.lag("o_orderkey").over(w).alias("prev_key"),
         F.lead("o_orderkey").over(w).alias("next_key"),
         F.ntile(4).over(w).alias("quartile"))
+
+
+# --- north-star: end-to-end training-data pipeline -----------------------------
+
+_PIPELINE_CLEAN_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), feats AS (
+  SELECT doc_id, text, len(t) AS n_tokens,
+         CASE WHEN length(text) > 0 THEN
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+           / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN len(t) > 0 THEN
+           len(list_filter(t, x -> list_contains(
+             ['the','and','of','to','in','is','that','it','was','for'], x)))
+           / len(t) ELSE 0.0 END AS sraw,
+         len(list_filter(['der','die','das','und','ist','nicht','ein','mit','auf','zu'],
+             s -> list_contains(list_distinct(t), s))) AS s_de,
+         len(list_filter(['the','and','of','to','in','is','that','it','was','for'],
+             s -> list_contains(list_distinct(t), s))) AS s_en,
+         len(list_filter(['el','la','los','de','que','y','en','un','es','por'],
+             s -> list_contains(list_distinct(t), s))) AS s_es,
+         len(list_filter(['le','la','les','et','est','dans','pour','que','une','des'],
+             s -> list_contains(list_distinct(t), s))) AS s_fr
+  FROM base
+), scored AS (
+  SELECT doc_id, text, n_tokens,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred,
+         CAST(ROUND((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN praw < 0.2 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN sraw > 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality
+  FROM feats
+), deduped AS (
+  SELECT doc_id, n_tokens, lang_pred, quality,
+         ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rk
+  FROM scored WHERE quality >= 0.7
+)
+SELECT doc_id, n_tokens, lang_pred, quality FROM deduped WHERE rk = 1
+"""
+
+
+@_q("pipeline_clean_corpus", _PIPELINE_CLEAN_SQL)
+def pipeline_clean_corpus_q(spark, sf_dir):
+    """Full training-data pipeline (functions/pipeline.py): feature
+    pass (narrow) -> quality gate -> one-shuffle exact dedup. The
+    oracle replays every heuristic in SQL."""
+    from vega_spark.functions.pipeline import clean_corpus
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
+@_q("pipeline_corpus_stats", f"""
+WITH clean AS ({_PIPELINE_CLEAN_SQL})
+SELECT lang_pred, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 4) AS avg_quality
+FROM clean GROUP BY lang_pred
+""")
+def pipeline_corpus_stats_q(spark, sf_dir):
+    from vega_spark.functions.pipeline import clean_corpus, corpus_stats
+    return corpus_stats(clean_corpus(_t(spark, sf_dir, "documents")))
+
+
+@_q("sample_stratified")
+def sample_stratified_q(spark, sf_dir):
+    """Per-stratum Bernoulli sample (seeded) — deterministic within
+    the engine, engine-specific RNG, so rows-only like sample_seeded."""
+    from vega_spark.operators.sampling import sample_stratified
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    out = sample_stratified(ev, "event_type",
+                            {"click": 0.5, "view": 0.1, "purchase": 1.0},
+                            seed=7)
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
