@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "skew_salted_join",    # salting overhead vs plain join
     "streaming_windowed_counts",  # full readStream->sink drain
     "pipeline_clean_corpus",      # quality gate + exact dedup pipeline
+    "tpch_q1_pricing_summary",    # canonical scan-heavy aggregate
+    "tpch_q9_profit_by_nation",   # 4-way join, filtered broadcast dims
 ]
 
 

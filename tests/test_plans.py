@@ -70,6 +70,27 @@ def test_range_join_is_equi_not_theta(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in txt, txt
 
 
+def test_tpch_q1_scan_agg_shape(spark, sf_dir):
+    # canonical scan-heavy agg: shipdate filter reaches the parquet
+    # scan, partial agg before the single exchange
+    from vega_spark.registry import QUERIES
+    q = QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)
+    assert I.has_pushed_filter(q, "l_shipdate"), I.plan_text(q)
+    assert I.has_partial_aggregate(q), I.plan_text(q)
+    assert I.count_exchanges(q) <= 1, I.plan_text(q)
+
+
+def test_tpch_q9_broadcasts_dims_filtered(spark, sf_dir):
+    # part/supplier/nation broadcast; the p_name LIKE filter must sit
+    # BELOW the broadcast exchange (filter-before-broadcast) so only
+    # surviving part rows ship to executors
+    from vega_spark.registry import QUERIES
+    q = QUERIES["tpch_q9_profit_by_nation"](spark, sf_dir)
+    txt = I.plan_text(q)
+    assert txt.count("BroadcastHashJoin") >= 3, txt
+    assert I.has_pushed_filter(q, "p_name"), txt
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     # core operator: union of the two sides + one window over the key
     # = exactly one hash exchange, no join operator at all

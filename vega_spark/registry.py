@@ -1295,6 +1295,77 @@ def pipeline_corpus_stats_q(spark, sf_dir):
     return corpus_stats(clean_corpus(_t(spark, sf_dir, "documents")))
 
 
+@_q("tpch_q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_pricing_summary_q(spark, sf_dir):
+    """TPC-H Q1: the canonical scan-heavy partial+final aggregate.
+    One scan (shipdate filter pushed to parquet, 4-column ReadSchema),
+    whole-stage-codegen'd projections, 4-group final agg — the shuffle
+    carries only |groups| x partial rows. Money sums go through
+    per-row DECIMAL casts so both engines sum exactly (double
+    accumulation order would otherwise diverge in the last bits at
+    100 TB row counts)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
+         .cast("double").alias("sum_base_price"),
+        F.sum(disc.cast("decimal(20,4)")).cast("double").alias("sum_disc_price"),
+        F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(20,6)"))
+         .cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order")))
+
+
+@_q("tpch_q9_profit_by_nation", """
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4)))
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, YEAR(o_orderdate)
+""")
+def tpch_q9_profit_by_nation_q(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp table in the test schema, so the
+    supplycost term drops out): profit per nation-year. part is
+    filtered BEFORE its broadcast (the LIKE prunes ~87% of rows, and
+    the part join then prunes most lineitem rows before anything
+    shuffles); supplier+nation broadcast; lineitem-orders is the one
+    big shuffle join on orderkey."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey")))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(20,4)"))
+                 .cast("double").alias("profit")))
+
+
 @_q("sample_stratified")
 def sample_stratified_q(spark, sf_dir):
     """Per-stratum Bernoulli sample (seeded) — deterministic within
