@@ -61,3 +61,39 @@ def test_percentile_approx(spark):
     df = ints(spark, list(range(1, 102)), 4)
     ps = X.percentile_approx(df, "value", [0.5]).first()["percentiles"]
     assert abs(ps[0] - 51) <= 2
+
+
+# --- mergeable HLL sketches (operators/sketches.py) ---------------------------
+
+def test_hll_merge_equals_one_shot(spark):
+    from vega_spark.operators import sketches as SK
+    import pyspark.sql.functions as F
+    rows = [(k % 3, f"u{k % 97}") for k in range(2000)]
+    df = spark.createDataFrame(rows, "grp int, uid string").repartition(8)
+    shard = df.withColumn("shard", F.abs(F.hash("uid")) % 4)
+    partials = SK.hll_partial(shard, ["grp", "shard"], "uid")
+    merged = {r.grp: r.approx_distinct
+              for r in SK.hll_merge(partials, ["grp"]).collect()}
+    one = {r.grp: r.approx_distinct
+           for r in SK.hll_distinct(df, ["grp"], "uid").collect()}
+    assert merged == one          # merge property: rollup == direct
+
+
+def test_hll_error_bound_large_cardinality(spark):
+    from vega_spark.operators import sketches as SK
+    df = spark.range(0, 200_000).selectExpr(
+        "cast(id % 2 as int) grp", "cast(id as string) uid")
+    got = {r.grp: r.approx_distinct
+           for r in SK.hll_distinct(df, ["grp"], "uid").collect()}
+    for g, n in got.items():
+        assert abs(n - 100_000) / 100_000 < 0.05   # lgK=12 → ~1.6% rsd
+
+
+def test_hll_global_merge_no_keys(spark):
+    from vega_spark.operators import sketches as SK
+    df = spark.createDataFrame(
+        [(d, f"u{u}") for d in range(5) for u in range(30)],
+        "day int, uid string")
+    partials = SK.hll_partial(df, ["day"], "uid")
+    total = SK.hll_merge(partials, []).first()["approx_distinct"]
+    assert total == 30            # sparse mode: exact

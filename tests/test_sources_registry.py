@@ -100,3 +100,28 @@ def test_csv_json_write_read_roundtrip(spark, tmp_path):
     norm = lambda rows: sorted((i, s or None, v) for i, s, v in rows)
     assert norm(map(tuple, back_csv.collect())) == norm(want)
     assert sorted(map(tuple, back_json.collect())) == want
+
+
+def test_orc_and_json_writer_helpers(spark, tmp_path):
+    from vega_spark.operators import actions
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, None, -1.0)], "id long, s string, v double")
+    orc_dir, json_dir = str(tmp_path / "orc"), str(tmp_path / "json")
+    actions.save_as_orc(df, orc_dir)
+    actions.save_as_json(df, json_dir)
+    want = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, spark.read.orc(orc_dir).collect())) == want
+    assert sorted(map(tuple,
+                      spark.read.schema(df.schema).json(json_dir).collect())) == want
+
+
+def test_save_single_file(spark, tmp_path):
+    from vega_spark.operators import actions
+    df = spark.range(100).repartition(8)
+    out = str(tmp_path / "single")
+    actions.save_single_file(df.selectExpr("cast(id as string) id"), out)
+    import glob
+    parts = glob.glob(out + "/part-*")
+    assert len(parts) == 1        # coalesce(1) -> exactly one part file
+    back = spark.read.csv(out, schema="id string")
+    assert back.count() == 100

@@ -120,3 +120,28 @@ def save_as_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def save_as_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per row, one file per partition).
+    Interchange format — splittable but row-oriented and schema-free;
+    parquet is the right sink for anything re-read at scale."""
+    df.write.mode(mode).json(path)
+
+
+def save_as_orc(df: DataFrame, path: str, mode: str = "overwrite",
+                partition_by: Sequence[str] = ()) -> None:
+    """ORC sink — columnar alternative with the same pushdown/pruning
+    properties as parquet (kept for ecosystems standardized on ORC)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def save_single_file(df: DataFrame, path: str, fmt: str = "csv",
+                     mode: str = "overwrite") -> None:
+    """Driver-convenience: coalesce(1) then write — ONE output file.
+    Deliberately explicit (not the default): a single writer task is a
+    scale anti-pattern; only for small final results (report tables)."""
+    getattr(df.coalesce(1).write.mode(mode), fmt)(path)

@@ -1,0 +1,61 @@
+"""Mergeable sketches — the scale-first answer to distinct counting.
+
+The reference's approximate layer (src/partial/*, SURVEY.md §2.9) is
+deadline-based: run the exact job, stop at the timeout. That shape
+can't pre-aggregate. Mergeable sketches invert it: build a tiny
+fixed-size summary per fine-grained group ONCE, then answer any
+coarser rollup by merging summaries — no rescan of the 100 TB base
+table. This is the Datasketches HLL family that ships in Spark 3.5+
+(`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`), all
+JVM-side, codegen-friendly, shuffle payload = one ~2^lgK-byte binary
+per group.
+
+At 100 TB: daily per-key sketches land in a small parquet rollup
+table; weekly/monthly/all-time distincts are merges of that rollup —
+seconds, not a rescan. Error is ~1.04/sqrt(2^lgConfigK) (default
+lgK=12 → ~1.6%); below the sparse-mode threshold the sketch stores
+the coupon set itself, so small-cardinality estimates are EXACT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_partial(df: DataFrame, keys: Sequence[str], value_col: str,
+                lg_config_k: int = 12,
+                sketch_col: str = "hll_sketch") -> DataFrame:
+    """Per-group HLL sketch of ``value_col``'s distinct values.
+    One shuffle on ``keys``; the output is the durable rollup row:
+    (keys..., sketch binary). Write it partitioned by the finest
+    time grain and every coarser question becomes a merge."""
+    return (df.groupBy(*keys)
+            .agg(F.hll_sketch_agg(value_col, lg_config_k)
+                 .alias(sketch_col)))
+
+
+def hll_merge(partials: DataFrame, keys: Sequence[str],
+              sketch_col: str = "hll_sketch",
+              out_col: str = "approx_distinct") -> DataFrame:
+    """Roll partial sketches up to coarser ``keys`` (possibly []):
+    union-merge the binaries, then estimate. Input rows = |fine
+    groups|, not |base rows| — this never touches the base table."""
+    grouped = (partials.groupBy(*keys) if keys
+               else partials.groupBy())
+    return grouped.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(sketch_col)).alias(out_col))
+
+
+def hll_distinct(df: DataFrame, keys: Sequence[str], value_col: str,
+                 lg_config_k: int = 12,
+                 out_col: str = "approx_distinct") -> Column | DataFrame:
+    """One-shot grouped approx distinct via a single sketch pass
+    (partial+final agg, one shuffle) — same answer as
+    hll_merge(hll_partial(...)) by the merge property."""
+    return (df.groupBy(*keys)
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg(value_col, lg_config_k)).alias(out_col)))

@@ -1366,6 +1366,25 @@ def tpch_q9_profit_by_nation_q(spark, sf_dir):
                  .cast("double").alias("profit")))
 
 
+@_q("hll_rollup_distinct_users", """
+SELECT event_type, COUNT(DISTINCT user_id) AS approx_distinct
+FROM events GROUP BY event_type
+""")
+def hll_rollup_distinct_users_q(spark, sf_dir):
+    """Mergeable-sketch rollup (operators/sketches.py): daily per-type
+    HLL partials, then union-merged to per-type distinct users — the
+    merge never rescans the base table. Oracle is EXACT count-distinct:
+    valid at the sf0.01 gate because 150 distinct users sit in the
+    sketch's sparse (coupon-list) mode, where HLL is exact; the >=2%
+    error bound at large cardinality is pinned in test_approx."""
+    from vega_spark.operators import sketches as SK
+    from vega_spark.tables import ts_date
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", ts_date("ts").alias("day"))
+    partials = SK.hll_partial(ev, ["event_type", "day"], "user_id")
+    return SK.hll_merge(partials, ["event_type"])
+
+
 @_q("sample_stratified")
 def sample_stratified_q(spark, sf_dir):
     """Per-stratum Bernoulli sample (seeded) — deterministic within

@@ -95,6 +95,34 @@ def to_foreach_batch(df: DataFrame,
     return w.start()
 
 
+def rocksdb_state_store_conf() -> dict[str, str]:
+    """Session confs that move streaming state out of executor heap
+    into RocksDB with changelog checkpointing — REQUIRED at 100 TB
+    state sizes (the default HDFSBackedStateStore keeps every key in
+    JVM memory; large sessionization/dedup state OOMs executors).
+    Apply at session build:
+
+        b = SparkSession.builder
+        for k, v in rocksdb_state_store_conf().items():
+            b = b.config(k, v)
+
+    Not applied by default here: tests run tiny state where the
+    in-memory provider is faster, and the conf must be set before any
+    stateful query starts (it's pinned into the checkpoint).
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        # changelog checkpointing: upload deltas, not full snapshots
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled": "true",
+        # bound native memory (per executor) instead of per-partition
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage":
+            "true",
+    }
+
+
 def drain(q: StreamingQuery, timeout_s: float = 120.0) -> None:
     """Run a bounded (availableNow) query to completion."""
     if not q.awaitTermination(timeout_s):
