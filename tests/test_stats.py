@@ -1,0 +1,57 @@
+"""Statistics layer (operators/stats.py) — capability superset over
+the reference's max/min/fold-only numeric surface (SURVEY §2.2)."""
+
+from __future__ import annotations
+
+import math
+
+from vega_spark.operators import stats as ST
+
+
+def test_corr_matrix_one_pass(spark):
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i, float(-i)) for i in range(50)],
+        "a double, b double, c double")
+    got = {(r.col_x, r.col_y): r.corr
+           for r in ST.corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert math.isclose(got[("a", "b")], 1.0)
+    assert math.isclose(got[("a", "c")], -1.0)
+    assert math.isclose(got[("b", "c")], -1.0)
+    assert len(got) == 3          # n*(n-1)/2 pairs, no self/dup pairs
+
+
+def test_covariance_sample_vs_pop(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double")
+    assert math.isclose(ST.covariance(df, "x", "y", sample=True), 2.0)
+    assert math.isclose(ST.covariance(df, "x", "y", sample=False), 4.0 / 3)
+
+
+def test_crosstab_tidy_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")], "u string, v string")
+    got = {(r.u, r.v): r.n for r in ST.crosstab(df, "u", "v").collect()}
+    assert got == {("a", "x"): 2, ("a", "y"): 1, ("b", "y"): 1}
+
+
+def test_freq_items_finds_heavy_hitter(spark):
+    rows = [("hot",)] * 900 + [(f"cold{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    [items] = ST.freq_items(df, ["k"], support=0.5).first()
+    assert "hot" in items         # no false negatives above support
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.k: r.n for r in ST.heavy_hitters_exact(df, "k", 3).collect()}
+    assert got == {"a": 5, "b": 3}
+
+
+def test_summary_stats_long_format(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0)], "x double, y double")
+    got = {r.col: r for r in ST.summary_stats(df, ["x", "y"]).collect()}
+    assert got["x"].n == 3 and math.isclose(got["x"].mean, 2.0)
+    assert math.isclose(got["y"].min, 10.0) and math.isclose(got["y"].max, 30.0)
+    assert math.isclose(got["x"].stddev, 1.0)

@@ -1,0 +1,85 @@
+"""Distributed k-means (Lloyd's) over an embedding column — the
+iterative-algorithm class the reference cannot express at all (its
+scheduler runs single DAGs; SURVEY.md §2.9 is its only repeated-job
+machinery) and SQL cannot express either (registry entry is
+rows-only).
+
+Per-iteration cost at 100 TB, the part that matters:
+- assignment is a NARROW expression: distances to all k centroids are
+  literal zip_with/aggregate expressions compiled into one codegen
+  stage — no join, no shuffle of the points, k*dim flops per row.
+- the update shuffles only (cluster, dim_pos, partial sum/count):
+  k * dim * num_partitions rows, independent of point count.
+- centroids live on the driver (k * dim floats) and re-enter the plan
+  as literals — the classic broadcast-iterate loop.
+
+Convergence is driver-checked on centroid movement; the points
+DataFrame should be cached by the caller for multi-iteration runs
+(the registry entry does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    diff2 = F.zip_with(vec_col, lit_c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_clusters(points: DataFrame, vec_col: str,
+                    centroids: list[list[float]],
+                    out_col: str = "cluster") -> DataFrame:
+    """Nearest-centroid id (0-based) as a pure narrow expression."""
+    v = F.col(vec_col)
+    dists = F.array(*[_sq_dist(v, c) for c in centroids])
+    return points.withColumn(
+        out_col,
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+
+def _update_centroids(assigned: DataFrame, vec_col: str, dim: int,
+                      k: int, prev: list[list[float]]) -> list[list[float]]:
+    rows = (assigned
+            .select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect())
+    out = [list(c) for c in prev]          # empty cluster keeps centroid
+    acc: dict[int, list[float]] = {}
+    for r in rows:
+        acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.m
+    for cid, vec in acc.items():
+        out[cid] = vec
+    return out
+
+
+def kmeans(points: DataFrame, vec_col: str, k: int,
+           max_iter: int = 20, tol: float = 1e-4,
+           init_ids: DataFrame | None = None,
+           id_col: str = "vec_id") -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means. Deterministic init: the k rows with the
+    lowest ``id_col`` (seedless reproducibility across engines and
+    runs — random init would make every result engine-specific).
+    Returns (points + ``cluster`` column, final centroids)."""
+    first = (init_ids or points).orderBy(id_col).limit(k).collect()
+    centroids = [list(map(float, r[vec_col])) for r in first]
+    dim = len(centroids[0])
+    for _ in range(max_iter):
+        assigned = assign_clusters(points, vec_col, centroids)
+        new = _update_centroids(assigned, vec_col, dim, k, centroids)
+        shift = max(sum((a - b) ** 2 for a, b in zip(cn, co)) ** 0.5
+                    for cn, co in zip(new, centroids))
+        centroids = new
+        if shift < tol:
+            break
+    return assign_clusters(points, vec_col, centroids), centroids
+
+
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    return (assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cluster"))

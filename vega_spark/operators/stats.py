@@ -1,0 +1,82 @@
+"""Column statistics — correlation, covariance, contingency tables,
+heavy hitters, multi-column summaries.
+
+The reference has no statistics layer (its only numeric reductions
+are max/min/fold, SURVEY.md §2.2); this is capability superset built
+on Spark's built-in aggregates, all single-pass partial+final
+(corr/covar are streaming co-moment aggregates — one scan, one tiny
+shuffle regardless of table size).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregate pass
+    (n*(n-1)/2 co-moment aggregates over one scan — not n^2 scans).
+    Output: one row per (col_x < col_y) pair."""
+    aggs = []
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.corr(a, b).alias(f"{a}|{b}"))
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(a, b, float(row[f"{a}|{b}"])) for a, b in pairs],
+        "col_x string, col_y string, corr double")
+
+
+def covariance(df: DataFrame, col_x: str, col_y: str,
+               sample: bool = True) -> float:
+    agg = F.covar_samp if sample else F.covar_pop
+    return df.agg(agg(col_x, col_y)).first()[0]
+
+
+def crosstab(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Contingency counts as a LONG (tidy) table — one groupBy
+    shuffle. Deliberately not Spark's ``df.stat.crosstab`` (which
+    pivots every distinct y into a COLUMN — a driver-side-width
+    explosion when y has millions of distincts at 100 TB)."""
+    return (df.groupBy(col_x, col_y)
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def freq_items(df: DataFrame, cols: Sequence[str],
+               support: float = 0.01) -> DataFrame:
+    """Approximate heavy hitters per column (Karp/misra-gries style,
+    Spark built-in): items with frequency >= support. Single pass, no
+    shuffle of the raw table; result may contain false positives
+    (contract of the algorithm), never false negatives."""
+    return df.stat.freqItems(list(cols), support)
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, min_count: int) -> DataFrame:
+    """Exact heavy hitters: one partial+final count shuffle, then the
+    threshold filter on the (small) aggregated side."""
+    return (df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count))
+
+
+def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """count/mean/stddev/min/max per column, tidy long output, one
+    aggregate pass for ALL columns."""
+    aggs = []
+    for c in cols:
+        aggs += [F.count(c).alias(f"{c}|n"),
+                 F.avg(c).alias(f"{c}|mean"),
+                 F.stddev_samp(c).alias(f"{c}|stddev"),
+                 F.min(c).alias(f"{c}|min"),
+                 F.max(c).alias(f"{c}|max")]
+    row = df.agg(*aggs).first()
+    out = [(c, float(row[f"{c}|n"]),
+            float(row[f"{c}|mean"]), float(row[f"{c}|stddev"]),
+            float(row[f"{c}|min"]), float(row[f"{c}|max"])) for c in cols]
+    return df.sparkSession.createDataFrame(
+        out, "col string, n double, mean double, stddev double,"
+             " min double, max double")

@@ -1385,6 +1385,62 @@ def hll_rollup_distinct_users_q(spark, sf_dir):
     return SK.hll_merge(partials, ["event_type"])
 
 
+@_q("corr_matrix", """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         ROUND(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount',
+         ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount',
+         ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem) t
+""")
+def corr_matrix_q(spark, sf_dir):
+    """All pairwise correlations in ONE aggregate pass (stats.py) —
+    the oracle needs three scans to say the same thing."""
+    from vega_spark.operators import stats as ST
+    li = _t(spark, sf_dir, "lineitem")
+    out = ST.corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select("col_x", "col_y", F.round("corr", 6).alias("corr"))
+
+
+@_q("crosstab_counts", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""")
+def crosstab_counts_q(spark, sf_dir):
+    """Tidy (long) contingency table — one shuffle; deliberately not
+    the pivoted stat.crosstab (column-explosion at scale)."""
+    from vega_spark.operators import stats as ST
+    o = _t(spark, sf_dir, "orders")
+    return ST.crosstab(o, "o_orderstatus", "o_orderpriority")
+
+
+@_q("heavy_hitters", """
+SELECT l_partkey, COUNT(*) AS n
+FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40
+""")
+def heavy_hitters_q(spark, sf_dir):
+    from vega_spark.operators import stats as ST
+    li = _t(spark, sf_dir, "lineitem")
+    return ST.heavy_hitters_exact(li, "l_partkey", 40)
+
+
+@_q("kmeans_clusters")
+def kmeans_clusters_q(spark, sf_dir):
+    """Iterative Lloyd's k-means (functions/clustering.py) — the
+    broadcast-iterate loop SQL can't express; rows-only check (cluster
+    geometry is init-dependent), semantics pinned in test_clustering."""
+    from vega_spark.functions.clustering import cluster_sizes, kmeans
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    try:
+        assigned, _ = kmeans(emb, "embedding", k=10, max_iter=8)
+        return cluster_sizes(assigned)
+    finally:
+        emb.unpersist()
+
+
 @_q("sample_stratified")
 def sample_stratified_q(spark, sf_dir):
     """Per-stratum Bernoulli sample (seeded) — deterministic within
