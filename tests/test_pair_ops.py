@@ -81,3 +81,24 @@ def test_rollup_cube(spark):
     assert len(cube) == 3 + 2 + 2 + 1
     grand = [r.s for r in roll if r.k1 is None and r.k2 is None]
     assert grand == [6]
+
+
+def test_pivot_explicit_values(spark):
+    from vega_spark.operators.aggregations import pivot_agg
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d1", "a", 2.0), ("d1", "b", 5.0),
+         ("d2", "b", 7.0)], "day string, k string, v double")
+    out = {r.day: (r.a, r.b) for r in
+           pivot_agg(df, ["day"], "k", ["a", "b"], F.sum("v")).collect()}
+    assert out == {"d1": (3.0, 5.0), "d2": (None, 7.0)}
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    from vega_spark.operators.aggregations import unpivot
+    df = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 20.0, 200.0)], "id long, x double, y double")
+    long = unpivot(df, ["id"], ["x", "y"])
+    assert long.count() == 4
+    got = {(r.id, r.var): r.value for r in long.collect()}
+    assert got[(1, "x")] == 10.0 and got[(2, "y")] == 200.0

@@ -171,3 +171,58 @@ def test_foreach_batch_sink(spark, arrivals, tmp_path):
     S.drain(S.to_foreach_batch(stream, sink, str(tmp_path / "ck2"),
                                output_mode="append"))
     assert sum(n for _, n in seen) == len(ROWS_1)
+
+
+def test_stream_stream_interval_join(spark, arrivals):
+    from vega_spark.streaming import joins as SJ
+    d, arrive = arrivals
+    arrive(ROWS_1, "f1")
+    arrive(ROWS_2, "f2")
+
+    src = S.stream_parquet(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    clicks = (src.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    views = (src.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_id")))
+    joined = SJ.interval_join(clicks, views, "user_id",
+                              "click_ts", "view_ts",
+                              lower="0 seconds", upper="4 hours")
+    q = S.to_memory(joined.select("user_id", "click_id", "view_id"), "ssj")
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.click_id, r.view_id)
+           for r in spark.sql("SELECT * FROM ssj").collect()}
+
+    # batch expectation: same condition as a plain join
+    b = _mk(spark, ROWS_1).union(_mk(spark, ROWS_2))
+    bc = b.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    bv = (b.filter(F.col("event_type") == "view")
+          .select(F.col("user_id").alias("v_user"),
+                  F.col("ts").alias("view_ts"),
+                  F.col("event_id").alias("view_id")))
+    want = {(r.user_id, r.click_id, r.view_id) for r in bc.join(
+        bv, (F.col("user_id") == F.col("v_user")) &
+            (F.col("view_ts") >= F.col("click_ts")) &
+            (F.col("view_ts") <= F.col("click_ts") + F.expr(
+                "INTERVAL 4 hours"))).collect()}
+    assert got == want and len(want) >= 2
+
+
+def test_stream_static_join_enriches(spark, arrivals, tmp_path):
+    from vega_spark.streaming import joins as SJ
+    d, arrive = arrivals
+    arrive(ROWS_1, "f1")
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "silver")], "user_id long, tier string")
+    src = S.stream_parquet(spark, str(d), SCHEMA)
+    q = S.to_memory(SJ.stream_static_join(src, dim, "user_id")
+                    .select("event_id", "tier"), "ssj_static")
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.event_id, r.tier)
+           for r in spark.sql("SELECT * FROM ssj_static").collect()}
+    assert got == {(1, "gold"), (4, "gold"), (2, "silver")}

@@ -140,3 +140,22 @@ def grouping_sets_agg(df: DataFrame, sets: Sequence[Sequence[str]],
     return df.sparkSession.sql(
         f"SELECT {keys_sql}, {agg_sql} FROM __gs_in GROUP BY GROUPING SETS ({sets_sql})"
     )
+
+
+def pivot_agg(df: DataFrame, key_cols: Sequence[str], pivot_col: str,
+              pivot_values: Sequence[str], agg: Column) -> DataFrame:
+    """Wide contingency/rollup: one column per pivot value. The value
+    list is REQUIRED here (not inferred): inference runs an extra
+    distinct job over the full table and can explode the schema —
+    at 100 TB the caller must bound the width explicitly."""
+    return (df.groupBy(*key_cols)
+            .pivot(pivot_col, list(pivot_values))
+            .agg(agg))
+
+
+def unpivot(df: DataFrame, id_cols: Sequence[str],
+            value_cols: Sequence[str],
+            var_name: str = "var", value_name: str = "value") -> DataFrame:
+    """Wide → long (melt). Narrow op: each input row fans out to
+    len(value_cols) rows inside the same task, no shuffle."""
+    return df.unpivot(list(id_cols), list(value_cols), var_name, value_name)

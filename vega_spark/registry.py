@@ -1441,6 +1441,44 @@ def kmeans_clusters_q(spark, sf_dir):
         emb.unpersist()
 
 
+@_q("pivot_event_values", """
+SELECT CAST(ts AS DATE) AS day,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase
+FROM events GROUP BY 1
+""")
+def pivot_event_values_q(spark, sf_dir):
+    """Explicit-width pivot (aggregations.pivot_agg): one shuffle on
+    the group key; the pivot list is declared, never inferred."""
+    from vega_spark.operators.aggregations import pivot_agg
+    from vega_spark.tables import ts_date
+    ev = _t(spark, sf_dir, "events").select(
+        ts_date("ts").alias("day"), "event_type", "value")
+    return pivot_agg(ev, ["day"], "event_type",
+                     ["click", "view", "purchase"],
+                     F.round(F.sum("value"), 2))
+
+
+@_q("unpivot_lineitem_measures", """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS var, l_quantity AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem
+""")
+def unpivot_lineitem_measures_q(spark, sf_dir):
+    """Wide -> long melt (aggregations.unpivot): narrow per-task
+    fan-out, no shuffle — the oracle needs three scans."""
+    from vega_spark.operators.aggregations import unpivot
+    li = _t(spark, sf_dir, "lineitem")
+    return unpivot(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 @_q("sample_stratified")
 def sample_stratified_q(spark, sf_dir):
     """Per-stratum Bernoulli sample (seeded) — deterministic within
