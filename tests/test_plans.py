@@ -102,3 +102,13 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     txt = I.plan_text(q)
     assert "Join" not in txt, txt
     assert I.count_exchanges(q) <= 1, txt
+
+
+def test_sort_global_is_range_partitioned(spark, sf_dir):
+    from vega_spark.operators.topk import sort_global
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    q = sort_global(li, [F.col("l_extendedprice").desc()])
+    txt = I.plan_text(q)
+    assert "rangepartitioning" in txt.lower(), txt
+    assert "Sort" in txt, txt

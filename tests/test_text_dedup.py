@@ -134,3 +134,24 @@ def test_pipeline_filters_and_dedupes(spark):
     assert got[1][0] == "en" and got[5][0] == "de"
     stats = {r.lang_pred: r.n_docs for r in corpus_stats(out).collect()}
     assert stats == {"en": 1, "de": 1}
+
+
+# --- normalization / PII masking ---------------------------------------------
+
+def test_normalize_text_canonical_form(spark):
+    from vega_spark.functions.text import normalize_text
+    df = spark.createDataFrame(
+        [("  The   QUICK\t\tbrown\n\nfox  ",)], "text string")
+    assert df.select(normalize_text("text").alias("t")).first().t == \
+        "the quick brown fox"
+
+
+def test_mask_pii_patterns(spark):
+    from vega_spark.functions.text import mask_pii
+    df = spark.createDataFrame(
+        [("mail me at jo.doe+x@example.co.uk or visit "
+          "https://example.com/a?b=1 or call +1 (415) 555-0100 now",),
+         ("no pii here",)], "text string")
+    got = [r.m for r in df.select(mask_pii("text").alias("m")).collect()]
+    assert got[0] == "mail me at <EMAIL> or visit <URL> or call <PHONE> now"
+    assert got[1] == "no pii here"

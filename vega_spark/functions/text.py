@@ -116,3 +116,35 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(quality_score(text_col), 2).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# --- normalization / redaction (cleaning stages before dedup) -----------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+_URL_RE = r"https?://[^\s]+"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form ahead of exact/near dedup: lowercase, collapse
+    whitespace runs to single spaces, trim. Pure expression — fuses
+    into the scan. (Unicode NFC canonicalization would need a pandas
+    UDF; whitespace/case folding catches the bulk of trivial
+    near-duplicates first.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def mask_pii(col: Column | str,
+             email_token: str = "<EMAIL>",
+             phone_token: str = "<PHONE>",
+             url_token: str = "<URL>") -> Column:
+    """Regex redaction of emails, URLs, then phone-like digit runs
+    (order matters: URLs can embed digit runs). Heuristic by design —
+    a production pipeline layers an NER pass on top; the Spark-side
+    shape (stacked regexp_replace, one codegen stage, no shuffle) is
+    identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _EMAIL_RE, email_token)
+    c = F.regexp_replace(c, _URL_RE, url_token)
+    return F.regexp_replace(c, _PHONE_RE, phone_token)

@@ -50,3 +50,14 @@ def topk_per_group(df: DataFrame, group_cols: Sequence[str],
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (df.withColumn(rank_name, F.row_number().over(w))
               .filter(F.col(rank_name) <= k))
+
+
+def sort_global(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
+    """Total order across ALL partitions. Plans as a range-partitioned
+    sort (sampled split points -> Exchange rangepartitioning -> local
+    sort per partition) — each partition holds a contiguous key range,
+    so downstream writes stay globally sorted and a merged read is
+    ordered. This is the scale-correct total sort; coalesce(1)+sort
+    would serialize on one task. Only use when a TOTAL order is
+    required — for top/bottom-k use top/take_ordered (no full sort)."""
+    return df.orderBy(*order)

@@ -1479,6 +1479,28 @@ def unpivot_lineitem_measures_q(spark, sf_dir):
                    ["l_quantity", "l_extendedprice", "l_discount"])
 
 
+@_q("text_normalize_mask", r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+         '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS masked_text
+FROM documents
+""")
+def text_normalize_mask_q(spark, sf_dir):
+    """Normalization + PII redaction (functions/text.py) — stacked
+    regexp_replace in one codegen stage; oracle replays the identical
+    regexes in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X_text.normalize_text("text").alias("norm_text"),
+        X_text.mask_pii("text").alias("masked_text"))
+
+
 @_q("sample_stratified")
 def sample_stratified_q(spark, sf_dir):
     """Per-stratum Bernoulli sample (seeded) — deterministic within
