@@ -155,3 +155,27 @@ def test_mask_pii_patterns(spark):
     got = [r.m for r in df.select(mask_pii("text").alias("m")).collect()]
     assert got[0] == "mail me at <EMAIL> or visit <URL> or call <PHONE> now"
     assert got[1] == "no pii here"
+
+
+# --- pair graph -> clusters ---------------------------------------------------
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
+    # island pair 10-11, plus 20-21/21-22 triangle-free v
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.component
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_keep_representatives_passes_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    comp = D.connected_components(pairs)
+    kept = sorted(r.doc_id for r in
+                  D.keep_representatives(docs, comp).collect())
+    assert kept == [0, 1, 2, 4]   # 3,5 collapse into representative 1

@@ -301,3 +301,54 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# --- pair graph -> clusters ---------------------------------------------------
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components of the near-dup pair graph by min-label
+    propagation: every node's label converges to the smallest id
+    reachable from it. Returns (doc_id, component).
+
+    Iteration cost: one equi-join (labels onto symmetric edges) + one
+    min-groupBy — both shuffle on node id, so AQE coalesces them and
+    co-partitioning is reused. Rounds needed = graph diameter; near-dup
+    clusters are shallow (dozens of docs, diameter ~2-4), so this
+    converges in a handful of rounds even at 100 TB. (For adversarial
+    long-chain graphs, the alternating small-star/large-star
+    contraction [Kiveris et al., "Connected Components in MapReduce"]
+    halves diameter per round; not needed for dedup-shaped graphs.)
+    Lineage is truncated per round with localCheckpoint so the plan
+    doesn't grow unboundedly."""
+    e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
+    labels = (e.select("u").distinct()
+              .select(F.col("u").alias("node"), F.col("u").alias("comp")))
+    for _ in range(max_iter):
+        neigh = (e.join(labels, e.v == labels.node)
+                 .select(F.col("u").alias("node"), "comp"))
+        new = (labels.union(neigh)
+               .groupBy("node").agg(F.min("comp").alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("comp").alias("component"))
+
+
+def keep_representatives(docs: DataFrame, components: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Collapse each near-dup cluster to its lowest-id document.
+    Docs in no pair survive untouched (left join against the — much
+    smaller — components frame; broadcast when it fits)."""
+    c = components.withColumnRenamed("doc_id", "__cc_id")
+    return (docs.join(c, docs[id_col] == c["__cc_id"], "left")
+            .filter(F.col("component").isNull() |
+                    (F.col("component") == F.col(id_col)))
+            .drop("__cc_id", "component"))

@@ -774,7 +774,7 @@ def dedup_exact_q(spark, sf_dir):
     return X_dedup.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-@_q("dedup_ngram_jaccard", """
+_NGRAM_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
@@ -801,10 +801,59 @@ FROM common
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
 WHERE common / (sa.n + sb.n - common) >= 0.5
-""")
+"""
+
+
+@_q("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard_q(spark, sf_dir):
     return X_dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                        "text", "doc_id", n=3, threshold=0.5)
+
+
+@_q("dedup_components", f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+FROM reach GROUP BY u
+""")
+def dedup_components_q(spark, sf_dir):
+    """Near-dup clusters: deterministic jaccard pairs -> min-label
+    connected components (dedup.connected_components). The oracle
+    computes the same closure with a recursive CTE."""
+    pairs = X_dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                        "text", "doc_id", n=3, threshold=0.5)
+    return X_dedup.connected_components(pairs)
+
+
+@_q("dedup_keep_representatives", f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+         FROM reach GROUP BY u)
+SELECT d.doc_id FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.component IS NULL OR c.component = d.doc_id
+""")
+def dedup_keep_representatives_q(spark, sf_dir):
+    """Full near-dedup: collapse each cluster to its lowest-id doc,
+    pass singletons through."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = X_dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                        n=3, threshold=0.5)
+    comp = X_dedup.connected_components(pairs)
+    return X_dedup.keep_representatives(docs, comp).select("doc_id")
 
 
 @_q("dedup_minhash_lsh")
