@@ -179,3 +179,36 @@ def test_keep_representatives_passes_singletons(spark):
     kept = sorted(r.doc_id for r in
                   D.keep_representatives(docs, comp).collect())
     assert kept == [0, 1, 2, 4]   # 3,5 collapse into representative 1
+
+
+# --- token-window chunking ----------------------------------------------------
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    from vega_spark.functions.text import chunk_tokens
+    text = " ".join(f"t{i}" for i in range(10))   # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted((r.chunk_idx, r.chunk_text, r.n_tokens)
+                 for r in chunk_tokens(df, "text", "doc_id",
+                                       chunk_size=4, overlap=2).collect())
+    # stride 2: starts 0,2,4,6 (start 8 would add <= overlap new tokens)
+    assert [c[0] for c in out] == [0, 1, 2, 3]
+    assert out[0][1] == "t0 t1 t2 t3"
+    assert out[1][1] == "t2 t3 t4 t5"
+    assert out[3] == (3, "t6 t7 t8 t9", 4)
+
+
+def test_chunk_tokens_short_and_empty_docs(spark):
+    from vega_spark.functions.text import chunk_tokens
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "   "), (3, "")], "doc_id long, text string")
+    out = chunk_tokens(df, "text", "doc_id", chunk_size=4, overlap=2).collect()
+    assert [(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+            for r in out] == [(1, 0, "a b", 2)]
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    from vega_spark.functions.text import chunk_tokens
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "text", "doc_id", chunk_size=4, overlap=4)

@@ -148,3 +148,40 @@ def mask_pii(col: Column | str,
     c = F.regexp_replace(c, _EMAIL_RE, email_token)
     c = F.regexp_replace(c, _URL_RE, url_token)
     return F.regexp_replace(c, _PHONE_RE, phone_token)
+
+
+def chunk_tokens(df: DataFrame, text_col: str, id_col: str,
+                 chunk_size: int = 128, overlap: int = 32) -> DataFrame:
+    """Split documents into overlapping token windows (the standard
+    LLM-training prep step). Output: (id, chunk_idx, chunk_text,
+    n_tokens). Narrow: tokenize -> sequence of window starts ->
+    explode — each row fans out inside its task, no shuffle; at 100 TB
+    the output is written partitioned, never collected.
+
+    stride = chunk_size - overlap; the last window may be short but
+    is never empty; empty/whitespace-only docs produce zero chunks."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # window starts: 0, stride, 2*stride, ... while start < n
+    starts = F.sequence(
+        F.lit(0),
+        F.when(n > chunk_size,
+               ((n - overlap - 1) / stride).cast("int") * stride)
+         .otherwise(F.lit(0)),
+        F.lit(stride))
+    return (df
+            .select(F.col(id_col), t.alias("__toks"), n.alias("__n"),
+                    starts.alias("__starts"))
+            .filter(F.col("__n") > 0)
+            .select(id_col, "__toks", "__n",
+                    F.posexplode("__starts").alias("chunk_idx", "__start"))
+            .select(
+                id_col, "chunk_idx",
+                F.array_join(
+                    F.slice("__toks", F.col("__start") + 1, chunk_size),
+                    " ").alias("chunk_text"),
+                F.least(F.lit(chunk_size),
+                        F.col("__n") - F.col("__start")).alias("n_tokens")))

@@ -1550,6 +1550,35 @@ def text_normalize_mask_q(spark, sf_dir):
         X_text.mask_pii("text").alias("masked_text"))
 
 
+@_q("chunk_documents", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), starts AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+           CASE WHEN n > 32
+                THEN CAST(FLOOR((n - 9) / 24.0) AS BIGINT) * 24
+                ELSE 0 END, 24)) AS start
+  FROM sized
+)
+SELECT doc_id, CAST(start / 24 AS INT) AS chunk_idx,
+       array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+       CAST(LEAST(32, n - start) AS INT) AS n_tokens
+FROM starts
+""")
+def chunk_documents_q(spark, sf_dir):
+    """Overlapping token-window chunking (text.chunk_tokens,
+    size=32/overlap=8) — narrow explode, no shuffle; the oracle
+    replays the window arithmetic with generate_series."""
+    return X_text.chunk_tokens(_t(spark, sf_dir, "documents"),
+                               "text", "doc_id",
+                               chunk_size=32, overlap=8)
+
+
 @_q("sample_stratified")
 def sample_stratified_q(spark, sf_dir):
     """Per-stratum Bernoulli sample (seeded) — deterministic within
