@@ -50,6 +50,13 @@ BENCH_QUERIES = [
     "pipeline_clean_corpus",      # quality gate + exact dedup pipeline
     "tpch_q1_pricing_summary",    # canonical scan-heavy aggregate
     "tpch_q9_profit_by_nation",   # 4-way join, filtered broadcast dims
+    # full TPC-H shape sweep (adapted to the slimmed schema):
+    "tpch_q6_forecast_revenue",   # pure pushed-filter scan
+    "tpch_q8_market_share",       # 7-join, all dims broadcast
+    "tpch_q13_customer_distribution",  # two-level aggregate
+    "tpch_q17_small_qty_revenue",      # correlated avg → window, 1 shuffle
+    "tpch_q21_waiting_suppliers",      # double-correlation → 1 window pass
+    "tpch_q22_global_sales_opportunity",  # scalar subquery + anti join
 ]
 
 

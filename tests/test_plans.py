@@ -112,3 +112,62 @@ def test_sort_global_is_range_partitioned(spark, sf_dir):
     txt = I.plan_text(q)
     assert "rangepartitioning" in txt.lower(), txt
     assert "Sort" in txt, txt
+
+
+def test_tpch_q6_pure_scan_no_join_no_exchange_but_agg(spark, sf_dir):
+    # Q6 is the pushdown poster child: every predicate reaches the
+    # scan, no join anywhere, single exchange for the 1-row final agg.
+    from vega_spark.registry import QUERIES
+    q = QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir)
+    txt = I.plan_text(q)
+    assert "Join" not in txt, txt
+    assert I.has_pushed_filter(q, "l_shipdate"), txt
+    assert I.has_pushed_filter(q, "l_quantity"), txt
+    assert I.scan_reads_only(
+        q, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+        "lineitem"), txt
+
+
+def test_tpch_q8_dims_all_broadcast(spark, sf_dir):
+    # 7-join market-share query: every dimension side broadcast; the
+    # only sort-merge candidate is the lineitem⋈orders spine (AQE may
+    # still convert it; assert no more than one non-broadcast join).
+    from vega_spark.registry import QUERIES
+    q = QUERIES["tpch_q8_market_share"](spark, sf_dir)
+    txt = I.plan_text(q)
+    assert txt.count("BroadcastHashJoin") >= 5, txt
+    assert txt.count("SortMergeJoin") <= 1, txt
+
+
+def test_tpch_q4_exists_is_semi_join(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    q = QUERIES["tpch_q4_order_priority"](spark, sf_dir)
+    txt = I.plan_text(q)
+    assert "LeftSemi" in txt, txt
+
+
+def test_tpch_q22_not_exists_is_anti_join_with_pushed_date(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    q = QUERIES["tpch_q22_global_sales_opportunity"](spark, sf_dir)
+    txt = I.plan_text(q)
+    assert "LeftAnti" in txt, txt
+    assert I.has_pushed_filter(q, "o_orderdate"), txt
+
+
+def test_tpch_q17_window_decorrelation_single_shuffle_on_partkey(spark, sf_dir):
+    # the correlated per-part AVG decorrelates into ONE hash exchange
+    # on l_partkey feeding the window; broadcast join adds none.
+    from vega_spark.registry import QUERIES
+    q = QUERIES["tpch_q17_small_qty_revenue"](spark, sf_dir)
+    txt = I.plan_text(q)
+    assert txt.count("hashpartitioning(l_partkey") == 1, txt
+    assert "BroadcastHashJoin" in txt, txt
+
+
+def test_tpch_q21_single_window_pass(spark, sf_dir):
+    # both correlated subqueries fold into one window over l_orderkey:
+    # exactly one hash exchange on l_orderkey before the window.
+    from vega_spark.registry import QUERIES
+    q = QUERIES["tpch_q21_waiting_suppliers"](spark, sf_dir)
+    txt = I.plan_text(q)
+    assert txt.count("hashpartitioning(l_orderkey") == 1, txt

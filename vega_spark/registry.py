@@ -1589,3 +1589,7 @@ def sample_stratified_q(spark, sf_dir):
                             {"click": 0.5, "view": 0.1, "purchase": 1.0},
                             seed=7)
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- TPC-H query-shape coverage (registers on import; see module docs) -----
+from vega_spark import registry_tpch  # noqa: E402,F401  (adapted Q2-Q22)
