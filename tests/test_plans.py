@@ -171,3 +171,16 @@ def test_tpch_q21_single_window_pass(spark, sf_dir):
     q = QUERIES["tpch_q21_waiting_suppliers"](spark, sf_dir)
     txt = I.plan_text(q)
     assert txt.count("hashpartitioning(l_orderkey") == 1, txt
+
+
+def test_clean_corpus_shuffle_excludes_text(spark, sf_dir):
+    # the dedup exchange must carry only (digest, id, features) —
+    # document content never enters a shuffle (100 TB contract).
+    import re
+    from vega_spark.registry import QUERIES
+    q = QUERIES["pipeline_clean_corpus"](spark, sf_dir)
+    txt = I.plan_text(q)
+    blocks = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", txt)
+    assert blocks, txt
+    for cols in blocks:
+        assert "text#" not in cols and "__toks" not in cols, cols

@@ -48,17 +48,29 @@ def word_token_count(col: Column | str) -> Column:
 
 def lang_score(col: Column | str, lang: str) -> Column:
     """Number of DISTINCT stopwords of ``lang`` present in the text."""
+    return lang_score_from_tokens(F.array_distinct(tokens(col)), lang)
+
+
+def lang_score_from_tokens(toks_distinct: Column, lang: str) -> Column:
+    """`lang_score` over a pre-deduplicated token array column — lets
+    a pipeline tokenize ONCE and share the array across features
+    instead of re-splitting the text per language."""
     return F.size(F.array_intersect(
-        F.array_distinct(tokens(col)),
+        toks_distinct,
         F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])))
 
 
 def language_id(col: Column | str) -> Column:
     """n-gram-heuristic language ID: argmax of per-language stopword
     hits; ties broken by language code order; no hits → 'und'."""
+    return language_id_from_tokens(F.array_distinct(tokens(col)))
+
+
+def language_id_from_tokens(toks_distinct: Column) -> Column:
+    """`language_id` over a pre-deduplicated token array column."""
     scored = None
     for lang in sorted(LANG_STOPWORDS):
-        s = lang_score(col, lang)
+        s = lang_score_from_tokens(toks_distinct, lang)
         pair = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
         scored = pair if scored is None else F.when(
             (pair["score"] > scored["score"]), pair).otherwise(scored)
@@ -73,7 +85,11 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
-    toks = tokens(col)
+    return stopword_ratio_from_tokens(tokens(col), lang)
+
+
+def stopword_ratio_from_tokens(toks: Column, lang: str = "en") -> Column:
+    """`stopword_ratio` over a pre-tokenized array column."""
     stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
@@ -84,10 +100,16 @@ def quality_score(col: Column | str) -> Column:
     punctuation + stopword presence (a stand-in for model-based
     quality filters; the pipeline shape is identical)."""
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c)
+    return quality_score_parts(token_count(c), punct_ratio(c),
+                               stopword_ratio(c))
+
+
+def quality_score_parts(n_tok: Column, punct: Column, stopr: Column) -> Column:
+    """`quality_score` from pre-computed ingredients — identical
+    thresholds, shared-subexpression friendly."""
     len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
-    stop_ok = F.when(stopword_ratio(c) > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopr > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
     return len_ok + punct_ok + stop_ok
 
 
