@@ -5,13 +5,19 @@ machinery) and SQL cannot express either (registry entry is
 rows-only).
 
 Per-iteration cost at 100 TB, the part that matters:
-- assignment is a NARROW expression: distances to all k centroids are
-  literal zip_with/aggregate expressions compiled into one codegen
-  stage — no join, no shuffle of the points, k*dim flops per row.
+- assignment is NARROW: one Arrow-batched pandas UDF computes all
+  k distances per batch with a single numpy matmul-shaped broadcast —
+  no join, no shuffle of the points, k*dim flops per row. (A pure
+  Column-expression variant with literal centroids exists as
+  `assign_clusters_expr`, but its tree is O(k*dim) expression nodes
+  — ~10k at k=10/dim=64 — and Catalyst re-ANALYZES it every
+  iteration since the literals change: driver-side planning came to
+  dominate iteration wall time. The UDF plan is a handful of nodes
+  and the centroid matrix rides the pickled closure.)
 - the update shuffles only (cluster, dim_pos, partial sum/count):
   k * dim * num_partitions rows, independent of point count.
-- centroids live on the driver (k * dim floats) and re-enter the plan
-  as literals — the classic broadcast-iterate loop.
+- centroids live on the driver (k * dim floats) — the classic
+  broadcast-iterate loop.
 
 Convergence is driver-checked on centroid movement; the points
 DataFrame should be cached by the caller for multi-iteration runs
@@ -20,6 +26,8 @@ DataFrame should be cached by the caller for multi-iteration runs
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,15 +38,37 @@ def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
     return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def assign_clusters(points: DataFrame, vec_col: str,
-                    centroids: list[list[float]],
-                    out_col: str = "cluster") -> DataFrame:
-    """Nearest-centroid id (0-based) as a pure narrow expression."""
+def assign_clusters_expr(points: DataFrame, vec_col: str,
+                         centroids: list[list[float]],
+                         out_col: str = "cluster") -> DataFrame:
+    """Nearest-centroid id (0-based) as a pure Column expression —
+    fine for one-shot assignment with small k*dim; prefer
+    `assign_clusters` inside iterative loops (see module docs)."""
     v = F.col(vec_col)
     dists = F.array(*[_sq_dist(v, c) for c in centroids])
     return points.withColumn(
         out_col,
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+
+def assign_clusters(points: DataFrame, vec_col: str,
+                    centroids: list[list[float]],
+                    out_col: str = "cluster") -> DataFrame:
+    """Nearest-centroid id (0-based), vectorized: one Arrow batch in,
+    an (n_batch x k) distance matrix in numpy, argmin out. Ties break
+    to the lowest centroid id (numpy argmin = first minimum), matching
+    the expression variant."""
+    C = np.asarray(centroids, dtype=np.float64)          # k x dim
+    c_sq = (C * C).sum(axis=1)                           # precomputed |c|^2
+
+    @F.pandas_udf("int")
+    def nearest(batch: pd.Series) -> pd.Series:
+        X = np.asarray(batch.tolist(), dtype=np.float64)  # n x dim
+        # |x-c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row, drop
+        d = c_sq[None, :] - 2.0 * (X @ C.T)               # n x k
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return points.withColumn(out_col, nearest(F.col(vec_col)))
 
 
 def _update_centroids(assigned: DataFrame, vec_col: str, dim: int,
