@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "tpch_q17_small_qty_revenue",      # correlated avg → window, 1 shuffle
     "tpch_q21_waiting_suppliers",      # double-correlation → 1 window pass
     "tpch_q22_global_sales_opportunity",  # scalar subquery + anti join
+    "merge_upsert_orders",        # MERGE INTO: broadcast update + anti insert
+    "kmeans_clusters",            # iterative broadcast-iterate loop
 ]
 
 

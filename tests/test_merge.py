@@ -1,0 +1,74 @@
+"""MERGE INTO semantics + plan shape (operators/merge.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vega_spark.operators.merge import merge_into
+from vega_spark.plans import inspect as I
+
+
+@pytest.fixture()
+def frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, tag string, val double")
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)],
+        "k int, tag string, val double")
+    return target, source
+
+
+def _as_dict(df):
+    return {r.k: (r.tag, r.val) for r in df.collect()}
+
+
+def test_merge_update_and_insert_broadcast(spark, frames):
+    target, source = frames
+    out = _as_dict(merge_into(target, source, ["k"]))
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_update_and_insert_shuffle_path(spark, frames):
+    target, source = frames
+    out = _as_dict(merge_into(target, source, ["k"], broadcast_source=False))
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_update_only(spark, frames):
+    target, source = frames
+    out = _as_dict(merge_into(target, source, ["k"],
+                              insert_not_matched=False))
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0)}
+    out2 = _as_dict(merge_into(target, source, ["k"],
+                               insert_not_matched=False,
+                               broadcast_source=False))
+    assert out2 == out
+
+
+def test_merge_subset_update_cols(spark, frames):
+    target, source = frames
+    out = _as_dict(merge_into(target, source, ["k"], update_cols=["val"]))
+    # tag keeps the target's value on match; inserts take source rows
+    assert out == {1: ("a", 10.0), 2: ("b", 99.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_missing_column_raises(spark, frames):
+    target, _ = frames
+    bad = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="lacks merge columns"):
+        merge_into(target, bad, ["k"], update_cols=["nope"])
+
+
+def test_merge_broadcast_path_update_leg_is_narrow_over_target(spark, frames):
+    # the matched-update leg must be a broadcast join: the target
+    # (the 100 TB side) is never shuffled for it.
+    target, source = frames
+    q = merge_into(target, source, ["k"], insert_not_matched=False)
+    txt = I.plan_text(q)
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt

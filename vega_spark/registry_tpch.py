@@ -575,3 +575,55 @@ def tpch_q11_important_parts(spark, sf_dir):
     return (per_part.join(F.broadcast(total))
             .filter(F.col("raw_value") > F.col("threshold"))
             .select("l_partkey", F.round("raw_value", 1).alias("value")))
+
+
+# --- MERGE INTO / upsert (operators/merge.py) ------------------------------
+
+_MERGE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+         COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+              ELSE t.o_orderstatus END AS o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice
+  FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(20,4))), 1) AS DOUBLE)
+         AS total_value
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+@_q("merge_upsert_orders", _MERGE_SQL)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE a synthetic delta into the orders snapshot (10% price
+    updates + ~1% inserts with new keys), then summarize by status.
+    Broadcast path: the snapshot is never shuffled for the update leg;
+    the oracle replays the merge as a FULL OUTER JOIN."""
+    from vega_spark.operators.merge import merge_into
+    o = _t(spark, sf_dir, "orders")
+    updates = (o.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
+    inserts = (o.filter(F.col("o_orderkey") % 97 == 0)
+               .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+               .withColumn("o_orderstatus", F.lit("N")))
+    delta = updates.unionByName(inserts)
+    merged = merge_into(o, delta, keys=["o_orderkey"],
+                        update_cols=["o_orderstatus", "o_totalprice"])
+    # money sum goes through a per-row DECIMAL cast (identical IEEE
+    # double on both engines) so the aggregate is accumulation-order
+    # exact — double sums diverge in the last ulp across engines.
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(20,4)")), 1)
+                 .cast("double").alias("total_value")))
