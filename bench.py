@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "tpch_q22_global_sales_opportunity",  # scalar subquery + anti join
     "merge_upsert_orders",        # MERGE INTO: broadcast update + anti insert
     "kmeans_clusters",            # iterative broadcast-iterate loop
+    "tfidf_top_terms",            # corpus-wide TF-IDF + per-doc top-k
+    "funnel_view_click_purchase",  # single-exchange funnel windows
 ]
 
 

@@ -1,0 +1,58 @@
+"""TF-IDF, funnel, FK-audit semantics (functions/text.tf_idf,
+functions/analytics)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vega_spark.functions.analytics import fk_orphans, funnel_stages
+from vega_spark.functions.text import tf_idf
+from vega_spark.plans import inspect as I
+
+
+def test_tfidf_values_and_topk(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id long, text string")
+    out = {(r.doc, r.term): r for r in tf_idf(docs, "text", "doc_id",
+                                              top_k=2).collect()}
+    # apple: df=2 -> idf = ln(4/3)+1; doc1 tf=2
+    idf_apple = math.log(4.0 / 3.0) + 1.0
+    assert abs(out[(1, "apple")].tfidf - round(2 * idf_apple, 6)) < 1e-9
+    assert out[(1, "apple")].rk == 1            # beats banana in doc 1
+    assert out[(3, "apple")].tf == 1
+    # every doc emits <= top_k rows
+    assert max(r.rk for r in out.values()) <= 2
+
+
+def test_funnel_ordering_is_strict(spark):
+    rows = [
+        (1, "view", 10.0), (1, "click", 20.0), (1, "purchase", 30.0),  # full
+        (2, "click", 5.0), (2, "view", 10.0),   # click BEFORE view: stage1 only
+        (3, "view", 1.0), (3, "click", 2.0),    # no purchase: stage2
+        (4, "purchase", 1.0),                   # purchase only: no stages
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double") \
+        .select("user_id", "event_type",
+                F.col("value").cast("timestamp").alias("ts"))
+    r = funnel_stages(ev).collect()[0]
+    assert (r.n_stage1, r.n_stage2, r.n_stage3) == (3, 2, 1)
+
+
+def test_funnel_single_exchange(spark):
+    ev = spark.createDataFrame(
+        [(1, "view", 1.0)], "user_id long, event_type string, value double") \
+        .select("user_id", "event_type",
+                F.col("value").cast("timestamp").alias("ts"))
+    txt = I.plan_text(funnel_stages(ev))
+    assert txt.count("hashpartitioning(u") == 1, txt
+
+
+def test_fk_orphans_counts(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = {r.relation: r.n_orphans
+           for r in fk_orphans([("c.fk", child, "fk", parent, "pk")]).collect()}
+    assert out == {"c.fk": 1}

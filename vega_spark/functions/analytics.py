@@ -1,0 +1,71 @@
+"""Event-sequence and data-quality analytics over the star schema —
+the audit/insight queries a pipeline team runs beside the corpus jobs.
+Capability superset: the reference's only analytics surface is the RDD
+algebra (no windows, no conditional aggregates — SURVEY.md §2.11).
+
+Scale notes: every operator here is one-or-two keyed shuffles with
+partial aggregation; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(events: DataFrame, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  stages: tuple[str, str, str] = ("view", "click", "purchase"),
+                  ) -> DataFrame:
+    """Ordered three-stage funnel: users who did stage1, then stage2
+    AFTER their first stage1, then stage3 after that stage2.
+
+    One hash exchange on user total: the three conditional MINs are
+    chained unordered windows over the same partitioning, and the
+    per-user collapse reuses it. Returns one row: counts per funnel
+    depth."""
+    from pyspark.sql.window import Window
+    s1, s2, s3 = stages
+    e = events.select(F.col(user_col).alias("u"),
+                      F.col(type_col).alias("t"), F.col(ts_col).alias("ts"))
+    w = Window.partitionBy("u")
+    # chained unordered windows over the SAME partitioning: one hash
+    # exchange on user, every later stage is narrow (the groupBy("u")
+    # below also reuses that partitioning — no further shuffle).
+    staged = (e
+              .withColumn("t1", F.min(F.when(F.col("t") == s1,
+                                             F.col("ts"))).over(w))
+              .withColumn("t2", F.min(F.when((F.col("t") == s2) &
+                                             (F.col("ts") > F.col("t1")),
+                                             F.col("ts"))).over(w))
+              .withColumn("t3", F.min(F.when((F.col("t") == s3) &
+                                             (F.col("ts") > F.col("t2")),
+                                             F.col("ts"))).over(w)))
+    per_user = staged.groupBy("u").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"))
+    return per_user.agg(
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_stage1"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_stage2"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("n_stage3"))
+
+
+def fk_orphans(pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+               ) -> DataFrame:
+    """Referential-integrity audit: for each (name, child, fk, parent,
+    pk), count child rows whose fk has no matching parent pk.
+
+    Each check is a LEFT ANTI join on the key — the parent side is
+    projected to its key column only; small parents broadcast
+    automatically. Results union into one (relation, n_orphans) frame
+    (a handful of rows, safe to materialize anywhere)."""
+    outs = []
+    for name, child, fk, parent, pk in pairs:
+        orphans = child.select(F.col(fk).alias("__k")).join(
+            parent.select(F.col(pk).alias("__k")), "__k", "left_anti")
+        outs.append(orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+                    .select(F.lit(name).alias("relation"), "n_orphans"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

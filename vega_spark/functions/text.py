@@ -126,6 +126,39 @@ def fingerprint(col: Column | str) -> Column:
     )
 
 
+def tf_idf(df: DataFrame, text_col: str, id_col: str,
+           top_k: int = 3) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document.
+
+    Plan: explode tokens (narrow) → (doc, term) counts [shuffle 1,
+    partial-agg combined] → document frequency per term [shuffle 2,
+    carries one row per distinct (term)] → idf joined back broadcast
+    (the term dictionary is vocabulary-sized, millions of rows at
+    100 TB — still broadcastable; if not, it's an equi-join on term
+    that AQE plans shuffled) → per-doc top-k window on (doc).
+    Corpus size N enters as a broadcast 1-row aggregate, not a
+    driver-side collect. idf = ln((N+1)/(df+1)) + 1 (smoothed).
+    """
+    toks = (df.select(F.col(id_col).alias("doc"),
+                      F.explode(tokens(text_col)).alias("term")))
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (dfreq.join(F.broadcast(n_docs))
+           .select("term", "df",
+                   (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                   .alias("idf")))
+    scored = (tf.join(idf, "term")
+              .select("doc", "term", "tf", "df",
+                      F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("doc")
+         .orderBy(F.col("tfidf").desc(), F.col("term")))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= top_k)
+            .select("doc", "term", "tf", "df", "tfidf", "rk"))
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Bundle: all text-analysis columns in one narrow projection."""
     return df.select(

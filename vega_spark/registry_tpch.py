@@ -627,3 +627,97 @@ def merge_upsert_orders(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(20,4)")), 1)
                  .cast("double").alias("total_value")))
+
+
+# --- corpus / events analytics (functions/text.tf_idf, functions/analytics) --
+
+@_q("tfidf_top_terms", """
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(list_filter(
+           string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY doc, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc, term, tf, df,
+         ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc, term, tf, df, tfidf, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored) WHERE rk <= 3
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (functions/text.tf_idf);
+    the oracle replays tokenization, smoothing and the tie-broken
+    per-doc window in DuckDB."""
+    from vega_spark.functions.text import tf_idf
+    return tf_idf(_t(spark, sf_dir, "documents"), "text", "doc_id", top_k=3)
+
+
+@_q("funnel_view_click_purchase", """
+WITH s1 AS (
+  SELECT user_id AS u, event_type AS t, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT *, MIN(CASE WHEN t = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY u) AS t2 FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN t = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY u) AS t3 FROM s2
+), per_user AS (
+  SELECT u, ANY_VALUE(t1) AS t1, ANY_VALUE(t2) AS t2, ANY_VALUE(t3) AS t3
+  FROM s3 GROUP BY u
+)
+SELECT SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_stage1,
+       SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n_stage2,
+       SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_stage3
+FROM per_user
+""")
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered view→click→purchase funnel over events — one hash
+    exchange on user (chained unordered windows; see
+    functions/analytics.funnel_stages)."""
+    from vega_spark.functions.analytics import funnel_stages
+    return funnel_stages(_t(spark, sf_dir, "events"))
+
+
+@_q("fk_integrity_audit", """
+SELECT 'lineitem.orderkey' AS relation,
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.partkey',
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'orders.custkey',
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'events.user_id',
+       (SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+""")
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema: orphan
+    counts per FK relation via LEFT ANTI joins (parent side pruned to
+    its key column; functions/analytics.fk_orphans)."""
+    from vega_spark.functions.analytics import fk_orphans
+    li = _t(spark, sf_dir, "lineitem")
+    return fk_orphans([
+        ("lineitem.orderkey", li, "l_orderkey",
+         _t(spark, sf_dir, "orders"), "o_orderkey"),
+        ("lineitem.partkey", li, "l_partkey",
+         _t(spark, sf_dir, "part"), "p_partkey"),
+        ("orders.custkey", _t(spark, sf_dir, "orders"), "o_custkey",
+         _t(spark, sf_dir, "customer"), "c_custkey"),
+        ("events.user_id", _t(spark, sf_dir, "events"), "user_id",
+         _t(spark, sf_dir, "customer"), "c_custkey"),
+    ])
