@@ -39,3 +39,23 @@ def test_subtract_dedups(spark):
 def test_distinct_subset(spark):
     df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "a")], "k int, v string")
     assert sorted(r.k for r in S.distinct(df, ["k"]).collect()) == [1, 2]
+
+
+def test_except_all_bag_semantics(spark):
+    # max(0, n_left - n_right) per value
+    out = S.except_all(ints(spark, [1, 1, 1, 2, 3]), ints(spark, [1, 2, 2]))
+    assert sorted(r.value for r in out.collect()) == [1, 1, 3]
+
+
+def test_intersect_all_bag_semantics(spark):
+    # min(n_left, n_right) per value
+    out = S.intersect_all(ints(spark, [1, 1, 2, 2, 3]), ints(spark, [1, 1, 1, 2]))
+    assert sorted(r.value for r in out.collect()) == [1, 1, 2]
+
+
+def test_subtract_by_key_keeps_left_multiplicity(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, v string")
+    right = spark.createDataFrame([(1,), (1,), (9,)], "k int")
+    out = S.subtract_by_key(left, right, "k")
+    assert sorted((r.k, r.v) for r in out.collect()) == [(2, "c"), (3, "d")]

@@ -90,3 +90,23 @@ def test_ivf_centroids_deterministic(spark):
     a = S.train_ivf_centroids(df, dim=16, n_cells=4, iters=2)
     b = S.train_ivf_centroids(df, dim=16, n_cells=4, iters=2)
     assert a == b and len(a) == 4 and all(len(c) == 16 for c in a)
+
+
+def test_l2_normalize_unit_norm_and_zero_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, v array<double>")
+    out = {r.vec_id: r.n for r in df.select(
+        "vec_id", S.l2_normalize(F.col("v")).alias("n")).collect()}
+    assert out[1] == [0.6, 0.8]
+    assert out[2] == [0.0, 0.0]   # zero vector passes through
+
+
+def test_quantize_int8_roundtrip(spark):
+    vals = [0.5, -1.0, 0.25, 0.0]
+    df = spark.createDataFrame([(1, vals)], "vec_id long, v array<double>")
+    r = df.select(S.quantize_int8(F.col("v")).alias("s")).first().s
+    assert r.scale == 1.0 / 127.0
+    assert max(abs(q) for q in r.q) == 127
+    # dequantization error bounded by scale/2
+    for orig, q in zip(vals, r.q):
+        assert abs(q * r.scale - orig) <= r.scale / 2 + 1e-12

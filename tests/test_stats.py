@@ -55,3 +55,14 @@ def test_summary_stats_long_format(spark):
     assert got["x"].n == 3 and math.isclose(got["x"].mean, 2.0)
     assert math.isclose(got["y"].min, 10.0) and math.isclose(got["y"].max, 30.0)
     assert math.isclose(got["x"].stddev, 1.0)
+
+
+def test_histogram_fixed_edges(spark):
+    from vega_spark.operators.stats import histogram_fixed
+    df = spark.createDataFrame(
+        [(v,) for v in [0.0, 1.0, 4.9, 5.0, 9.9, 10.0, 10.1, -1.0]],
+        "x double")
+    out = {r.bucket: r.n for r in
+           histogram_fixed(df, "x", 0.0, 10.0, 2).collect()}
+    # [0,5): 0,1,4.9 ; [5,10]: 5.0,9.9,10.0 (closed upper edge); -1, 10.1 dropped
+    assert out == {0: 3, 1: 3}

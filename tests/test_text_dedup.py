@@ -212,3 +212,50 @@ def test_chunk_tokens_rejects_bad_overlap(spark):
     import pytest
     with pytest.raises(ValueError):
         chunk_tokens(df, "text", "doc_id", chunk_size=4, overlap=4)
+
+
+# --- unigram LM scoring / repetition / incremental dedup ----------------------
+
+def test_unigram_logprob_score(spark):
+    import math
+    from vega_spark.functions.text import unigram_logprob_score
+    # corpus: "a a a b" -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string")
+    out = {r.doc: (r.n_tokens, r.avg_logprob)
+           for r in unigram_logprob_score(df, "text", "doc_id").collect()}
+    assert out[1][0] == 2 and out[2][0] == 2
+    assert math.isclose(out[1][1], math.log(0.75), abs_tol=1e-6)
+    assert math.isclose(out[2][1], (math.log(0.75) + math.log(0.25)) / 2,
+                        abs_tol=1e-6)
+    # the all-common-token doc scores higher (less surprising)
+    assert out[1][1] > out[2][1]
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from vega_spark.functions.text import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"),    # heavy repetition
+         (2, "one two three four five"),     # all distinct
+         (3, "")],                           # empty -> no row
+        "doc_id long, text string")
+    out = {r.doc: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_tokens == 5 and out[1].n_distinct == 2
+    assert abs(out[1].top_term_frac - 0.8) < 1e-9
+    assert out[2].top_term_frac == 0.2 and out[2].distinct_frac == 1.0
+
+
+def test_incremental_new_docs(spark):
+    from vega_spark.functions.dedup import incremental_new_docs
+    corpus = spark.createDataFrame(
+        [(1, "old news"), (2, "evergreen")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "fresh take"),       # genuinely new
+         (11, "old news"),        # already in corpus -> dropped
+         (12, "fresh take"),      # in-batch dup -> keep-first (10)
+         (13, "another one")],
+        "doc_id long, text string")
+    out = sorted((r.doc_id, r.text) for r in
+                 incremental_new_docs(corpus, batch, "text", "doc_id").collect())
+    assert out == [(10, "fresh take"), (13, "another one")]

@@ -59,6 +59,34 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_new_docs(corpus: DataFrame, batch: DataFrame,
+                         text_col: str, id_col: str) -> DataFrame:
+    """Incremental corpus ingestion dedup: the rows of ``batch`` whose
+    content is NOT already in ``corpus``, internally deduplicated
+    (lowest id wins within the batch). The append-only pattern of a
+    continuously-crawled training corpus: the historical corpus is
+    never rescanned per pair, only its digest set is.
+
+    Plan: both sides project to (digest[, id]) — the comparison
+    exchange carries 32-byte hashes, never document payloads. The
+    in-batch keep-first is a digest-keyed min-id aggregate + self
+    semi-join; the corpus check is a LEFT ANTI join on digest. With a
+    digest-only right side Catalyst broadcasts it when small; at
+    100 TB corpus scale AQE plans a shuffled anti-join whose right
+    exchange is ~40 bytes/doc, and Spark's runtime bloom-filter
+    injection (spark.sql.optimizer.runtime.bloomFilter.enabled)
+    prunes the probe side at the scan."""
+    d = "__digest"
+    corpus_digests = (corpus.select(content_digest(text_col).alias(d))
+                      .distinct())
+    keyed = batch.withColumn(d, content_digest(text_col))
+    first_ids = (keyed.groupBy(d)
+                 .agg(F.min(id_col).alias(id_col)))
+    return (keyed.join(first_ids, [d, id_col], "left_semi")
+            .join(corpus_digests, d, "left_anti")
+            .drop(d))
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (distinct)."""
     toks = tokens(col)

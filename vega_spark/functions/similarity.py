@@ -45,6 +45,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize an embedding (double precision); zero vectors
+    pass through unchanged. Pure expression — fuses into the scan, so
+    normalizing 100 TB of embeddings is one narrow write-through pass.
+    Left-fold accumulation order (F.aggregate) is part of the
+    contract: an external replay with the same fold order reproduces
+    the doubles bit-for-bit."""
+    n = l2_norm(F.transform(a, lambda x: x.cast("double")))
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)) \
+            .otherwise(F.transform(a, lambda x: x.cast("double")))
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round_half_up(x_i / scale). Returns a struct
+    (scale double, q array<int>) — the standard 4x shrink for ANN
+    index storage. round-half-up is computed as floor(v + 0.5) so any
+    engine reproduces it exactly (no banker's-rounding divergence).
+    Zero vectors quantize to all-zero with scale 0."""
+    xs = F.transform(a, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xs, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.when(amax > 0,
+               F.transform(xs, lambda x: F.floor(x / scale + 0.5)
+                           .cast("int"))) \
+         .otherwise(F.transform(xs, lambda x: F.lit(0)))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame,
                            k: int = 10,
                            id_col: str = "vec_id",

@@ -159,6 +159,63 @@ def tf_idf(df: DataFrame, text_col: str, id_col: str,
             .select("doc", "term", "tf", "df", "tfidf", "rk"))
 
 
+def unigram_logprob_score(df: DataFrame, text_col: str,
+                          id_col: str) -> DataFrame:
+    """Corpus-unigram language-model quality score per document: the
+    mean log-probability of the document's tokens under the corpus's
+    own (MLE) unigram distribution. The standard cheap stand-in for
+    perplexity-based quality filtering in training-data pipelines.
+
+    Plan: explode tokens (narrow) → corpus term counts [shuffle 1,
+    partial-agg combined; cardinality = vocabulary] → total token
+    count as a broadcast 1-row aggregate (never a driver collect) →
+    term logprobs joined back to the (doc, term) stream on term
+    [vocabulary-sized side; broadcastable at most scales, else AQE
+    plans it shuffled] → per-doc mean [shuffle 2 on doc]. No
+    smoothing needed: every scored token is in the corpus by
+    construction.
+
+    Output: (doc, n_tokens, avg_logprob) — lower = rarer/noisier text.
+    """
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.explode(tokens(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    logp = (counts.join(F.broadcast(total))
+            .select("term", F.log(F.col("cnt") / F.col("total"))
+                    .alias("logp")))
+    return (toks.join(logp, "term")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("logp"), 6).alias("avg_logprob")))
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition diagnostics per document:
+    top_term_frac (fraction of tokens that are the single most
+    frequent token) and distinct_frac (distinct/total tokens). High
+    top_term_frac or low distinct_frac flags boilerplate/spam for
+    removal before training.
+
+    Plan: explode → (doc, term) counts [one shuffle, map-side
+    combined] → per-doc max/sum/count second-level aggregate on the
+    already-keyed stream [second shuffle carries one row per (doc,
+    term) — bounded by doc vocabulary, not doc length]. Empty docs
+    produce no row (nothing to measure).
+    """
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.explode(tokens(text_col)).alias("term"))
+    per_term = toks.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return (per_term.groupBy("doc")
+            .agg(F.sum("cnt").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.round(F.max("cnt") / F.sum("cnt"), 6)
+                 .alias("top_term_frac"),
+                 F.round(F.count(F.lit(1)) / F.sum("cnt"), 6)
+                 .alias("distinct_frac")))
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Bundle: all text-analysis columns in one narrow projection."""
     return df.select(

@@ -57,3 +57,35 @@ def intersection(left: DataFrame, right: DataFrame) -> DataFrame:
 def subtract(left: DataFrame, right: DataFrame) -> DataFrame:
     """EXCEPT (distinct) — the reference deduplicates survivors."""
     return left.subtract(right)
+
+
+def except_all(left: DataFrame, right: DataFrame) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity-aware difference).
+
+    Superset of the reference's ``subtract`` (src/rdd/rdd.rs:840-899,
+    which deduplicates): each row survives max(0, n_left - n_right)
+    times. Spark plans this as a single hash aggregate over a
+    multiplicity counter — one shuffle on the full row, same cost
+    shape as distinct."""
+    return left.exceptAll(right)
+
+
+def intersect_all(left: DataFrame, right: DataFrame) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each row appears
+    min(n_left, n_right) times. Superset of the reference's
+    deduplicating ``intersection`` (src/rdd/rdd.rs:831-838)."""
+    return left.intersectAll(right)
+
+
+def subtract_by_key(left: DataFrame, right: DataFrame,
+                    key: str | Sequence[str]) -> DataFrame:
+    """Pair-RDD ``subtractByKey``: keep left rows whose KEY does not
+    appear in right; left payload survives with its multiplicity
+    (only keys are compared — Spark's RDD subtractByKey semantics;
+    the reference has only the full-row ``subtract``).
+
+    Scale: a LEFT ANTI join — Catalyst broadcasts the right side
+    when it is small (key-only projection makes that likely even for
+    big tables), else shuffles only the key column of the right side."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return left.join(right.select(*keys).distinct(), on=keys, how="left_anti")

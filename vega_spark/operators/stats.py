@@ -63,6 +63,26 @@ def heavy_hitters_exact(df: DataFrame, col: str, min_count: int) -> DataFrame:
             .filter(F.col("n") >= min_count))
 
 
+def histogram_fixed(df: DataFrame, col: str, lo: float, hi: float,
+                    n_buckets: int) -> DataFrame:
+    """Fixed-width histogram of a numeric column over [lo, hi)
+    (RDD ``histogram`` equivalent — absent from the reference, whose
+    only numeric reductions are max/min).
+
+    bucket i covers [lo + i*w, lo + (i+1)*w); values == hi fall in the
+    last bucket (closed upper edge, matching Spark RDD semantics);
+    out-of-range values are dropped. One partial+final count shuffle
+    whose cardinality is n_buckets — constant-size exchange at any SF.
+    """
+    w = (hi - lo) / n_buckets
+    c = F.col(col)
+    bucket = F.least(F.floor((c - F.lit(lo)) / F.lit(w)),
+                     F.lit(n_buckets - 1)).cast("int")
+    return (df.filter((c >= lo) & (c <= hi))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """count/mean/stddev/min/max per column, tidy long output, one
     aggregate pass for ALL columns."""

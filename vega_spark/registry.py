@@ -1591,5 +1591,176 @@ def sample_stratified_q(spark, sf_dir):
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+# --- bag-semantics set ops + keyed subtract (§2.6 superset) ----------------
+
+@_q("except_all_keys", """
+SELECT l_partkey AS key FROM lineitem
+EXCEPT ALL
+SELECT p_partkey AS key FROM part WHERE p_size < 25
+""")
+def except_all_keys_q(spark, sf_dir):
+    """EXCEPT ALL — multiplicity-aware difference (bag superset of
+    the reference's deduplicating subtract)."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    pt = (_t(spark, sf_dir, "part").filter(F.col("p_size") < 25)
+          .select(F.col("p_partkey").alias("key")))
+    return S.except_all(li, pt)
+
+
+@_q("intersect_all_keys", """
+SELECT l_suppkey AS key FROM lineitem WHERE l_quantity > 25
+INTERSECT ALL
+SELECT l_suppkey AS key FROM lineitem WHERE l_discount > 0.05
+""")
+def intersect_all_keys_q(spark, sf_dir):
+    """INTERSECT ALL — each key survives min(n_left, n_right) times."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select(F.col("l_suppkey").alias("key"))
+    b = li.filter(F.col("l_discount") > 0.05).select(F.col("l_suppkey").alias("key"))
+    return S.intersect_all(a, b)
+
+
+@_q("subtract_by_key", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderstatus = 'F')
+""")
+def subtract_by_key_q(spark, sf_dir):
+    """subtractByKey: left rows whose KEY is absent from right;
+    payload multiplicity preserved (LEFT ANTI on a keys-only right)."""
+    from vega_spark.operators.setops import subtract_by_key
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    return subtract_by_key(li, od, "l_orderkey")
+
+
+@_q("histogram_price", """
+SELECT LEAST(CAST(FLOOR(l_extendedprice / 5000.0) AS INTEGER), 11) AS bucket,
+       COUNT(*) AS n
+FROM lineitem WHERE l_extendedprice BETWEEN 0 AND 60000
+GROUP BY 1
+""")
+def histogram_price_q(spark, sf_dir):
+    """Fixed-width histogram (RDD histogram equivalent): constant-size
+    exchange (n_buckets rows) at any SF."""
+    from vega_spark.operators.stats import histogram_fixed
+    return histogram_fixed(_t(spark, sf_dir, "lineitem"),
+                           "l_extendedprice", 0.0, 60000.0, 12)
+
+
+# --- north-star: LM-quality scoring, repetition filters, incremental dedup --
+
+_TOKS_SQL = """
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+"""
+
+
+@_q("unigram_lm_score", f"""
+WITH toks AS ({_TOKS_SQL}),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT SUM(cnt) AS total FROM counts),
+logp AS (SELECT term, LN(cnt / total) AS logp FROM counts, total)
+SELECT doc, COUNT(*) AS n_tokens, ROUND(AVG(logp), 6) AS avg_logprob
+FROM toks JOIN logp USING (term)
+GROUP BY doc
+""")
+def unigram_lm_score_q(spark, sf_dir):
+    """Corpus-unigram LM quality score (perplexity stand-in): mean
+    token log-probability under the corpus's own unigram MLE."""
+    return X_text.unigram_logprob_score(
+        _t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q("repetition_stats", f"""
+WITH toks AS ({_TOKS_SQL}),
+pt AS (SELECT doc, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+SELECT doc, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+       ROUND(MAX(cnt) / SUM(cnt), 6) AS top_term_frac,
+       ROUND(COUNT(*) / SUM(cnt), 6) AS distinct_frac
+FROM pt GROUP BY doc
+""")
+def repetition_stats_q(spark, sf_dir):
+    """Gopher-style repetition diagnostics (boilerplate/spam filter
+    inputs): top-term fraction + distinct-token fraction per doc."""
+    return X_text.repetition_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q("dedup_incremental", """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+firsts AS (SELECT text, MIN(doc_id) AS doc_id FROM batch GROUP BY text)
+SELECT b.* FROM batch b
+JOIN firsts f ON b.doc_id = f.doc_id AND b.text = f.text
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+""")
+def dedup_incremental_q(spark, sf_dir):
+    """Incremental ingestion dedup: new-batch docs not already in the
+    corpus, keep-first within the batch. Digest-only anti-join — the
+    exchange never carries document payloads."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return X_dedup.incremental_new_docs(corpus, batch, "text", "doc_id")
+
+
+# --- north-star: embedding storage transforms ------------------------------
+
+@_q("embed_l2_normalize", """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+norm AS (SELECT vec_id, v,
+         SQRT(list_reduce(list_transform(v, x -> x * x),
+                          (a, b) -> a + b)) AS nn FROM n),
+idx AS (SELECT vec_id, v, nn,
+        unnest(generate_series(1, len(v))) AS i FROM norm)
+SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
+       CAST(FLOOR(CASE WHEN nn > 0 THEN v[i] / nn ELSE v[i] END
+                  * 1000000 + 0.5) AS BIGINT) AS q
+FROM idx
+""")
+def embed_l2_normalize_q(spark, sf_dir):
+    """Unit-normalization of the embedding column (narrow, fuses into
+    the scan). Compared element-wise at fixed point 1e-6: the fold
+    order of the norm is part of the operator contract, so the oracle
+    reproduces the doubles exactly (see similarity.l2_normalize)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    normed = emb.select("vec_id",
+                        X_sim.l2_normalize(F.col("embedding")).alias("v"))
+    return normed.select(
+        "vec_id", F.posexplode("v").alias("idx", "__val")).select(
+        "vec_id", "idx",
+        F.floor(F.col("__val") * 1000000 + 0.5).cast("long").alias("q"))
+
+
+@_q("embed_quantize_int8", """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+      list_max(list_transform(v, x -> abs(x))) AS amax FROM n),
+idx AS (SELECT vec_id, v, amax, amax / 127.0 AS scale,
+        unnest(generate_series(1, len(v))) AS i FROM s)
+SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
+       CAST(CASE WHEN amax > 0 THEN FLOOR(v[i] / scale + 0.5)
+                 ELSE 0 END AS INTEGER) AS q,
+       CAST(FLOOR(scale * 1000000 + 0.5) AS BIGINT) AS scale_q
+FROM idx
+""")
+def embed_quantize_int8_q(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (4x ANN index shrink);
+    round-half-up via floor(x+0.5) so the oracle replays it exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = emb.select("vec_id",
+                    X_sim.quantize_int8(F.col("embedding")).alias("s"))
+    return qz.select(
+        "vec_id",
+        F.floor(F.col("s.scale") * 1000000 + 0.5).cast("long")
+        .alias("scale_q"),
+        F.posexplode("s.q").alias("idx", "q"))
+
+
 # --- TPC-H query-shape coverage (registers on import; see module docs) -----
 from vega_spark import registry_tpch  # noqa: E402,F401  (adapted Q2-Q22)
