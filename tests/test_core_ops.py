@@ -158,3 +158,16 @@ def test_sample_stratified_fractions(spark, sf_dir):
                               {"click": 0.5, "purchase": 1.0}, seed=7)
     assert sorted(r.event_id for r in out.collect()) == \
         sorted(r.event_id for r in again.collect())
+
+
+def test_sample_deterministic_per_key(spark):
+    from vega_spark.operators.sampling import sample_deterministic_per_key
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(30)], "id long, g string")
+    a = sorted((r.g, r.id) for r in
+               sample_deterministic_per_key(df, "g", 2, "id").collect())
+    b = sorted((r.g, r.id) for r in
+               sample_deterministic_per_key(df, "g", 2, "id").collect())
+    assert a == b                       # reproducible
+    assert len(a) == 6                  # exactly k per key
+    assert len({g for g, _ in a}) == 3

@@ -259,3 +259,46 @@ def test_incremental_new_docs(spark):
     out = sorted((r.doc_id, r.text) for r in
                  incremental_new_docs(corpus, batch, "text", "doc_id").collect())
     assert out == [(10, "fresh take"), (13, "another one")]
+
+
+def test_span_dedup_removes_repeated_passages(spark):
+    from vega_spark.functions.dedup import span_dedup
+    # k=2 spans; "a b" is doc 1's first span and repeats in docs 2/3
+    df = spark.createDataFrame(
+        [(1, "a b c d"),          # spans: "a b", "c d"
+         (2, "a b x y"),          # "a b" dup -> survives as "x y"
+         (3, "a b"),              # entirely duplicate -> doc dropped
+         (4, "p q")],             # untouched
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           span_dedup(df, "text", "doc_id", span_tokens=2).collect()}
+    assert out == {1: "a b c d", 2: "x y", 4: "p q"}
+
+
+def test_span_dedup_keep_first_order_and_short_tail(spark):
+    from vega_spark.functions.dedup import span_dedup
+    # tail span shorter than k is a span of its own; keep-first is by
+    # (doc_id, pos): doc 5's "z" tail survives, doc 6's copy does not
+    df = spark.createDataFrame(
+        [(5, "m n z"), (6, "z")], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           span_dedup(df, "text", "doc_id", span_tokens=2).collect()}
+    assert out == {5: "m n z"}
+
+
+def test_zipf_rank_frequency(spark):
+    from vega_spark.functions.text import zipf_rank_frequency
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string")
+    rows = sorted(zipf_rank_frequency(df, "text", top_n=2).collect(),
+                  key=lambda r: r.rank)
+    assert [(r.term, r.cnt, r.rank) for r in rows] == [("a", 3, 1), ("b", 2, 2)]
+
+
+def test_vocab_stats(spark):
+    from vega_spark.functions.text import vocab_stats
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    r = vocab_stats(df, "text").first()
+    assert (r.total_tokens, r.vocab_size, r.hapax_terms) == (5, 3, 1)
+    assert abs(r.type_token_ratio - 0.6) < 1e-9

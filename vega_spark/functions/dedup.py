@@ -87,6 +87,57 @@ def incremental_new_docs(corpus: DataFrame, batch: DataFrame,
             .drop(d))
 
 
+def span_dedup(df: DataFrame, text_col: str, id_col: str,
+               span_tokens: int = 32) -> DataFrame:
+    """C4-style duplicate-passage removal: split each document into
+    consecutive ``span_tokens``-token spans, keep only the globally
+    FIRST occurrence of each distinct span (ordered by (id, position)),
+    and reassemble documents from their surviving spans. Documents
+    whose every span is a repeat disappear; boilerplate passages
+    survive exactly once, in the earliest document that carries them.
+
+    Plan shape: tokenize + span-split are narrow (fan-out inside the
+    scan task). Keep-first is a sha2(span)-keyed min-(doc,pos)
+    aggregate (map-side combined; the grouping exchange carries the
+    digest + two ints) followed by an equi-join back on the digest to
+    recover surviving span text — only that join's probe side carries
+    text, one pass. Reassembly is one shuffle on doc id; collect_list
+    + array_sort keeps span order without a sort exchange. At corpus
+    scale the digest aggregate is the only wide stage whose
+    cardinality is the number of distinct spans; skew is impossible
+    (digests are uniform).
+    """
+    k = span_tokens
+    starts = F.sequence(
+        F.lit(0),
+        ((F.size("__toks") - 1) / k).cast("int") * k,
+        F.lit(k))
+    spans = (df
+             .select(F.col(id_col).alias("__doc"),
+                     tokens(F.col(text_col)).alias("__toks"))
+             .filter(F.size("__toks") > 0)
+             .select("__doc",
+                     F.posexplode(starts).alias("__pos", "__start"),
+                     "__toks")
+             .select("__doc", "__pos",
+                     F.array_join(F.slice("__toks", F.col("__start") + 1, k),
+                                  " ").alias("__span")))
+    keyed = spans.withColumn("__d", F.sha2(F.col("__span"), 256))
+    firsts = (keyed.groupBy("__d")
+              .agg(F.min(F.struct("__doc", "__pos")).alias("__first")))
+    kept = (keyed.join(firsts, "__d")
+            .filter((F.col("__doc") == F.col("__first.__doc"))
+                    & (F.col("__pos") == F.col("__first.__pos"))))
+    return (kept.groupBy("__doc")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("__pos", "__span"))),
+                    lambda s: s["__span"]),
+                " ").alias(text_col))
+            .withColumnRenamed("__doc", id_col))
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (distinct)."""
     toks = tokens(col)

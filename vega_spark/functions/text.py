@@ -297,3 +297,41 @@ def chunk_tokens(df: DataFrame, text_col: str, id_col: str,
                     " ").alias("chunk_text"),
                 F.least(F.lit(chunk_size),
                         F.col("__n") - F.col("__start")).alias("n_tokens")))
+
+
+def zipf_rank_frequency(df: DataFrame, text_col: str,
+                        top_n: int = 100) -> DataFrame:
+    """Corpus rank-frequency table (Zipf curve input): the ``top_n``
+    most frequent tokens with their counts and 1-based rank
+    (ties broken alphabetically so the ranking is total and
+    engine-independent).
+
+    Plan shape: one vocabulary-keyed count shuffle (map-side
+    combined), then the global top-n runs as TakeOrderedAndProject —
+    per-partition bounded heaps merged at the driver, never a global
+    sort. The final row_number window sees only ``top_n`` rows, so
+    its single-partition exchange is constant-size at any corpus SF.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokens(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def vocab_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """One-row corpus vocabulary summary: total token count, distinct
+    vocabulary size, hapax count (terms seen exactly once — the
+    long-tail mass that dominates open crawls), and the type-token
+    ratio. Two-level aggregate: vocabulary-keyed counts (one shuffle,
+    map-side combined) collapsing into a single global row — the
+    second exchange carries one partial row per task."""
+    toks = df.select(F.explode(tokens(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax_terms"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("type_token_ratio"))

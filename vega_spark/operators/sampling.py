@@ -25,6 +25,7 @@ import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
 
 
 def sample(df: DataFrame, with_replacement: bool, fraction: float,
@@ -83,3 +84,27 @@ def sample_stratified(df: DataFrame, col: str, fractions: dict,
     src/utils/random.rs:36-297); Spark's sampleBy is the per-stratum
     Bernoulli form, one narrow pass, no shuffle."""
     return df.sampleBy(col, fractions, seed=seed)
+
+
+def sample_deterministic_per_key(df: DataFrame, key_cols,
+                                 k: int, id_col: str) -> DataFrame:
+    """Exactly-k-per-key deterministic sample: for each key group keep
+    the k rows with the smallest md5(id) — a pseudo-random but fully
+    reproducible pick (same rows on every run, every engine, no RNG
+    state). The standard way a training pipeline caps per-domain /
+    per-source document counts while keeping the selection auditable.
+
+    Plan shape: row_number over (key, hash order) then rank <= k —
+    Spark 4 rewrites that into WindowGroupLimit, a per-map-task
+    partial top-k heap BEFORE the exchange, so the shuffle carries at
+    most k rows per key per input partition, never the group. Skewed
+    keys (one domain = half the corpus) therefore cost map-side heap
+    work, not a hot reducer."""
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn"))

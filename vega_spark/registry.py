@@ -1762,5 +1762,86 @@ def embed_quantize_int8_q(spark, sf_dir):
         F.posexplode("s.q").alias("idx", "q"))
 
 
+# --- north-star: corpus statistics + passage dedup + capped sampling -------
+
+@_q("zipf_rank_frequency", f"""
+WITH toks AS ({_TOKS_SQL}),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+ranked AS (SELECT term, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank FROM counts)
+SELECT term, cnt, rank FROM ranked WHERE rank <= 50
+""")
+def zipf_rank_frequency_q(spark, sf_dir):
+    """Rank-frequency (Zipf) table, top 50 terms; top-n runs as
+    per-partition heaps (TakeOrderedAndProject), not a global sort."""
+    return X_text.zipf_rank_frequency(
+        _t(spark, sf_dir, "documents"), "text", top_n=50)
+
+
+@_q("vocab_stats", f"""
+WITH toks AS ({_TOKS_SQL}),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
+SELECT SUM(cnt) AS total_tokens, COUNT(*) AS vocab_size,
+       SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax_terms,
+       ROUND(COUNT(*) / SUM(cnt), 6) AS type_token_ratio
+FROM counts
+""")
+def vocab_stats_q(spark, sf_dir):
+    """One-row vocabulary summary of the documents corpus."""
+    return X_text.vocab_stats(_t(spark, sf_dir, "documents"), "text")
+
+
+@_q("dedup_spans", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(
+            0, CAST(FLOOR((len(t) - 1) / 16) AS INTEGER) * 16, 16)) AS s
+  FROM toks WHERE len(t) > 0
+),
+spans AS (
+  SELECT doc_id, s // 16 AS pos,
+         array_to_string(list_slice(t, s + 1, s + 16), ' ') AS span
+  FROM starts
+),
+kept AS (
+  SELECT doc_id, pos, span,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM spans
+)
+SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
+FROM kept WHERE rn = 1 GROUP BY doc_id
+""")
+def dedup_spans_q(spark, sf_dir):
+    """C4-style passage dedup: 16-token spans, global keep-first by
+    (doc_id, position), documents reassembled from survivors."""
+    return X_dedup.span_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", span_tokens=16)
+
+
+@_q("sample_per_source_capped", """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents) WHERE rn <= 5
+""")
+def sample_per_source_capped_q(spark, sf_dir):
+    """Deterministic per-source document cap (5 docs/source by md5
+    order): reproducible domain balancing with no RNG state. Rank
+    filter rewrites to WindowGroupLimit — map-side top-k heaps, so a
+    skewed source never concentrates on one reducer."""
+    from vega_spark.operators.sampling import sample_deterministic_per_key
+    docs = _t(spark, sf_dir, "documents")
+    return sample_deterministic_per_key(
+        docs, "source", 5, "doc_id").select("doc_id", "source")
+
+
 # --- TPC-H query-shape coverage (registers on import; see module docs) -----
 from vega_spark import registry_tpch  # noqa: E402,F401  (adapted Q2-Q22)
