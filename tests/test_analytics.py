@@ -56,3 +56,25 @@ def test_fk_orphans_counts(spark):
     out = {r.relation: r.n_orphans
            for r in fk_orphans([("c.fk", child, "fk", parent, "pk")]).collect()}
     assert out == {"c.fk": 1}
+
+
+def test_user_event_gaps_exact_ns(spark):
+    from vega_spark.functions.analytics import user_event_gaps
+    rows = [(1, 100, 1000), (2, 100, 4000), (3, 100, 6000),  # gaps 3000, 2000
+            (4, 200, 500)]                                    # single event
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    out = {r.user_id: r for r in user_event_gaps(df).collect()}
+    assert (out[100].n_events, out[100].n_gaps) == (3, 2)
+    assert out[100].sum_gap == 5000 and out[100].max_gap == 3000
+    assert (out[200].n_gaps, out[200].sum_gap) == (0, 0)
+    assert out[200].max_gap is None
+
+
+def test_user_event_gaps_tiebreak_by_event_id(spark):
+    from vega_spark.functions.analytics import user_event_gaps
+    # two events at the same ts: ordering must fall back to event_id
+    df = spark.createDataFrame(
+        [(2, 1, 100), (1, 1, 100), (3, 1, 400)],
+        "event_id long, user_id long, ts long")
+    r = user_event_gaps(df).first()
+    assert r.n_gaps == 2 and r.sum_gap == 300 and r.max_gap == 300

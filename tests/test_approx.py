@@ -97,3 +97,29 @@ def test_hll_global_merge_no_keys(spark):
     partials = SK.hll_partial(df, ["day"], "uid")
     total = SK.hll_merge(partials, []).first()["approx_distinct"]
     assert total == 30            # sparse mode: exact
+
+
+def test_cms_never_undercounts_and_exactish_when_wide(spark):
+    from pyspark.sql import functions as F
+    from vega_spark.operators.sketches import cms_build, cms_estimate
+    vals = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + list("defghij")
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sketch = cms_build(df, "v", depth=4, width=2048)
+    q = df.select("v").distinct()
+    est = {r.v: r.est_count for r in cms_estimate(sketch, q, "v").collect()}
+    true = {r.v: r["count"] for r in df.groupBy("v").count().collect()}
+    for v, t in true.items():
+        assert est[v] >= t                    # CMS upper bound
+    # 10 distinct values in 4x2048 cells: collisions vanishingly rare
+    assert est["a"] == 50 and est["b"] == 20 and est["c"] == 5
+
+
+def test_cms_merge_equals_whole(spark):
+    from vega_spark.operators.sketches import cms_build, cms_merge
+    a = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, "v string")
+    b = spark.createDataFrame([("x",)] * 5 + [("z",)] * 2, "v string")
+    merged = cms_merge(cms_build(a, "v"), cms_build(b, "v"))
+    whole = cms_build(a.unionAll(b), "v")
+    got = sorted((r.row, r.bucket, r.cnt) for r in merged.collect())
+    want = sorted((r.row, r.bucket, r.cnt) for r in whole.collect())
+    assert got == want

@@ -171,3 +171,16 @@ def test_sample_deterministic_per_key(spark):
     assert a == b                       # reproducible
     assert len(a) == 6                  # exactly k per key
     assert len({g for g, _ in a}) == 3
+
+
+def test_observe_metrics_no_extra_pass(spark):
+    from pyspark.sql import functions as F
+    from vega_spark.operators.actions import with_observed_metrics
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 7.0)], "id long, v double")
+    observed, fetch = with_observed_metrics(
+        df, "m", n=F.count(F.lit(1)), nulls=F.sum(F.isnull("v").cast("int")),
+        total=F.sum("v"))
+    assert observed.count() == 3           # the action that feeds observe
+    m = fetch()
+    assert m["n"] == 3 and m["nulls"] == 1 and m["total"] == 12.0

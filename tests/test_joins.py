@@ -108,3 +108,22 @@ def test_range_join_bucket_boundary(spark):
         left, right, ["k"], "l_ts", "r_ts", max_diff=100,
         strict_after=False).collect())
     assert got2 == [10, 12]
+
+
+def test_cogroup_apply_both_and_one_sided_keys(spark):
+    import pandas as pd
+    from vega_spark.operators.joins import cogroup_apply
+
+    left = spark.createDataFrame([(1, 10), (1, 11), (3, 30)], "k int, a int")
+    right = spark.createDataFrame([(1, 100), (2, 200)], "k int, b int")
+
+    def fn(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        k = int(lp["k"].iloc[0]) if len(lp) else int(rp["k"].iloc[0])
+        return pd.DataFrame({"k": [k], "nl": [len(lp)], "nr": [len(rp)]})
+
+    out = sorted((r.k, r.nl, r.nr) for r in
+                 cogroup_apply(left, right, "k", "k", fn,
+                               "k int, nl long, nr long").collect())
+    # key present on either side shows up, with empty pandas frame for
+    # the missing side — reference cogroup emits empty Vecs likewise
+    assert out == [(1, 2, 1), (2, 0, 1), (3, 1, 0)]

@@ -148,3 +148,16 @@ def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_li")
         spark.sql("DROP TABLE IF EXISTS bkt_o")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from vega_spark.operators.partitioning import compact_small_files
+    p = str(tmp_path / "frag")
+    # 40 fragment files
+    spark.range(0, 40000).repartition(40).write.parquet(p)
+    import os
+    assert len([f for f in os.listdir(p) if f.endswith(".parquet")]) == 40
+    n = compact_small_files(spark, p, target_file_bytes=10**9)
+    assert n == 1
+    assert len([f for f in os.listdir(p) if f.endswith(".parquet")]) == 1
+    assert spark.read.parquet(p).count() == 40000

@@ -125,3 +125,15 @@ def test_save_single_file(spark, tmp_path):
     assert len(parts) == 1        # coalesce(1) -> exactly one part file
     back = spark.read.csv(out, schema="id string")
     assert back.count() == 100
+
+
+def test_json_parse_and_extract(spark):
+    from pyspark.sql import functions as F
+    from vega_spark.functions.json_fns import json_get, parse_json_col
+    df = spark.createDataFrame(
+        [('{"k": 7, "tag": "x"}',), ('{"k": 9}',)], "props string")
+    p = parse_json_col(df, "props", "k int, tag string")
+    rows = p.select("props_struct.k", "props_struct.tag").collect()
+    assert sorted((r.k, r.tag) for r in rows) == [(7, "x"), (9, None)]
+    g = df.select(json_get("props", "$.k").cast("int").alias("k")).collect()
+    assert sorted(r.k for r in g) == [7, 9]

@@ -66,3 +66,14 @@ def test_histogram_fixed_edges(spark):
            histogram_fixed(df, "x", 0.0, 10.0, 2).collect()}
     # [0,5): 0,1,4.9 ; [5,10]: 5.0,9.9,10.0 (closed upper edge); -1, 10.1 dropped
     assert out == {0: 3, 1: 3}
+
+
+def test_percentile_by_group_exact(spark):
+    from vega_spark.operators.stats import percentile_by_group
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+         ("b", 5.0)], "g string, x double")
+    out = {r.g: r for r in
+           percentile_by_group(df, ["g"], "x", [0.5]).collect()}
+    assert out["a"].p0_5 == 2.5      # interpolated between 2 and 3
+    assert out["b"].p0_5 == 5.0

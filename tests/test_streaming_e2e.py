@@ -226,3 +226,31 @@ def test_stream_static_join_enriches(spark, arrivals, tmp_path):
     got = {(r.event_id, r.tier)
            for r in spark.sql("SELECT * FROM ssj_static").collect()}
     assert got == {(1, "gold"), (4, "gold"), (2, "silver")}
+
+
+def test_upsert_sink_maintains_keyed_table(spark, arrivals, tmp_path):
+    from vega_spark.streaming.sinks import upsert_to_parquet
+    d, arrive = arrivals
+    target = str(tmp_path / "state_tbl")
+
+    # batch 1: users 10, 11
+    arrive([(1, "2024-01-01 00:00:00", 10, "view", 1.0),
+            (2, "2024-01-01 00:01:00", 11, "view", 2.0)], "b1")
+    src = S.stream_parquet(spark, str(d), SCHEMA, max_files_per_trigger=10)
+    latest = src.select("user_id", "event_type", "value")
+    q = upsert_to_parquet(latest, target, ["user_id"],
+                          str(tmp_path / "ckpt_upsert"))
+    S.drain(q)
+    got = {r.user_id: (r.event_type, r.value)
+           for r in spark.read.parquet(target).collect()}
+    assert got == {10: ("view", 1.0), 11: ("view", 2.0)}
+
+    # batch 2: user 10 updated, user 12 inserted
+    arrive([(3, "2024-01-01 00:05:00", 10, "click", 9.0),
+            (4, "2024-01-01 00:06:00", 12, "view", 3.0)], "b2")
+    q = upsert_to_parquet(latest, target, ["user_id"],
+                          str(tmp_path / "ckpt_upsert"))
+    S.drain(q)
+    got = {r.user_id: (r.event_type, r.value)
+           for r in spark.read.parquet(target).collect()}
+    assert got == {10: ("click", 9.0), 11: ("view", 2.0), 12: ("view", 3.0)}

@@ -69,3 +69,43 @@ def fk_orphans(pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def user_event_gaps(events: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts", id_col: str = "event_id",
+                    ts_div: int = 1) -> DataFrame:
+    """Per-user inter-event-gap profile via the secondary-sort
+    pattern: groups shuffle once on the user key and each group is
+    ordered and scanned inside its Arrow batch (applyInPandas) — the
+    grouped-map analog of repartitionAndSortWithinPartitions, with
+    pure integer math so results are exact on any engine.
+
+    ``ts_col`` is an integer epoch column; ``ts_div`` optionally
+    coarsens it first by INTEGER division (e.g. 1000 for ns→µs —
+    float division would lose precision on 1e18-scale epochs).
+    Output: (user_id, n_events, n_gaps, sum_gap, max_gap) in the
+    coarsened unit. Single-event users report 0 gaps with NULL max.
+    Per-group state is O(group); a user's history must fit in a
+    worker — the same bound every sessionizer accepts. Column pruning
+    keeps the exchange at 3 narrow columns regardless of the events
+    schema."""
+    import pandas as pd
+
+    schema = (f"{user_col} long, n_events long, n_gaps long, "
+              "sum_gap long, max_gap long")
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        d = pdf[ts_col].diff().dropna()
+        return pd.DataFrame({
+            user_col: [pdf[user_col].iloc[0]],
+            "n_events": [len(pdf)],
+            "n_gaps": [len(d)],
+            "sum_gap": [int(d.sum()) if len(d) else 0],
+            "max_gap": [int(d.max()) if len(d) else None],
+        })
+
+    ts = (F.expr(f"{ts_col} div {ts_div}") if ts_div != 1
+          else F.col(ts_col))
+    return (events.select(user_col, ts.alias(ts_col), id_col)
+            .groupBy(user_col).applyInPandas(gaps, schema))

@@ -74,3 +74,36 @@ def write_bucketed(df: DataFrame, table_name: str, buckets: int,
     if path:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def compact_small_files(spark, path: str, target_file_bytes: int = 128 * 2**20,
+                        out_path: str | None = None) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files (default 128 MiB — the classic
+    HDFS/object-store sweet spot). The small-files problem is the #1
+    operational failure of long-running ingestion at scale: a 100 TB
+    table that has degraded to millions of KB-sized files pays
+    per-file open cost on every scan; this is the maintenance pass
+    that restores scan throughput. Returns the output file count.
+
+    Narrow when shrinking (coalesce — no shuffle); round-robin
+    repartition (one shuffle) when the directory is already fewer
+    files than the target, which rebalances skewed file sizes too."""
+    import math
+    import os
+
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path) for f in fs
+                if f.endswith(".parquet"))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    cur = df.rdd.getNumPartitions()
+    df = df.coalesce(n) if cur > n else df.repartition(n)
+    dest = out_path or path + ".__compacted"
+    df.write.mode("overwrite").parquet(dest)
+    if out_path is None:
+        import shutil
+        shutil.rmtree(path)
+        os.rename(dest, path)
+        dest = path
+    return len([f for f in os.listdir(dest) if f.endswith(".parquet")])

@@ -59,3 +59,61 @@ def hll_distinct(df: DataFrame, keys: Sequence[str], value_col: str,
     return (df.groupBy(*keys)
             .agg(F.hll_sketch_estimate(
                 F.hll_sketch_agg(value_col, lg_config_k)).alias(out_col)))
+
+
+# --- count-min sketch (mergeable frequency summary) ------------------------
+
+def cms_build(df: DataFrame, value_col: str,
+              depth: int = 4, width: int = 2048) -> DataFrame:
+    """Count-min sketch of a column's value frequencies as a tiny
+    relational table (row, bucket, cnt) — ≤ depth*width rows no
+    matter the input size. bucket_i(v) = xxhash64(i, v) mod width
+    (JVM-side, codegen'd; the row index seeds the hash family).
+
+    One scan with a ×depth narrow fan-out, then one partial-agg
+    shuffle whose cardinality is the sketch size — constant at any
+    SF. Mergeable by construction: sketches of two datasets add
+    counter-wise (``cms_merge``), so per-day sketches roll up to any
+    window without rescanning the base table."""
+    probes = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 F.pmod(F.xxhash64(F.lit(i), F.col(value_col)),
+                        F.lit(width)).cast("int").alias("bucket"))
+        for i in range(depth)])
+    return (df.select(F.explode(probes).alias("rb"))
+            .groupBy(F.col("rb.row").alias("row"),
+                     F.col("rb.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (depth, width):
+    counter-wise sum."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionAll, sketches)
+    return u.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame, value_col: str,
+                 depth: int = 4, width: int = 2048) -> DataFrame:
+    """Point-frequency estimates for every value in ``queries``:
+    min over the sketch rows (the classic CMS upper-bound estimate —
+    never under-counts, over-counts by collision mass only).
+
+    Probe side explodes to depth rows per query value and joins the
+    sketch on (row, bucket); the sketch side is ≤ depth*width rows —
+    always broadcastable, so lookups are a narrow map-side join."""
+    probes = queries.select(
+        F.col(value_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     F.pmod(F.xxhash64(F.lit(i), F.col(value_col)),
+                            F.lit(width)).cast("int").alias("bucket"))
+            for i in range(depth)])).alias("rb"))
+    return (probes.join(F.broadcast(sketch),
+                        (probes["rb.row"] == sketch["row"])
+                        & (probes["rb.bucket"] == sketch["bucket"]),
+                        "left")
+            .select(value_col, F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .groupBy(value_col).agg(F.min("cnt").alias("est_count")))

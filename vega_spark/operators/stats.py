@@ -100,3 +100,21 @@ def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         out, "col string, n double, mean double, stddev double,"
              " min double, max double")
+
+
+def percentile_by_group(df: DataFrame, group_cols: Sequence[str],
+                        value_col: str, ps: Sequence[float],
+                        round_to: int = 4) -> DataFrame:
+    """Exact (interpolated) percentiles per group — Spark's
+    ``percentile`` aggregate, the continuous-quantile semantics
+    (lower + (upper-lower)*frac, same formula DuckDB's quantile_cont
+    uses, so results replay exactly up to float rounding).
+
+    One hash exchange on the group key; the aggregate buffers each
+    group's values (exact percentiles are inherently
+    holdall — switch to percentile_approx's GK sketch when groups
+    exceed worker memory; see approx.percentile_approx)."""
+    aggs = [F.round(F.expr(f"percentile({value_col}, {p})"), round_to)
+            .alias(f"p{str(p).replace('.', '_')}")
+            for p in ps]
+    return df.groupBy(*group_cols).agg(*aggs)

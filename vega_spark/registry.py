@@ -1843,5 +1843,121 @@ def sample_per_source_capped_q(spark, sf_dir):
         docs, "source", 5, "doc_id").select("doc_id", "source")
 
 
+# --- pandas-cogroup, secondary-sort gaps, CMS heavy hitters ----------------
+
+@_q("cogroup_reconcile_orders", """
+SELECT o.o_orderkey,
+       COUNT(l.l_orderkey) AS n_lines,
+       COALESCE(SUM(l.l_quantity), 0) AS sum_qty
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 7 = 0
+GROUP BY o.o_orderkey
+""")
+def cogroup_reconcile_orders_q(spark, sf_dir):
+    """Black-box cogroup (groupby().cogroup().applyInPandas): orders
+    and their lineitems materialized per key as pandas frames, the
+    reference's cogroup-then-compute pattern with arbitrary logic.
+    The %7 filter keeps both scans pruned (predicate pushdown on the
+    key survives the cogroup)."""
+    import pandas as pd
+
+    def reconcile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:          # lineitems whose order is filtered out
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype="int64"),
+                 "n_lines": pd.Series(dtype="int64"),
+                 "sum_qty": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "o_orderkey": [int(lpdf["o_orderkey"].iloc[0])],
+            "n_lines": [len(rpdf)],
+            "sum_qty": [float(rpdf["l_quantity"].sum()) if len(rpdf) else 0.0],
+        })
+
+    od = (_t(spark, sf_dir, "orders")
+          .filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 7 == 0)
+          .select("l_orderkey", "l_quantity"))
+    return J.cogroup_apply(
+        od, li, "o_orderkey", "l_orderkey", reconcile,
+        "o_orderkey long, n_lines long, sum_qty double")
+
+
+@_q("user_event_gaps", """
+WITH g AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(gap) AS n_gaps,
+       COALESCE(SUM(gap), 0) AS sum_gap,
+       MAX(gap) AS max_gap
+FROM g GROUP BY user_id
+""")
+def user_event_gaps_q(spark, sf_dir):
+    """Per-user inter-event gaps via grouped secondary sort
+    (applyInPandas), exact integer math with event_id tie-break.
+    Compared at µs: DuckDB reads the parquet ns timestamps as
+    truncated-to-µs TIMESTAMP, so our ns epochs are integer-divided
+    by 1000 (ns div 1000 == the same truncation)."""
+    from vega_spark.functions.analytics import user_event_gaps
+    return user_event_gaps(_t(spark, sf_dir, "events"), ts_div=1000)
+
+
+@_q("cms_heavy_hitters")
+def cms_heavy_hitters_q(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the 20 most frequent
+    terms (rows-only: bucket assignment is xxhash64, engine-internal;
+    the CMS upper-bound and merge properties are unit-tested). The
+    sketch is ≤ depth*width rows — broadcast probe join, constant
+    exchange at any SF."""
+    from vega_spark.operators.sketches import cms_build, cms_estimate
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X_text.tokens(F.col("text"))).alias("term"))
+    sketch = cms_build(toks, "term")
+    top = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+           .orderBy(F.desc("cnt"), F.asc("term")).limit(20).select("term"))
+    return cms_estimate(sketch, top, "term")
+
+
+# --- JSON surface + exact group percentiles --------------------------------
+
+@_q("json_props_agg", """
+SELECT event_type,
+       SUM(CAST(props->>'k' AS INTEGER)) AS sum_k,
+       COUNT(CASE WHEN CAST(props->>'k' AS INTEGER) >= 50 THEN 1 END)
+         AS n_high
+FROM events GROUP BY event_type
+""")
+def json_props_agg_q(spark, sf_dir):
+    """Semi-structured column surface: decode the props JSON once
+    (from_json, JVM-side, fused into the scan) and aggregate typed
+    fields — no reference equivalent (closures would hand-parse)."""
+    from vega_spark.functions.json_fns import parse_json_col
+    ev = parse_json_col(_t(spark, sf_dir, "events"), "props",
+                        "k int")
+    k = F.col("props_struct.k")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k"),
+                 F.count(F.when(k >= 50, 1)).alias("n_high")))
+
+
+@_q("percentile_by_group", """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p0_5,
+       ROUND(quantile_cont(l_quantity, 0.95), 4) AS p0_95
+FROM lineitem GROUP BY l_returnflag
+""")
+def percentile_by_group_q(spark, sf_dir):
+    """Exact interpolated percentiles per group (quantile_cont
+    semantics on both engines)."""
+    from vega_spark.operators.stats import percentile_by_group
+    return percentile_by_group(_t(spark, sf_dir, "lineitem"),
+                               ["l_returnflag"], "l_quantity",
+                               [0.5, 0.95])
+
+
 # --- TPC-H query-shape coverage (registers on import; see module docs) -----
 from vega_spark import registry_tpch  # noqa: E402,F401  (adapted Q2-Q22)

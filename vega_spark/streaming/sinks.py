@@ -1,0 +1,65 @@
+"""Streaming sinks beyond the built-ins: the maintained-table
+(upsert) pattern.
+
+A training-data pipeline's streaming leg usually lands in a KEYED
+table that later batch stages read — "latest state per entity" —
+which Spark's file sinks can't express (append-only). The standard
+production answer is foreachBatch + MERGE INTO; against plain
+parquet (this container has no lakehouse format) the merge result is
+rewritten via a two-phase directory swap, which is the documented
+non-ACID stand-in: on Delta/Iceberg the SAME foreachBatch body calls
+the table's own MERGE and gets ACID + concurrent readers for free.
+
+Scale notes: each micro-batch merge is one broadcast (small delta) or
+shuffled (big delta) join keyed on the merge keys — see
+operators/merge.py. The rewrite cost is the real reason lakehouse
+formats exist; the recipe isolates it in one place.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from vega_spark.operators.merge import merge_into
+from vega_spark.streaming.sources import to_foreach_batch
+
+
+def upsert_to_parquet(stream: DataFrame, target_path: str,
+                      keys: list[str], checkpoint: str,
+                      available_now: bool = True) -> StreamingQuery:
+    """Maintain a keyed parquet table from a stream: every micro-batch
+    is MERGEd into the table (match on ``keys`` → update, no match →
+    insert). Duplicate keys WITHIN one micro-batch are collapsed with
+    dropDuplicates (arbitrary survivor) — pre-aggregate upstream if
+    last-writer-wins ordering matters.
+
+    Idempotence: re-delivered batches re-merge the same rows to the
+    same keys — the terminal state is unchanged, which is the
+    exactly-once contract foreachBatch requires of its body."""
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        delta = batch.dropDuplicates(keys)
+        if os.path.isdir(target_path):
+            target = spark.read.parquet(target_path)
+            merged = merge_into(target, delta.select(*target.columns),
+                                keys, broadcast_source=True)
+        else:
+            merged = delta
+        tmp = target_path + f".__epoch_{epoch_id}_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path + ".__old"
+        if os.path.isdir(target_path):
+            os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return to_foreach_batch(stream, body, checkpoint,
+                            output_mode="update",
+                            available_now=available_now)
