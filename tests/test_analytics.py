@@ -78,3 +78,28 @@ def test_user_event_gaps_tiebreak_by_event_id(spark):
         "event_id long, user_id long, ts long")
     r = user_event_gaps(df).first()
     assert r.n_gaps == 2 and r.sum_gap == 300 and r.max_gap == 300
+
+
+def test_cooccurrence_pairs_counts_and_threshold(spark):
+    from vega_spark.functions.analytics import cooccurrence_pairs
+    rows = [(1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (3, "a")]   # dup item in basket ignored
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.item_a, r.item_b): r.n_baskets for r in
+           cooccurrence_pairs(df, "basket", "item", min_count=2).collect()}
+    assert out == {("a", "b"): 3}           # (a,c) and (b,c) appear once
+    all_pairs = {(r.item_a, r.item_b): r.n_baskets for r in
+                 cooccurrence_pairs(df, "basket", "item",
+                                    min_count=1).collect()}
+    assert all_pairs == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_cooccurrence_max_basket_cap(spark):
+    from vega_spark.functions.analytics import cooccurrence_pairs
+    rows = [(1, f"i{k:02d}") for k in range(10)]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = cooccurrence_pairs(df, "basket", "item", min_count=1,
+                             max_basket=3).collect()
+    # capped to first 3 sorted items -> C(3,2)=3 pairs
+    assert len(out) == 3

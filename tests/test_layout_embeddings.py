@@ -1,0 +1,80 @@
+"""Z-order layout keys, embedding centroids, permissive reads."""
+import pytest
+from pyspark.sql import functions as F
+
+
+def _morton2(x: int, y: int, bits: int = 16) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_key_matches_reference_morton(spark):
+    from vega_spark.operators.layout import zorder_key
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 1), (65535, 65535)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {(r.x, r.y): r.z for r in
+           df.select("x", "y", zorder_key(["x", "y"]).alias("z")).collect()}
+    for x, y in rows:
+        assert got[(x, y)] == _morton2(x, y), (x, y)
+
+
+def test_zorder_key_overflow_guard(spark):
+    from vega_spark.operators.layout import zorder_key
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_write_zordered_clusters_locality(spark, tmp_path):
+    from vega_spark.operators.layout import write_zordered, zorder_key
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"))
+    p = str(tmp_path / "z")
+    write_zordered(df, p, ["x", "y"], bits=6, n_files=4)
+    back = spark.read.parquet(p)
+    assert back.count() == 4096
+    # within each file rows are sorted by the morton key
+    withz = back.select("x", "y",
+                        zorder_key(["x", "y"], bits=6).alias("z"),
+                        F.input_file_name().alias("f"))
+    import collections
+    seen = collections.defaultdict(list)
+    for r in withz.collect():
+        seen[r.f].append(r.z)
+    assert len(seen) == 4
+    for zs in seen.values():
+        assert zs == sorted(zs)
+
+
+def test_label_centroids_and_distance(spark):
+    from vega_spark.functions.embeddings import (
+        centroid_distance,
+        label_centroids,
+    )
+    df = spark.createDataFrame(
+        [(1, 0, [0.0, 0.0]), (2, 0, [2.0, 2.0]),   # centroid (1,1)
+         (3, 1, [4.0, 0.0])],                       # centroid (4,0)
+        "vec_id long, label int, embedding array<double>")
+    cent = label_centroids(df)
+    got = {(r.label, r.idx): r.mean for r in cent.collect()}
+    assert got == {(0, 0): 1.0, (0, 1): 1.0, (1, 0): 4.0, (1, 1): 0.0}
+    d = {r.vec_id: r.dist for r in
+         centroid_distance(df, cent).collect()}
+    assert abs(d[1] - 2 ** 0.5) < 1e-12
+    assert abs(d[2] - 2 ** 0.5) < 1e-12
+    assert d[3] == 0.0
+
+
+def test_read_json_permissive_quarantines(spark, tmp_path):
+    from vega_spark.sources.robust import read_json_permissive, split_corrupt
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n'
+                 'not json at all\n'
+                 '{"a": 2, "b": "y"}\n')
+    df = read_json_permissive(spark, str(p), "a int, b string")
+    good, bad = split_corrupt(df)
+    assert sorted((r.a, r.b) for r in good.collect()) == [(1, "x"), (2, "y")]
+    assert [r.raw for r in bad.collect()] == ["not json at all"]

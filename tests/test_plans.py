@@ -184,3 +184,43 @@ def test_clean_corpus_shuffle_excludes_text(spark, sf_dir):
     assert blocks, txt
     for cols in blocks:
         assert "text#" not in cols and "__toks" not in cols, cols
+
+
+def test_per_key_sample_uses_window_group_limit(spark, sf_dir):
+    from vega_spark.operators.sampling import sample_deterministic_per_key
+    docs = load_table(spark, sf_dir, "documents")
+    q = sample_deterministic_per_key(docs, "source", 5, "doc_id")
+    # Spark 4 rewrites rank<=k into WindowGroupLimit: map-side top-k
+    # heaps before the exchange, the skew-proof shape
+    assert "WindowGroupLimit" in I.plan_text(q), I.plan_text(q)
+
+
+def test_centroid_distance_broadcasts_centroids(spark, sf_dir):
+    from vega_spark.functions.embeddings import (
+        centroid_distance,
+        label_centroids,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = centroid_distance(emb, label_centroids(emb))
+    assert I.uses_broadcast_join(q), I.plan_text(q)
+
+
+def test_zipf_topn_avoids_global_sort(spark, sf_dir):
+    from vega_spark.functions.text import zipf_rank_frequency
+    docs = load_table(spark, sf_dir, "documents")
+    q = zipf_rank_frequency(docs, "text", top_n=50)
+    assert I.uses_take_ordered(q), I.plan_text(q)
+
+
+def test_cooccurrence_single_scan_two_exchanges(spark, sf_dir):
+    from vega_spark.functions.analytics import cooccurrence_pairs
+    li = load_table(spark, sf_dir, "lineitem")
+    q = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    import re
+    txt = I.plan_text(q)
+    # pair fan-out is contained in the basket row: exactly one scan of
+    # the base table (the self-join formulation would scan twice);
+    # formatted plans list each scan node once in the tree and once in
+    # the detail section, so count node ids, not substrings
+    assert len(re.findall(r"\(\d+\) Scan parquet", txt)) == 1, txt
+    assert I.count_exchanges(q) == 2, txt

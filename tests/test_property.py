@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for operator semantics that have
+clean mathematical contracts — the reference pins these with a few
+golden vectors (tests/test_rdd.rs); properties cover the input space.
+Example counts are kept low: each example is a Spark round-trip.
+"""
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(max_examples=8, deadline=None,
+                suppress_health_check=list(HealthCheck))
+
+small_ints = st.lists(st.integers(min_value=0, max_value=9),
+                      min_size=0, max_size=12)
+
+
+@given(a=small_ints, b=small_ints)
+@SLOW
+def test_except_all_multiset_law(spark, a, b):
+    from vega_spark.operators.setops import except_all
+    la = spark.createDataFrame([(x,) for x in a], "v int") if a else \
+        spark.createDataFrame([], "v int")
+    lb = spark.createDataFrame([(x,) for x in b], "v int") if b else \
+        spark.createDataFrame([], "v int")
+    got = Counter(r.v for r in except_all(la, lb).collect())
+    want = Counter(a) - Counter(b)
+    assert got == +want
+
+
+@given(a=small_ints, b=small_ints)
+@SLOW
+def test_intersect_all_multiset_law(spark, a, b):
+    from vega_spark.operators.setops import intersect_all
+    la = spark.createDataFrame([(x,) for x in a], "v int") if a else \
+        spark.createDataFrame([], "v int")
+    lb = spark.createDataFrame([(x,) for x in b], "v int") if b else \
+        spark.createDataFrame([], "v int")
+    got = Counter(r.v for r in intersect_all(la, lb).collect())
+    want = Counter(a) & Counter(b)
+    assert got == +want
+
+
+def _span_dedup_reference(docs, k):
+    """Pure-python replay of span_dedup semantics."""
+    spans = []  # (doc, pos, span)
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        for pos, s in enumerate(range(0, len(toks), k)):
+            spans.append((doc_id, pos, " ".join(toks[s:s + k])))
+    first = {}
+    for doc_id, pos, span in sorted(spans):
+        first.setdefault(span, (doc_id, pos))
+    out = {}
+    for doc_id, pos, span in spans:
+        if first[span] == (doc_id, pos):
+            out.setdefault(doc_id, []).append((pos, span))
+    return {d: " ".join(s for _, s in sorted(ps)) for d, ps in out.items()}
+
+
+@given(docs=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=50),
+              st.text(alphabet="ab ", min_size=0, max_size=20)),
+    min_size=0, max_size=6, unique_by=lambda t: t[0]))
+@SLOW
+def test_span_dedup_matches_python_reference(spark, docs):
+    from vega_spark.functions.dedup import span_dedup
+    df = spark.createDataFrame(docs or [], "doc_id long, text string") \
+        if docs else spark.createDataFrame([], "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           span_dedup(df, "text", "doc_id", span_tokens=2).collect()}
+    assert got == _span_dedup_reference(docs, 2)
+
+
+@given(xs=st.lists(st.floats(min_value=-5, max_value=15,
+                             allow_nan=False, allow_infinity=False),
+                   min_size=0, max_size=30))
+@SLOW
+def test_histogram_fixed_matches_python_reference(spark, xs):
+    from vega_spark.operators.stats import histogram_fixed
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double") \
+        if xs else spark.createDataFrame([], "x double")
+    got = {r.bucket: r.n for r in
+           histogram_fixed(df, "x", 0.0, 10.0, 4).collect()}
+    want = Counter()
+    for x in xs:
+        if 0.0 <= x <= 10.0:
+            want[min(int(x // 2.5), 3)] += 1
+    assert got == dict(want)

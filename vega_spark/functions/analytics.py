@@ -109,3 +109,40 @@ def user_event_gaps(events: DataFrame, user_col: str = "user_id",
           else F.col(ts_col))
     return (events.select(user_col, ts.alias(ts_col), id_col)
             .groupBy(user_col).applyInPandas(gaps, schema))
+
+
+def cooccurrence_pairs(df: DataFrame, basket_col: str, item_col: str,
+                       min_count: int = 2,
+                       max_basket: int = 200) -> DataFrame:
+    """Frequent co-occurrence pairs (market-basket 2-itemsets): for
+    every unordered pair of distinct items sharing a basket, the
+    number of baskets containing both. The curation use: tokens /
+    tags / parts that always travel together flag templated or
+    machine-generated content.
+
+    Plan: one shuffle groups items per basket (distinct, sorted,
+    capped at ``max_basket`` — the skew guard: a degenerate basket of
+    10^5 items would fan out 10^10 pairs); pair fan-out happens
+    NARROWLY inside each group row via a nested array comprehension
+    (i<j keeps pairs unordered-unique); the final count is a second
+    keyed shuffle with map-side combine, cardinality = distinct
+    pairs. No self-join: the classic join-on-basket formulation
+    shuffles the big table twice and explodes skewed baskets across
+    reducers; this shape contains the quadratic term inside one row."""
+    items = (df.select(F.col(basket_col).alias("b"),
+                       F.col(item_col).alias("i"))
+             .groupBy("b")
+             .agg(F.slice(F.array_sort(F.collect_set("i")),
+                          1, max_basket).alias("items")))
+    pairs = items.select(F.explode(
+        F.flatten(F.transform(
+            F.col("items"),
+            lambda x, ix: F.transform(
+                F.slice(F.col("items"), ix + 2,
+                        F.greatest(F.size("items") - ix - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b_")))))
+    ).alias("p"))
+    return (pairs.groupBy(F.col("p.a").alias("item_a"),
+                          F.col("p.b_").alias("item_b"))
+            .agg(F.count(F.lit(1)).alias("n_baskets"))
+            .filter(F.col("n_baskets") >= min_count))

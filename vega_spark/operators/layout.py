@@ -1,0 +1,58 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering keys.
+
+Sorting a table by ONE column gives parquet row-group min/max
+pruning on that column only; interleaving the bits of several
+columns (Z-order) gives useful pruning on EACH of them from a single
+layout — the technique behind Delta/Iceberg OPTIMIZE ZORDER BY. At
+100 TB the benefit is directly proportional to row groups skipped:
+a 2-column Z-order typically turns "scan everything" into "scan
+O(sqrt) of the groups" for a point/range predicate on either column.
+
+The key is a pure integer expression (shifts and masks, JVM-side,
+codegen'd); writing is one range-partitioned sort on the key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _spread_bits(c: Column, bits: int, stride: int, offset: int) -> Column:
+    """Place bit i of ``c`` at position i*stride + offset."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+        out = out.bitwiseOR(
+            bit * F.lit(1 << (i * stride + offset)).cast("long"))
+    return out
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Morton key interleaving the low ``bits`` bits of each column
+    (columns must be non-negative integers — rank/bucketize first for
+    arbitrary domains; bits * len(cols) must be <= 63)."""
+    if bits * len(cols) > 63:
+        raise ValueError("zorder key would overflow a signed 64-bit long")
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+        key = key.bitwiseOR(_spread_bits(cc, bits, n, j))
+    return key
+
+
+def write_zordered(df: DataFrame, path: str, zcols: Sequence[str],
+                   bits: int = 16, n_files: int | None = None) -> None:
+    """Rewrite ``df`` clustered by the Z-order of ``zcols``: one
+    range-partitioned sort on the Morton key (sampled range
+    boundaries — no single-reducer hot spot), then per-file sorted
+    runs so parquet row-group stats are tight on every z column."""
+    key = zorder_key(zcols, bits).alias("__z")
+    out = df.withColumn("__z", key)
+    if n_files:
+        out = out.repartitionByRange(n_files, "__z")
+    out = out.sortWithinPartitions("__z")
+    out.drop("__z").write.mode("overwrite").parquet(path)

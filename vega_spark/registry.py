@@ -1959,5 +1959,73 @@ def percentile_by_group_q(spark, sf_dir):
                                [0.5, 0.95])
 
 
+# --- embedding centroids / curation distance -------------------------------
+
+@_q("embed_label_centroids", """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+idx AS (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e)
+SELECT label, CAST(i - 1 AS INTEGER) AS idx,
+       ROUND(AVG(v[i]), 6) AS mean
+FROM idx GROUP BY label, i
+""")
+def embed_label_centroids_q(spark, sf_dir):
+    """Per-label mean embedding, long form — one (label, idx)-keyed
+    partial-agg shuffle whose cardinality is labels × dim, never the
+    row count. Compared at 6 decimals (float sum order differs across
+    engines)."""
+    from vega_spark.functions.embeddings import label_centroids
+    out = label_centroids(_t(spark, sf_dir, "embeddings"))
+    return out.select("label", "idx", F.round("mean", 6).alias("mean"))
+
+
+@_q("embed_centroid_outliers", """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+idx AS (SELECT vec_id, label, v,
+        unnest(generate_series(1, len(v))) AS i FROM e),
+cent AS (SELECT label, i, AVG(v[i]) AS mean FROM idx GROUP BY label, i),
+d AS (SELECT vec_id, e.label,
+             SQRT(SUM((v[i] - mean) * (v[i] - mean))) AS dist
+      FROM idx e JOIN cent USING (label, i) GROUP BY vec_id, e.label)
+SELECT vec_id, label, ROUND(dist, 4) AS dist
+FROM d ORDER BY dist DESC, vec_id LIMIT 25
+""")
+def embed_centroid_outliers_q(spark, sf_dir):
+    """Curation outlier score: distance of each vector to its label
+    centroid, top 25 farthest. The centroid table (labels × dim) is
+    broadcast, so the scoring pass over the big table is narrow."""
+    from vega_spark.functions.embeddings import (
+        centroid_distance,
+        label_centroids,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb)
+    d = centroid_distance(emb, cent)
+    return (d.select("vec_id", "label", F.round("dist", 4).alias("dist"))
+            .orderBy(F.desc("dist"), "vec_id").limit(25))
+
+
+# --- market-basket co-occurrence -------------------------------------------
+
+@_q("cooccurrence_parts", """
+WITH baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT x.b, x.i AS item_a, y.i AS item_b
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+)
+SELECT item_a, item_b, COUNT(*) AS n_baskets
+FROM pairs GROUP BY item_a, item_b HAVING COUNT(*) >= 2
+""")
+def cooccurrence_parts_q(spark, sf_dir):
+    """Parts co-ordered in the same order, >= 2 shared baskets.
+    The oracle uses the textbook self-join; our plan contains the
+    pair fan-out inside each basket row (no second scan/shuffle of
+    the base table, skew capped by max_basket)."""
+    from vega_spark.functions.analytics import cooccurrence_pairs
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+
+
 # --- TPC-H query-shape coverage (registers on import; see module docs) -----
 from vega_spark import registry_tpch  # noqa: E402,F401  (adapted Q2-Q22)
