@@ -66,6 +66,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     ``__spark_entry__.entry``/``queries``)."""
     for k, v in {
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
     }.items():

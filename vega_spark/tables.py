@@ -16,11 +16,20 @@ DataFrame and let the optimizer reach the scan. At 100 TB each
 "table" is a directory of many files (possibly partitioned by date);
 ``load_table`` takes any path spark.read.parquet accepts.
 
-Time-column caveat: events.ts is parquet timestamp[ns], which Spark 4
-only reads via spark.sql.legacy.parquet.nanosAsLong=true — it then
-surfaces as BIGINT nanoseconds since epoch (wall clock, UTC). All
-derived time columns here use pure integer arithmetic so results are
-session-timezone-independent and match a UTC-naive oracle (DuckDB).
+Time-column contract: the engine's event-time column ``events.ts`` is
+normalized at load to **BIGINT nanoseconds since epoch (naive wall
+clock, UTC)** regardless of the physical parquet type:
+
+- parquet timestamp[ns] → read raw via
+  spark.sql.legacy.parquet.nanosAsLong=true (already BIGINT ns);
+- parquet timestamp[us/ms] (TIMESTAMP_NTZ / TIMESTAMP) → converted
+  with ``unix_micros`` under the pinned UTC session timezone, so the
+  naive wall clock is preserved exactly.
+
+All derived time columns then use pure integer arithmetic so results
+are session-timezone-independent and match a UTC-naive oracle
+(DuckDB reads the same parquet as naive TIMESTAMP and extracts the
+same wall-clock fields).
 """
 
 from __future__ import annotations
@@ -48,14 +57,24 @@ _NS_PER_DAY = 86_400 * 10**9
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table. For ``events`` the nanosecond ``ts``
-    column is read as BIGINT (see module docstring)."""
+    """Load one synthetic table. For ``events`` the ``ts`` column is
+    normalized to BIGINT nanoseconds (see module docstring)."""
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
             pass
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and "ts" in df.columns:
+        kind = dict(df.dtypes)["ts"]
+        if kind != "bigint":
+            # TIMESTAMP_NTZ (µs/ms physical) → naive wall clock → ns.
+            # Cast NTZ→LTZ is wall-clock-preserving under UTC session
+            # tz (pinned above); unix_micros is then exact integer µs.
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
