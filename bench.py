@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "kmeans_clusters",            # iterative broadcast-iterate loop
     "tfidf_top_terms",            # corpus-wide TF-IDF + per-doc top-k
     "funnel_view_click_purchase",  # single-exchange funnel windows
+    # round-1 late widening:
+    "decontaminate_against_eval",  # broadcast eval-ngram contamination scan
+    "scd2_user_state",             # CDC SCD2 build, one keyed sort
+    "rolling_hour_value",          # RANGE-frame trailing-hour window
 ]
 
 

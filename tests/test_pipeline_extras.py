@@ -1,0 +1,175 @@
+"""Tests for round-1 widening: decontamination, SCD2, rolling time
+windows, hopping windows, and the data-quality expectations audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vega_spark.functions.analytics import rolling_time_sum, scd2_from_events
+from vega_spark.functions.decontam import contamination_report, word_ngrams
+from vega_spark.operators.stats import expectations_audit
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b c",), ("one two three four five six",)],
+                               "text string")
+    out = df.select(F.size(word_ngrams("text", 5)).alias("n")).collect()
+    assert sorted(r["n"] for r in out) == [0, 2]
+
+
+def test_contamination_report_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "totally unrelated words nothing shared here at all"),
+         (3, "tiny")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox jumps over a fence")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            contamination_report(train, ev, "text", "doc_id", n=5).collect()}
+    # train doc 1 shares the 5-gram "quick brown fox jumps over"
+    assert rows[1]["contaminated"] and rows[1]["n_matched"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_matched"] == 0
+    assert rows[3]["n_ngrams"] == 0 and not rows[3]["contaminated"]
+
+
+def test_contamination_distinct_matches_counted_once(spark):
+    # the leaked 5-gram appears twice in the train doc -> still 1
+    train = spark.createDataFrame(
+        [(1, "a b c d e x a b c d e")], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    r = contamination_report(train, ev, "text", "doc_id", n=5).first()
+    assert r["n_matched"] == 1 and r["n_ngrams"] == 7
+
+
+def test_scd2_runs_and_validity_chain(spark):
+    ev = spark.createDataFrame(
+        [(1, 100, "a", 10), (2, 200, "a", 10), (3, 300, "b", 10),
+         (4, 400, "a", 10), (5, 150, "x", 20)],
+        "event_id long, ts long, event_type string, user_id long")
+    out = scd2_from_events(ev).orderBy("user_id", "valid_from").collect()
+    u10 = [r for r in out if r["user_id"] == 10]
+    assert [(r["state"], r["valid_from"], r["valid_to"]) for r in u10] == [
+        ("a", 100, 300), ("b", 300, 400), ("a", 400, None)]
+    assert [r["is_current"] for r in u10] == [False, False, True]
+    u20 = [r for r in out if r["user_id"] == 20]
+    assert len(u20) == 1 and u20[0]["is_current"]
+
+
+def test_rolling_time_sum_trailing_interval(spark):
+    # key 1: events at t=0, 50, 120 with window 100us -> windows:
+    # {0}, {0,50}, {50,120}? no: [20,120] excludes 0, includes 50,120
+    ev = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 50, 2.0), (1, 120, 4.0), (2, 0, 8.0)],
+        "k long, t long, value double")
+    out = rolling_time_sum(ev, "k", F.col("t"), "value", 100)
+    got = {(r["k"], r["t"]): (r["rolling"], r["n_in_window"])
+           for r in out.collect()}
+    assert got[(1, 0)] == (1.0, 1)
+    assert got[(1, 50)] == (3.0, 2)
+    assert got[(1, 120)] == (6.0, 2)
+    assert got[(2, 0)] == (8.0, 1)
+
+
+def test_rolling_time_sum_peer_rows_included(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 10, 2.0), (1, 11, 4.0)],
+        "k long, t long, value double")
+    out = rolling_time_sum(ev, "k", F.col("t"), "value", 0).collect()
+    # equal timestamps are peers: both t=10 rows see sum=3
+    by_val = {r["value"]: r["rolling"] for r in out}
+    assert by_val[1.0] == 3.0 and by_val[2.0] == 3.0 and by_val[4.0] == 4.0
+
+
+def test_expectations_audit_counts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (5, "x"), (200, "y")], "v long, s string")
+    out = {r["check_name"]: r for r in expectations_audit(df, [
+        ("v_small", F.col("v") < 100),
+        ("s_not_null", F.col("s").isNotNull()),
+        ("v_positive", F.col("v") > 0),
+    ]).collect()}
+    assert out["v_small"]["n_violations"] == 1
+    assert not out["v_small"]["passed"]
+    assert out["s_not_null"]["n_violations"] == 1
+    assert out["v_positive"]["n_violations"] == 0
+    assert out["v_positive"]["passed"]
+    assert out["v_small"]["n_rows"] == 3
+
+
+def test_hopping_window_three_per_event(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    n_events = QUERIES["count_rows"]  # noqa: F841 (registry warm)
+    ev_n = (QUERIES["hopping_window_counts"](spark, sf_dir)
+            .agg(F.sum("n")).first()[0])
+    import duckdb
+    true_n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    assert ev_n == 3 * true_n
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from vega_spark.operators.sampling import hash_split
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df.repartition(7), "doc_id").collect()}
+    assert a == b
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.7 < frac["train"] / 500 < 0.9
+    assert frac["train"] + frac["val"] + frac["test"] == 500
+
+
+def test_hash_split_two_way(spark):
+    from vega_spark.operators.sampling import hash_split
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", [("a", 0.5), ("b", 0.5)])
+    assert set(r["split"] for r in out.collect()) == {"a", "b"}
+
+
+def test_temperature_resample_quota_shape(spark):
+    from vega_spark.operators.sampling import temperature_resample
+    rows = ([(i, "big") for i in range(400)]
+            + [(i + 1000, "small") for i in range(25)])
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = temperature_resample(df, "grp", "doc_id", total=100, alpha=0.5)
+    n = {r["grp"]: r["n"] for r in
+         out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # alpha=0.5: quotas ∝ sqrt(n) -> big gets 80, small 20-ish; the
+    # rare group is upweighted vs its 6% share
+    assert n["small"] / (n["small"] + n["big"]) > 0.15
+    assert n["small"] <= 25
+    # deterministic: rerun identical
+    out2 = temperature_resample(df, "grp", "doc_id", total=100, alpha=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in out2.collect())
+
+
+def test_keyness_flags_group_specific_term(spark):
+    from vega_spark.functions.analytics import keyness_terms
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha alpha shared shared", "g1"),
+         (2, "alpha alpha alpha shared", "g1"),
+         (3, "beta beta beta shared shared", "g2"),
+         (4, "beta beta beta shared", "g2")],
+        "doc_id long, text string, grp string")
+    out = keyness_terms(docs, "text", "grp", top=1, min_count=3).collect()
+    top = {r["grp"]: r["term"] for r in out}
+    assert top == {"g1": "alpha", "g2": "beta"}
+
+
+def test_curriculum_deciles_ordered_ranges(spark):
+    from vega_spark.functions.pipeline import curriculum_deciles
+    rows = [(i, "en", i * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = curriculum_deciles(df, "n_chars", "lang", "doc_id", 4).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["n_chars"])
+    assert sorted(by_bucket) == [1, 2, 3, 4]
+    assert all(len(v) == 10 for v in by_bucket.values())
+    assert max(by_bucket[1]) < min(by_bucket[2])
+    assert max(by_bucket[3]) < min(by_bucket[4])

@@ -224,3 +224,35 @@ def test_cooccurrence_single_scan_two_exchanges(spark, sf_dir):
     # the detail section, so count node ids, not substrings
     assert len(re.findall(r"\(\d+\) Scan parquet", txt)) == 1, txt
     assert I.count_exchanges(q) == 2, txt
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    q = QUERIES["bucketed_join_priority_revenue"](spark, sf_dir)
+    # join itself is exchange-free (bucket layout provides the
+    # partitioning); the only exchange is the tiny final groupBy
+    txt = I.plan_text(q)
+    n_ex = I.count_exchanges(q)
+    assert n_ex <= 1, txt
+    assert "SortMergeJoin" in txt, txt
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    q = QUERIES["decontaminate_against_eval"](spark, sf_dir)
+    assert I.uses_broadcast_join(q), I.plan_text(q)
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    from vega_spark.functions.analytics import scd2_from_events
+    ev = load_table(spark, sf_dir, "events")
+    q = scd2_from_events(ev)
+    assert I.count_exchanges(q) == 1, I.plan_text(q)
+
+
+def test_rolling_time_sum_single_exchange(spark, sf_dir):
+    from vega_spark.functions.analytics import rolling_time_sum
+    ev = load_table(spark, sf_dir, "events")
+    q = rolling_time_sum(ev, "user_id", F.expr("ts div 1000"), "value",
+                         3_600_000_000)
+    assert I.count_exchanges(q) == 1, I.plan_text(q)

@@ -146,3 +146,108 @@ def cooccurrence_pairs(df: DataFrame, basket_col: str, item_col: str,
                           F.col("p.b_").alias("item_b"))
             .agg(F.count(F.lit(1)).alias("n_baskets"))
             .filter(F.col("n_baskets") >= min_count))
+
+
+def scd2_from_events(events: DataFrame, key_col: str = "user_id",
+                     attr_col: str = "event_type", ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse an event
+    stream into effective-dated attribute ranges per key — one row
+    per (key, attribute run), with ``valid_from``/``valid_to`` and
+    ``is_current`` on the last run. The CDC/warehouse primitive the
+    reference (RDD algebra only, no windows — SURVEY.md §2.11)
+    cannot express.
+
+    Semantics: events ordered by (ts, id) per key; a new version
+    starts whenever the attribute differs from the previous event's.
+    ``valid_to`` is the next version's start (NULL on the open run).
+
+    Plan: ONE hash exchange on the key — lag-compare, filter to
+    change points, lead — all three windows share the same
+    partitioning so Catalyst plans a single Exchange + one sort. At
+    100 TB this scales as a single keyed sort; no driver state.
+    """
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    changed = (
+        events.select(key_col, attr_col, ts_col, id_col)
+        .withColumn("prev", F.lag(attr_col).over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col(attr_col)))
+    )
+    return (
+        changed
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .select(
+            F.col(key_col), F.col(attr_col).alias("state"),
+            F.col(ts_col).alias("valid_from"), "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def rolling_time_sum(events: DataFrame, key_col: str, ts_us_col,
+                     value_col: str, preceding_us: int,
+                     out_col: str = "rolling") -> DataFrame:
+    """Per-key rolling aggregate over a trailing TIME interval
+    (RANGE window): for each event, the sum/count of ``value_col``
+    over this key's events in ``[t - preceding_us, t]`` microseconds
+    — inclusive both ends, peer rows (equal timestamps) all included,
+    exactly the ANSI RANGE-frame semantics DuckDB replays.
+
+    One hash exchange + per-key sort; the range frame is evaluated
+    with a sliding two-pointer over the sorted run (Spark's window
+    exec), so cost is O(n log n) per key regardless of interval
+    width. ``ts_us_col`` is a Column expression yielding BIGINT
+    microseconds (integer RANGE bounds dodge every float/interval
+    pitfall at any SF)."""
+    from pyspark.sql.window import Window
+    e = events.withColumn("_ts_us", ts_us_col)
+    w = (Window.partitionBy(key_col).orderBy("_ts_us")
+         .rangeBetween(-preceding_us, 0))
+    return (e.withColumn(out_col, F.sum(value_col).over(w))
+            .withColumn("n_in_window", F.count(F.lit(1)).over(w)))
+
+
+def keyness_terms(docs: DataFrame, text_col: str, group_col: str,
+                  top: int = 5, min_count: int = 3) -> DataFrame:
+    """Distinctive vocabulary per group (log-odds keyness with
+    Haldane 0.5 smoothing): for each group, the terms whose frequency
+    in the group most exceeds their frequency in the rest of the
+    corpus — the standard corpus-linguistics signal for templated or
+    domain-specific content.
+
+    keyness(t, g) = ln((k_g+.5)/(n_g-k_g+.5)) - ln((k_o+.5)/(n_o-k_o+.5))
+    with k = term count, n = total tokens, o = corpus minus g.
+
+    Plan: a (group, term) count shuffle with map-side combine, then a
+    term-keyed join against the per-term corpus totals (both sides
+    are the distinct-term space, not the corpus); per-group totals
+    broadcast; final per-group top-k is a WindowGroupLimit rank
+    (map-side heaps). Nothing shuffles at corpus-row cardinality."""
+    from pyspark.sql import Window
+
+    from vega_spark.functions.text import tokens
+
+    tf = (docs.select(F.col(group_col).alias("grp"),
+                      F.explode(tokens(text_col)).alias("term"))
+          .groupBy("grp", "term")
+          .agg(F.count(F.lit(1)).alias("k_g")))
+    grp_tot = tf.groupBy("grp").agg(F.sum("k_g").alias("n_g"))
+    corpus = tf.groupBy("term").agg(F.sum("k_g").alias("k_all"))
+    all_tot = grp_tot.agg(F.sum("n_g").alias("n_all"))
+    scored = (tf.join(F.broadcast(grp_tot), "grp")
+              .join(corpus, "term")
+              .crossJoin(F.broadcast(all_tot))
+              .filter(F.col("k_g") >= min_count)
+              .withColumn("k_o", F.col("k_all") - F.col("k_g"))
+              .withColumn("n_o", F.col("n_all") - F.col("n_g"))
+              .withColumn("keyness", F.round(
+                  F.log((F.col("k_g") + 0.5)
+                        / (F.col("n_g") - F.col("k_g") + 0.5))
+                  - F.log((F.col("k_o") + 0.5)
+                          / (F.col("n_o") - F.col("k_o") + 0.5)), 6)))
+    w = Window.partitionBy("grp").orderBy(F.desc("keyness"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top)
+            .select(F.col("grp").alias(group_col), "term", "k_g",
+                    "keyness", "rank"))

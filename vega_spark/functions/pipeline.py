@@ -67,3 +67,23 @@ def corpus_stats(clean: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
                  F.round(F.avg("quality"), 4).alias("avg_quality")))
+
+
+def curriculum_deciles(docs: DataFrame, order_col: str = "n_chars",
+                       part_col: str = "lang", id_col: str = "doc_id",
+                       n_buckets: int = 10) -> DataFrame:
+    """Length-curriculum bucketing: NTILE deciles of ``order_col``
+    within each ``part_col`` stratum (ties broken by id — fully
+    deterministic, so the same doc lands in the same decile on every
+    engine). Downstream training readers consume buckets in order
+    (curriculum) or sample uniformly across them (length balance).
+
+    One hash exchange + per-stratum sort; NTILE is a single window
+    pass. At 100 TB prefer percentile-bucket boundaries via
+    approx-quantiles if strata exceed a reducer — the NTILE form is
+    exact and fine while each stratum sorts in memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc())
+    return docs.withColumn("bucket", F.ntile(n_buckets).over(w))

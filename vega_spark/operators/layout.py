@@ -56,3 +56,42 @@ def write_zordered(df: DataFrame, path: str, zcols: Sequence[str],
         out = out.repartitionByRange(n_files, "__z")
     out = out.sortWithinPartitions("__z")
     out.drop("__z").write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 8,
+                   sort_col: str | None = None) -> None:
+    """Persist ``df`` as a bucketed (hash-partitioned-on-disk) table:
+    Spark records the bucketing in the catalog, and any later
+    equi-join or aggregation on ``bucket_col`` between tables with
+    the same bucket count needs NO Exchange — the shuffle was paid
+    once at write time and amortizes over every subsequent query.
+    This is the production answer to the reference's co-partitioned
+    cogroup elision (co_grouped_rdd.rs:102-126): there the partitioner
+    lives in memory for one job; a bucketed table makes it durable.
+
+    At 100 TB: pick n_buckets so each bucket-file group stays in the
+    hundreds of MB; both join sides must use the same count (or a
+    divisor, with spark.sql.bucketing.coalesceBucketsInJoin)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def write_bucketed_at(df: DataFrame, table: str, path: str, bucket_col: str,
+                      n_buckets: int = 8,
+                      sort_col: str | None = None) -> None:
+    """`write_bucketed` as an EXTERNAL table at ``path`` (data stays
+    in the given scratch/lake location; only metadata enters the
+    catalog)."""
+    w = (df.write.mode("overwrite").option("path", path)
+         .bucketBy(n_buckets, bucket_col))
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join_ready(spark, table: str) -> bool:
+    """True if ``table`` already exists in the session catalog."""
+    return spark.catalog.tableExists(table)

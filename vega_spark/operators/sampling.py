@@ -108,3 +108,66 @@ def sample_deterministic_per_key(df: DataFrame, key_cols,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__rn"))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               splits: Sequence[tuple[str, float]] = (
+                   ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+               ) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first byte
+    of md5(id), thresholds on the 256-grid of the cumulative split
+    fractions. Unlike ``randomSplit`` this is stable across runs,
+    engines, partitionings and cluster sizes — the reproducibility
+    contract a training pipeline needs (re-running at 100 TB must not
+    migrate docs between train and test).
+
+    Fully narrow (one expression per row, no shuffle); the hex-string
+    comparison keeps it engine-portable (lowercase hex compares
+    lexicographically = numerically)."""
+    b = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 2)
+    cum = 0.0
+    expr = None
+    for name, frac in splits[:-1]:
+        cum += frac
+        thr = format(int(round(cum * 256)), "02x")
+        cond = b < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(splits[-1][0]) if expr is None
+            else expr.otherwise(splits[-1][0]))
+    return df.withColumn("split", expr)
+
+
+def temperature_resample(df: DataFrame, group_col: str, id_col: str,
+                         total: int, alpha: float = 0.5) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-LLM
+    sampling scheme): group g gets a quota ∝ n_g^alpha (alpha<1
+    upweights rare groups), filled with the deterministically-ordered
+    (md5) first quota_g rows of the group.
+
+    quota_g = min(n_g, floor(total * n_g^alpha / Σ n^alpha) + 1) —
+    the +1 floor form keeps the boundary arithmetic identical across
+    engines.
+
+    Plan: per-group counts are a tiny aggregate → quota table
+    broadcasts back; the pick is the WindowGroupLimit rank filter
+    (map-side top-k heaps), so a dominant group never concentrates on
+    one reducer. Two constant-size exchanges + one narrow scan pass
+    at any SF."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n"), alpha)).alias("__z"))
+    quota = (counts.crossJoin(F.broadcast(tot))
+             .select(group_col,
+                     F.least(
+                         F.col("__n"),
+                         (F.floor(F.lit(total) * F.pow(F.col("__n"), alpha)
+                                  / F.col("__z")) + 1).cast("bigint"),
+                     ).alias("__quota")))
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .join(F.broadcast(quota), group_col)
+            .filter(F.col("__rn") <= F.col("__quota"))
+            .drop("__rn", "__quota"))

@@ -118,3 +118,30 @@ def percentile_by_group(df: DataFrame, group_cols: Sequence[str],
             .alias(f"p{str(p).replace('.', '_')}")
             for p in ps]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def expectations_audit(df: DataFrame, checks: Sequence[tuple[str, F.Column]],
+                       ) -> DataFrame:
+    """Declarative data-quality audit (deequ-style): each check is
+    ``(name, boolean Column)`` evaluated per row; output is one tidy
+    row per check — (check_name, n_rows, n_violations, pass_rate,
+    passed).
+
+    The whole audit is ONE aggregate pass over the table (every check
+    folds into a conditional count in the same partial+final
+    HashAggregate), so auditing k constraints at 100 TB costs one
+    scan, not k. The per-check pivot to long format happens on the
+    1-row aggregate result (constant size, stack expression — still
+    no driver collect)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in checks:
+        aggs.append(F.sum(F.when(~cond, 1).otherwise(0)).alias(f"v|{name}"))
+    agg = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', `v|{name}`" for name, _ in checks)
+    long = agg.selectExpr(
+        "_n", f"stack({len(checks)}, {stack_args}) AS (check_name, n_violations)")
+    return long.select(
+        "check_name", F.col("_n").alias("n_rows"), "n_violations",
+        F.round(1 - F.col("n_violations") / F.col("_n"), 6).alias("pass_rate"),
+        (F.col("n_violations") == 0).alias("passed"))

@@ -915,8 +915,21 @@ def text_features_q(spark, sf_dir):
     )
 
 
-@_q("doc_fingerprint")
+@_q("doc_fingerprint", r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> ''),
+             t -> CAST(length(t) * 7 + ord(t) AS BIGINT))),
+         (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+""")
 def doc_fingerprint_q(spark, sf_dir):
+    """Rolling-hash fingerprint per doc — engine-portable arithmetic
+    (length/char-code only), so the oracle folds the identical
+    polynomial in SQL."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", X_text.fingerprint("text").alias("fingerprint"))
 
@@ -2029,3 +2042,333 @@ def cooccurrence_parts_q(spark, sf_dir):
 
 # --- TPC-H query-shape coverage (registers on import; see module docs) -----
 from vega_spark import registry_tpch  # noqa: E402,F401  (adapted Q2-Q22)
+
+
+# --- training-pipeline: benchmark decontamination ---------------------------
+
+@_q("decontaminate_against_eval", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, GREATEST(len(t) - 4, 0) AS n_ngrams
+  FROM toks WHERE doc_id % 50 <> 0
+),
+train_g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE doc_id % 50 <> 0
+),
+eval_g AS (
+  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS ngram
+  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE doc_id % 50 = 0
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_matched
+  FROM train_g JOIN eval_g USING (ngram) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_ngrams,
+       COALESCE(h.n_matched, 0) AS n_matched,
+       COALESCE(h.n_matched, 0) >= 1 AS contaminated
+FROM base b LEFT JOIN hits h USING (doc_id)
+""")
+def decontaminate_against_eval_q(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 play the
+    held-out eval set; every other doc is checked for shared word
+    5-grams. Eval n-grams broadcast; one keyed shuffle (per-doc hit
+    count)."""
+    from vega_spark.functions.decontam import contamination_report
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_report(train, ev, "text", "doc_id", n=5, threshold=1)
+
+
+# --- CDC / warehouse: SCD2 dimension build ---------------------------------
+
+@_q("scd2_user_state", """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+c AS (
+  SELECT user_id, event_type, ts_us, event_id FROM e
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+       LEAD(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) AS valid_to_us,
+       LEAD(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) IS NULL AS is_current
+FROM c
+""")
+def scd2_user_state_q(spark, sf_dir):
+    """Type-2 SCD build from the event stream: effective-dated
+    event_type runs per user (µs-exact integer validity bounds)."""
+    from vega_spark.functions.analytics import scd2_from_events
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_from_events(ev, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        "user_id", "state",
+        F.expr("valid_from div 1000").alias("valid_from_us"),
+        F.expr("valid_to div 1000").alias("valid_to_us"),
+        "is_current")
+
+
+# --- rolling trailing-interval window (RANGE frame) ------------------------
+
+@_q("rolling_hour_value", """
+SELECT event_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS rolling,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_in_window
+FROM events
+""")
+def rolling_hour_value_q(spark, sf_dir):
+    """Per-user trailing-1-hour rolling sum/count at every event —
+    ANSI RANGE frame over integer microseconds (peer rows included
+    identically on both engines)."""
+    from vega_spark.functions.analytics import rolling_time_sum
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_time_sum(ev, "user_id", F.expr("ts div 1000"), "value",
+                           3_600_000_000)
+    return out.select("event_id", F.round("rolling", 2).alias("rolling"),
+                      "n_in_window")
+
+
+# --- hopping (sliding) event-time windows ----------------------------------
+
+@_q("hopping_window_counts", """
+SELECT (CAST(FLOOR(epoch(ts) / 600) AS BIGINT) - k) * 600 AS win_start,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events, unnest([0, 1, 2]) AS t(k)
+GROUP BY 1
+""")
+def hopping_window_counts_q(spark, sf_dir):
+    """30-minute windows hopping every 10 minutes (each event lands
+    in 3 windows) — F.window with a slide; the oracle replays the
+    hop arithmetic. One partial+final agg; fan-out is in-row."""
+    ev = _t(spark, sf_dir, "events")
+    tsmp = F.timestamp_micros(F.expr("ts div 1000"))
+    win = F.window(tsmp, "30 minutes", "10 minutes")
+    return (ev.groupBy(win.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .select((F.unix_micros(F.col("w.start")) / 1_000_000)
+                    .cast("bigint").alias("win_start"), "n", "total"))
+
+
+# --- data-quality expectations audit ---------------------------------------
+
+@_q("dq_expectations_lineitem", """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+v AS (
+  SELECT 'quantity_in_1_50' AS check_name,
+         SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END)
+           AS n_violations FROM lineitem
+  UNION ALL
+  SELECT 'discount_in_0_0p1',
+         SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END)
+    FROM lineitem
+  UNION ALL
+  SELECT 'shipdate_not_null',
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) FROM lineitem
+  UNION ALL
+  SELECT 'price_positive',
+         SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END)
+    FROM lineitem
+  UNION ALL
+  SELECT 'returnflag_domain',
+         SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+    FROM lineitem
+)
+SELECT check_name, n_rows, n_violations,
+       ROUND(1 - n_violations / CAST(n_rows AS DOUBLE), 6) AS pass_rate,
+       n_violations = 0 AS passed
+FROM v, n
+""")
+def dq_expectations_lineitem_q(spark, sf_dir):
+    """Declarative data-quality audit over lineitem: five constraints
+    checked in ONE aggregate scan (the oracle's five scans replay the
+    same counts)."""
+    from vega_spark.operators.stats import expectations_audit
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return expectations_audit(li, [
+        ("quantity_in_1_50", q.between(1, 50)),
+        ("discount_in_0_0p1", F.col("l_discount").between(0, 0.1)),
+        ("shipdate_not_null", F.col("l_shipdate").isNotNull()),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+    ])
+
+
+# --- deterministic train/val/test split ------------------------------------
+
+@_q("split_assign_counts", """
+WITH s AS (
+  SELECT source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, source, COUNT(*) AS n FROM s GROUP BY 1, 2
+""")
+def split_assign_counts_q(spark, sf_dir):
+    """Deterministic 80/10/10 hash split (first md5 byte against the
+    256-grid thresholds 0xcd/0xe6): same doc → same split on every
+    run, engine, and partitioning. Narrow assignment + one tiny
+    agg."""
+    from vega_spark.operators.sampling import hash_split
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id",
+                     [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    return out.groupBy("split", "source").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- temperature-based mixture rebalancing ---------------------------------
+
+@_q("temperature_resample_langs", """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+z AS (SELECT SUM(POW(n, 0.5)) AS z FROM c),
+q AS (SELECT lang, LEAST(n, CAST(FLOOR(100 * POW(n, 0.5) / z) AS BIGINT) + 1)
+               AS quota
+      FROM c, z),
+r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+SELECT r.lang, COUNT(*) AS n_kept
+FROM r JOIN q ON r.lang = q.lang AND r.rn <= q.quota
+GROUP BY r.lang
+""")
+def temperature_resample_langs_q(spark, sf_dir):
+    """alpha=0.5 temperature rebalancing across languages (quota ∝
+    sqrt(n), the multilingual-LLM mixture scheme), deterministic md5
+    pick — output: kept docs per language."""
+    from vega_spark.operators.sampling import temperature_resample
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_resample(docs, "lang", "doc_id", total=100, alpha=0.5)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --- per-source distinctive vocabulary (log-odds keyness) ------------------
+
+@_q("keyness_terms_by_lang", r"""
+WITH tf AS (
+  SELECT lang AS grp, t.term, COUNT(*) AS k_g
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                          x -> x <> '')) AS t(term)
+  GROUP BY 1, 2
+),
+gt AS (SELECT grp, SUM(k_g) AS n_g FROM tf GROUP BY grp),
+ct AS (SELECT term, SUM(k_g) AS k_all FROM tf GROUP BY term),
+at_ AS (SELECT SUM(n_g) AS n_all FROM gt),
+scored AS (
+  SELECT tf.grp, tf.term, tf.k_g,
+         ROUND(LN((tf.k_g + 0.5) / (gt.n_g - tf.k_g + 0.5))
+               - LN((ct.k_all - tf.k_g + 0.5)
+                    / (at_.n_all - gt.n_g - (ct.k_all - tf.k_g) + 0.5)), 6)
+           AS keyness
+  FROM tf JOIN gt USING (grp) JOIN ct USING (term) CROSS JOIN at_
+  WHERE tf.k_g >= 3
+),
+ranked AS (
+  SELECT grp AS lang, term, k_g, keyness,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY keyness DESC, term) AS rank
+  FROM scored
+)
+SELECT lang, term, k_g, keyness, rank FROM ranked WHERE rank <= 5
+""")
+def keyness_terms_by_lang_q(spark, sf_dir):
+    """Top-5 distinctive terms per language by smoothed log-odds
+    keyness (the templated-content / domain-signature detector)."""
+    from vega_spark.functions.analytics import keyness_terms
+    docs = _t(spark, sf_dir, "documents")
+    return keyness_terms(docs, "text", "lang", top=5, min_count=3)
+
+
+# --- length-curriculum bucketing -------------------------------------------
+
+@_q("curriculum_length_deciles", """
+WITH b AS (
+  SELECT lang, n_chars,
+         NTILE(10) OVER (PARTITION BY lang
+                         ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+)
+SELECT lang, bucket, COUNT(*) AS n,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM b GROUP BY 1, 2
+""")
+def curriculum_length_deciles_q(spark, sf_dir):
+    """Per-language NTILE(10) length-curriculum buckets with their
+    char-length ranges (deterministic tie-break by doc_id)."""
+    from vega_spark.functions.pipeline import curriculum_deciles
+    docs = _t(spark, sf_dir, "documents")
+    out = curriculum_deciles(docs, "n_chars", "lang", "doc_id", 10)
+    return (out.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+# --- bucketed (co-located) join: durable shuffle elision --------------------
+
+@_q("bucketed_join_priority_revenue", """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""")
+def bucketed_join_priority_revenue_q(spark, sf_dir):
+    """Join over BUCKETED tables: both sides are persisted bucketed
+    by the join key (8 buckets, sorted), so the sort-merge join needs
+    NO Exchange and NO per-query Sort — the reference's co-partitioned
+    cogroup elision (co_grouped_rdd.rs:102-126) made durable. The
+    bucketing write happens once per (session, sf) and amortizes;
+    the .hint("merge") pins SMJ so the bucket layout (not a broadcast)
+    is what the plan exercises."""
+    import hashlib
+    import tempfile
+
+    from vega_spark.operators.layout import write_bucketed_at
+
+    ensure_engine_conf(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_o, t_l = f"vega_bkt_orders_{tag}", f"vega_bkt_lineitem_{tag}"
+    if not spark.catalog.tableExists(t_o):
+        write_bucketed_at(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            t_o, tempfile.mkdtemp(prefix="vega_bkt_o_"),
+            "o_orderkey", 8, sort_col="o_orderkey")
+    if not spark.catalog.tableExists(t_l):
+        write_bucketed_at(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"),
+            t_l, tempfile.mkdtemp(prefix="vega_bkt_l_"),
+            "l_orderkey", 8, sort_col="l_orderkey")
+    o, li = spark.table(t_o), spark.table(t_l)
+    j = o.hint("merge").join(
+        li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
