@@ -173,3 +173,44 @@ def test_curriculum_deciles_ordered_ranges(spark):
     assert all(len(v) == 10 for v in by_bucket.values())
     assert max(by_bucket[1]) < min(by_bucket[2])
     assert max(by_bucket[3]) < min(by_bucket[4])
+
+
+def test_udtf_sentences_shape(spark):
+    from vega_spark.functions.udtfs import sentences_table
+    docs = spark.createDataFrame(
+        [(1, "Hello world. How are you? Fine!"), (2, "no punctuation here"),
+         (3, None)],
+        "doc_id long, text string")
+    out = sentences_table(spark, docs, "text", "doc_id").collect()
+    d1 = sorted([r for r in out if r["doc_id"] == 1], key=lambda r: r["idx"])
+    assert [r["sentence"] for r in d1] == \
+        ["Hello world.", "How are you?", "Fine!"]
+    assert [r["n_words"] for r in d1] == [2, 3, 1]
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["idx"] == 0
+    assert not [r for r in out if r["doc_id"] == 3]
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    from vega_spark.functions.pipeline import pack_sequences
+    # 4 docs of 3 tokens each, budget 6 -> bins of 2 docs (cum_before
+    # 0,3 -> bin 0; 6,9 -> bin 1) in md5 order
+    docs = spark.createDataFrame(
+        [(i, "en", "a b c") for i in range(4)],
+        "doc_id long, lang string, text string")
+    out = pack_sequences(docs, 6, "lang", "doc_id", "text").collect()
+    bins = sorted(r["bin"] for r in out)
+    assert bins == [0, 0, 1, 1]
+    assert all(r["n_tokens"] == 3 for r in out)
+
+
+def test_pack_sequences_deterministic(spark):
+    from vega_spark.functions.pipeline import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * (i % 7 + 1)) for i in range(50)],
+        "doc_id long, lang string, text string")
+    a = {r["doc_id"]: r["bin"]
+         for r in pack_sequences(docs, 16).collect()}
+    b = {r["doc_id"]: r["bin"]
+         for r in pack_sequences(docs.repartition(5), 16).collect()}
+    assert a == b

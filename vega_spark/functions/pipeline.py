@@ -87,3 +87,35 @@ def curriculum_deciles(docs: DataFrame, order_col: str = "n_chars",
     w = Window.partitionBy(part_col).orderBy(
         F.col(order_col).asc(), F.col(id_col).asc())
     return docs.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def pack_sequences(docs: DataFrame, budget_tokens: int,
+                   part_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Streaming sequence packing: assign documents to fixed
+    token-budget training bins. Docs are taken in deterministic
+    (md5 of id) order within each stratum and a doc starts a new bin
+    whenever the running total before it crosses the next budget
+    boundary: bin = floor(exclusive-cumsum(tokens) / budget).
+
+    This is the single-pass "streaming first-fit" packer (bins can
+    overflow by at most one doc — the standard trade accepted by
+    sequence-packing dataloaders); an exact bin-packer is NP-hard
+    and needs global state. One hash exchange + per-stratum sort —
+    the same window scan at any SF.
+    """
+    from pyspark.sql import Window
+
+    from vega_spark.functions.text import token_count
+
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = (Window.partitionBy(part_col).orderBy(h.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    toks = docs.withColumn("n_tokens", token_count(text_col))
+    return (toks
+            .withColumn("cum_before",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .withColumn("bin",
+                        F.floor(F.col("cum_before") / budget_tokens)
+                        .cast("int"))
+            .drop("cum_before"))

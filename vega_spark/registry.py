@@ -2372,3 +2372,102 @@ def bucketed_join_priority_revenue_q(spark, sf_dir):
                  F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
+
+
+# --- Python UDTF surface (Spark 4 table functions) -------------------------
+
+@_q("udtf_sentences", r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                          x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx, sents[i] AS sentence,
+       CAST(len(list_filter(regexp_split_to_array(sents[i], '\s+'),
+                            x -> x <> '')) AS INTEGER) AS n_words
+FROM s, unnest(generate_series(1, len(sents))) AS u(i)
+""")
+def udtf_sentences_q(spark, sf_dir):
+    """LATERAL Python UDTF: one row per sentence per document (the
+    reference's flat_map-closure shape as a Spark 4 table function;
+    the oracle replays the same RE2-safe segmentation in SQL)."""
+    from vega_spark.functions.udtfs import sentences_table
+    docs = _t(spark, sf_dir, "documents")
+    return sentences_table(spark, docs, "text", "doc_id")
+
+
+# --- sequence packing (token-budget training bins) -------------------------
+
+@_q("pack_sequences_manifest", r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+b AS (
+  SELECT lang, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 512.0) AS INTEGER) AS bin
+  FROM t
+)
+SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_in_bin
+FROM b GROUP BY 1, 2
+""")
+def pack_sequences_manifest_q(spark, sf_dir):
+    """Streaming sequence packing into 512-token bins per language
+    (deterministic md5 order, exclusive-cumsum boundary rule) —
+    manifest of docs/tokens per bin."""
+    from vega_spark.functions.pipeline import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, 512, "lang", "doc_id", "text")
+    return (out.groupBy("lang", "bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens_in_bin")))
+
+
+# --- end-to-end: training shard manifest -----------------------------------
+
+@_q("training_shard_manifest", """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+r AS (
+  SELECT split,
+         ROW_NUMBER() OVER (PARTITION BY split
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM s
+)
+SELECT split, CAST(FLOOR((rn - 1) / 50) AS INTEGER) AS shard,
+       COUNT(*) AS n_docs
+FROM r GROUP BY 1, 2
+""")
+def training_shard_manifest_q(spark, sf_dir):
+    """Compose the deterministic split with 50-doc shard assignment
+    (md5 order within split) — the manifest a training dataloader
+    consumes. Rank → WindowGroupLimit-free full pass; one exchange
+    per split window + tiny agg."""
+    from pyspark.sql import Window
+
+    from vega_spark.operators.sampling import hash_split
+    docs = _t(spark, sf_dir, "documents")
+    s = hash_split(docs.select("doc_id"), "doc_id")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("split").orderBy(h.asc(), F.col("doc_id").asc())
+    return (s.withColumn("rn", F.row_number().over(w))
+            .withColumn("shard", F.floor((F.col("rn") - 1) / 50).cast("int"))
+            .groupBy("split", "shard")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
