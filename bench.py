@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "decontaminate_against_eval",  # broadcast eval-ngram contamination scan
     "scd2_user_state",             # CDC SCD2 build, one keyed sort
     "rolling_hour_value",          # RANGE-frame trailing-hour window
+    "bucketed_join_priority_revenue",  # exchange-free SMJ over bucketed tables
+    "pack_sequences_manifest",     # token-budget sequence packing
 ]
 
 

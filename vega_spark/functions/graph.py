@@ -1,0 +1,53 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+The reference has no iterative/graph surface (its only loop pattern
+is driver-side re-submission of jobs); here the idiomatic Spark shape
+is: keep the per-node state as a DataFrame, join it against the edge
+list each superstep, re-aggregate — Catalyst plans each superstep as
+one keyed shuffle, and the loop lives on the driver as plain Python
+(lineage is truncated per iteration via localCheckpoint when deep).
+
+See also functions/dedup.connected_components (large-star/small-star
+iteration) — this module adds weighted propagation (PageRank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str, dst: str,
+             iters: int = 3, damping: float = 0.85,
+             checkpoint_every: int = 8) -> DataFrame:
+    """PageRank over an UNDIRECTED graph (edges symmetrized), classic
+    formulation: rank₀ = 1, rankₜ₊₁(v) = (1-d) + d·Σ_{u→v} rankₜ(u)/deg(u).
+    A fixed iteration count keeps the computation deterministic and
+    SQL-replayable (the oracle unrolls the same supersteps).
+
+    Plan per superstep: edges ⋈ ranks on src (keyed shuffle; ranks
+    has one row per node — orders of magnitude smaller than edges) →
+    groupBy(dst) partial+final sum. Degrees are computed once and
+    carried inside the rank frame so each superstep is exactly one
+    join + one aggregate. Lineage is cut every ``checkpoint_every``
+    iterations (localCheckpoint) so long runs don't accrete a plan
+    the optimizer must re-walk.
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v"))))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.withColumn("rank", F.lit(1.0))
+    for i in range(iters):
+        contribs = (sym.join(ranks, "u")
+                    .select(F.col("v").alias("u"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        new = (contribs.groupBy("u")
+               .agg(F.sum("c").alias("in_sum"))
+               .select("u", (F.lit(1.0 - damping)
+                             + F.lit(damping) * F.col("in_sum"))
+                       .alias("rank")))
+        ranks = deg.join(new, "u")  # every node has degree>=1 (symmetric)
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("u").alias("node"), "rank")
