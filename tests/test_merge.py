@@ -72,3 +72,28 @@ def test_merge_broadcast_path_update_leg_is_narrow_over_target(spark, frames):
     txt = I.plan_text(q)
     assert "BroadcastHashJoin" in txt, txt
     assert "SortMergeJoin" not in txt, txt
+
+
+def test_table_diff_classifies(spark):
+    from vega_spark.operators.merge import table_diff
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0)], "k long, v double")
+    got = {r["k"]: r["change_type"]
+           for r in table_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {2: "changed", 3: "deleted", 4: "inserted"}
+    full = {r["k"]: r["change_type"]
+            for r in table_diff(old, new, ["k"], ["v"],
+                                include_unchanged=True).collect()}
+    assert full[1] == "unchanged" and len(full) == 4
+
+
+def test_table_diff_null_safe(spark):
+    from vega_spark.operators.merge import table_diff
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    got = {r["k"]: r["change_type"]
+           for r in table_diff(old, new, ["k"], ["v"],
+                               include_unchanged=True).collect()}
+    assert got == {1: "unchanged", 2: "changed"}

@@ -214,3 +214,29 @@ def test_pack_sequences_deterministic(spark):
     b = {r["doc_id"]: r["bin"]
          for r in pack_sequences(docs.repartition(5), 16).collect()}
     assert a == b
+
+
+def test_pagerank_star_graph(spark):
+    from vega_spark.functions.graph import pagerank
+    # star: hub 0 connected to 1..4; symmetric degrees: hub=4, leaf=1
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                                  "a long, b long")
+    out = {r["node"]: r["rank"]
+           for r in pagerank(edges, "a", "b", iters=2).collect()}
+    # after any iteration all leaves are equal, hub > leaf
+    leaves = [out[i] for i in range(1, 5)]
+    assert all(abs(v - leaves[0]) < 1e-12 for v in leaves)
+    assert out[0] > leaves[0]
+    # ranks sum to n on a regular-ish symmetric graph within damping
+    assert abs(sum(out.values()) - 5) < 1.0
+
+
+def test_pagerank_two_cliques_symmetric(spark):
+    from vega_spark.functions.graph import pagerank
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 20), (20, 30), (10, 30)]
+    edges = spark.createDataFrame(tri1 + tri2, "a long, b long")
+    out = {r["node"]: r["rank"]
+           for r in pagerank(edges, "a", "b", iters=3).collect()}
+    # regular graph: every node rank exactly 1.0 at every iteration
+    assert all(abs(v - 1.0) < 1e-12 for v in out.values())

@@ -97,3 +97,33 @@ def merge_into(target: DataFrame, source: DataFrame, keys: list[str],
                 sc.cast(target.schema[c].dataType)).alias(c))
     j = j if insert_not_matched else j.filter(t_present)
     return j.select(*out)
+
+
+def table_diff(old: DataFrame, new: DataFrame, keys: list[str],
+               compare_cols: list[str] | None = None,
+               include_unchanged: bool = False) -> DataFrame:
+    """Anti-entropy reconcile of two table versions: one row per key
+    present in either side, classified inserted / deleted / changed
+    (/ unchanged). The validation step after any CDC or backfill —
+    "did the replica converge, and what drifted?".
+
+    Scale shape: both sides are reduced to (keys, 64-bit row digest)
+    BEFORE the full-outer join, so the exchange carries ~16 bytes of
+    payload per row regardless of row width — at 100 TB the diff
+    costs one keyed shuffle of the key space, not the data. Value
+    equality is via xxhash64 of the compared columns (w.h.p. exact;
+    null-safe since the hash folds null markers)."""
+    compare = compare_cols or [c for c in old.columns if c not in keys]
+    oh = old.select(*keys, F.xxhash64(*compare).alias("__h_old"),
+                    F.lit(True).alias("__in_old"))
+    nh = new.select(*keys, F.xxhash64(*compare).alias("__h_new"),
+                    F.lit(True).alias("__in_new"))
+    j = oh.join(nh, keys, "full_outer")
+    cls = (F.when(F.col("__in_old").isNull(), "inserted")
+           .when(F.col("__in_new").isNull(), "deleted")
+           .when(F.col("__h_old") != F.col("__h_new"), "changed")
+           .otherwise("unchanged"))
+    out = j.select(*keys, cls.alias("change_type"))
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

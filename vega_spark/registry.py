@@ -2471,3 +2471,108 @@ def training_shard_manifest_q(spark, sf_dir):
             .withColumn("shard", F.floor((F.col("rn") - 1) / 50).cast("int"))
             .groupBy("split", "shard")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# --- iterative graph: PageRank with an unrolled-superstep oracle -----------
+
+@_q("pagerank_part_affinity", """
+WITH baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT x.i AS u, y.i AS v
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+r0 AS (SELECT u, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+r1 AS (SELECT s.v AS u, 0.15 + 0.85 * SUM(r.rank / d.deg) AS rank
+       FROM sym s JOIN r0 r ON s.u = r.u JOIN deg d ON s.u = d.u
+       GROUP BY s.v),
+r2 AS (SELECT s.v AS u, 0.15 + 0.85 * SUM(r.rank / d.deg) AS rank
+       FROM sym s JOIN r1 r ON s.u = r.u JOIN deg d ON s.u = d.u
+       GROUP BY s.v),
+r3 AS (SELECT s.v AS u, 0.15 + 0.85 * SUM(r.rank / d.deg) AS rank
+       FROM sym s JOIN r2 r ON s.u = r.u JOIN deg d ON s.u = d.u
+       GROUP BY s.v)
+SELECT u AS node, ROUND(rank, 6) AS rank FROM r3
+""")
+def pagerank_part_affinity_q(spark, sf_dir):
+    """PageRank (3 supersteps, d=0.85) over the part-co-order affinity
+    graph — an ITERATIVE algorithm whose oracle unrolls the identical
+    supersteps as chained CTEs (k-means is rows-only; this one is
+    value-checked). Each superstep: edges ⋈ ranks keyed shuffle +
+    one aggregate."""
+    from vega_spark.functions.analytics import cooccurrence_pairs
+    from vega_spark.functions.graph import pagerank
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2,
+                               max_basket=200)
+    out = pagerank(edges, "item_a", "item_b", iters=3, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+@_q("window_rank_stats", """
+SELECT o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def window_rank_stats_q(spark, sf_dir):
+    """Full ranking-function sweep (rank / dense_rank / percent_rank
+    / cume_dist) in ONE window pass — four functions share one
+    exchange + sort."""
+    from pyspark.sql.window import Window as W
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+# --- table-version diff (anti-entropy reconcile) ---------------------------
+
+@_q("table_diff_orders", """
+WITH newt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+            WHEN n.o_orderkey IS NULL THEN 'deleted'
+            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+              THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM orders o FULL JOIN newt n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+""")
+def table_diff_orders_q(spark, sf_dir):
+    """Diff two synthetic versions of orders (deterministic deletes
+    %101, price bumps %97, key-shifted inserts %103): digest-reduced
+    full-outer join, classified per key."""
+    from vega_spark.operators.merge import table_diff
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    new = (o.filter(k % 101 != 0)
+           .withColumn("o_totalprice",
+                       F.when(k % 97 == 0, F.col("o_totalprice") + 1)
+                       .otherwise(F.col("o_totalprice"))))
+    ins = (o.filter(k % 103 == 0)
+           .withColumn("o_orderkey", k + 10_000_000))
+    new = new.unionByName(ins)
+    return table_diff(o, new, ["o_orderkey"], ["o_totalprice"])
