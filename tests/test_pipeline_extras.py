@@ -240,3 +240,36 @@ def test_pagerank_two_cliques_symmetric(spark):
            for r in pagerank(edges, "a", "b", iters=3).collect()}
     # regular graph: every node rank exactly 1.0 at every iteration
     assert all(abs(v - 1.0) < 1e-12 for v in out.values())
+
+
+def test_bloom_no_false_negatives_and_probe_shape(spark):
+    from vega_spark.operators.sketches import bloom_build, bloom_probe
+    corpus = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("s"))
+    bf = bloom_build(corpus, "s", m_bits=1 << 15, k=3)
+    row = bf.first()
+    assert len(row["bf"]) == (1 << 15) // 64
+    probe = spark.range(1990, 2050).select(
+        F.col("id").cast("string").alias("s"))
+    hits = {r["s"]: r["bloom_hit"]
+            for r in bloom_probe(probe, bf, "s", k=3,
+                                 m_bits=1 << 15).collect()}
+    # every member hits (no false negatives)
+    assert all(hits[str(i)] for i in range(1990, 2000))
+    # FP rate at n=2000/m=32768/k=3 is ~0.5%; 50 probes ≈ 0 or 1 FP
+    assert sum(hits[str(i)] for i in range(2000, 2050)) <= 5
+
+
+def test_bloom_dedup_equals_plain_anti_join(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    bloom = QUERIES["dedup_incremental_bloom"](spark, sf_dir)
+    import duckdb
+    oracle_n = duckdb.sql(f"""
+        WITH corpus AS (SELECT * FROM '{sf_dir}/documents.parquet'
+                        WHERE doc_id % 5 <> 0),
+        batch AS (SELECT * FROM '{sf_dir}/documents.parquet'
+                  WHERE doc_id % 5 = 0)
+        SELECT COUNT(DISTINCT text) FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+    """).fetchone()[0]
+    assert bloom.count() == oracle_n

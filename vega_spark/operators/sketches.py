@@ -117,3 +117,60 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, value_col: str,
                         "left")
             .select(value_col, F.coalesce("cnt", F.lit(0)).alias("cnt"))
             .groupBy(value_col).agg(F.min("cnt").alias("est_count")))
+
+
+def bloom_build(df: DataFrame, col: Column | str,
+                m_bits: int = 1 << 17, k: int = 3) -> DataFrame:
+    """Distributed Bloom filter build in pure Column expressions
+    (Spark's `bloom_filter_agg` is internal-only, so the bit array is
+    assembled with public primitives): each value sets ``k`` xxhash64
+    positions in an ``m_bits`` bitmap; per-word masks combine with a
+    ``bit_or`` partial+final aggregate (64-bit words, map-side
+    combined), and the ≤ m/64-row word table collapses into ONE dense
+    array<long> row via a map lookup — constant-size output no matter
+    the input SF.
+
+    Returns a 1-row DataFrame (bf array<long>, m_bits, k) meant to be
+    broadcast-joined by `bloom_probe`. No false negatives; FP rate
+    ≈ (1-e^{-kn/m})^k — size m for the corpus you gate."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_words = m_bits // 64
+    pos = [F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    bits = df.select(F.explode(F.array(*[
+        F.struct((p / 64).cast("int").alias("w"),
+                 F.pmod(p, F.lit(64)).cast("int").alias("b"))
+        for p in pos])).alias("x"))
+    words = (bits.select("x.w",
+                         F.expr("shiftleft(CAST(1 AS BIGINT), x.b)").alias("m"))
+             .groupBy("w").agg(F.bit_or("m").alias("m")))
+    return (words.agg(F.map_from_entries(
+                F.collect_list(F.struct("w", "m"))).alias("wm"))
+            .select(F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(F.element_at("wm", i), F.lit(0)))
+                .alias("bf"),
+                F.lit(m_bits).alias("m_bits"), F.lit(k).alias("k")))
+
+
+def bloom_probe(df: DataFrame, bloom: DataFrame, col: Column | str,
+                k: int = 3, m_bits: int = 1 << 17,
+                out_col: str = "bloom_hit") -> DataFrame:
+    """Membership probe against a `bloom_build` result: the 1-row
+    filter broadcast-cross-joins onto the probe side (a few KB to
+    every task), and the k bit tests are pure integer expressions —
+    the classic runtime-filter shape that turns an anti-join against
+    a 100 TB corpus into a narrow scan + tiny verification join."""
+    c = F.col(col) if isinstance(col, str) else col
+    j = df.crossJoin(F.broadcast(bloom.select("bf")))
+    tmp = []
+    for i in range(k):
+        p = F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+        j = (j.withColumn(f"__bw{i}",
+                          F.element_at("bf", (p / 64).cast("int") + 1))
+             .withColumn(f"__bb{i}", F.pmod(p, F.lit(64)).cast("int")))
+        tmp += [f"__bw{i}", f"__bb{i}"]
+    hit = None
+    for i in range(k):
+        t = F.expr(f"(__bw{i} & shiftleft(CAST(1 AS BIGINT), __bb{i})) != 0")
+        hit = t if hit is None else (hit & t)
+    return j.withColumn(out_col, hit).drop("bf", *tmp)

@@ -2576,3 +2576,44 @@ def table_diff_orders_q(spark, sf_dir):
            .withColumn("o_orderkey", k + 10_000_000))
     new = new.unionByName(ins)
     return table_diff(o, new, ["o_orderkey"], ["o_totalprice"])
+
+
+# --- bloom-gated incremental dedup (runtime-filter pattern) ----------------
+
+@_q("dedup_incremental_bloom", """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+firsts AS (SELECT text, MIN(doc_id) AS doc_id FROM batch GROUP BY text)
+SELECT b.* FROM batch b
+JOIN firsts f ON b.doc_id = f.doc_id AND b.text = f.text
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+""")
+def dedup_incremental_bloom_q(spark, sf_dir):
+    """Incremental dedup gated by a hand-built distributed Bloom
+    filter: the corpus digest set compresses to a ~16 KB bit array
+    broadcast to every probe task; only bloom HITS (tiny fraction)
+    reach the exact verification anti-join, so the join's build side
+    at 100 TB is the corpus but its PROBE side shrinks from the whole
+    batch to candidate dups. No false negatives → result is exactly
+    the plain anti-join (same oracle shape as dedup_incremental)."""
+    from pyspark.sql.window import Window as W
+
+    from vega_spark.functions.dedup import content_digest
+    from vega_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = docs.columns
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corp_d = corpus.select(content_digest("text").alias("d"))
+    bf = bloom_build(corp_d, "d")
+    probed = bloom_probe(
+        batch.withColumn("d", content_digest("text")), bf, "d")
+    definitely_new = probed.filter(~F.col("bloom_hit"))
+    verified_new = (probed.filter(F.col("bloom_hit"))
+                    .join(corp_d, "d", "left_anti"))
+    new = definitely_new.unionByName(verified_new)
+    w = W.partitionBy("d").orderBy("doc_id")
+    return (new.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(*cols))
