@@ -254,3 +254,44 @@ def test_upsert_sink_maintains_keyed_table(spark, arrivals, tmp_path):
     got = {r.user_id: (r.event_type, r.value)
            for r in spark.read.parquet(target).collect()}
     assert got == {10: ("click", 9.0), 11: ("view", 2.0), 12: ("view", 3.0)}
+
+
+def test_running_totals_tws_matches_legacy_api(spark, arrivals):
+    # same semantics on the Spark 4 transformWithStateInPandas API;
+    # the state-server protocol needs protobuf (not in this container)
+    import pytest
+    pytest.importorskip("google.protobuf")
+    d, arrive = arrivals
+    arrive(ROWS_1, "f1")
+    stream = S.stream_parquet(spark, str(d), SCHEMA)
+    agg = ST.running_totals_tws(stream, "event_type", "value")
+    q = S.to_memory(agg, "run_tot_tws", output_mode="update")
+    q.processAllAvailable()
+    mid = {r.event_type: (r.n, r.total)
+           for r in spark.sql("SELECT * FROM run_tot_tws").collect()}
+    assert mid["click"] == (4, 9.0)
+
+    arrive(ROWS_2, "f2")
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for r in spark.sql("SELECT * FROM run_tot_tws").collect():
+        final[r.event_type] = (r.n, r.total)
+    want = {}
+    for ts, et, v in ROWS_1 + ROWS_2:
+        n, t = want.get(et, (0, 0.0))
+        want[et] = (n + 1, t + v)
+    assert {k: v for k, v in final.items()} == \
+        {k: (n, round(t, 6)) for k, (n, t) in want.items()} or final == want
+
+
+def test_running_totals_tws_raises_clear_error_without_protobuf(spark):
+    import pytest
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf installed - gate not exercised")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([("a", 1.0)], "event_type string, value double")
+    with pytest.raises(ImportError, match="protobuf"):
+        ST.running_totals_tws(df, "event_type", "value")

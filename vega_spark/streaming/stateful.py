@@ -130,3 +130,59 @@ def dedup_within_watermark(events: DataFrame, id_cols: list[str],
     scale — this is the 100 TB-safe form."""
     return (events.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(id_cols))
+
+
+def running_totals_tws(events: DataFrame, key_col: str,
+                       value_col: str, key_type: str = "string") -> DataFrame:
+    """`running_totals` on the Spark 4 ``transformWithStateInPandas``
+    API (the successor to applyInPandasWithState): state is a named
+    ValueState handle managed by the state-store provider (RocksDB in
+    production — see sources.rocksdb_state_store_conf), which unlocks
+    per-state TTL, multiple state variables, and timers. Semantics
+    here are identical to `running_totals`, so either implementation
+    can back the same pipeline."""
+    try:  # the state-server protocol needs protobuf at runtime
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs the `protobuf` package "
+            "(state-server protocol); install protobuf or use "
+            "running_totals (applyInPandasWithState) which has "
+            "identical semantics") from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState requires the RocksDB state-store provider
+    # (the default HDFS-backed provider doesn't implement the new
+    # state API); queries started after this conf pick it up.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider")
+
+    out_schema = f"{key_col} {key_type}, n bigint, total double"
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._state.get() if self._state.exists()
+                        else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({key_col: [key[0]], "n": [n],
+                                "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy(key_col)
+            .transformWithStateInPandas(Totals(), out_schema, "Update",
+                                        "None"))
