@@ -2617,3 +2617,35 @@ def dedup_incremental_bloom_q(spark, sf_dir):
     return (new.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select(*cols))
+
+
+# --- custom Python DataSource (reference read_source mapping) --------------
+
+@_q("custom_source_events", """
+WITH g AS (
+  SELECT range AS i,
+         (range * 2654435761) % 97 AS user_id,
+         CASE range % 3 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+              ELSE 'purchase' END AS event_type,
+         ROUND(CAST((range % 1000) * 0.25 AS DOUBLE), 2) AS value
+  FROM range(0, 5000)
+)
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+       COUNT(DISTINCT user_id) AS n_users
+FROM g GROUP BY event_type
+""")
+def custom_source_events_q(spark, sf_dir):
+    """Read through the registered Python DataSource ("vega_synth"):
+    partition planning on the driver, per-partition decode on
+    executors — the reference's read_source(config, decoder) shape on
+    Spark 4's connector API. Generation is pure index arithmetic, so
+    the oracle replays it from range()."""
+    from vega_spark.sources.custom_source import register
+    ensure_engine_conf(spark)
+    register(spark)
+    df = (spark.read.format("vega_synth")
+          .option("rows", 5000).option("partitions", 8).load())
+    return (df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total"),
+                 F.count_distinct("user_id").alias("n_users")))
