@@ -256,3 +256,14 @@ def test_rolling_time_sum_single_exchange(spark, sf_dir):
     q = rolling_time_sum(ev, "user_id", F.expr("ts div 1000"), "value",
                          3_600_000_000)
     assert I.count_exchanges(q) == 1, I.plan_text(q)
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    q = QUERIES["partitioned_scan_prune"](spark, sf_dir)
+    txt = I.plan_text(q)
+    # the date predicate must bind as a PartitionFilter (directory
+    # pruning), not merely a row-level pushed filter
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*event_date", txt)
+    assert m, txt

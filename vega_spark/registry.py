@@ -38,7 +38,12 @@ from vega_spark.operators.core import (
     select_map,
 )
 from vega_spark.session import ensure_engine_conf
-from vega_spark.tables import load_table, ts_hour_bucket_epoch_s, ts_hour_of_day
+from vega_spark.tables import (
+    load_table,
+    ts_date,
+    ts_hour_bucket_epoch_s,
+    ts_hour_of_day,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2649,3 +2654,39 @@ def custom_source_events_q(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("total"),
                  F.count_distinct("user_id").alias("n_users")))
+
+
+# --- partitioned layout + partition pruning --------------------------------
+
+_PARTITIONED_EVENTS: dict[tuple[str, str], str] = {}
+
+
+@_q("partitioned_scan_prune", """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+GROUP BY event_type
+""")
+def partitioned_scan_prune_q(spark, sf_dir):
+    """Hive-style partitioned layout + partition PRUNING: events are
+    written once per (session, sf) partitioned by event_date; the
+    day-filter then binds to the directory structure, so the scan
+    lists ONE date directory out of 30 — at 100 TB this is the
+    difference between scanning ~3 TB and 100 TB, before any row
+    filter runs. (The pruning is asserted in test_plans; the oracle
+    replays the equivalent ts-range filter over the flat table.)"""
+    import tempfile
+
+    ensure_engine_conf(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PARTITIONED_EVENTS:
+        path = tempfile.mkdtemp(prefix="vega_part_events_")
+        ev = _t(spark, sf_dir, "events")
+        (ev.withColumn("event_date", ts_date("ts").cast("string"))
+         .write.mode("overwrite").partitionBy("event_date").parquet(path))
+        _PARTITIONED_EVENTS[key] = path
+    df = spark.read.parquet(_PARTITIONED_EVENTS[key])
+    return (df.filter(F.col("event_date") == "2024-01-15")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total")))
