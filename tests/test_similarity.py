@@ -110,3 +110,20 @@ def test_quantize_int8_roundtrip(spark):
     # dequantization error bounded by scale/2
     for orig, q in zip(vals, r.q):
         assert abs(q * r.scale - orig) <= r.scale / 2 + 1e-12
+
+
+def test_arrow_kernel_matches_jvm_kernel(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vega_spark.functions.similarity import (
+        cosine_topk_arrow,
+        cosine_topk_bruteforce,
+    )
+    from vega_spark.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(map(tuple, cosine_topk_arrow(emb, q, k=7).collect()))
+    b = sorted(map(tuple, cosine_topk_bruteforce(emb, q, k=7).collect()))
+    assert a == b

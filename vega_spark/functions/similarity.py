@@ -290,3 +290,62 @@ def exact_cosine_threshold_count(df: DataFrame, other: DataFrame,
     return (a.crossJoin(bb)
             .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
             .count())
+
+
+def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame,
+                      k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """`cosine_topk_bruteforce` with the scoring kernel on
+    ``mapInArrow``: each Arrow batch becomes one numpy matmul
+    (E @ Qᵀ) against the (small, driver-collected) query matrix, and
+    only each partition's LOCAL top-k per query leaves the Python
+    worker — the map-side-combine shape, so the final exact top-k
+    window sees partitions×queries×k rows, not the corpus. Exact same
+    results as the JVM-expression kernel (float64 math, same
+    tie-break); this is the pattern for when the distance kernel
+    outgrows Column expressions (PQ/ADC scans, custom metrics).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = (queries.select(F.col(query_id_col).alias("qid"),
+                            F.col(vec_col).alias("v")).collect())
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    out_schema = "query_id long, neighbor_id long, cos double"
+
+    def score(batches):
+        for rb in batches:
+            ids = rb.column(rb.schema.get_field_index(id_col)) \
+                    .to_numpy(zero_copy_only=False)
+            emb = rb.column(rb.schema.get_field_index(vec_col))
+            n = len(ids)
+            if n == 0:
+                continue
+            flat = emb.flatten().to_numpy(zero_copy_only=False) \
+                      .astype(np.float64)
+            E = flat.reshape(n, -1)
+            en = np.sqrt((E * E).sum(axis=1))
+            sims = (E @ Q.T) / (en[:, None] * qn[None, :])
+            kk = min(k, n)
+            for j in range(len(qids)):
+                s = sims[:, j]
+                # local exact top-k with (cos desc, id asc) tie-break
+                order = np.lexsort((ids, -s))[:kk]
+                yield pa.RecordBatch.from_pydict({
+                    "query_id": np.full(kk, qids[j], dtype=np.int64),
+                    "neighbor_id": ids[order].astype(np.int64),
+                    "cos": s[order],
+                })
+
+    local = corpus.select(id_col, vec_col).mapInArrow(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (local.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 6).alias("cos"), "rk"))

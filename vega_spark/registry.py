@@ -2690,3 +2690,20 @@ def partitioned_scan_prune_q(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("total")))
+
+
+# --- ANN kernel on mapInArrow (same oracle as the JVM kernel) --------------
+
+@_q("ann_cosine_topk_arrow", ORACLES["ann_cosine_topk"])
+def ann_cosine_topk_arrow_q(spark, sf_dir):
+    """Identical query to ann_cosine_topk but with the scoring kernel
+    as a numpy matmul over mapInArrow batches + map-side local top-k
+    — value-identical (same oracle), different physical path."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return X_sim.cosine_topk_arrow(emb, queries, k=5,
+                                   id_col="vec_id",
+                                   vec_col="embedding",
+                                   query_id_col="query_id")
