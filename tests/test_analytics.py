@@ -103,3 +103,38 @@ def test_cooccurrence_max_basket_cap(spark):
                              max_basket=3).collect()
     # capped to first 3 sorted items -> C(3,2)=3 pairs
     assert len(out) == 3
+
+
+def test_drift_psi_zero_for_identical_distributions(spark):
+    from pyspark.sql import functions as F
+
+    from vega_spark.functions.analytics import drift_psi
+    rows = [("a", p, float(v)) for p in ("base", "compare")
+            for v in (5, 15, 25, 35)]
+    df = spark.createDataFrame(rows, "grp string, per string, value double")
+    out = drift_psi(df, "grp", "value", F.col("per"), 0.0, 40.0, 4).collect()
+    assert len(out) == 1 and abs(out[0]["psi"]) < 1e-9
+
+
+def test_drift_psi_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from vega_spark.functions.analytics import drift_psi
+    base = [("a", "base", 5.0)] * 90 + [("a", "base", 35.0)] * 10
+    comp = [("a", "compare", 5.0)] * 10 + [("a", "compare", 35.0)] * 90
+    df = spark.createDataFrame(base + comp,
+                               "grp string, per string, value double")
+    out = drift_psi(df, "grp", "value", F.col("per"), 0.0, 40.0, 4).collect()
+    assert out[0]["psi"] > 0.25  # major shift
+
+
+def test_drift_psi_out_of_range_clamps(spark):
+    from pyspark.sql import functions as F
+
+    from vega_spark.functions.analytics import drift_psi
+    df = spark.createDataFrame(
+        [("a", "base", -100.0), ("a", "base", 999.0),
+         ("a", "compare", -100.0), ("a", "compare", 999.0)],
+        "grp string, per string, value double")
+    out = drift_psi(df, "grp", "value", F.col("per"), 0.0, 40.0, 4).collect()
+    assert abs(out[0]["psi"]) < 1e-9  # clamped identically both periods

@@ -251,3 +251,46 @@ def keyness_terms(docs: DataFrame, text_col: str, group_col: str,
             .filter(F.col("rank") <= top)
             .select(F.col("grp").alias(group_col), "term", "k_g",
                     "keyness", "rank"))
+
+
+def drift_psi(df: DataFrame, group_col: str, value_col: str,
+              period_col, lo: float, hi: float, n_bins: int = 10,
+              eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two periods, per group:
+    PSI = Σ_bins (p_b - q_b) · ln(p_b / q_b) over a fixed equal-width
+    binning of ``value_col`` in [lo, hi] (out-of-range clamps to the
+    edge bins, so both periods share the exact same support).
+    ``period_col`` must be a Column yielding 'base' / 'compare'.
+    The standard drift alarm: PSI < 0.1 stable, 0.1-0.25 moderate,
+    > 0.25 population shift.
+
+    One partial+final count shuffle at (group, period, bin)
+    cardinality — constant-size regardless of SF — then the pivot and
+    PSI fold happen on that tiny frame. ``eps`` smoothing keeps empty
+    bins finite (same constant on both engines)."""
+    w = (hi - lo) / n_bins
+    c = F.col(value_col)
+    bucket = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(n_bins - 1)).cast("int")
+    counts = (df.select(F.col(group_col).alias("grp"),
+                        period_col.alias("period"), bucket.alias("bin"))
+              .groupBy("grp", "period", "bin")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = counts.groupBy("grp", "period").agg(F.sum("n").alias("tot"))
+    frac = (counts.join(tot, ["grp", "period"])
+            .select("grp", "period", "bin",
+                    (F.col("n") / F.col("tot")).alias("f")))
+    p = frac.filter(F.col("period") == "base") \
+        .select("grp", "bin", F.col("f").alias("p"))
+    q = frac.filter(F.col("period") == "compare") \
+        .select("grp", "bin", F.col("f").alias("q"))
+    j = (p.join(q, ["grp", "bin"], "full_outer")
+         .select("grp",
+                 F.coalesce("p", F.lit(0.0)).alias("p"),
+                 F.coalesce("q", F.lit(0.0)).alias("q")))
+    term = ((F.col("p") - F.col("q"))
+            * F.log((F.col("p") + eps) / (F.col("q") + eps)))
+    return (j.groupBy("grp")
+            .agg(F.round(F.sum(term), 6).alias("psi"))
+            .select(F.col("grp").alias(group_col), "psi"))

@@ -2707,3 +2707,41 @@ def ann_cosine_topk_arrow_q(spark, sf_dir):
                                    id_col="vec_id",
                                    vec_col="embedding",
                                    query_id_col="query_id")
+
+
+# --- distribution drift monitor (PSI) --------------------------------------
+
+@_q("drift_psi_event_values", """
+WITH b AS (
+  SELECT event_type AS grp,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'base'
+              ELSE 'compare' END AS period,
+         CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INTEGER) AS bin
+  FROM events
+),
+c AS (SELECT grp, period, bin, COUNT(*) AS n FROM b GROUP BY 1, 2, 3),
+t AS (SELECT grp, period, SUM(n) AS tot FROM c GROUP BY 1, 2),
+f AS (SELECT c.grp, c.period, c.bin, c.n / CAST(t.tot AS DOUBLE) AS f
+      FROM c JOIN t ON c.grp = t.grp AND c.period = t.period),
+p AS (SELECT grp, bin, f AS p FROM f WHERE period = 'base'),
+q AS (SELECT grp, bin, f AS q FROM f WHERE period = 'compare'),
+j AS (SELECT COALESCE(p.grp, q.grp) AS grp,
+             COALESCE(p.p, 0) AS p, COALESCE(q.q, 0) AS q
+      FROM p FULL JOIN q ON p.grp = q.grp AND p.bin = q.bin)
+SELECT grp AS event_type,
+       ROUND(SUM((p - q) * LN((p + 1e-6) / (q + 1e-6))), 6) AS psi
+FROM j GROUP BY grp
+""")
+def drift_psi_event_values_q(spark, sf_dir):
+    """Population Stability Index of the value distribution per
+    event_type, first half of January vs second half (10 fixed bins
+    over [0, 500)) — the standard input-drift alarm for a serving/
+    training pipeline. Count shuffle at (group, period, bin)
+    cardinality; everything after is constant-size."""
+    from vega_spark.functions.analytics import drift_psi
+    ev = _t(spark, sf_dir, "events")
+    period = F.when(
+        F.col("ts") < F.lit(1_705_363_200 * 10**9).cast("long"),
+        "base").otherwise("compare")
+    return drift_psi(ev, "event_type", "value", period,
+                     lo=0.0, hi=500.0, n_bins=10)
