@@ -184,3 +184,23 @@ def test_observe_metrics_no_extra_pass(spark):
     assert observed.count() == 3           # the action that feeds observe
     m = fetch()
     assert m["n"] == 3 and m["nulls"] == 1 and m["total"] == 12.0
+
+
+def test_conf_for_scale_100tb_arithmetic():
+    from vega_spark.session import conf_for_scale
+    # 100 TB on 1000 executors x 8 cores, 32 GB/executor -> 4 GB/core
+    conf = conf_for_scale(100 * 1024**4, 8000, 4 * 1024**3)
+    n = int(conf["spark.sql.shuffle.partitions"])
+    # partitions sized so a decoded shuffle partition fits spill-free
+    assert n * (4 * 1024**3 // 3) >= 100 * 1024**4
+    assert n >= 16000  # at least 2x cores
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024**2
+    assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) <= 512 * 1024**2
+
+
+def test_conf_for_scale_small_input_fills_cluster():
+    from vega_spark.session import conf_for_scale
+    conf = conf_for_scale(1024**3, 64, 4 * 1024**3)  # 1 GB on 64 cores
+    assert int(conf["spark.sql.shuffle.partitions"]) == 128  # 2x cores floor
+    # scan splits shrink so all 64 cores participate
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) < 128 * 1024**2

@@ -267,3 +267,12 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*event_date", txt)
     assert m, txt
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.orderBy("l_extendedprice")
+    txt = I.plan_text(q)
+    # a global sort must sample range boundaries, not hash-partition
+    # (hash would interleave ranges across reducers)
+    assert "rangepartitioning" in txt.lower(), txt

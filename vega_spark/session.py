@@ -75,3 +75,43 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         except Exception:  # static conf in this session — accept as-is
             pass
     return spark
+
+
+def conf_for_scale(input_bytes: int, total_cores: int,
+                   executor_mem_bytes: int,
+                   target_partition_bytes: int = 128 * 1024**2) -> dict[str, str]:
+    """Concrete conf recommendations for a given input scale — the
+    arithmetic behind "would this hold at 100 TB":
+
+    - initial shuffle partitions: enough that one shuffle partition's
+      spill-free working set (~3x its on-disk bytes once decoded)
+      fits in a task's memory share, floored at 2x total cores so
+      every core gets work; AQE coalesces DOWN from there at runtime
+      (over-partitioning is cheap, under-partitioning spills).
+    - scan split size: the default 128 MB target unless tasks would
+      be too few to fill the cluster.
+    - broadcast threshold: 10% of a task's memory share, capped at
+      512 MB (a broadcast lives once per executor, ~4x decoded).
+
+    E.g. 100 TB input on 1000 executors x 8 cores x 32 GB:
+    shuffle.partitions ≈ 262144, maxPartitionBytes stays 128 MB
+    (≈ 800k scan tasks), broadcast threshold 409 MB.
+    """
+    mem_per_task = executor_mem_bytes  # caller passes per-core share
+    spill_free = max(mem_per_task // 3, 32 * 1024**2)
+    n_shuffle = max(2 * total_cores,
+                    -(-input_bytes // spill_free))  # ceil div
+    n_scan_tasks = -(-input_bytes // target_partition_bytes)
+    scan_bytes = (target_partition_bytes if n_scan_tasks >= total_cores
+                  else max(input_bytes // max(total_cores, 1), 4 * 1024**2))
+    bcast = min(mem_per_task // 10, 512 * 1024**2)
+    return {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.files.maxPartitionBytes": str(scan_bytes),
+        "spark.sql.autoBroadcastJoinThreshold": str(bcast),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            str(target_partition_bytes // 2),
+    }
