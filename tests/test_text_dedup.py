@@ -302,3 +302,27 @@ def test_vocab_stats(spark):
     r = vocab_stats(df, "text").first()
     assert (r.total_tokens, r.vocab_size, r.hapax_terms) == (5, 3, 1)
     assert abs(r.type_token_ratio - 0.6) < 1e-9
+
+
+def test_build_vocab_deterministic_ranking(spark):
+    from vega_spark.functions.text import build_vocab
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b z")], "doc_id long, text string")
+    v = {r["term"]: (r["token_id"], r["n"])
+         for r in build_vocab(docs, "text", size=3).collect()}
+    assert v["b"] == (1, 4)            # most frequent
+    assert v["a"] == (2, 3)
+    assert v["c"][0] == 3              # freq-1 tie broken by term: c < z
+    assert "z" not in v                # truncated at size
+
+
+def test_encode_tokens_order_preserving_with_oov(spark):
+    from vega_spark.functions.text import build_vocab, encode_tokens
+    docs = spark.createDataFrame(
+        [(1, "b a b rare"), (2, "")], "doc_id long, text string")
+    vocab = build_vocab(docs.filter("doc_id = 1"), "text", size=2)
+    out = {r["doc_id"]: r["token_ids"]
+           for r in encode_tokens(docs, vocab).collect()}
+    # b=1 (freq 2), a=2; "rare" trimmed from vocab -> OOV 0
+    assert out[1] == [1, 2, 1, 0]
+    assert out[2] == []

@@ -335,3 +335,45 @@ def vocab_stats(df: DataFrame, text_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("hapax_terms"),
         F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("type_token_ratio"))
+
+
+def build_vocab(docs: DataFrame, text_col: str = "text",
+                size: int = 1000, min_count: int = 1) -> DataFrame:
+    """Frequency-ranked vocabulary: the top-``size`` terms by corpus
+    count (ties by term, so ids are fully deterministic), ids start
+    at 1 (0 is reserved for OOV). One (term) count shuffle — the
+    distinct-term space, not the corpus — then a constant-size
+    ranked head."""
+    from pyspark.sql.window import Window
+    tf = (docs.select(F.explode(tokens(text_col)).alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+          .filter(F.col("n") >= min_count))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (tf.withColumn("token_id", F.row_number().over(w))
+            .filter(F.col("token_id") <= size)
+            .select("term", "token_id", "n"))
+
+
+def encode_tokens(docs: DataFrame, vocab: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  oov_id: int = 0) -> DataFrame:
+    """Encode each document's token sequence to vocabulary ids (OOV →
+    ``oov_id``), order-preserving — the id-ification step before
+    sequence packing/sharding.
+
+    Plan: the vocab (≤ vocab-size rows) collapses to ONE map literal
+    broadcast inside the expression, so encoding is a NARROW pass —
+    no explode, no join, no shuffle; at 100 TB the cost is the scan.
+    (For vocabularies beyond broadcast size, switch to the explode +
+    join + re-aggregate shape keyed by (doc, pos).)"""
+    entries = vocab.select(
+        F.map_from_entries(F.collect_list(
+            F.struct("term", "token_id"))).alias("m"))
+    return (docs.crossJoin(F.broadcast(entries))
+            .select(F.col(id_col),
+                    F.transform(
+                        tokens(text_col),
+                        lambda t: F.coalesce(F.element_at("m", t),
+                                             F.lit(oov_id)))
+                    .alias("token_ids"))
+            )

@@ -2745,3 +2745,48 @@ def drift_psi_event_values_q(spark, sf_dir):
         "base").otherwise("compare")
     return drift_psi(ev, "event_type", "value", period,
                      lo=0.0, hi=500.0, n_bins=10)
+
+
+# --- vocabulary build + order-preserving token-id encoding -----------------
+
+@_q("encode_docs_vocab1k", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tf AS (
+  SELECT u.term, COUNT(*) AS n FROM toks, unnest(t) AS u(term)
+  GROUP BY u.term
+),
+vocab AS (
+  SELECT term, token_id FROM (
+    SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS token_id
+    FROM tf)
+  WHERE token_id <= 1000
+),
+pos AS (
+  SELECT doc_id, i, t[i] AS term
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+enc AS (
+  SELECT p.doc_id, p.i,
+         CAST(COALESCE(v.token_id, 0) AS INTEGER) AS tid
+  FROM pos p LEFT JOIN vocab v ON p.term = v.term
+),
+g AS (SELECT doc_id, list(tid ORDER BY i) AS token_ids FROM enc
+      GROUP BY doc_id)
+SELECT toks.doc_id,
+       COALESCE(g.token_ids, CAST([] AS INTEGER[])) AS token_ids
+FROM toks LEFT JOIN g USING (doc_id)
+""")
+def encode_docs_vocab1k_q(spark, sf_dir):
+    """Corpus id-ification: frequency-ranked 1k vocabulary (ties by
+    term → deterministic ids), then an order-preserving narrow encode
+    via ONE broadcast map literal — no explode/join/shuffle on the
+    corpus side. OOV → 0."""
+    from vega_spark.functions.text import build_vocab, encode_tokens
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", size=1000)
+    return encode_tokens(docs, vocab, "text", "doc_id")
