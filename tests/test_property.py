@@ -88,3 +88,51 @@ def test_histogram_fixed_matches_python_reference(spark, xs):
         if 0.0 <= x <= 10.0:
             want[min(int(x // 2.5), 3)] += 1
     assert got == dict(want)
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=1, max_size=30, unique=True))
+@SLOW
+def test_hash_split_total_and_disjoint(spark, ids):
+    from vega_spark.operators.sampling import hash_split
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = hash_split(df, "doc_id").collect()
+    # total function: every id assigned exactly one split
+    assert len(out) == len(ids)
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+
+
+@given(toks=st.lists(st.integers(min_value=1, max_value=9),
+                     min_size=1, max_size=20),
+       budget=st.integers(min_value=2, max_value=15))
+@SLOW
+def test_pack_sequences_bins_contiguous_and_bounded(spark, toks, budget):
+    from vega_spark.functions.pipeline import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * n) for i, n in enumerate(toks)],
+        "doc_id long, lang string, text string")
+    out = pack_sequences(docs, budget).collect()
+    # bins form a contiguous 0..B range and every bin's tokens stay
+    # under budget + one overflowing doc (streaming first-fit bound)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin"], []).append(r["n_tokens"])
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    for b, sizes in by_bin.items():
+        assert sum(sizes) - max(sizes) < budget
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 5)),
+                     min_size=0, max_size=25))
+@SLOW
+def test_table_diff_self_is_empty_and_detects_all(spark, rows):
+    from vega_spark.operators.merge import table_diff
+    uniq = {k: v for k, v in rows}
+    if not uniq:
+        return
+    df = spark.createDataFrame(list(uniq.items()), "k long, v long")
+    assert table_diff(df, df, ["k"], ["v"]).count() == 0
+    shifted = df.withColumn("v", F.col("v") + 1)
+    out = table_diff(df, shifted, ["k"], ["v"]).collect()
+    assert len(out) == len(uniq)
+    assert all(r["change_type"] == "changed" for r in out)
