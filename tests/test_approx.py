@@ -123,3 +123,36 @@ def test_cms_merge_equals_whole(spark):
     got = sorted((r.row, r.bucket, r.cnt) for r in merged.collect())
     want = sorted((r.row, r.bucket, r.cnt) for r in whole.collect())
     assert got == want
+
+
+def test_partial_aggregate_generic_custom_evaluator(spark):
+    from vega_spark.operators.approx import partial_aggregate
+    df = spark.range(0, 1000, numPartitions=8)
+    # custom action: max via the generic framework, exact on full run
+    got = partial_aggregate(
+        df.rdd,
+        lambda it: max((r[0] for r in it), default=None),
+        lambda a, p: p if a is None or (p is not None and p > a) else a,
+        None,
+        lambda acc, done, total: (acc, done, total),
+        timeout_ms=60_000)
+    assert got == (999, 8, 8)
+
+
+def test_partial_aggregate_deadline_partial(spark):
+    from vega_spark.operators.approx import partial_aggregate
+    df = spark.range(0, 1000, numPartitions=8)
+    acc, done, total = partial_aggregate(
+        df.rdd, lambda it: sum(1 for _ in it), lambda a, p: a + p, 0,
+        lambda a, d, t: (a, d, t), timeout_ms=0, chunk=2)
+    assert total == 8 and 2 <= done <= 8 and acc == done * 125
+
+
+def test_mean_approx_exact_and_partial(spark):
+    from vega_spark.operators.approx import mean_approx
+    df = spark.createDataFrame([(float(i),) for i in range(100)],
+                               "value double")
+    r = mean_approx(df, "value", timeout_ms=60_000)
+    assert r.is_exact() and abs(r.mean - 49.5) < 1e-9
+    p = mean_approx(df.repartition(8), "value", timeout_ms=0, chunk=2)
+    assert p.low <= p.mean <= p.high

@@ -7,9 +7,9 @@ whatever task results arrived, extrapolating the rest:
 - count_by_value_approx  reference src/rdd/rdd.rs:461-499 +
   src/partial/grouped_count_evaluator.rs:1-61
 - BoundedDouble          reference src/partial/bounded_double.rs:1-38
-- generic evaluator      reference src/context.rs:508-524 — subsumed
-  by ``partial_aggregate`` below (per-partition jobs merged
-  incrementally under a deadline).
+- generic evaluator      reference src/context.rs:508-524 →
+  ``partial_aggregate`` below: the evaluator/timeout framework all
+  the concrete actions (and ``mean_approx``) instantiate.
 
 Implementation: PySpark can run a job over a *subset* of partitions
 (``SparkContext.runJob(rdd, f, partitions)``); we submit per-partition
@@ -61,42 +61,64 @@ def _z(confidence: float) -> float:
     return (lo + hi) / 2
 
 
+def partial_aggregate(rdd, partition_fn, merge_fn, init, evaluator,
+                      timeout_ms: float, chunk: int = 4):
+    """The GENERIC deadline-bounded partial action — reference
+    ``run_approximate_job(func, rdd, evaluator, timeout)``
+    (context.rs:508-524 + approximate_action_listener.rs): submit
+    per-partition jobs incrementally (``chunk`` partitions per
+    ``SparkContext.runJob``), fold each partition's ``partition_fn``
+    result into an accumulator with ``merge_fn``, stop at the
+    deadline (always completing at least one chunk), and hand
+    ``evaluator(acc, n_done, n_total)`` the partials to extrapolate.
+    count/sum/count-by-value below are thin instantiations; any
+    user evaluator slots in the same way.
+
+    Scale note: each runJob chunk is a real distributed job over only
+    those partitions — the driver never pulls rows, only the per-
+    partition partials (the same contract as the reference's
+    evaluator merge)."""
+    sc = rdd.context
+    n_parts = rdd.getNumPartitions()
+    deadline = time.monotonic() + timeout_ms / 1000.0
+    done = 0
+    acc = init
+    while done < n_parts:
+        if done > 0 and time.monotonic() >= deadline:
+            break
+        parts = list(range(done, min(done + chunk, n_parts)))
+        for p in sc.runJob(rdd, lambda it: [partition_fn(it)], parts):
+            acc = merge_fn(acc, p)
+        done += len(parts)
+    return evaluator(acc, done, n_parts)
+
+
 def count_approx(df: DataFrame, timeout_ms: float,
                  confidence: float = 0.95,
                  chunk: int = 4) -> BoundedDouble:
     """Count with a deadline: exact if all partitions finish in time,
     extrapolated otherwise (reference semantics: rdd.rs:1018-1056).
     Empty input → (0, 0, 0, inf) like count_evaluator.rs:41-47."""
-    rdd = df.rdd
-    sc = df.sparkSession.sparkContext
-    n_parts = rdd.getNumPartitions()
-    deadline = time.monotonic() + timeout_ms / 1000.0
-
     def count_iter(it):
         n = 0
         for _ in it:
             n += 1
         return n
 
-    done = 0
-    seen = 0
-    while done < n_parts:
-        if done > 0 and time.monotonic() >= deadline:
-            break
-        parts = list(range(done, min(done + chunk, n_parts)))
-        seen += sum(sc.runJob(rdd, lambda it: [count_iter(it)], parts))
-        done += len(parts)
+    def evaluate(seen, done, n_parts):
+        if done == n_parts:
+            return BoundedDouble(float(seen), 1.0, float(seen), float(seen))
+        if done == 0 or seen == 0:
+            return BoundedDouble(0.0, 0.0, 0.0, float("inf"))
+        mean = seen / done * n_parts
+        # Poisson-ish CI on the extrapolated total
+        var = seen * (n_parts / done) * (n_parts / done - 1.0)
+        sd = math.sqrt(max(var, 0.0))
+        z = _z(confidence)
+        return BoundedDouble(mean, confidence, mean - z * sd, mean + z * sd)
 
-    if done == n_parts:
-        return BoundedDouble(float(seen), 1.0, float(seen), float(seen))
-    if done == 0 or seen == 0:
-        return BoundedDouble(0.0, 0.0, 0.0, float("inf"))
-    mean = seen / done * n_parts
-    # Poisson-ish CI on the extrapolated total
-    var = seen * (n_parts / done) * (n_parts / done - 1.0)
-    sd = math.sqrt(max(var, 0.0))
-    z = _z(confidence)
-    return BoundedDouble(mean, confidence, mean - z * sd, mean + z * sd)
+    return partial_aggregate(df.rdd, count_iter, lambda a, p: a + p, 0,
+                             evaluate, timeout_ms, chunk)
 
 
 def count_by_value_approx(df: DataFrame, cols: Sequence[str],
@@ -105,11 +127,6 @@ def count_by_value_approx(df: DataFrame, cols: Sequence[str],
     """Grouped count with a deadline (grouped_count_evaluator.rs:1-61):
     per-partition HashMap counts merged on the driver, extrapolated
     by the fraction of partitions seen."""
-    rdd = df.select(*cols).rdd
-    sc = df.sparkSession.sparkContext
-    n_parts = rdd.getNumPartitions()
-    deadline = time.monotonic() + timeout_ms / 1000.0
-
     def count_map(it):
         m: dict[tuple, int] = {}
         for row in it:
@@ -117,29 +134,28 @@ def count_by_value_approx(df: DataFrame, cols: Sequence[str],
             m[k] = m.get(k, 0) + 1
         return m
 
-    done = 0
-    merged: dict[tuple, int] = {}
-    while done < n_parts:
-        if done > 0 and time.monotonic() >= deadline:
-            break
-        parts = list(range(done, min(done + chunk, n_parts)))
-        for m in sc.runJob(rdd, lambda it: [count_map(it)], parts):
-            for k, v in m.items():
-                merged[k] = merged.get(k, 0) + v
-        done += len(parts)
+    def merge(acc: dict[tuple, int], m: dict[tuple, int]):
+        for k, v in m.items():
+            acc[k] = acc.get(k, 0) + v
+        return acc
 
-    scale = n_parts / done if done else 0.0
-    exact = done == n_parts
-    z = _z(confidence)
-    out: dict[tuple, BoundedDouble] = {}
-    for k, v in merged.items():
-        if exact:
-            out[k] = BoundedDouble(float(v), 1.0, float(v), float(v))
-        else:
-            mean = v * scale
-            sd = math.sqrt(max(v * scale * (scale - 1.0), 0.0))
-            out[k] = BoundedDouble(mean, confidence, mean - z * sd, mean + z * sd)
-    return out
+    def evaluate(merged, done, n_parts):
+        scale = n_parts / done if done else 0.0
+        exact = done == n_parts
+        z = _z(confidence)
+        out: dict[tuple, BoundedDouble] = {}
+        for k, v in merged.items():
+            if exact:
+                out[k] = BoundedDouble(float(v), 1.0, float(v), float(v))
+            else:
+                mean = v * scale
+                sd = math.sqrt(max(v * scale * (scale - 1.0), 0.0))
+                out[k] = BoundedDouble(mean, confidence,
+                                       mean - z * sd, mean + z * sd)
+        return out
+
+    return partial_aggregate(df.select(*cols).rdd, count_map, merge, {},
+                             evaluate, timeout_ms, chunk)
 
 
 def approx_count_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
@@ -159,11 +175,6 @@ def percentile_approx(df: DataFrame, col: str,
 def sum_approx(df: DataFrame, col: str, timeout_ms: float,
                confidence: float = 0.95, chunk: int = 4) -> BoundedDouble:
     """Deadline-bounded sum, same partial mechanism as count_approx."""
-    rdd = df.select(col).rdd
-    sc = df.sparkSession.sparkContext
-    n_parts = rdd.getNumPartitions()
-    deadline = time.monotonic() + timeout_ms / 1000.0
-
     def sum_iter(it):
         s = 0.0
         for row in it:
@@ -172,19 +183,47 @@ def sum_approx(df: DataFrame, col: str, timeout_ms: float,
                 s += v
         return s
 
-    done = 0
-    seen = 0.0
-    while done < n_parts:
-        if done > 0 and time.monotonic() >= deadline:
-            break
-        parts = list(range(done, min(done + chunk, n_parts)))
-        seen += sum(sc.runJob(rdd, lambda it: [sum_iter(it)], parts))
-        done += len(parts)
+    def evaluate(seen, done, n_parts):
+        if done == n_parts:
+            return BoundedDouble(seen, 1.0, seen, seen)
+        if done == 0:
+            return BoundedDouble(0.0, 0.0, float("-inf"), float("inf"))
+        mean = seen / done * n_parts
+        spread = abs(mean - seen)  # coarse bound; no row variance kept
+        return BoundedDouble(mean, confidence, mean - spread, mean + spread)
 
-    if done == n_parts:
-        return BoundedDouble(seen, 1.0, seen, seen)
-    if done == 0:
-        return BoundedDouble(0.0, 0.0, float("-inf"), float("inf"))
-    mean = seen / done * n_parts
-    spread = abs(mean - seen)  # coarse bound; partial sums lack row variance
-    return BoundedDouble(mean, confidence, mean - spread, mean + spread)
+    return partial_aggregate(df.select(col).rdd, sum_iter,
+                             lambda a, p: a + p, 0.0,
+                             evaluate, timeout_ms, chunk)
+
+
+def mean_approx(df: DataFrame, col: str, timeout_ms: float,
+                confidence: float = 0.95, chunk: int = 4) -> BoundedDouble:
+    """Deadline-bounded mean — a NEW action written purely against
+    the generic framework (the extensibility the reference's
+    evaluator trait promises): partials are (sum, count) pairs, the
+    evaluator divides. A partial mean needs no extrapolation — the
+    seen rows' mean IS the estimate; only the interval widens."""
+    def sum_count(it):
+        s, n = 0.0, 0
+        for row in it:
+            v = row[0]
+            if v is not None:
+                s += v
+                n += 1
+        return (s, n)
+
+    def evaluate(acc, done, n_parts):
+        s, n = acc
+        if n == 0:
+            return BoundedDouble(0.0, 0.0, float("-inf"), float("inf"))
+        mean = s / n
+        if done == n_parts:
+            return BoundedDouble(mean, 1.0, mean, mean)
+        frac_unseen = 1.0 - done / n_parts
+        spread = abs(mean) * frac_unseen  # coarse, like sum_approx
+        return BoundedDouble(mean, confidence, mean - spread, mean + spread)
+
+    return partial_aggregate(df.select(col).rdd, sum_count,
+                             lambda a, p: (a[0] + p[0], a[1] + p[1]),
+                             (0.0, 0), evaluate, timeout_ms, chunk)
