@@ -127,3 +127,34 @@ def test_cogroup_apply_both_and_one_sided_keys(spark):
     # key present on either side shows up, with empty pandas frame for
     # the missing side — reference cogroup emits empty Vecs likewise
     assert out == [(1, 2, 1), (2, 0, 1), (3, 1, 0)]
+
+
+def test_asof_forward_picks_next_at_or_after(spark):
+    from vega_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 2, 50)], "id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 300, 30.0), (2, 40, 4.0)],
+        "k long, ts long, v double")
+    out = {r["id"]: r["v"]
+           for r in asof_join(left, right, ["k"], "ts", ["v"],
+                              how="left", direction="forward").collect()}
+    assert out[1] == 10.0   # equal ts matches forward
+    assert out[2] == 30.0   # next at 300
+    assert out[3] is None   # right at 40 is before 50 -> no forward match
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from vega_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 1000)], "id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 90, 9.0)], "k long, ts long, v double")
+    got = {r["id"]: r["v"]
+           for r in asof_join(left, right, ["k"], "ts", ["v"], how="left",
+                              tolerance=50).collect()}
+    assert got[1] == 9.0     # distance 10 <= 50
+    assert got[2] is None    # distance 910 > 50 -> stale
+    inner = asof_join(left, right, ["k"], "ts", ["v"], how="inner",
+                      tolerance=50)
+    assert [r["id"] for r in inner.collect()] == [1]

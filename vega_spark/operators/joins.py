@@ -113,46 +113,75 @@ def zip_with_index(df: DataFrame, order: Sequence[str],
 
 def asof_join(left: DataFrame, right: DataFrame,
               key_cols: Sequence[str], ts_col: str,
-              value_cols: Sequence[str], how: str = "inner") -> DataFrame:
-    """As-of (backward) join: each left row picks the latest right row
-    with ``right.ts <= left.ts`` per key — a temporal operator the
-    reference lacks entirely (only equi-joins, SURVEY §2.4).
+              value_cols: Sequence[str], how: str = "inner",
+              direction: str = "backward",
+              tolerance: int | None = None) -> DataFrame:
+    """As-of join: each left row picks the nearest right row per key —
+    ``direction='backward'`` the latest with ``right.ts <= left.ts``,
+    ``'forward'`` the earliest with ``right.ts >= left.ts``. A
+    temporal operator the reference lacks entirely (only equi-joins,
+    SURVEY §2.4). ``tolerance`` (same units as ``ts_col``) bounds the
+    match distance — a stale quote/state older than the tolerance is
+    treated as no match (pandas merge_asof semantics).
 
     Physical strategy (the scalable one): tag both sides, union, and
-    run one ``last(..., ignorenulls)`` window per value column over
-    (key, ts) order. That is a single hash shuffle on the key plus one
-    per-partition sort — no range-explosion cross join, no per-key
-    state on the driver, and skewed keys are still split by AQE. A
-    naive ``left.ts >= right.ts`` theta-join is O(|L|·|R|) per key and
-    would not survive 100x data.
+    run one ``last/first(..., ignorenulls)`` window per value column
+    over (key, ts) order. That is a single hash shuffle on the key
+    plus one per-partition sort — no range-explosion cross join, no
+    per-key state on the driver, and skewed keys are still split by
+    AQE. A naive ``left.ts >= right.ts`` theta-join is O(|L|·|R|) per
+    key and would not survive 100x data.
 
-    Equal timestamps on both sides match (right sorts first).
-    ``how='inner'`` drops left rows with no prior right row
-    (DuckDB ASOF JOIN semantics); ``'left'`` keeps them with nulls.
+    Equal timestamps on both sides match in either direction.
+    ``how='inner'`` drops unmatched left rows (DuckDB ASOF JOIN
+    semantics); ``'left'`` keeps them with nulls.
     """
     from pyspark.sql.window import Window
 
     key_cols = list(key_cols)
     value_cols = list(value_cols)
+    fill_cols = value_cols + ["__rts"]
     rtypes = dict(right.dtypes)
+    rtypes["__rts"] = dict(right.dtypes)[ts_col]
     l = left.withColumn("__side", F.lit(1))
-    for c in value_cols:
+    for c in fill_cols:
         l = l.withColumn(c, F.lit(None).cast(rtypes[c]))
-    r = right.select(*key_cols, ts_col, *value_cols)
+    r = (right.select(*key_cols, ts_col, *value_cols)
+         .withColumn("__rts", F.col(ts_col)))
     for c in left.columns:
         if c not in key_cols and c != ts_col:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     r = r.withColumn("__side", F.lit(0))
     u = l.unionByName(r)
-    w = (Window.partitionBy(*key_cols)
-         .orderBy(F.col(ts_col), F.col("__side"))
-         .rowsBetween(Window.unboundedPreceding, 0))
-    for c in value_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if direction == "backward":
+        # right (side 0) sorts before left at equal ts → visible in
+        # the preceding-inclusive frame
+        w = (Window.partitionBy(*key_cols)
+             .orderBy(F.col(ts_col), F.col("__side"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    elif direction == "forward":
+        # left sorts before right at equal ts → right visible in the
+        # following-inclusive frame
+        w = (Window.partitionBy(*key_cols)
+             .orderBy(F.col(ts_col), F.col("__side").desc())
+             .rowsBetween(0, Window.unboundedFollowing))
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    for c in fill_cols:
+        u = u.withColumn(c, fill(c))
     out = u.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        dist = (F.col(ts_col) - F.col("__rts") if direction == "backward"
+                else F.col("__rts") - F.col(ts_col))
+        ok = F.col("__rts").isNotNull() & (dist <= tolerance)
+        for c in value_cols:
+            out = out.withColumn(c, F.when(ok, F.col(c)))
+        out = out.withColumn("__rts", F.when(ok, F.col("__rts")))
     if how == "inner":
-        out = out.filter(F.col(value_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__rts").isNotNull())
+    return out.drop("__rts")
 
 
 def range_join_bucketed(left: DataFrame, right: DataFrame,

@@ -2790,3 +2790,37 @@ def encode_docs_vocab1k_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "text", size=1000)
     return encode_tokens(docs, vocab, "text", "doc_id")
+
+
+# --- as-of join, forward direction with tolerance --------------------------
+
+@_q("asof_join_forward_tolerance", """
+WITH r AS (
+  SELECT user_id, ts, MAX(value) AS next_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+m AS (
+  SELECT l.event_id, l.user_id, l.ts,
+         (SELECT MIN(r.ts) FROM r
+          WHERE r.user_id = l.user_id AND r.ts >= l.ts) AS mts
+  FROM events l
+)
+SELECT m.event_id, m.user_id, r.next_purchase_value
+FROM m JOIN r ON r.user_id = m.user_id AND r.ts = m.mts
+WHERE m.mts - m.ts <= INTERVAL 1 HOUR
+""")
+def asof_join_forward_tolerance_q(spark, sf_dir):
+    """FORWARD as-of with a 1-hour tolerance: each event picks the
+    user's next purchase at-or-after it, but only if it lands within
+    the hour (pandas merge_asof semantics). Same single-shuffle
+    union+window plan as the backward variant — the oracle replays it
+    with a correlated MIN subquery."""
+    ev = _t(spark, sf_dir, "events")
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("next_purchase_value")))
+    left = ev.select("event_id", "user_id", "ts")
+    out = J.asof_join(left, right, ["user_id"], "ts",
+                      ["next_purchase_value"], how="inner",
+                      direction="forward", tolerance=3600 * 10**9)
+    return out.select("event_id", "user_id", "next_purchase_value")
