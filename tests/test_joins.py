@@ -158,3 +158,16 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     inner = asof_join(left, right, ["k"], "ts", ["v"], how="inner",
                       tolerance=50)
     assert [r["id"] for r in inner.collect()] == [1]
+
+
+def test_cogroup_n_three_inputs_empty_sides(spark):
+    from vega_spark.operators.joins import cogroup_n
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, v string")
+    b = spark.createDataFrame([(2, "b1"), (3, "b2")], "k long, v string")
+    c = spark.createDataFrame([(3, "c1")], "k long, v string")
+    out = {r["key"]: (r["values_0"], r["values_1"], r["values_2"])
+           for r in cogroup_n([(a, "k", "v"), (b, "k", "v"),
+                               (c, "k", "v")]).collect()}
+    assert out[1] == (["a1"], [], [])
+    assert out[2] == (["a2"], ["b1"], [])
+    assert out[3] == ([], ["b2"], ["c1"])

@@ -236,3 +236,34 @@ def cogroup_apply(left: DataFrame, right: DataFrame,
     return (left.groupby(*lk)
             .cogroup(right.groupby(*rk))
             .applyInPandas(fn, schema))
+
+
+def cogroup_n(inputs: Sequence[tuple[DataFrame, str, str]],
+              key_name: str = "key",
+              sort_values: bool = True) -> DataFrame:
+    """N-ary ``cogroup`` — the reference's CoGroupedRdd takes any
+    number of inputs (co_grouped_rdd.rs:66-250; the binary `cogroup`
+    above is the common case). For every key present in ANY input,
+    one row with a values array per input (empty arrays where a side
+    lacks the key).
+
+    Physical shape: one partial collect_list aggregation per input,
+    then chained full-outer joins on the key — Spark coalesces the
+    USING key across sides, and inputs already partitioned on the key
+    elide their exchanges exactly like the reference's narrow cogroup
+    dependency."""
+    grouped = []
+    for i, (df, key, value) in enumerate(inputs):
+        grouped.append(
+            df.groupBy(F.col(key).alias(key_name))
+            .agg(F.collect_list(value).alias(f"values_{i}")))
+    out = grouped[0]
+    for g in grouped[1:]:
+        out = out.join(g, on=key_name, how="full_outer")
+    cols = [key_name]
+    for i in range(len(inputs)):
+        v = F.coalesce(f"values_{i}", F.array())
+        if sort_values:
+            v = F.sort_array(v)
+        cols.append(v.alias(f"values_{i}"))
+    return out.select(*cols)

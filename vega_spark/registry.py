@@ -2824,3 +2824,30 @@ def asof_join_forward_tolerance_q(spark, sf_dir):
                       ["next_purchase_value"], how="inner",
                       direction="forward", tolerance=3600 * 10**9)
     return out.select("event_id", "user_id", "next_purchase_value")
+
+
+# --- N-ary cogroup (reference CoGroupedRdd arity > 2) ----------------------
+
+@_q("cogroup_three_way", """
+WITH c AS (SELECT c_nationkey AS key, list_sort(list(c_name)) AS values_0
+           FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS key, list_sort(list(s_name)) AS values_1
+      FROM supplier GROUP BY 1),
+n AS (SELECT n_nationkey AS key, list_sort(list(n_name)) AS values_2
+      FROM nation GROUP BY 1)
+SELECT COALESCE(c.key, s.key, n.key) AS key,
+       COALESCE(values_0, []) AS values_0,
+       COALESCE(values_1, []) AS values_1,
+       COALESCE(values_2, []) AS values_2
+FROM c FULL JOIN s ON c.key = s.key
+       FULL JOIN n ON COALESCE(c.key, s.key) = n.key
+""")
+def cogroup_three_way_q(spark, sf_dir):
+    """3-way cogroup by nation key: customer names, supplier names,
+    and the nation name grouped per key in one pass (values sorted so
+    both engines agree on array order)."""
+    return J.cogroup_n([
+        (_t(spark, sf_dir, "customer"), "c_nationkey", "c_name"),
+        (_t(spark, sf_dir, "supplier"), "s_nationkey", "s_name"),
+        (_t(spark, sf_dir, "nation"), "n_nationkey", "n_name"),
+    ])
