@@ -67,6 +67,15 @@ BENCH_QUERIES = [
     "rolling_hour_value",          # RANGE-frame trailing-hour window
     "bucketed_join_priority_revenue",  # exchange-free SMJ over bucketed tables
     "pack_sequences_manifest",     # token-budget sequence packing
+    # round-1 final widening (one per new operator family):
+    "pagerank_part_affinity",      # iterative graph, 3 supersteps
+    "dedup_incremental_bloom",     # bloom runtime-filter + verify join
+    "drift_psi_event_values",      # distribution drift monitor
+    "udtf_sentences",              # LATERAL Python UDTF path
+    "encode_docs_vocab1k",         # vocab build + narrow encode
+    "partitioned_scan_prune",      # hive-partition directory pruning
+    "table_diff_orders",           # digest-reduced version diff
+    "asof_join_forward_tolerance",  # forward as-of with tolerance
 ]
 
 
