@@ -2851,3 +2851,46 @@ def cogroup_three_way_q(spark, sf_dir):
         (_t(spark, sf_dir, "supplier"), "s_nationkey", "s_name"),
         (_t(spark, sf_dir, "nation"), "n_nationkey", "n_name"),
     ])
+
+
+# --- unionByName with missing columns / modern aggregate surface -----------
+
+@_q("union_by_name_missing", """
+SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM orders
+WHERE o_orderkey % 100 = 0
+UNION ALL
+SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority FROM orders
+WHERE o_orderkey % 100 = 1
+""")
+def union_by_name_missing_q(spark, sf_dir):
+    """unionByName(allowMissingColumns=True): schema-evolving bag
+    union — each side's missing columns fill with NULL (the
+    capability gap a fixed-schema union can't cover when sources
+    evolve)."""
+    o = _t(spark, sf_dir, "orders")
+    a = (o.filter(F.col("o_orderkey") % 100 == 0)
+         .select("o_orderkey", "o_totalprice"))
+    b = (o.filter(F.col("o_orderkey") % 100 == 1)
+         .select("o_orderkey", "o_orderpriority"))
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@_q("modern_aggregates", """
+SELECT l_returnflag,
+       ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_deep_discount,
+       BOOL_AND(l_quantity >= 1) AS all_qty_positive,
+       BOOL_OR(l_discount = 0) AS any_zero_discount
+FROM lineitem GROUP BY l_returnflag
+""")
+def modern_aggregates_q(spark, sf_dir):
+    """Modern aggregate surface in one pass: MEDIAN (interpolated —
+    same quantile_cont semantics both engines), conditional COUNT
+    (FILTER), and BOOL_AND/BOOL_OR — all fold into the same
+    partial+final HashAggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_deep_discount"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") == 0).alias("any_zero_discount")))
