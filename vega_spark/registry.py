@@ -2894,3 +2894,84 @@ def modern_aggregates_q(spark, sf_dir):
         F.count_if(F.col("l_discount") > 0.05).alias("n_deep_discount"),
         F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_positive"),
         F.bool_or(F.col("l_discount") == 0).alias("any_zero_discount")))
+
+
+# --- forward-fill imputation (last non-null over time) ---------------------
+
+@_q("forward_fill_values", """
+SELECT event_id, user_id,
+       ROUND(LAST_VALUE(CASE WHEN event_type <> 'view' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS filled_value
+FROM events
+""")
+def forward_fill_values_q(spark, sf_dir):
+    """Forward-fill imputation: treat 'view' events' values as
+    missing and carry the user's last real value forward — one
+    last(ignorenulls) window over a single (user) exchange, the
+    canonical gap-repair primitive for sensor/event feeds."""
+    from pyspark.sql.window import Window as W
+    ev = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    masked = F.when(F.col("event_type") != "view", F.col("value"))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.last(masked, ignorenulls=True).over(w), 2)
+        .alias("filled_value"))
+
+
+# --- resample to a regular time grid with forward fill ---------------------
+
+@_q("resample_hourly_grid", """
+WITH e AS (
+  SELECT user_id,
+         CAST(EXTRACT(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS hb,
+         ts, event_id, value
+  FROM events
+),
+hourly AS (
+  SELECT user_id, hb, value AS v FROM (
+    SELECT user_id, hb, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, hb
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1
+),
+span AS (SELECT user_id, MIN(hb) AS a, MAX(hb) AS b FROM e GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(a, b, 3600)) AS hb
+         FROM span),
+j AS (SELECT g.user_id, g.hb, h.v
+      FROM grid g LEFT JOIN hourly h USING (user_id, hb))
+SELECT user_id, hb AS hour_start_s,
+       ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hb
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
+FROM j
+""")
+def resample_hourly_grid_q(spark, sf_dir):
+    """Resample each user's events to a REGULAR hourly grid (their
+    min..max hour), carrying the hour's last value forward across
+    empty hours — the time-series regularization step before any
+    grid-based model. Plan: per-(user, hour) last via max_by (one
+    exchange), grid fan-out narrowly from a sequence() per user, one
+    more (user)-keyed window for the fill."""
+    from pyspark.sql.window import Window as W
+    ev = _t(spark, sf_dir, "events")
+    hb = ts_hour_bucket_epoch_s("ts")
+    e = ev.select("user_id", hb.alias("hb"), "ts", "event_id", "value")
+    hourly = (e.groupBy("user_id", "hb")
+              .agg(F.max_by("value", F.struct("ts", "event_id")).alias("v")))
+    span = e.groupBy("user_id").agg(F.min("hb").alias("a"),
+                                    F.max("hb").alias("b"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("a", "b", F.lit(3600).cast("bigint")))
+        .alias("hb"))
+    j = grid.join(hourly, ["user_id", "hb"], "left")
+    w = (W.partitionBy("user_id").orderBy("hb")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return j.select(
+        "user_id", F.col("hb").alias("hour_start_s"),
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("value"))
