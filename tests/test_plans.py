@@ -276,3 +276,26 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     # a global sort must sample range boundaries, not hash-partition
     # (hash would interleave ranges across reducers)
     assert "rangepartitioning" in txt.lower(), txt
+
+
+def test_zip_with_index_has_no_window(spark, sf_dir):
+    # VERDICT r01 scale fix: the old plan ranked via an unpartitioned
+    # Window (all rows through one task). The scalable plan is
+    # range-partition + per-partition offsets — no WindowExec at all.
+    from vega_spark.operators.joins import zip_with_index
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    q = zip_with_index(c, ["c_custkey"], "idx")
+    txt = I.plan_text(q)
+    assert "Window" not in txt, txt
+    assert "rangepartitioning" in txt.lower(), txt
+
+
+def test_build_vocab_ranked_head_is_bounded(spark, sf_dir):
+    # VERDICT r01 scale fix: top-`size` cut must plan as
+    # TakeOrderedAndProject BEFORE the id-assigning window, so the
+    # single-partition stage is bounded by vocab size, not corpus
+    # vocabulary.
+    from vega_spark.functions.text import build_vocab
+    docs = load_table(spark, sf_dir, "documents")
+    q = build_vocab(docs, "text", size=100)
+    assert I.uses_take_ordered(q), I.plan_text(q)

@@ -317,7 +317,11 @@ def zipf_rank_frequency(df: DataFrame, text_col: str,
     toks = df.select(F.explode(tokens(text_col)).alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(top_n)
-    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    # partitionBy(lit(0)): the ranking stage is bounded at top_n rows
+    # whatever the SF, so a single partition is the intended plan; the
+    # literal key only suppresses WindowExec's unpartitioned-window
+    # warning, which is aimed at unbounded inputs.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("term"))
     return top.withColumn("rank", F.row_number().over(w))
 
 
@@ -348,9 +352,19 @@ def build_vocab(docs: DataFrame, text_col: str = "text",
     tf = (docs.select(F.explode(tokens(text_col)).alias("term"))
           .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
           .filter(F.col("n") >= min_count))
-    w = Window.orderBy(F.desc("n"), F.asc("term"))
-    return (tf.withColumn("token_id", F.row_number().over(w))
-            .filter(F.col("token_id") <= size)
+    # top-`size` cut FIRST via TakeOrderedAndProject (per-partition
+    # bounded heaps merged at the driver — same pattern as
+    # zipf_rank_frequency), so the id-assigning window only ever sees
+    # <= size rows: its single-partition stage is bounded by the vocab
+    # size, not the corpus vocabulary (which at web scale is tens of
+    # millions of terms — ranking that through one task was the old,
+    # correct-but-single-reducer plan).
+    top = tf.orderBy(F.desc("n"), F.asc("term")).limit(size)
+    # partitionBy(lit(0)) — single partition IS the plan (input is
+    # <= size rows); the literal key suppresses the unpartitioned-
+    # window warning that is aimed at unbounded inputs.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("term"))
+    return (top.withColumn("token_id", F.row_number().over(w))
             .select("term", "token_id", "n"))
 
 

@@ -87,15 +87,13 @@ def zip_by_order(left: DataFrame, right: DataFrame,
     explicit total orderings (reference zips partition iterators —
     that ordering is only reproducible with an explicit sort key).
 
-    Implementation: row_number over each ordering, inner join on the
-    index. Two range-partitioned sorts + one join; at 100 TB prefer a
-    shared key over positional semantics."""
-    from pyspark.sql.window import Window
-
-    lw = Window.orderBy(*[F.col(c) for c in left_order])
-    rw = Window.orderBy(*[F.col(c) for c in right_order])
-    li = left.withColumn("__idx", F.row_number().over(lw))
-    ri = right.withColumn("__idx", F.row_number().over(rw))
+    Implementation: scalable zip_with_index on each side (see below —
+    range-partitioned, no global single-task window), inner join on
+    the index. The index join shuffles on a uniform BIGINT, so there
+    is no skew; at 100 TB prefer a shared key over positional
+    semantics when one exists."""
+    li = zip_with_index(left, left_order, "__idx")
+    ri = zip_with_index(right, right_order, "__idx")
     # disambiguate colliding column names with suffixes, like rdd.zip's tuple
     rcols = [F.col(c).alias(c if c not in left.columns else c + "_right")
              for c in right.columns]
@@ -104,11 +102,47 @@ def zip_by_order(left: DataFrame, right: DataFrame,
 
 def zip_with_index(df: DataFrame, order: Sequence[str],
                    index_name: str = "index") -> DataFrame:
-    """zipWithIndex under an explicit ordering (0-based)."""
-    from pyspark.sql.window import Window
+    """zipWithIndex under an explicit ordering (0-based) — the
+    scalable plan, mirroring how the reference's ZippedPartitionsRdd /
+    RDD.zip_with_index family works per-partition (zip_rdd.rs:32-150):
 
-    w = Window.orderBy(*[F.col(c) for c in order])
-    return df.withColumn(index_name, F.row_number().over(w) - F.lit(1))
+    1. range-partition + sort within partitions on the ordering
+       (partition p's keys all precede partition p+1's);
+    2. local 0-based position per partition via
+       ``monotonically_increasing_id`` arithmetic (its low 33 bits
+       are the within-partition record counter) — a narrow projection
+       in the sort stage, NO window;
+    3. a per-partition COUNT job (returns one row per partition — the
+       same O(num_partitions) driver exchange as rdd.zipWithIndex),
+       whose cumulative offsets broadcast-join back;
+    4. index = offset[pid] + local position.
+
+    No ``Window.orderBy`` without partitioning anywhere, so no
+    all-rows-through-one-task stage: the old plan was correct but
+    single-reducer; this one keeps every stage at full parallelism
+    and survives a 100x scale-up. Cost: the sorted frame is computed
+    twice (count job + final job) — identical to rdd.zipWithIndex's
+    contract; ties in the ordering get an arbitrary but valid index
+    within their tie group either way.
+    """
+    sort_cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    s = (df.repartitionByRange(*sort_cols)
+         .sortWithinPartitions(*sort_cols)
+         .select("*", F.spark_partition_id().alias("__pid"),
+                 F.monotonically_increasing_id()
+                 .bitwiseAND(F.lit((1 << 33) - 1)).alias("__lidx")))
+    counts = s.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    sizes = {r["__pid"]: r["__n"] for r in counts}
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = df.sparkSession.createDataFrame(offsets or [(0, 0)],
+                                          "__pid int, __off long")
+    return (s.join(F.broadcast(off), "__pid")
+            .withColumn(index_name,
+                        (F.col("__off") + F.col("__lidx")).cast("long"))
+            .drop("__pid", "__lidx", "__off"))
 
 
 def asof_join(left: DataFrame, right: DataFrame,

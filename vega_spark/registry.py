@@ -397,15 +397,13 @@ WITH a AS (
 SELECT a.c_custkey, b.c_name FROM a JOIN b ON a.idx = b.idx
 """)
 def zip_q(spark, sf_dir):
-    from pyspark.sql.window import Window
     c = _t(spark, sf_dir, "customer")
-    lw = Window.orderBy(F.col("c_custkey").asc())
-    rw = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    li = c.select("c_custkey").withColumn("__idx", F.row_number().over(lw))
-    ri = c.select("c_name", "c_acctbal", "c_custkey").withColumn(
-        "__idx", F.row_number().over(rw))
-    return li.join(ri.select("__idx", "c_name"), "__idx").select(
-        "c_custkey", "c_name")
+    out = J.zip_by_order(
+        c.select("c_custkey"),
+        c.select("c_name", "c_acctbal", "c_custkey"),
+        ["c_custkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()])
+    return out.select("c_custkey", "c_name")
 
 
 # --- §2.5 keyed aggregation ---------------------------------------------------
