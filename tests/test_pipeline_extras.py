@@ -273,3 +273,15 @@ def test_bloom_dedup_equals_plain_anti_join(spark, sf_dir):
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
     """).fetchone()[0]
     assert bloom.count() == oracle_n
+
+
+def test_hash_split_threshold_rounding_to_256(spark):
+    # ADVICE r01: a non-final cumulative fraction rounding to 256 used
+    # to format as 3-hex '100', breaking the 2-char lexicographic
+    # compare ('ff' < '100' is False) and dumping ~94% of the hash
+    # range into the last split. On the 256-grid, 0.999 rounds to the
+    # whole range, so EVERY row must land in 'a'.
+    from vega_spark.operators.sampling import hash_split
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", [("a", 0.999), ("b", 0.001)])
+    assert {r["split"] for r in out.collect()} == {"a"}

@@ -121,12 +121,32 @@ def count_approx(df: DataFrame, timeout_ms: float,
                              evaluate, timeout_ms, chunk)
 
 
+class ApproxKeyOverflow(RuntimeError):
+    """count_by_value_approx saw more distinct keys than ``max_keys``.
+
+    The driver-side merge map is the reference's own design
+    (grouped_count_evaluator.rs keeps an OLAMap of every key on the
+    driver) — faithful, but an unbounded driver dict OOMs at
+    100 TB on a high-cardinality column. The cap turns that silent
+    failure mode into an explicit signal; the message points at the
+    distributed alternatives."""
+
+
 def count_by_value_approx(df: DataFrame, cols: Sequence[str],
                           timeout_ms: float, confidence: float = 0.95,
-                          chunk: int = 4) -> dict[tuple, BoundedDouble]:
+                          chunk: int = 4,
+                          max_keys: int = 100_000) -> dict[tuple, BoundedDouble]:
     """Grouped count with a deadline (grouped_count_evaluator.rs:1-61):
     per-partition HashMap counts merged on the driver, extrapolated
-    by the fraction of partitions seen."""
+    by the fraction of partitions seen.
+
+    ``max_keys`` bounds the driver-side merge map (the reference keeps
+    an unbounded OLAMap — fine for its test scale, an OOM at 100 TB
+    on a high-cardinality column). Exceeding it raises
+    :class:`ApproxKeyOverflow`; for unbounded cardinality use the
+    distributed ``count_by_value`` (a DataFrame, never on the driver)
+    or the CMS heavy-hitters sketch (``sketches.cms_build`` /
+    ``cms_topk``), which is O(width x depth) regardless of keys."""
     def count_map(it):
         m: dict[tuple, int] = {}
         for row in it:
@@ -137,6 +157,12 @@ def count_by_value_approx(df: DataFrame, cols: Sequence[str],
     def merge(acc: dict[tuple, int], m: dict[tuple, int]):
         for k, v in m.items():
             acc[k] = acc.get(k, 0) + v
+        if len(acc) > max_keys:
+            raise ApproxKeyOverflow(
+                f"count_by_value_approx: merged map exceeded {max_keys} "
+                "distinct keys; use count_by_value (distributed) or "
+                "sketches.cms_build heavy-hitters instead, or raise "
+                "max_keys.")
         return acc
 
     def evaluate(merged, done, n_parts):

@@ -169,19 +169,30 @@ def asof_join(left: DataFrame, right: DataFrame,
     Equal timestamps on both sides match in either direction.
     ``how='inner'`` drops unmatched left rows (DuckDB ASOF JOIN
     semantics); ``'left'`` keeps them with nulls.
+
+    The matched right row is carried as ONE struct (all value columns
+    + its timestamp) filled by a single last/first(ignorenulls) — an
+    atomic carry. Filling each value column independently would let a
+    column that is NULL in the nearest right row be back-filled from
+    a farther row, silently mixing rows (and leaking values past
+    ``tolerance``, since only the nearest row's timestamp was
+    checked).
     """
+    from pyspark.sql.types import StructField, StructType
     from pyspark.sql.window import Window
 
     key_cols = list(key_cols)
     value_cols = list(value_cols)
-    fill_cols = value_cols + ["__rts"]
-    rtypes = dict(right.dtypes)
-    rtypes["__rts"] = dict(right.dtypes)[ts_col]
-    l = left.withColumn("__side", F.lit(1))
-    for c in fill_cols:
-        l = l.withColumn(c, F.lit(None).cast(rtypes[c]))
-    r = (right.select(*key_cols, ts_col, *value_cols)
-         .withColumn("__rts", F.col(ts_col)))
+    rschema = {f.name: f.dataType for f in right.schema.fields}
+    row_type = StructType(
+        [StructField(c, rschema[c]) for c in value_cols]
+        + [StructField("__rts", rschema[ts_col])])
+    l = (left.withColumn("__side", F.lit(1))
+         .withColumn("__rrow", F.lit(None).cast(row_type)))
+    r = right.select(
+        *key_cols, ts_col,
+        F.struct(*[F.col(c) for c in value_cols],
+                 F.col(ts_col).alias("__rts")).alias("__rrow"))
     for c in left.columns:
         if c not in key_cols and c != ts_col:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
@@ -203,19 +214,19 @@ def asof_join(left: DataFrame, right: DataFrame,
         fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     else:
         raise ValueError(f"direction must be backward/forward: {direction}")
-    for c in fill_cols:
-        u = u.withColumn(c, fill(c))
-    out = u.filter(F.col("__side") == 1).drop("__side")
+    out = (u.withColumn("__rrow", fill("__rrow"))
+           .filter(F.col("__side") == 1).drop("__side"))
+    matched = F.col("__rrow").isNotNull()
     if tolerance is not None:
-        dist = (F.col(ts_col) - F.col("__rts") if direction == "backward"
-                else F.col("__rts") - F.col(ts_col))
-        ok = F.col("__rts").isNotNull() & (dist <= tolerance)
-        for c in value_cols:
-            out = out.withColumn(c, F.when(ok, F.col(c)))
-        out = out.withColumn("__rts", F.when(ok, F.col("__rts")))
+        dist = (F.col(ts_col) - F.col("__rrow.__rts")
+                if direction == "backward"
+                else F.col("__rrow.__rts") - F.col(ts_col))
+        matched = matched & (dist <= tolerance)
+    for c in value_cols:
+        out = out.withColumn(c, F.when(matched, F.col("__rrow")[c]))
     if how == "inner":
-        out = out.filter(F.col("__rts").isNotNull())
-    return out.drop("__rts")
+        out = out.filter(matched)
+    return out.drop("__rrow")
 
 
 def range_join_bucketed(left: DataFrame, right: DataFrame,

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -111,12 +111,23 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str],
     BEFORE the full-outer join, so the exchange carries ~16 bytes of
     payload per row regardless of row width — at 100 TB the diff
     costs one keyed shuffle of the key space, not the data. Value
-    equality is via xxhash64 of the compared columns (w.h.p. exact;
-    null-safe since the hash folds null markers)."""
+    equality is via xxhash64 of the compared columns PLUS their null
+    bitmap: Spark's hash functions skip NULL inputs entirely (the
+    seed passes through unchanged), so without the bitmap a value
+    moving across a null — old=(x, NULL) vs new=(NULL, x) — would
+    hash identically and be misclassified 'unchanged'. The isNull
+    flags are never null themselves, so every position always folds
+    and the hash stays w.h.p. exact over typed values (no lossy
+    string casts)."""
     compare = compare_cols or [c for c in old.columns if c not in keys]
-    oh = old.select(*keys, F.xxhash64(*compare).alias("__h_old"),
+
+    def row_digest(alias: str) -> Column:
+        nulls = [F.col(c).isNull() for c in compare]
+        return F.xxhash64(*compare, *nulls).alias(alias)
+
+    oh = old.select(*keys, row_digest("__h_old"),
                     F.lit(True).alias("__in_old"))
-    nh = new.select(*keys, F.xxhash64(*compare).alias("__h_new"),
+    nh = new.select(*keys, row_digest("__h_new"),
                     F.lit(True).alias("__in_new"))
     j = oh.join(nh, keys, "full_outer")
     cls = (F.when(F.col("__in_old").isNull(), "inserted")

@@ -129,8 +129,12 @@ def hash_split(df: DataFrame, id_col: str,
     expr = None
     for name, frac in splits[:-1]:
         cum += frac
-        thr = format(int(round(cum * 256)), "02x")
-        cond = b < F.lit(thr)
+        t = int(round(cum * 256))
+        # t >= 256 would format as 3 hex chars ('100'), breaking the
+        # 2-char lexicographic compare ('ff' < '100' is False) and
+        # silently dumping the whole hash range into later splits —
+        # every bucket is < 256, so the condition is simply "always".
+        cond = F.lit(True) if t >= 256 else b < F.lit(format(t, "02x"))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (F.lit(splits[-1][0]) if expr is None
             else expr.otherwise(splits[-1][0]))

@@ -78,7 +78,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
 
 
 def conf_for_scale(input_bytes: int, total_cores: int,
-                   executor_mem_bytes: int,
+                   mem_per_core_bytes: int,
                    target_partition_bytes: int = 128 * 1024**2) -> dict[str, str]:
     """Concrete conf recommendations for a given input scale — the
     arithmetic behind "would this hold at 100 TB":
@@ -93,11 +93,18 @@ def conf_for_scale(input_bytes: int, total_cores: int,
     - broadcast threshold: 10% of a task's memory share, capped at
       512 MB (a broadcast lives once per executor, ~4x decoded).
 
-    E.g. 100 TB input on 1000 executors x 8 cores x 32 GB:
-    shuffle.partitions ≈ 262144, maxPartitionBytes stays 128 MB
-    (≈ 800k scan tasks), broadcast threshold 409 MB.
+    ``mem_per_core_bytes`` is the PER-TASK memory share: executor
+    memory divided by cores per executor (e.g. 32 GiB / 8 cores =
+    4 GiB). Passing whole-executor memory would inflate every
+    spill-free estimate by the core count.
+
+    E.g. 100 TB (1e14 B) on 1000 executors x 8 cores x 32 GiB
+    (mem_per_core = 4 GiB, spill-free ≈ 1.4 GiB):
+    shuffle.partitions = max(2*8000, ceil(1e14/1.43e9)) ≈ 69,850;
+    maxPartitionBytes stays 128 MB (≈ 745k scan tasks); broadcast
+    threshold 4 GiB/10 ≈ 410 MB.
     """
-    mem_per_task = executor_mem_bytes  # caller passes per-core share
+    mem_per_task = mem_per_core_bytes
     spill_free = max(mem_per_task // 3, 32 * 1024**2)
     n_shuffle = max(2 * total_cores,
                     -(-input_bytes // spill_free))  # ceil div
