@@ -32,9 +32,69 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["weblog_agg"](spark, SF0001)
 
 
+# Driver-window rotation (VERDICT r01 next-round #1): the driver
+# verifies roughly the first 50 entries of queries() per round, so the
+# ordering below puts queries WITHOUT a CORRECTNESS_r*.json row yet
+# first — each round the window slides over the still-unverified tail
+# automatically, and every query eventually gets a hard driver row.
+# Within the unverified set, §2-critical operators come first, then
+# the TPC-H sweep, then the LLM-pipeline flagships (the judge's
+# priority order), then everything else in registry order.
+_PRIORITY = [
+    # remaining §2 operators
+    "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
+    "sum_approx",
+    # newly driver-visible §2 actions/sources
+    "is_empty_flags", "save_text_roundtrip",
+    "save_parquet_partitioned_roundtrip", "take_sample_contract",
+    "for_each_observe_metrics", "read_whole_files_dir",
+    # TPC-H sweep (judge-named shapes first)
+    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
+    "tpch_q9_profit_by_nation", "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
+    # LLM-pipeline flagships
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_components", "dedup_keep_representatives",
+    "dedup_spans", "dedup_incremental", "dedup_incremental_bloom",
+    "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
+    "ann_ivf_topk", "embedding_near_dup", "text_features",
+    "encode_docs_vocab1k", "pipeline_clean_corpus", "pipeline_corpus_stats",
+    "decontaminate_against_eval", "split_assign_counts",
+    "temperature_resample_langs", "pack_sequences_manifest",
+    "training_shard_manifest", "pagerank_part_affinity", "kmeans_clusters",
+    "streaming_windowed_counts", "streaming_stream_static_join",
+    "streaming_dedup_exact", "asof_join", "range_join",
+    "table_diff_orders", "multimodal_metadata", "multimodal_frames",
+    "custom_source_events", "bucketed_join_priority_revenue",
+    "partitioned_scan_prune", "sessionize_gap",
+]
+
+
+def _driver_verified() -> set[str]:
+    """Queries already carrying a row in any round's CORRECTNESS file."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                seen |= set(json.load(f))
+        except Exception:
+            continue
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered
+    so the driver's per-round verification window covers the
+    not-yet-verified queries first (see _PRIORITY)."""
+    q = dict(registry.QUERIES)
+    seen = _driver_verified()
+    head = [k for k in _PRIORITY if k in q and k not in seen]
+    head += [k for k in q if k not in seen and k not in head]
+    tail = [k for k in q if k in seen]
+    return {k: q[k] for k in head + tail}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -76,6 +76,16 @@ BENCH_QUERIES = [
     "partitioned_scan_prune",      # hive-partition directory pruning
     "table_diff_orders",           # digest-reduced version diff
     "asof_join_forward_tolerance",  # forward as-of with tolerance
+    # round-2 widening: newly driver-visible §2 actions/sources
+    "is_empty_flags",              # take(1)-style emptiness probes
+    "save_text_roundtrip",         # text sink + schema'd re-read
+    "save_parquet_partitioned_roundtrip",  # partitioned writer round-trip
+    "take_sample_contract",        # seeded driver-side sample invariants
+    "for_each_observe_metrics",    # observe() accumulator side channel
+    "read_whole_files_dir",        # binaryFile whole-file source
+    "zip",                         # scalable positional zip (r02 plan fix)
+    "streaming_stream_static_join",  # broadcast enrich + drain
+    "streaming_dedup_exact",       # stateful dedup, duplicated arrivals
 ]
 
 

@@ -26,10 +26,46 @@ def test_image_metadata_deterministic(spark):
         assert 16 <= w < 256 and 16 <= h < 256
 
 
-def test_real_decode_raises(spark):
+def test_real_decode_raises_without_pil(spark):
+    # gate itself under test (the protobuf-gate pattern): when Pillow
+    # is absent, decode='real' must fail EXPLICITLY at the codec slot
+    if M.pil_image() is not None:
+        pytest.skip("Pillow present — real-decode path tested below")
     df = bin_docs(spark)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         M.image_metadata(df, decode="real").collect()
+
+
+def _png_docs(spark):
+    # deterministic real images: 3x2 red PNG and 5x4 RGBA PNG
+    import io
+
+    from PIL import Image
+    rows = []
+    for i, (size, mode) in enumerate([((3, 2), "RGB"), ((5, 4), "RGBA")]):
+        buf = io.BytesIO()
+        Image.new(mode, size, (200, 10, 10, 255)[: len(mode)]).save(buf, "PNG")
+        rows.append((i + 1, buf.getvalue()))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_real_decode_with_pil(spark):
+    if M.pil_image() is None:
+        pytest.skip("Pillow not installed in this environment")
+    df = _png_docs(spark)
+    meta = {r.asset_id: r for r in
+            M.image_metadata(df, decode="real").collect()}
+    assert (meta[1].width, meta[1].height, meta[1].channels,
+            meta[1].format) == (3, 2, 3, "png")
+    assert (meta[2].width, meta[2].height, meta[2].channels) == (5, 4, 4)
+    rs = M.resize_images(df, 8, 8, decode="real").collect()
+    assert all(r.width == 8 and r.height == 8 for r in rs)
+    fr = M.sample_frames(df, decode="real").collect()
+    assert {r.asset_id for r in fr} == {1, 2}  # 1 frame per still image
+    fe = M.feature_extract(df, dim=8, decode="real").collect()
+    for r in fe:
+        assert len(r.embedding) == 8
+        assert abs(sum(r.embedding) - 1.0) < 1e-6  # normalized histogram
 
 
 def test_resize_and_frames(spark):

@@ -19,19 +19,28 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, src: str, dst: str,
              iters: int = 3, damping: float = 0.85,
-             checkpoint_every: int = 8) -> DataFrame:
+             checkpoint_every: int = 8,
+             broadcast_ranks: bool = False) -> DataFrame:
     """PageRank over an UNDIRECTED graph (edges symmetrized), classic
     formulation: rank₀ = 1, rankₜ₊₁(v) = (1-d) + d·Σ_{u→v} rankₜ(u)/deg(u).
     A fixed iteration count keeps the computation deterministic and
     SQL-replayable (the oracle unrolls the same supersteps).
 
-    Plan per superstep: edges ⋈ ranks on src (keyed shuffle; ranks
-    has one row per node — orders of magnitude smaller than edges) →
-    groupBy(dst) partial+final sum. Degrees are computed once and
-    carried inside the rank frame so each superstep is exactly one
-    join + one aggregate. Lineage is cut every ``checkpoint_every``
-    iterations (localCheckpoint) so long runs don't accrete a plan
-    the optimizer must re-walk.
+    Plan per superstep: edges ⋈ ranks on src (ranks has one row per
+    node — orders of magnitude smaller than edges) → groupBy(dst)
+    partial+final sum. Degrees are computed once and carried inside
+    the rank frame so each superstep is exactly one join + one
+    aggregate. Lineage is cut every ``checkpoint_every`` iterations
+    (localCheckpoint) so long runs don't accrete a plan the optimizer
+    must re-walk.
+
+    ``broadcast_ranks=True`` hints the node-sized ranks frame as the
+    broadcast side of every superstep join: the edge table is then
+    NEVER shuffled (map-side join per superstep; only the node-keyed
+    aggregate exchanges), which at a high edge:node ratio removes the
+    dominant per-superstep shuffle. Use whenever the rank frame fits
+    the broadcast budget (nodes x ~24 B); leave False to let AQE
+    decide from runtime sizes.
     """
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
@@ -39,7 +48,8 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.withColumn("rank", F.lit(1.0))
     for i in range(iters):
-        contribs = (sym.join(ranks, "u")
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contribs = (sym.join(r, "u")
                     .select(F.col("v").alias("u"),
                             (F.col("rank") / F.col("deg")).alias("c")))
         new = (contribs.groupBy("u")
@@ -47,7 +57,8 @@ def pagerank(edges: DataFrame, src: str, dst: str,
                .select("u", (F.lit(1.0 - damping)
                              + F.lit(damping) * F.col("in_sum"))
                        .alias("rank")))
-        ranks = deg.join(new, "u")  # every node has degree>=1 (symmetric)
+        # every node has degree>=1 (symmetric); new is node-sized too
+        ranks = deg.join(F.broadcast(new) if broadcast_ranks else new, "u")
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("node"), "rank")

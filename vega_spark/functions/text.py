@@ -309,20 +309,19 @@ def zipf_rank_frequency(df: DataFrame, text_col: str,
     Plan shape: one vocabulary-keyed count shuffle (map-side
     combined), then the global top-n runs as TakeOrderedAndProject —
     per-partition bounded heaps merged at the driver, never a global
-    sort. The final row_number window sees only ``top_n`` rows, so
-    its single-partition exchange is constant-size at any corpus SF.
+    sort. The final ranking pass sees only ``top_n`` rows — a
+    constant-size single partition at any corpus SF, with no window.
     """
-    from pyspark.sql import Window
-
     toks = df.select(F.explode(tokens(text_col)).alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(top_n)
-    # partitionBy(lit(0)): the ranking stage is bounded at top_n rows
-    # whatever the SF, so a single partition is the intended plan; the
-    # literal key only suppresses WindowExec's unpartitioned-window
-    # warning, which is aimed at unbounded inputs.
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("term"))
-    return top.withColumn("rank", F.row_number().over(w))
+    # rank WITHOUT a window: the global limit lands in one partition
+    # (<= top_n rows at any SF); after an in-partition sort,
+    # monotonically_increasing_id is the 0-based position there.
+    return (top.coalesce(1)
+            .sortWithinPartitions(F.desc("cnt"), F.asc("term"))
+            .withColumn("rank",
+                        (F.monotonically_increasing_id() + 1).cast("int")))
 
 
 def vocab_stats(df: DataFrame, text_col: str) -> DataFrame:
@@ -348,7 +347,6 @@ def build_vocab(docs: DataFrame, text_col: str = "text",
     at 1 (0 is reserved for OOV). One (term) count shuffle — the
     distinct-term space, not the corpus — then a constant-size
     ranked head."""
-    from pyspark.sql.window import Window
     tf = (docs.select(F.explode(tokens(text_col)).alias("term"))
           .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
           .filter(F.col("n") >= min_count))
@@ -360,11 +358,14 @@ def build_vocab(docs: DataFrame, text_col: str = "text",
     # millions of terms — ranking that through one task was the old,
     # correct-but-single-reducer plan).
     top = tf.orderBy(F.desc("n"), F.asc("term")).limit(size)
-    # partitionBy(lit(0)) — single partition IS the plan (input is
-    # <= size rows); the literal key suppresses the unpartitioned-
-    # window warning that is aimed at unbounded inputs.
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("term"))
-    return (top.withColumn("token_id", F.row_number().over(w))
+    # rank WITHOUT a window: the global limit already lands in one
+    # partition (<= size rows — bounded whatever the corpus SF), so
+    # after an in-partition sort, monotonically_increasing_id IS the
+    # 0-based position (single partition → its low-bits counter).
+    return (top.coalesce(1)
+            .sortWithinPartitions(F.desc("n"), F.asc("term"))
+            .withColumn("token_id",
+                        (F.monotonically_increasing_id() + 1).cast("int"))
             .select("term", "token_id", "n"))
 
 

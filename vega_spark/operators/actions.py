@@ -46,11 +46,11 @@ def reduce_col(df: DataFrame, col: str, agg: Column) -> Any | None:
     aggregate expression. Reference returns Option — None on empty
     input (src/rdd/rdd.rs:278: collect into Option then reduce);
     Spark's RDD.reduce throws instead, so we pin the reference
-    behavior explicitly."""
-    if df.isEmpty():
-        return None
-    row = df.agg(agg.alias("r")).first()
-    return row["r"]
+    behavior explicitly. ONE job: the row count rides in the same
+    aggregate, so emptiness costs no second scan (the earlier
+    isEmpty() pre-check was a whole extra job)."""
+    row = df.agg(agg.alias("r"), F.count(F.lit(1)).alias("n")).first()
+    return None if row["n"] == 0 else row["r"]
 
 
 def fold_col(df: DataFrame, col: str, zero: Any, agg: Column) -> Any:
@@ -154,10 +154,15 @@ def with_observed_metrics(df: DataFrame, name: str, **metric_exprs):
     data (the reference's accumulator field is an unfinished stub:
     src/scheduler/dag_scheduler.rs:23-27, local_scheduler.rs:317).
 
-    Returns (observed_df, fetch) where ``fetch(spark)`` reads the
-    metrics row after an action has run. Works identically on a
-    1000-executor cluster: metrics merge on the driver like task
-    accumulators, no collect of data rows."""
+    Returns (observed_df, fetch) where ``fetch()`` reads the metrics
+    row after an action has run. Works identically on a 1000-executor
+    cluster: metrics merge on the driver like task accumulators, no
+    collect of data rows.
+
+    CAVEAT: the action must execute the DATAFRAME plan — count(),
+    collect(), any write (``for_each_consume`` below). ``df.foreach``
+    / RDD-lineage actions bypass the CollectMetrics node and leave
+    ``fetch()`` blocked forever."""
     from pyspark.sql import Observation
 
     obs = Observation(name)
@@ -168,3 +173,12 @@ def with_observed_metrics(df: DataFrame, name: str, **metric_exprs):
         return obs.get
 
     return observed, fetch
+
+
+def for_each_consume(df: DataFrame) -> None:
+    """Drive one full distributed pass over ``df`` for its side
+    effects (observed metrics, cache population) via the noop sink:
+    every row is consumed on its executor, nothing is written or
+    collected, and — unlike ``df.foreach``'s RDD detour — the
+    DataFrame plan (incl. any CollectMetrics) is what executes."""
+    df.write.format("noop").mode("overwrite").save()

@@ -2512,7 +2512,8 @@ def pagerank_part_affinity_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2,
                                max_basket=200)
-    out = pagerank(edges, "item_a", "item_b", iters=3, damping=0.85)
+    out = pagerank(edges, "item_a", "item_b", iters=3, damping=0.85,
+                   broadcast_ranks=True)
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -2973,3 +2974,245 @@ def resample_hourly_grid_q(spark, sf_dir):
     return j.select(
         "user_id", F.col("hb").alias("hour_start_s"),
         F.round(F.last("v", ignorenulls=True).over(w), 2).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# §2 driver-visibility entries (VERDICT r01 "What's missing" #2): the
+# previously unit-test-only actions/sources, each surfaced as a
+# registry query so the driver's CORRECTNESS gate sees them.
+# ---------------------------------------------------------------------------
+
+@_q("is_empty_flags", """
+SELECT (SELECT COUNT(*) FROM region WHERE r_regionkey < 0) = 0
+         AS empty_when_filtered,
+       (SELECT COUNT(*) FROM region) = 0 AS empty_full_table
+""")
+def is_empty_flags_q(spark, sf_dir):
+    """``is_empty`` action (reference rdd.rs:1071-1078) on an
+    impossible filter (True) and the full table (False); the two
+    driver-side booleans return as a one-row frame. is_empty plans as
+    take(1) — it never scans past the first non-empty partition."""
+    from vega_spark.operators.actions import is_empty
+    r = _t(spark, sf_dir, "region")
+    return spark.createDataFrame(
+        [(is_empty(r.filter(F.col("r_regionkey") < 0)), is_empty(r))],
+        "empty_when_filtered boolean, empty_full_table boolean")
+
+
+@_q("save_text_roundtrip", """
+SELECT COUNT(*) AS n_rows, SUM(n_nationkey) AS key_sum,
+       MIN(n_name) AS first_name, MAX(n_name) AS last_name
+FROM nation
+""")
+def save_text_roundtrip_q(spark, sf_dir):
+    """``save_as_text_file`` (reference rdd.rs:254-272) + read-back:
+    write nation keys/names as text (one part file per partition,
+    like the reference), re-read with an explicit schema, aggregate.
+    The values surviving the round trip IS the check. Temp dir is
+    per-SF so the warm-up pass can't clobber the timed one."""
+    import os
+    import tempfile
+
+    from vega_spark.operators.actions import save_as_text
+    from vega_spark.sources.readers import read_csv
+    n = _t(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "vega_spark_io",
+                        f"text_rt_{os.path.basename(sf_dir.rstrip('/'))}")
+    save_as_text(n.select("n_nationkey", "n_name"), path)
+    back = read_csv(spark, path, "n_nationkey int, n_name string")
+    return back.agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_nationkey").alias("key_sum"),
+                    F.min("n_name").alias("first_name"),
+                    F.max("n_name").alias("last_name"))
+
+
+@_q("save_parquet_partitioned_roundtrip", """
+SELECT o_orderstatus, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+""")
+def save_parquet_partitioned_roundtrip_q(spark, sf_dir):
+    """Parquet sink superset of save_as_text_file: write orders
+    partitioned by status (directory layout downstream readers prune
+    on), read back, aggregate per partition value. Checks the writer
+    round-trips values AND the partition column itself."""
+    import os
+    import tempfile
+
+    from vega_spark.operators.actions import save_as_parquet
+    from vega_spark.sources.readers import read_parquet
+    o = _t(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "vega_spark_io",
+                        f"pq_rt_{os.path.basename(sf_dir.rstrip('/'))}")
+    save_as_parquet(o.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+                    path, partition_by=["o_orderstatus"])
+    back = read_parquet(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@_q("take_sample_contract", """
+SELECT CAST(20 AS BIGINT) AS n_sampled, CAST(20 AS BIGINT) AS n_distinct,
+       CAST(20 AS BIGINT) AS n_in_source
+""")
+def take_sample_contract_q(spark, sf_dir):
+    """``take_sample`` (reference rdd.rs:704-783, seeded driver-side
+    pick with the same oversampling math). The sampled VALUES are
+    RNG-specific, so the oracle pins the contract instead: exactly
+    ``num`` rows, no duplicates (without replacement), all drawn from
+    the source. Those three invariants are what the reference's own
+    tests assert (tests/test_rdd.rs:325-351)."""
+    from vega_spark.operators.sampling import take_sample
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    rows = take_sample(c, with_replacement=False, num=20, seed=7)
+    ids = [r["c_custkey"] for r in rows]
+    sampled = spark.createDataFrame([(i,) for i in ids], "c_custkey bigint")
+    matched = sampled.join(c, "c_custkey", "left_semi")
+    return spark.range(1).select(
+        F.lit(len(ids)).cast("bigint").alias("n_sampled"),
+        F.lit(len(set(ids))).cast("bigint").alias("n_distinct"),
+        F.lit(matched.count()).cast("bigint").alias("n_in_source"))
+
+
+@_q("for_each_observe_metrics", """
+SELECT COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS qty_sum,
+       SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted
+FROM lineitem
+""")
+def for_each_observe_metrics_q(spark, sf_dir):
+    """``for_each`` / accumulator pattern (reference rdd.rs:785-803;
+    its accumulator field is an unfinished stub) via the Spark-native
+    side channel: ``df.observe`` metrics collected DURING a foreach
+    pass — zero extra scans, merged on the driver like task
+    accumulators on a real cluster."""
+    from vega_spark.operators.actions import (
+        for_each_consume,
+        with_observed_metrics,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    observed, fetch = with_observed_metrics(
+        li, "foreach_metrics",
+        n_rows=F.count(F.lit(1)),
+        qty_sum=F.round(F.sum("l_quantity"), 2),
+        n_discounted=F.sum((F.col("l_discount") > 0.05).cast("long")))
+    # the for_each pass: the noop sink consumes every row distributed
+    # and executes the DataFrame plan (df.foreach's RDD detour would
+    # bypass CollectMetrics and block fetch() forever)
+    for_each_consume(observed)
+    m = fetch()
+    return spark.createDataFrame(
+        [(m["n_rows"], float(m["qty_sum"]), m["n_discounted"])],
+        "n_rows bigint, qty_sum double, n_discounted bigint")
+
+
+@_q("read_whole_files_dir", """
+SELECT * FROM (VALUES ('alpha.txt', CAST(14 AS BIGINT), 'alpha-contents'),
+                      ('beta.txt',  CAST(13 AS BIGINT), 'beta-contents')
+              ) AS t(file_name, length, content)
+""")
+def read_whole_files_dir_q(spark, sf_dir):
+    """LocalFsReader whole-file-bytes mode (reference
+    local_file_reader.rs:20-100): deterministic files written to a
+    temp dir, read via the binaryFile source (path, length, content
+    per file — the reference's (path, bytes) pairs plus metadata),
+    decoded and compared byte-for-byte via the constant-table
+    oracle."""
+    import os
+    import tempfile
+
+    from vega_spark.sources.readers import read_whole_files
+    d = os.path.join(tempfile.gettempdir(), "vega_spark_io", "whole_files")
+    os.makedirs(d, exist_ok=True)
+    for name, content in (("alpha.txt", "alpha-contents"),
+                          ("beta.txt", "beta-contents")):
+        with open(os.path.join(d, name), "w") as f:
+            f.write(content)
+    files = read_whole_files(spark, d, glob="*.txt")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.col("content").cast("string").alias("content"))
+
+
+@_q("streaming_stream_static_join", """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+       ROUND(SUM(e.value), 2) AS total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""")
+def streaming_stream_static_join_q(spark, sf_dir):
+    """Stream-static enrichment end-to-end: readStream over staged
+    events, broadcast join to the customer dimension (re-resolved per
+    micro-batch), windowless keyed aggregate, AvailableNow drain. The
+    batch join SQL is the oracle — stream-static inner join with a
+    complete-mode agg is exactly batch-equivalent.
+
+    Scale shape: the stream side never shuffles for the join
+    (broadcast); only the (segment, type) agg exchanges — identical
+    on a 1000-executor continuous job."""
+    import tempfile
+    import uuid
+
+    from vega_spark.streaming import sources as SS
+    from vega_spark.streaming.joins import stream_static_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stage = tempfile.mkdtemp(prefix="vega_stream_ssj_")
+    # few, large arrival files: the AvailableNow drain then runs a
+    # handful of micro-batches instead of one per tiny part file
+    (ev.select("event_id", "user_id", "event_type", "value")
+       .coalesce(8).write.mode("overwrite").parquet(stage))
+    stream = SS.stream_parquet(
+        spark, stage,
+        "event_id long, user_id long, event_type string, value double")
+    joined = stream_static_join(stream, cust,
+                                F.col("user_id") == F.col("c_custkey"))
+    agg = (joined.groupBy("c_mktsegment", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total")))
+    name = "stream_ssj_" + uuid.uuid4().hex[:8]
+    q = SS.to_memory(agg, name, output_mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@_q("streaming_dedup_exact", """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids,
+       ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1
+""")
+def streaming_dedup_exact_q(spark, sf_dir):
+    """Exact streaming dedup: the arrival directory is staged TWICE
+    (every event duplicated), the stream drops duplicates on
+    event_id with unbounded key state, and the drained append-mode
+    output must aggregate to exactly the single-copy batch answer —
+    independent of how the files split into micro-batches."""
+    import os
+    import tempfile
+    import uuid
+
+    from vega_spark.streaming import sources as SS
+    from vega_spark.streaming.stateful import dedup_exact_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    stage = tempfile.mkdtemp(prefix="vega_stream_dd_")
+    c = ev.coalesce(4)
+    c.write.mode("overwrite").parquet(os.path.join(stage, "arrival=1"))
+    c.write.mode("overwrite").parquet(os.path.join(stage, "arrival=2"))
+    stream = SS.stream_parquet(
+        spark, os.path.join(stage, "*"),
+        "event_id long, event_type string, value double")
+    deduped = dedup_exact_stream(stream, ["event_id"])
+    name = "stream_dd_" + uuid.uuid4().hex[:8]
+    q = SS.to_memory(deduped, name, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct("event_id").alias("n_ids"),
+                 F.round(F.sum("value"), 2).alias("total")))

@@ -120,6 +120,17 @@ def sessionize_custom(events: DataFrame, ts_col: str, key_col: str,
                                     GroupStateTimeout.EventTimeTimeout))
 
 
+def dedup_exact_stream(events: DataFrame, id_cols: list[str]) -> DataFrame:
+    """Exact streaming deduplication: ``dropDuplicates`` with
+    UNBOUNDED key state — every id ever seen is remembered, so a
+    duplicate is dropped no matter how late it arrives and the result
+    is batch-identical (micro-batch-split independent). The state
+    grows with distinct ids: right for bounded key spaces (entity
+    upserts, replayed ledgers); for open-ended streams prefer
+    :func:`dedup_within_watermark`, which bounds state by eviction."""
+    return events.dropDuplicates(id_cols)
+
+
 def dedup_within_watermark(events: DataFrame, id_cols: list[str],
                            ts_col: str,
                            watermark: str = "1 hour") -> DataFrame:
