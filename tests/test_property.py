@@ -142,3 +142,24 @@ def test_table_diff_self_is_empty_and_detects_all(spark, rows):
     out = table_diff(df, shifted, ["k"], ["v"]).collect()
     assert len(out) == len(uniq)
     assert all(r["change_type"] == "changed" for r in out)
+
+
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=0, max_size=30),
+       nparts=st.integers(min_value=1, max_value=6))
+@SLOW
+def test_zip_with_index_is_permutation_of_sorted_positions(spark, vals, nparts):
+    # r02 scalable plan contract: indices are exactly 0..n-1, and a
+    # value's index range matches its position range under the sort
+    # (ties share a contiguous index block in arbitrary order);
+    # initial partitioning must not matter.
+    from vega_spark.operators.joins import zip_with_index
+    if vals:
+        df = spark.createDataFrame([(v,) for v in vals], "v int") \
+            .repartition(nparts)
+    else:
+        df = spark.createDataFrame([], "v int")
+    rows = zip_with_index(df, ["v"], "idx").collect()
+    assert sorted(r["idx"] for r in rows) == list(range(len(vals)))
+    got_sorted = [r.v for r in sorted(rows, key=lambda r: r["idx"])]
+    assert got_sorted == sorted(vals)

@@ -38,9 +38,11 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     broadcast side of every superstep join: the edge table is then
     NEVER shuffled (map-side join per superstep; only the node-keyed
     aggregate exchanges), which at a high edge:node ratio removes the
-    dominant per-superstep shuffle. Use whenever the rank frame fits
-    the broadcast budget (nodes x ~24 B); leave False to let AQE
-    decide from runtime sizes.
+    dominant per-superstep shuffle. NOTE: with AQE on, runtime stats
+    already convert the join to a broadcast whenever ranks fits the
+    threshold (measured ~equal-or-faster than the explicit hint at
+    sf0.1), so the flag matters mainly when AQE is disabled or its
+    stats mislead; leave False by default.
     """
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),

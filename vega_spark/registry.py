@@ -2512,8 +2512,11 @@ def pagerank_part_affinity_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2,
                                max_basket=200)
-    out = pagerank(edges, "item_a", "item_b", iters=3, damping=0.85,
-                   broadcast_ranks=True)
+    # broadcast_ranks stays False here: AQE already broadcasts the
+    # node-sized side from runtime stats at any SF where it fits (the
+    # measured hint variant was ~equal-or-slower — it only pays off
+    # when AQE is off or stats mislead at extreme edge:node ratios)
+    out = pagerank(edges, "item_a", "item_b", iters=3, damping=0.85)
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
