@@ -169,3 +169,36 @@ def test_count_by_value_approx_key_cap_overflow(spark):
     # under the cap: exact counts, untouched behavior
     got = X.count_by_value_approx(df, ["k"], timeout_ms=60_000, max_keys=1000)
     assert len(got) == 500 and all(v.is_exact() for v in got.values())
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from vega_spark.operators import sketches as SK
+    # 40 distinct values with heavy duplication, k=64 > ndv: exact
+    df = spark.createDataFrame([(i % 40,) for i in range(4000)], "v int")
+    sk = SK.kmv_sketch(df, "v", k=64)
+    assert sk.count() == 40
+    est = SK.kmv_estimate(sk, k=64).first()["ndv_est"]
+    assert est == 40.0
+    # 5000 distinct, k=256 < ndv: estimator within 15% (md5 uniform)
+    big = spark.range(5000).selectExpr("id AS v")
+    est2 = SK.kmv_estimate(SK.kmv_sketch(big, "v", k=256), k=256) \
+             .first()["ndv_est"]
+    assert abs(est2 - 5000) / 5000 < 0.15
+
+
+def test_kmv_merge_equals_whole_and_set_relations(spark):
+    from vega_spark.operators import sketches as SK
+    a = spark.range(0, 3000).selectExpr("id AS v")
+    b = spark.range(1500, 4500).selectExpr("id AS v")
+    k = 256
+    merged = SK.kmv_merge(SK.kmv_sketch(a, "v", k),
+                          SK.kmv_sketch(b, "v", k), k=k)
+    whole = SK.kmv_sketch(a.unionAll(b), "v", k)
+    assert ([r.h for r in merged.orderBy("h").collect()]
+            == [r.h for r in whole.orderBy("h").collect()])
+    rel = SK.kmv_set_relations(SK.kmv_sketch(a, "v", k),
+                               SK.kmv_sketch(b, "v", k), k=k).first()
+    # truth: |A|=3000 |B|=3000 |A∪B|=4500 |A∩B|=1500 J=1/3
+    assert abs(rel["ndv_union_est"] - 4500) / 4500 < 0.2
+    assert abs(rel["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(rel["intersection_est"] - 1500) / 1500 < 0.35

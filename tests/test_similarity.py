@@ -127,3 +127,42 @@ def test_arrow_kernel_matches_jvm_kernel(spark, sf_dir):
     a = sorted(map(tuple, cosine_topk_arrow(emb, q, k=7).collect()))
     b = sorted(map(tuple, cosine_topk_bruteforce(emb, q, k=7).collect()))
     assert a == b
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    rows, df = vectors(spark, n=120, dim=16)
+    cbs = S.train_pq_codebooks(df, dim=16, m=4, nbits=4, iters=2,
+                               n_train=120)
+    assert len(cbs) == 4 and all(len(cb) <= 16 for cb in cbs)
+    assert all(len(cw) == 4 for cb in cbs for cw in cb)
+    enc = S.pq_encode(df, cbs)
+    got = {r.vec_id: list(r.pq_code) for r in enc.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c)
+               for c in got.values())
+    # re-train + re-encode reproduces codes exactly (no RNG anywhere)
+    cbs2 = S.train_pq_codebooks(df, dim=16, m=4, nbits=4, iters=2,
+                                n_train=120)
+    assert cbs == cbs2
+    got2 = {r.vec_id: list(r.pq_code)
+            for r in S.pq_encode(df, cbs2).collect()}
+    assert got == got2
+
+
+def test_pq_adc_recall_with_rerank(spark):
+    rows, df = vectors(spark, n=300, dim=16)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cbs = S.train_pq_codebooks(df, dim=16, m=4, nbits=5, iters=3,
+                               n_train=300)
+    enc = S.pq_encode(df, cbs)
+    got = S.pq_adc_topk(enc, queries, cbs, k=10, refine=6)
+    exact = S.cosine_topk_bruteforce(df, queries, k=10)
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.7, recall
+    # the reported cos of overlapping pairs is the EXACT cosine
+    ge = {(r.query_id, r.neighbor_id): r.cos for r in got.collect()}
+    ee = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    for key in g & e:
+        assert abs(ge[key] - ee[key]) < 1e-9

@@ -119,6 +119,97 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, value_col: str,
             .groupBy(value_col).agg(F.min("cnt").alias("est_count")))
 
 
+# --- KMV / bottom-k sketch (mergeable distinct + set-relation estimates) ---
+
+def _kmv_hash(c: Column) -> Column:
+    """Uniform hash fraction in (0, 1]: first 12 hex chars of md5 of
+    the string form, as an integer over 16^12. md5-of-string is the
+    repo's cross-engine deterministic hash (any engine reproduces it),
+    and 16^12 < 2^53 so the double is exact."""
+    h = F.md5(c.cast("string").cast("binary"))
+    return (F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+            / F.lit(float(16 ** 12)))
+
+
+def kmv_sketch(df: DataFrame, col: Column | str, k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch of a column's distinct
+    values: the ``k`` smallest distinct hash fractions, as a ≤k-row
+    DataFrame (h double). The third mergeable-sketch family next to
+    HLL (distinct counts) and CMS (frequencies) — KMV additionally
+    answers SET relations (Jaccard / intersection size) between
+    corpora, which HLL alone cannot.
+
+    Scale shape: a per-partition bottom-k prune first (dense_rank over
+    a ``spark_partition_id`` window — partitioned, never global), so
+    the exchange carries ≤ partitions×k hashes regardless of base
+    cardinality; then the global bottom-k is a dedup +
+    TakeOrderedAndProject over that bounded set. The global bottom-k
+    distinct hashes are a subset of the union of local bottom-k's, so
+    the prune is lossless."""
+    from pyspark.sql.window import Window
+
+    c = F.col(col) if isinstance(col, str) else col
+    local = df.select(_kmv_hash(c).alias("h"),
+                      F.spark_partition_id().alias("__pid"))
+    w = Window.partitionBy("__pid").orderBy("h")
+    pruned = (local.withColumn("__rk", F.dense_rank().over(w))
+              .filter(F.col("__rk") <= k).select("h"))
+    return pruned.distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Sketch of the UNION of the sketched sets: bottom-k of the
+    merged hash sets. Exactly equals ``kmv_sketch`` of the unioned
+    base data (the bottom-k of a union is contained in the union of
+    bottom-k's) — the merge property that makes per-shard /
+    per-day sketches roll up without rescanning."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionAll, sketches)
+    return u.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256,
+                 out_col: str = "ndv_est") -> DataFrame:
+    """1-row distinct-count estimate: exact row count while the
+    sketch is not full (the hash set IS the value set then), else the
+    classic (k-1)/h_k estimator (h_k = largest retained fraction)."""
+    return (sketch.agg(F.count("h").alias("__n"), F.max("h").alias("__hk"))
+            .select(F.when(F.col("__n") < k, F.col("__n").cast("double"))
+                    .otherwise(F.lit(float(k - 1)) / F.col("__hk"))
+                    .alias(out_col)))
+
+
+def kmv_set_relations(a: DataFrame, b: DataFrame,
+                      k: int = 256) -> DataFrame:
+    """Distinct-count, Jaccard, and intersection-size estimates for
+    two KMV sketches, as one 1-row DataFrame (ndv_a_est, ndv_b_est,
+    ndv_union_est, jaccard_est, intersection_est).
+
+    Method (Beyer et al., "On Synopses for Distinct-Value Estimation
+    Under Multiset Operations", SIGMOD'07): build the union sketch
+    K = bottom-k(A ∪ B); Jaccard ≈ |K ∩ A ∩ B| / |K| (the union
+    bottom-k is a uniform sample of A ∪ B); intersection ≈ J × |A∪B|.
+    Every frame here is ≤ k rows, so the joins/aggregates are
+    broadcast-trivial at any base-data scale."""
+    u = kmv_merge(a, b, k=k)
+    both = (u.join(a.select("h"), "h", "semi")
+             .join(b.select("h"), "h", "semi"))
+    stats = (kmv_estimate(a, k, "ndv_a_est")
+             .crossJoin(kmv_estimate(b, k, "ndv_b_est"))
+             .crossJoin(kmv_estimate(u, k, "ndv_union_est"))
+             .crossJoin(u.agg(F.count("h").alias("__nu")))
+             .crossJoin(both.agg(F.count("h").alias("__nb"))))
+    jac = F.when(F.col("__nu") > 0,
+                 F.col("__nb") / F.col("__nu")).otherwise(F.lit(0.0))
+    return stats.select(
+        F.round("ndv_a_est", 4).alias("ndv_a_est"),
+        F.round("ndv_b_est", 4).alias("ndv_b_est"),
+        F.round("ndv_union_est", 4).alias("ndv_union_est"),
+        F.round(jac, 4).alias("jaccard_est"),
+        F.round(jac * F.col("ndv_union_est"), 4).alias("intersection_est"))
+
+
 def bloom_build(df: DataFrame, col: Column | str,
                 m_bits: int = 1 << 17, k: int = 3) -> DataFrame:
     """Distributed Bloom filter build in pure Column expressions

@@ -1201,6 +1201,26 @@ def ann_ivf_topk_q(spark, sf_dir):
                               n_cells=16, n_probe=4)
 
 
+@_q("ann_pq_topk")
+def ann_pq_topk_q(spark, sf_dir):
+    """Product-quantization ANN (train codebooks on a deterministic
+    bounded sample, encode to m-byte codes, ADC table scan + exact
+    rerank) — the compressed-index scale path next to LSH and IVF:
+    the scan reads 8 code bytes per vector instead of the 256-byte
+    embedding. Rows-only check (codebook training is numpy-side);
+    recall vs brute force and exact-rerank cosines are pinned by
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cbs = X_sim.train_pq_codebooks(emb, dim=dim, m=8, nbits=5, iters=2,
+                                   n_train=4000)
+    enc = X_sim.pq_encode(emb, cbs)
+    return X_sim.pq_adc_topk(enc, queries, cbs, k=5, refine=6)
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -1936,6 +1956,47 @@ def cms_heavy_hitters_q(spark, sf_dir):
     top = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
            .orderBy(F.desc("cnt"), F.asc("term")).limit(20).select("term"))
     return cms_estimate(sketch, top, "term")
+
+
+@_q("kmv_distinct_jaccard", """
+WITH ah AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
+         / 281474976710656.0 AS h FROM orders
+), bh AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+         / 281474976710656.0 AS h FROM customer
+), a AS (SELECT h FROM ah ORDER BY h LIMIT 256),
+   b AS (SELECT h FROM bh ORDER BY h LIMIT 256),
+   u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h
+         LIMIT 256),
+   sa AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM a),
+   sb AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM b),
+   su AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM u),
+   nb AS (SELECT COUNT(*) AS n FROM u
+          WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+   est AS (SELECT
+     CASE WHEN sa.n < 256 THEN sa.n * 1.0 ELSE 255.0 / sa.hk END AS ea,
+     CASE WHEN sb.n < 256 THEN sb.n * 1.0 ELSE 255.0 / sb.hk END AS eb,
+     CASE WHEN su.n < 256 THEN su.n * 1.0 ELSE 255.0 / su.hk END AS eu,
+     CASE WHEN su.n > 0 THEN nb.n * 1.0 / su.n ELSE 0.0 END AS jac
+   FROM sa, sb, su, nb)
+SELECT ROUND(ea, 4) AS ndv_a_est, ROUND(eb, 4) AS ndv_b_est,
+       ROUND(eu, 4) AS ndv_union_est, ROUND(jac, 4) AS jaccard_est,
+       ROUND(jac * eu, 4) AS intersection_est
+FROM est
+""")
+def kmv_distinct_jaccard_q(spark, sf_dir):
+    """KMV bottom-k sketch (k=256): distinct-count, Jaccard and
+    intersection-size estimates between the order-placing customer
+    set and the full customer set. The third mergeable-sketch family
+    (HLL=distincts, CMS=frequencies, KMV=set relations); hash is the
+    repo's cross-engine md5 fraction so the oracle replays the whole
+    estimator. The per-partition bottom-k prune bounds the exchange
+    at partitions x k rows at any SF."""
+    from vega_spark.operators.sketches import kmv_set_relations, kmv_sketch
+    a = kmv_sketch(_t(spark, sf_dir, "orders"), "o_custkey", k=256)
+    b = kmv_sketch(_t(spark, sf_dir, "customer"), "c_custkey", k=256)
+    return kmv_set_relations(a, b, k=256)
 
 
 # --- JSON surface + exact group percentiles --------------------------------
