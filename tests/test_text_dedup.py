@@ -326,3 +326,39 @@ def test_encode_tokens_order_preserving_with_oov(spark):
     # b=1 (freq 2), a=2; "rare" trimmed from vocab -> OOV 0
     assert out[1] == [1, 2, 1, 0]
     assert out[2] == []
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    """SemDeDup end-to-end (kmeans-trained centroids): planted
+    near-identical vectors collapse to one survivor; distant vectors
+    all survive; the survivor is the LOWEST-centroid-similarity
+    member of its duplicate group (paper's keep-edge-examples rule
+    via ascending-centroid-sim ranking)."""
+    import random
+
+    from vega_spark.functions.dedup import (semantic_dedup,
+                                            semantic_dedup_flags)
+
+    rnd = random.Random(7)
+    base = [[rnd.gauss(0, 1) for _ in range(8)] for _ in range(6)]
+    rows = []
+    # ids 0..5: six well-separated originals
+    for i, v in enumerate(base):
+        rows.append((i, v))
+    # ids 10..12: three tiny perturbations of base[0] — near-dups
+    for j in range(3):
+        rows.append((10 + j, [x + 0.001 * (j + 1) for x in base[0]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kept = semantic_dedup(df, k=3, eps=0.999, kmeans_iters=5)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    dup_group = {0, 10, 11, 12}
+    assert len(kept_ids & dup_group) == 1          # group collapses to one
+    assert {1, 2, 3, 4, 5} <= kept_ids             # originals survive
+
+    # flags frame is total: every input row exactly once, dup count = 3
+    from pyspark.sql import functions as F
+    flags = semantic_dedup_flags(
+        df, [base[0], base[1], base[2]], eps=0.999)
+    assert flags.count() == df.count()
+    assert flags.filter(F.col("is_dup")).count() == 3

@@ -431,3 +431,85 @@ def keep_representatives(docs: DataFrame, components: DataFrame,
             .filter(F.col("component").isNull() |
                     (F.col("component") == F.col(id_col)))
             .drop("__cc_id", "component"))
+
+
+# --- semantic (embedding-space) dedup: SemDeDup ---------------------------
+
+def semantic_dedup_flags(df: DataFrame, centroids: list[list[float]],
+                         eps: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster rank examples by
+    similarity to their centroid (ascending — the paper keeps the
+    LOW-centroid-similarity "edge" examples) and mark an example a
+    duplicate if ANY earlier-ranked cluster-mate has cosine >= eps
+    (the paper's upper-triangular max over the within-cluster
+    similarity matrix).
+
+    ``centroids`` are supplied (train with `clustering.kmeans`, or
+    pass iteration-0 centroids for a fully engine-replayable run —
+    the registry oracle does). Cluster assignment is a pure narrow
+    expression (k literal codewords, argmin via array_min over
+    (d2, cluster) structs — ties to the lower cluster id); the ONLY
+    shuffles are the per-cluster rank window and the within-cluster
+    candidate self-join, both partitioned by cluster. Pairwise cost
+    is quadratic in cluster size by design (as in the paper) — size
+    k so clusters average ~1-50k docs; the shuffle carries
+    (id, vector) only.
+
+    Returns every input row flagged: (id, cluster, centroid_sim,
+    is_dup). Filter ``~is_dup`` to keep; ~(1 - 1/dup-group-size) of
+    each duplicate group drops."""
+    from pyspark.sql.window import Window
+
+    from vega_spark.functions.similarity import cosine, dot, l2_norm
+
+    v = F.col("__v")
+    entries = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        cc = 0.0
+        for x in c:                      # left fold, matches the SQL replay
+            cc += float(x) * float(x)
+        d2 = dot(v, v) - 2.0 * dot(v, lit_c) + F.lit(cc)
+        entries.append(F.struct(d2.alias("d2"), F.lit(i).alias("cluster"),
+                                (dot(v, lit_c)
+                                 / (l2_norm(v) * F.lit(cc ** 0.5)))
+                                .alias("csim")))
+    best = F.array_min(F.array(*entries))
+    a = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+         .select("id", "__v", best["cluster"].alias("cluster"),
+                 best["csim"].alias("csim")))
+    w = Window.partitionBy("cluster").orderBy(F.col("csim").asc(),
+                                              F.col("id").asc())
+    r = a.withColumn("rk", F.row_number().over(w))
+    x = r.select("cluster", F.col("id").alias("id_x"),
+                 F.col("__v").alias("vx"), F.col("rk").alias("rk_x"))
+    y = r.select("cluster", F.col("id").alias("id_y"),
+                 F.col("__v").alias("vy"), F.col("rk").alias("rk_y"))
+    dropped = (x.join(y, "cluster")
+               .filter((F.col("rk_y") < F.col("rk_x"))
+                       & (cosine(F.col("vx"), F.col("vy")) >= eps))
+               .select(F.col("id_x").alias("id")).distinct()
+               .withColumn("__dup", F.lit(True)))
+    return (r.join(dropped, "id", "left")
+            .select(F.col("id").alias(id_col), "cluster",
+                    F.round("csim", 6).alias("centroid_sim"),
+                    F.coalesce("__dup", F.lit(False)).alias("is_dup")))
+
+
+def semantic_dedup(df: DataFrame, k: int = 64, eps: float = 0.95,
+                   kmeans_iters: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """End-to-end SemDeDup: train k-means centroids (deterministic
+    lowest-id init, `clustering.kmeans`), then flag duplicates with
+    `semantic_dedup_flags`. Returns the KEPT rows of ``df``."""
+    from vega_spark.functions.clustering import kmeans
+
+    _, centroids = kmeans(df.select(id_col, vec_col), vec_col, k,
+                          max_iter=kmeans_iters, id_col=id_col)
+    flags = semantic_dedup_flags(df, centroids, eps, id_col, vec_col)
+    keep = flags.filter(~F.col("is_dup")).select(id_col)
+    return df.join(keep, id_col, "semi")

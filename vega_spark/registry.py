@@ -1221,6 +1221,52 @@ def ann_pq_topk_q(spark, sf_dir):
     return X_sim.pq_adc_topk(enc, queries, cbs, k=5, refine=6)
 
 
+@_q("semantic_dedup_flags", """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cluster, v AS c FROM emb WHERE vec_id < 8),
+d AS (SELECT e.vec_id, c.cluster,
+        list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+          + list_dot_product(c.c, c.c) AS d2,
+        list_dot_product(e.v, c.c)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(c.c, c.c))) AS csim
+      FROM emb e CROSS JOIN cent c),
+a AS (SELECT vec_id, cluster, csim FROM (
+        SELECT vec_id, cluster, csim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS pk
+        FROM d) WHERE pk = 1),
+r AS (SELECT vec_id, cluster, csim,
+        ROW_NUMBER() OVER (PARTITION BY cluster
+                           ORDER BY csim, vec_id) AS rk
+      FROM a),
+dup AS (SELECT DISTINCT x.vec_id
+        FROM r x JOIN r y ON x.cluster = y.cluster AND y.rk < x.rk
+        JOIN emb ex ON ex.vec_id = x.vec_id
+        JOIN emb ey ON ey.vec_id = y.vec_id
+        WHERE list_dot_product(ex.v, ey.v)
+              / (sqrt(list_dot_product(ex.v, ex.v))
+                 * sqrt(list_dot_product(ey.v, ey.v))) >= 0.40)
+SELECT r.vec_id, r.cluster, ROUND(r.csim, 6) AS centroid_sim,
+       (dup.vec_id IS NOT NULL) AS is_dup
+FROM r LEFT JOIN dup ON r.vec_id = dup.vec_id
+""")
+def semantic_dedup_flags_q(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) over the embeddings table:
+    iteration-0 centroids (the 8 lowest-id vectors) keep the whole
+    run — argmin assignment, centroid-sim ranking, upper-triangular
+    eps-duplicate marking — SQL-replayable, so the oracle checks the
+    complete dedup semantics end to end. eps=0.40 sits in this
+    synthetic corpus's near-dup range (max pair cosine ~0.51; real
+    text embeddings use 0.95+). Lloyd-iterated centroids are covered
+    by the kmeans tests + semantic_dedup unit test instead."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = [list(r["embedding"])
+             for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    return X_dedup.semantic_dedup_flags(emb, cents, eps=0.40)
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
