@@ -27,6 +27,7 @@ from vega_spark.functions import dedup as X_dedup
 from vega_spark.functions import multimodal as X_mm
 from vega_spark.functions import similarity as X_sim
 from vega_spark.functions import text as X_text
+from vega_spark.functions import web as X_web
 from vega_spark.operators import aggregations as A
 from vega_spark.operators import joins as J
 from vega_spark.operators import setops as S
@@ -1265,6 +1266,89 @@ def semantic_dedup_flags_q(spark, sf_dir):
     cents = [list(r["embedding"])
              for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
     return X_dedup.semantic_dedup_flags(emb, cents, eps=0.40)
+
+
+@_q("web_url_dedup_pipeline", """
+WITH d AS (
+  SELECT doc_id, n_chars,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+    source || '.com/p/' || CAST(doc_id % 5 AS VARCHAR) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '?ref=' || lang ELSE '' END) AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, n_chars, url,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+      AS host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS path
+  FROM d),
+q AS (
+  SELECT doc_id, n_chars, url, host,
+    regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+    regexp_replace(host, '^www\\.', '')
+      || regexp_replace(path, '/+$', '') AS norm_url
+  FROM p),
+f AS (SELECT * FROM q WHERE domain NOT IN ('src0.com', 'src1.com')),
+r AS (SELECT doc_id, url, host, domain, norm_url,
+        ROW_NUMBER() OVER (PARTITION BY norm_url
+                           ORDER BY n_chars DESC, doc_id) AS rk
+      FROM f)
+SELECT doc_id, url, host, domain, norm_url FROM r WHERE rk = 1
+""")
+def web_url_dedup_pipeline_q(spark, sf_dir):
+    """C4/RefinedWeb URL-stage pipeline: parse host/path, compute the
+    registered domain, drop blocklisted domains (broadcast anti-join),
+    and keep the best-quality survivor per canonical URL (scheme /
+    www. / query variants collapse). URLs are derived
+    deterministically from the documents table so the whole stage —
+    regex parsing included — replays in SQL. At scale: narrow regex
+    pass + broadcast anti-join + one shuffle on the normalized key."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".com/p/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?ref="), F.col("lang"))).otherwise(F.lit("")))
+    d = docs.select("doc_id", "n_chars", url.alias("url"))
+    filtered = X_web.filter_blocked_domains(d, ["src0.com", "src1.com"])
+    best = X_web.url_dedup_keep_best(filtered, "url", score_col="n_chars",
+                                     id_col="doc_id")
+    return best.select(
+        "doc_id", "url", X_web.url_host("url").alias("host"),
+        X_web.url_registered_domain("url").alias("domain"),
+        F.col("__nurl").alias("norm_url"))
+
+
+@_q("web_line_filter", """
+WITH d AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS t
+           FROM documents),
+f AS (SELECT doc_id, string_split(t, chr(10)) AS lines,
+        list_filter(string_split(t, chr(10)),
+          x -> len(x) >= 15 AND len(string_split(x, ' ')) >= 3
+               AND (len(x) - len(regexp_replace(x, '[0-9]', '', 'g')))
+                   <= len(x) * 0.5) AS kept
+      FROM d)
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+       array_to_string(kept, chr(10)) AS clean_text,
+       ROUND(len(kept) * 1.0 / GREATEST(len(lines), 1), 4) AS kept_ratio
+FROM f
+""")
+def web_line_filter_q(spark, sf_dir):
+    """RefinedWeb/MassiveText line-wise cleaning: drop short /
+    few-word / digit-dominated lines, reassemble, report kept ratios.
+    Synthetic line structure (every ' the ' becomes a newline — the
+    corpus has no newlines) keeps the full rule set SQL-replayable.
+    Pure array expressions: a narrow write-through pass at any SF."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text"))
+    out = X_web.line_filter(docs, "text", min_chars=15, min_words=3,
+                            max_digit_ratio=0.5)
+    return out.select("doc_id", "n_lines", "n_kept", "clean_text",
+                      "kept_ratio")
 
 
 @_q("tpch_q18_large_orders", """
