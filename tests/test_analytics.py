@@ -138,3 +138,19 @@ def test_drift_psi_out_of_range_clamps(spark):
         "grp string, per string, value double")
     out = drift_psi(df, "grp", "value", F.col("per"), 0.0, 40.0, 4).collect()
     assert abs(out[0]["psi"]) < 1e-9  # clamped identically both periods
+
+
+def test_triangle_count_known_graphs(spark):
+    from vega_spark.functions.graph import triangle_count
+    # K4 + a pendant, with noise: self-loop, duplicate, reversed edge
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 5), (2, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    # K4 has 4 triangles, each of nodes 1-4 sits in exactly 3;
+    # pendant node 5 is in none (absent from the result)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # star graph: no triangles at all
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src long, dst long")
+    assert triangle_count(star).count() == 0

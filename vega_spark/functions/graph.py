@@ -64,3 +64,43 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("node"), "rank")
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts (nodes in no triangle omitted) via
+    degree orientation — the MapReduce-classic that bounds wedge
+    fan-out: each undirected edge points from its lower-(degree, id)
+    endpoint to the higher one, so every wedge is generated at its
+    lowest-degree apex and each triangle is produced EXACTLY once
+    (apex u, neighbors v1 < v2, closed by the canonical edge set).
+    Complexity O(m^1.5) regardless of skew — a star node generates no
+    wedges because its edges all point INTO it (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer").
+
+    Self-loops and duplicate/reverse edges are cleaned first. Plan:
+    two node-sized degree joins, one self-join on the apex, one
+    closure join on the canonical pair — all equi-joins Catalyst can
+    broadcast or shuffle by stats."""
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .union(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    withd = (e.join(deg.select(F.col("n").alias("a"),
+                               F.col("d").alias("da")), "a")
+             .join(deg.select(F.col("n").alias("b"),
+                              F.col("d").alias("db")), "b"))
+    a_first = ((F.col("da") < F.col("db"))
+               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+    o = withd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"))
+    w1 = o.select("u", F.col("w").alias("v1"))
+    w2 = o.select("u", F.col("w").alias("v2"))
+    tri = (w1.join(w2, "u").filter(F.col("v1") < F.col("v2"))
+           .join(e, (F.col("v1") == F.col("a"))
+                 & (F.col("v2") == F.col("b"))))
+    nodes = tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

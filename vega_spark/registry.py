@@ -1351,6 +1351,49 @@ def web_line_filter_q(spark, sf_dir):
                       "kept_ratio")
 
 
+@_q("triangle_count_parts", """
+WITH baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT x.i AS u, y.i AS v
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING COUNT(*) >= 2),
+e AS (SELECT u AS a, v AS b FROM pairs),
+deg AS (SELECT n, COUNT(*) AS d
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) t
+        GROUP BY n),
+wd AS (SELECT e.a, e.b, x.d AS da, y.d AS db
+       FROM e JOIN deg x ON e.a = x.n JOIN deg y ON e.b = y.n),
+o AS (SELECT CASE WHEN da < db OR (da = db AND a < b)
+                  THEN a ELSE b END AS u,
+             CASE WHEN da < db OR (da = db AND a < b)
+                  THEN b ELSE a END AS w
+      FROM wd),
+tri AS (SELECT w1.u AS u, w1.w AS v1, w2.w AS v2
+        FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.w < w2.w
+        JOIN e ON e.a = w1.w AND e.b = w2.w),
+n AS (SELECT u AS node FROM tri
+      UNION ALL SELECT v1 FROM tri
+      UNION ALL SELECT v2 FROM tri)
+SELECT node, COUNT(*) AS triangles FROM n GROUP BY node
+""")
+def triangle_count_parts_q(spark, sf_dir):
+    """Triangle counting on the part co-purchase graph (same edge
+    derivation as pagerank_part_affinity), degree-oriented so wedge
+    generation is skew-immune (Suri-Vassilvitskii). The oracle
+    replays orientation, wedge join and closure exactly."""
+    from vega_spark.functions.graph import triangle_count
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("b"),
+                        F.col("l_partkey").alias("i")).distinct()
+    x = baskets.select("b", F.col("i").alias("u"))
+    y = baskets.select("b", F.col("i").alias("v"))
+    pairs = (x.join(y, "b").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2).select("u", "v"))
+    return triangle_count(pairs, "u", "v")
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
