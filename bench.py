@@ -86,6 +86,13 @@ BENCH_QUERIES = [
     "zip",                         # scalable positional zip (r02 plan fix)
     "streaming_stream_static_join",  # broadcast enrich + drain
     "streaming_dedup_exact",       # stateful dedup, duplicated arrivals
+    # round-2 capability widening (one per new operator family):
+    "kmv_distinct_jaccard",        # bottom-k sketch set relations
+    "ann_pq_topk",                 # PQ codes + ADC scan + rerank
+    "semantic_dedup_flags",        # SemDeDup cluster-wise marking
+    "web_url_dedup_pipeline",      # URL parse/blocklist/keep-best
+    "web_line_filter",             # line-wise quality cleaning
+    "triangle_count_parts",        # degree-oriented triangles
 ]
 
 

@@ -191,8 +191,13 @@ def kmv_set_relations(a: DataFrame, b: DataFrame,
     K = bottom-k(A ∪ B); Jaccard ≈ |K ∩ A ∩ B| / |K| (the union
     bottom-k is a uniform sample of A ∪ B); intersection ≈ J × |A∪B|.
     Every frame here is ≤ k rows, so the joins/aggregates are
-    broadcast-trivial at any base-data scale."""
-    u = kmv_merge(a, b, k=k)
+    broadcast-trivial at any base-data scale. Each input sketch is
+    materialized once (localCheckpoint of ≤ k rows) — it is consumed
+    by three consumers below, and without the cut each would re-scan
+    the base table the sketch was built from."""
+    a = a.localCheckpoint(eager=True)
+    b = b.localCheckpoint(eager=True)
+    u = kmv_merge(a, b, k=k).localCheckpoint(eager=True)
     both = (u.join(a.select("h"), "h", "semi")
              .join(b.select("h"), "h", "semi"))
     stats = (kmv_estimate(a, k, "ndv_a_est")
