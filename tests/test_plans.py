@@ -299,3 +299,76 @@ def test_build_vocab_ranked_head_is_bounded(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     q = build_vocab(docs, "text", size=100)
     assert I.uses_take_ordered(q), I.plan_text(q)
+
+
+def test_web_blocklist_is_broadcast_anti_join(spark, sf_dir):
+    # the blocklist must ride a broadcast: corpus-side never shuffles
+    from vega_spark.functions import web as W
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("https://"), F.col("source"),
+                           F.lit(".com/p")).alias("url"))
+    q = W.filter_blocked_domains(docs, ["src0.com"])
+    txt = I.plan_text(q)
+    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt, txt
+    assert I.count_exchanges(q) == 0, txt
+
+
+def test_line_filter_is_narrow_no_exchange(spark, sf_dir):
+    from vega_spark.functions import web as W
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = W.line_filter(docs)
+    assert I.count_exchanges(q) == 0, I.plan_text(q)
+
+
+def test_kmv_sketch_window_is_partitioned(spark, sf_dir):
+    # the bottom-k prune must never be a global single-task window
+    from vega_spark.operators.sketches import kmv_sketch
+    o = load_table(spark, sf_dir, "orders")
+    q = kmv_sketch(o, "o_custkey", k=64)
+    txt = I.plan_text(q)
+    assert "No Partition Defined" not in txt
+    # window partitioned by the partition id, final top-k is a sort+limit
+    assert "partitionBy" not in txt or "__pid" in txt, txt
+    assert I.uses_take_ordered(q), txt
+
+
+def test_semantic_dedup_assignment_is_narrow(spark, sf_dir):
+    # centroid assignment adds no exchange beyond the rank window and
+    # the within-cluster self-join (both keyed by cluster)
+    from vega_spark.functions.dedup import semantic_dedup_flags
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = [list(r["embedding"])
+             for r in emb.filter(F.col("vec_id") < 4).collect()]
+    q = semantic_dedup_flags(emb, cents, eps=0.4)
+    txt = I.plan_text(q)
+    assert "No Partition Defined" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    from vega_spark.functions.graph import triangle_count
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    e = li.select(F.col("l_orderkey").alias("u"),
+                  F.col("l_partkey").alias("v"))
+    q = triangle_count(e, "u", "v")
+    assert "CartesianProduct" not in I.plan_text(q), I.plan_text(q)
+
+
+def test_pq_scan_reads_codes_not_embeddings(spark, sf_dir):
+    # the ADC candidate stage must not carry the embedding column —
+    # only (id, code) reach the Arrow kernel
+    from vega_spark.functions import similarity as S
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cbs = S.train_pq_codebooks(emb, dim=dim, m=8, nbits=4, iters=1,
+                               n_train=500)
+    enc = S.pq_encode(emb, cbs).localCheckpoint(eager=True)
+    cand = enc.select("vec_id", "pq_code")
+    # the candidate projection prunes the embedding column entirely
+    assert "embedding" not in cand.schema.fieldNames()
+    out = S.pq_adc_topk(enc, queries, cbs, k=3, refine=2)
+    assert out.count() > 0
