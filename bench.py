@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "web_url_dedup_pipeline",      # URL parse/blocklist/keep-best
     "web_line_filter",             # line-wise quality cleaning
     "triangle_count_parts",        # degree-oriented triangles
+    "bpe_encode_docs",             # BPE train (bounded head) + encode
 ]
 
 

@@ -1394,6 +1394,26 @@ def triangle_count_parts_q(spark, sf_dir):
     return triangle_count(pairs, "u", "v")
 
 
+@_q("bpe_encode_docs")
+def bpe_encode_docs_q(spark, sf_dir):
+    """BPE tokenizer end-to-end: train 200 merges from the corpus
+    word-count table (one keyed shuffle + bounded TakeOrdered head —
+    the merge loop never sees the corpus), then subword-encode every
+    document in a narrow memoized Arrow pass. Rows-only (iterative
+    merge learning is not SQL-expressible); merge order, encode
+    roundtrip and id mapping are pinned by tests/test_bpe.py."""
+    from vega_spark.functions import bpe as B
+    docs = _t(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, num_merges=200, max_words=20_000)
+    enc = B.bpe_encode_ids(docs, merges)
+    return enc.select(
+        "doc_id", F.size("token_ids").alias("n_bpe_tokens"),
+        X_text.token_count(F.col("text")).alias("n_words"),
+        F.round(F.size("token_ids")
+                / F.greatest(X_text.token_count(F.col("text")), F.lit(1)),
+                4).alias("tokens_per_word"))
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
