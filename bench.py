@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "web_line_filter",             # line-wise quality cleaning
     "triangle_count_parts",        # degree-oriented triangles
     "bpe_encode_docs",             # BPE train (bounded head) + encode
+    "ewma_user_values",            # bounded-frame EWMA fold per key
+    "key_skew_report_parts",       # shuffle-skew diagnostic head
 ]
 
 

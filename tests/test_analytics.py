@@ -154,3 +154,29 @@ def test_triangle_count_known_graphs(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)],
                                  "src long, dst long")
     assert triangle_count(star).count() == 0
+
+
+def test_ewma_by_key_fold_semantics(spark):
+    from vega_spark.functions.analytics import ewma_by_key
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "k int, seq int, v double")
+    got = {r.seq: r.ewma for r in
+           ewma_by_key(df, "k", ["seq"], "v", alpha=0.3,
+                       window_rows=3).collect()}
+    # seq 0: seed only; seq 1: 10*.7+20*.3; seq 2 folds 10,20,30;
+    # seq 3's frame drops 10 (bounded window restart at 20)
+    assert got[0] == 10.0
+    assert abs(got[1] - (10 * 0.7 + 20 * 0.3)) < 1e-12
+    assert abs(got[2] - ((10 * 0.7 + 20 * 0.3) * 0.7 + 30 * 0.3)) < 1e-12
+    assert abs(got[3] - ((20 * 0.7 + 30 * 0.3) * 0.7 + 40 * 0.3)) < 1e-12
+
+
+def test_key_skew_report_shares_and_order(spark):
+    from vega_spark.operators.stats import key_skew_report
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_report(df, ["k"], top_n=2).collect()
+    assert [r.k for r in got] == ["hot", "warm"]
+    assert got[0].cnt == 70 and got[0].share == 0.7
+    # 3 groups, mean size 100/3: hot is 2.1x the mean
+    assert got[0].x_mean == 2.1

@@ -9,6 +9,8 @@ partial aggregation; nothing collects to the driver.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -294,3 +296,38 @@ def drift_psi(df: DataFrame, group_col: str, value_col: str,
     return (j.groupBy("grp")
             .agg(F.round(F.sum(term), 6).alias("psi"))
             .select(F.col("grp").alias(group_col), "psi"))
+
+
+def ewma_by_key(df: DataFrame, key_col: str, order_cols: Sequence[str],
+                value_col: str, alpha: float = 0.3,
+                window_rows: int = 8,
+                out_col: str = "ewma") -> DataFrame:
+    """Exponentially-weighted moving average per key over a bounded
+    trailing ROW frame: ewma = fold over the last ``window_rows``
+    values (oldest first) of acc*(1-a) + x*a, seeded with the oldest
+    frame value — the recursive EWMA restarted per frame. The bound
+    is the scale decision: an UNBOUNDED recursive EWMA is inherently
+    sequential per key (no parallel prefix under Spark SQL), while a
+    bounded frame keeps this a single hash exchange + per-key sorted
+    window, and (1-a)^window_rows of forgotten history is negligible
+    for any practical a.
+
+    Deterministic fold order (collect_list over the ordered frame),
+    so any engine replays it term for term and reproduces the DOUBLE
+    BIT-FOR-BIT (the registry oracle does, via DuckDB's ordered
+    window list + list_reduce) — which is why the output is NOT
+    rounded: identical bits need no rounding forgiveness, while
+    ROUND itself is the one step engines disagree on (Spark rounds
+    the shortest decimal repr HALF_UP, DuckDB multiplies by 10^d in
+    float — a value like ...6575 at the boundary flips)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(window_rows - 1), Window.currentRow))
+    hist = F.collect_list(F.col(value_col).cast("double")).over(w)
+    folded = F.aggregate(
+        F.slice(hist, 2, F.greatest(F.size(hist) - 1, F.lit(0))),
+        F.element_at(hist, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha))
+    return df.withColumn(out_col, folded)

@@ -145,3 +145,23 @@ def expectations_audit(df: DataFrame, checks: Sequence[tuple[str, F.Column]],
         "check_name", F.col("_n").alias("n_rows"), "n_violations",
         F.round(1 - F.col("n_violations") / F.col("_n"), 6).alias("pass_rate"),
         (F.col("n_violations") == 0).alias("passed"))
+
+
+def key_skew_report(df: DataFrame, keys: Sequence[str],
+                    top_n: int = 20) -> DataFrame:
+    """Shuffle-skew diagnostic: the ``top_n`` heaviest key groups
+    with count, share of all rows, and ratio to the mean group size —
+    the number that predicts straggler tasks (a key at 1000x the mean
+    is the one to salt or let AQE skew-split). One partial+final
+    keyed aggregate, a 1-row global summary broadcast onto it, and a
+    TakeOrdered head — nothing unbounded reaches the driver."""
+    counts = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt")))
+    totals = counts.agg(F.sum("cnt").alias("__total"),
+                        F.count(F.lit(1)).alias("__groups"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select(*keys, "cnt",
+                    F.round(F.col("cnt") / F.col("__total"), 6)
+                    .alias("share"),
+                    F.round(F.col("cnt") * F.col("__groups")
+                            / F.col("__total"), 4).alias("x_mean"))
+            .orderBy(F.desc("cnt"), *keys).limit(top_n))

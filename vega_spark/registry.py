@@ -1414,6 +1414,49 @@ def bpe_encode_docs_q(spark, sf_dir):
                 4).alias("tokens_per_word"))
 
 
+@_q("ewma_user_values", """
+WITH h AS (
+  SELECT user_id, event_id, value,
+         list(CAST(value AS DOUBLE))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+  FROM events)
+SELECT user_id, event_id, value,
+       list_reduce(l, (a, b) -> a * 0.7::DOUBLE + b * 0.3::DOUBLE)
+         AS ewma
+FROM h
+""")
+def ewma_user_values_q(spark, sf_dir):
+    """Per-user EWMA over the trailing 8 events (alpha=0.3): single
+    hash exchange + per-key sorted window; deterministic fold order,
+    replayed term-for-term by DuckDB's ordered window list +
+    list_reduce. Ordering is µs-truncated (ts div 1000) to match the
+    oracle's µs timestamps, event_id tie-break."""
+    from vega_spark.functions.analytics import ewma_by_key
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_by_key(ev, "user_id",
+                      [F.expr("ts div 1000"), F.col("event_id")],
+                      "value", alpha=0.3, window_rows=8)
+    return out.select("user_id", "event_id", "value", "ewma")
+
+
+@_q("key_skew_report_parts", """
+WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+t AS (SELECT SUM(cnt) AS total, COUNT(*) AS groups FROM c)
+SELECT l_partkey, cnt, ROUND(cnt * 1.0 / total, 6) AS share,
+       ROUND(cnt * groups * 1.0 / total, 4) AS x_mean
+FROM c, t ORDER BY cnt DESC, l_partkey LIMIT 20
+""")
+def key_skew_report_parts_q(spark, sf_dir):
+    """Shuffle-skew diagnostic for a join/agg key: the 20 heaviest
+    l_partkey groups with row share and ratio to the mean group size
+    (the straggler predictor that decides salting / AQE skew-join).
+    One keyed aggregate + broadcast 1-row summary + TakeOrdered."""
+    from vega_spark.operators.stats import key_skew_report
+    return key_skew_report(_t(spark, sf_dir, "lineitem"),
+                           ["l_partkey"], top_n=20)
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
