@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "bpe_encode_docs",             # BPE train (bounded head) + encode
     "ewma_user_values",            # bounded-frame EWMA fold per key
     "key_skew_report_parts",       # shuffle-skew diagnostic head
+    "fuzzy_match_suppliers",       # q-gram blocked edit-distance link
+    "pivot_unpivot_roundtrip",     # wide reshape + melt
+    "array_hof_sweep",             # lambda-expression surface
 ]
 
 

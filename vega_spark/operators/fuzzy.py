@@ -1,0 +1,95 @@
+"""Fuzzy (approximate-string) matching: q-gram blocked candidate
+generation + edit-distance verification — the record-linkage /
+entity-resolution primitive (matching supplier names, product
+titles, user handles across datasets).
+
+Scale shape, the only one that survives 100 TB: NEVER all-pairs.
+Candidates come from an inverted-index equi-join on shared q-grams
+(linear in rows x grams-per-string), hot grams are dropped by a
+document-frequency cap exactly like stop-shingles in
+`dedup.ngram_jaccard_pairs`, a cheap length-difference prefilter
+runs before the O(len^2) edit distance, and `levenshtein` itself is
+a JVM builtin (codegen'd, no Python).
+
+Recall contract (q-gram lemma): strings within edit distance k share
+at least max(len) - q + 1 - k*q q-grams, so blocking is LOSSLESS for
+len >= q*(k+1); shorter strings may be missed — lower q for
+short-key domains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def qgrams(col: Column | str, q: int = 3) -> Column:
+    """Distinct character q-grams of the lower-cased string (strings
+    shorter than q contribute their whole self as one gram)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(c)
+    n = F.greatest(F.length(s) - (q - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substring(s, i, q)))
+
+
+def fuzzy_self_pairs(df: DataFrame, name_col: str,
+                     id_col: str, max_dist: int = 2,
+                     min_dist: int = 1, q: int = 3,
+                     max_gram_freq: int = 1000) -> DataFrame:
+    """Pairs (id_a < id_b) whose names are within edit distance
+    [min_dist, max_dist]. min_dist=1 excludes identical strings
+    (exact dedup's job). ``max_gram_freq`` drops grams shared by more
+    rows than that — a gram in everything ('the') generates quadratic
+    candidates and zero signal."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.lower(F.col(name_col)).alias("s"))
+    g = base.select("id", "s", F.explode(qgrams(F.col("s"), q)).alias("gram"))
+    rare = (g.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_gram_freq).select("gram"))
+    g = g.join(rare, "gram")
+    a = g.select("gram", F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    b = g.select("gram", F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    cand = (a.join(b, "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "s_a", "s_b").distinct())
+    verified = (cand
+                .filter(F.abs(F.length("s_a") - F.length("s_b")) <= max_dist)
+                .withColumn("dist", F.levenshtein("s_a", "s_b"))
+                .filter((F.col("dist") >= min_dist)
+                        & (F.col("dist") <= max_dist)))
+    return verified.select("id_a", "id_b",
+                           F.col("s_a").alias("name_a"),
+                           F.col("s_b").alias("name_b"), "dist")
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_name: str, right_name: str,
+               left_id: str, right_id: str,
+               max_dist: int = 2, q: int = 3,
+               max_gram_freq: int = 1000) -> DataFrame:
+    """Two-table fuzzy equi-candidates + verify: every (left, right)
+    pair within ``max_dist`` edits. Same blocked shape as
+    `fuzzy_self_pairs`; the gram-frequency cap is computed on the
+    UNION of both sides so a gram hot on either side is dropped."""
+    lb = left.select(F.col(left_id).alias("id_l"),
+                     F.lower(F.col(left_name)).alias("s_l"))
+    rb = right.select(F.col(right_id).alias("id_r"),
+                      F.lower(F.col(right_name)).alias("s_r"))
+    gl = lb.select("id_l", "s_l",
+                   F.explode(qgrams(F.col("s_l"), q)).alias("gram"))
+    gr = rb.select("id_r", "s_r",
+                   F.explode(qgrams(F.col("s_r"), q)).alias("gram"))
+    freq = (gl.select("gram").unionAll(gr.select("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_gram_freq).select("gram"))
+    cand = (gl.join(freq, "gram").join(gr.join(freq, "gram"), "gram")
+            .select("id_l", "id_r", "s_l", "s_r").distinct())
+    return (cand
+            .filter(F.abs(F.length("s_l") - F.length("s_r")) <= max_dist)
+            .withColumn("dist", F.levenshtein("s_l", "s_r"))
+            .filter(F.col("dist") <= max_dist)
+            .select("id_l", "id_r",
+                    F.col("s_l").alias("name_l"),
+                    F.col("s_r").alias("name_r"), "dist"))

@@ -1457,6 +1457,125 @@ def key_skew_report_parts_q(spark, sf_dir):
                            ["l_partkey"], top_n=20)
 
 
+@_q("fuzzy_match_suppliers", """
+WITH n AS (SELECT s_suppkey AS id, lower(s_name) AS s FROM supplier),
+g0 AS (SELECT id, s,
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(s) - 2, 1)),
+          i -> substr(s, i, 3))) AS grams FROM n),
+g AS (SELECT id, s, unnest(grams) AS gram FROM g0),
+rare AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1)
+         WHERE c <= 50),
+gg AS (SELECT g.id, g.s, g.gram FROM g JOIN rare USING (gram)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.s AS s_a, b.s AS s_b
+         FROM gg a JOIN gg b ON a.gram = b.gram AND a.id < b.id),
+v AS (SELECT id_a, id_b, levenshtein(s_a, s_b) AS dist
+      FROM cand WHERE abs(len(s_a) - len(s_b)) <= 2),
+p AS (SELECT id_a, id_b, dist FROM v WHERE dist BETWEEN 1 AND 2),
+sym AS (SELECT id_a AS id, dist FROM p
+        UNION ALL SELECT id_b AS id, dist FROM p)
+SELECT id AS s_suppkey, COUNT(*) AS n_fuzzy, MIN(dist) AS min_dist
+FROM sym GROUP BY id
+""")
+def fuzzy_match_suppliers_q(spark, sf_dir):
+    """Record linkage: q-gram blocked fuzzy self-match of supplier
+    names (edit distance 1-2), rolled up per supplier. The oracle
+    replays blocking, the gram-frequency stop cap, the length
+    prefilter and the levenshtein verify exactly. The fixed-prefix
+    pathology of these names is the cap's showcase: at real scale
+    'sup'/'ppl' grams exceed the frequency cap (50) and drop,
+    leaving the discriminative digit tails to generate candidates —
+    without the cap the shared 9-char prefix regenerates all-pairs
+    (measured 57 s vs ~2 s at sf0.1)."""
+    from vega_spark.operators.fuzzy import fuzzy_self_pairs
+    sup = _t(spark, sf_dir, "supplier")
+    pairs = fuzzy_self_pairs(sup, "s_name", "s_suppkey",
+                             max_dist=2, min_dist=1, q=3,
+                             max_gram_freq=50)
+    sym = (pairs.select(F.col("id_a").alias("id"), "dist")
+           .unionAll(pairs.select(F.col("id_b").alias("id"), "dist")))
+    return (sym.groupBy(F.col("id").alias("s_suppkey"))
+            .agg(F.count(F.lit(1)).alias("n_fuzzy"),
+                 F.min("dist").alias("min_dist")))
+
+
+@_q("pivot_unpivot_roundtrip", """
+WITH agg AS (
+  SELECT l_returnflag,
+         ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 1)
+           AS qty_O,
+         ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 1)
+           AS qty_F
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, 'O' AS status, qty_O AS qty FROM agg
+  WHERE qty_O IS NOT NULL
+UNION ALL
+SELECT l_returnflag, 'F' AS status, qty_F AS qty FROM agg
+  WHERE qty_F IS NOT NULL
+""")
+def pivot_unpivot_roundtrip_q(spark, sf_dir):
+    """Pivot (long->wide conditional aggregation with a FIXED value
+    list — never the two-pass value discovery) then unpivot back to
+    long: the reshaping surface the reference lacks. Fixed pivot
+    values keep the plan a single partial+final aggregate; unpivot is
+    a narrow expression (Spark melt)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(F.round(F.sum("l_quantity"), 1))
+            .withColumnRenamed("O", "qty_O")
+            .withColumnRenamed("F", "qty_F"))
+    long = wide.unpivot("l_returnflag", ["qty_O", "qty_F"],
+                        "status", "qty")
+    return (long.filter(F.col("qty").isNotNull())
+            .select("l_returnflag",
+                    F.replace(F.col("status"), F.lit("qty_"), F.lit(""))
+                    .alias("status"), "qty"))
+
+
+@_q("array_hof_sweep", """
+WITH a AS (
+  SELECT l_orderkey,
+         list(l_quantity ORDER BY l_quantity, l_linenumber) AS qs
+  FROM lineitem GROUP BY 1)
+SELECT l_orderkey,
+       len(qs) AS n_items,
+       list_reduce(qs, (x, y) -> x + y) AS total_qty,
+       len(list_filter(qs, x -> x > 25)) AS n_big,
+       list_max(list_transform(generate_series(1, len(qs)),
+                               i -> qs[i] + qs[len(qs) + 1 - i]))
+         AS max_pal_sum,
+       len(list_filter(qs, x -> x = 40)) > 0 AS has_forty
+FROM a
+""")
+def array_hof_sweep_q(spark, sf_dir):
+    """Higher-order array-function sweep (transform / filter /
+    aggregate / zip_with / exists) over per-order quantity arrays —
+    the scalar-fn surface (§2.10) stress test, all JVM-side lambda
+    expressions inside one keyed aggregate. Sums are deliberately
+    unrounded: both engines fold the SORTED array left-to-right, so
+    the doubles match bit-for-bit (rounding is where engines
+    diverge, not arithmetic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = (li.groupBy("l_orderkey")
+         .agg(F.transform(
+             F.array_sort(F.collect_list(
+                 F.struct("l_quantity", "l_linenumber"))),
+             lambda s: s["l_quantity"]).alias("qs")))
+    qs = F.col("qs")
+    return a.select(
+        "l_orderkey",
+        F.size(qs).alias("n_items"),
+        F.aggregate(F.slice(qs, 2, F.greatest(F.size(qs) - 1, F.lit(0))),
+                    F.element_at(qs, 1),
+                    lambda acc, x: acc + x).alias("total_qty"),
+        F.size(F.filter(qs, lambda x: x > 25)).alias("n_big"),
+        F.array_max(F.zip_with(qs, F.reverse(qs),
+                               lambda x, y: x + y)).alias("max_pal_sum"),
+        F.exists(qs, lambda x: x == 40).alias("has_forty"))
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
