@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "fuzzy_match_suppliers",       # q-gram blocked edit-distance link
     "pivot_unpivot_roundtrip",     # wide reshape + melt
     "array_hof_sweep",             # lambda-expression surface
+    "attribution_first_last_touch",  # single-exchange touch windows
+    "label_propagation_parts",     # 2-superstep communities
 ]
 
 

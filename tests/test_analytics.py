@@ -180,3 +180,42 @@ def test_key_skew_report_shares_and_order(spark):
     assert got[0].cnt == 70 and got[0].share == 0.7
     # 3 groups, mean size 100/3: hot is 2.1x the mean
     assert got[0].x_mean == 2.1
+
+
+def test_attribution_first_last_touch_semantics(spark):
+    from vega_spark.functions.analytics import attribution_touch
+    rows = [
+        (1, "view", 10, 100), (1, "click", 20, 101),
+        (1, "purchase", 30, 102),            # first=view@10, last=click@20
+        (1, "view", 40, 103),
+        (1, "purchase", 50, 104),            # first=view@10, last=view@40
+        (2, "purchase", 5, 200),             # direct: no touches
+        (3, "purchase", 7, 300), (3, "view", 9, 301),  # touch AFTER conv
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long")
+    got = {r.conversion_id: r for r in attribution_touch(df).collect()}
+    assert (got[102].first_touch_type, got[102].first_touch_ts) == ("view", 10)
+    assert (got[102].last_touch_type, got[102].last_touch_ts) == ("click", 20)
+    assert (got[104].first_touch_ts, got[104].last_touch_ts) == (10, 40)
+    assert got[200].first_touch_type is None
+    assert got[300].first_touch_type is None   # strictly-before only
+
+
+def test_label_propagation_two_cliques(spark):
+    from vega_spark.functions.graph import label_propagation
+    # two DISCONNECTED triangles: each converges to its own min label
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation(df, iters=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+    # with a bridge the min-tie-break lets small labels bleed across —
+    # inherent LPA dynamics; what we pin is DETERMINISM across reruns
+    bridged = spark.createDataFrame(edges + [(3, 10)], "src long, dst long")
+    a = {r.node: r.community
+         for r in label_propagation(bridged, iters=3).collect()}
+    b = {r.node: r.community
+         for r in label_propagation(bridged, iters=3).collect()}
+    assert a == b

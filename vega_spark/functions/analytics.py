@@ -331,3 +331,45 @@ def ewma_by_key(df: DataFrame, key_col: str, order_cols: Sequence[str],
         F.element_at(hist, 1),
         lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha))
     return df.withColumn(out_col, folded)
+
+
+def attribution_touch(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      touch_types: Sequence[str] = ("view", "click"),
+                      conversion_type: str = "purchase") -> DataFrame:
+    """Conversion attribution: for every conversion event, the
+    FIRST-touch and LAST-touch marketing events strictly before it in
+    the user's history. One row per conversion with
+    (first/last)_touch_(type, ts, id); conversions with no prior
+    touch keep NULLs (direct conversions).
+
+    Plan: ONE hash exchange on the user key — both touches are
+    windows over the same (user, time-ordered) partitioning: the
+    first touch is an unbounded-preceding min, the last touch an
+    unbounded-preceding-to-previous-row last(ignorenulls), each
+    carrying a (ts, id, type) struct so the chosen row is atomic
+    (same pattern as the as-of join's struct carry)."""
+    from pyspark.sql.window import Window
+
+    e = events.select(F.col(user_col).alias("u"),
+                      F.col(type_col).alias("t"),
+                      F.col(ts_col).alias("ts"),
+                      F.col(id_col).alias("id"))
+    touch = F.when(F.col("t").isin(*touch_types),
+                   F.struct(F.col("ts"), F.col("id"), F.col("t")))
+    ordered = Window.partitionBy("u").orderBy("ts", "id")
+    prev = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    tagged = (e.withColumn("__first",
+                           F.min(touch).over(prev))
+              .withColumn("__last",
+                          F.last(touch, ignorenulls=True).over(prev)))
+    conv = tagged.filter(F.col("t") == conversion_type)
+    return conv.select(
+        F.col("u").alias(user_col),
+        F.col("id").alias("conversion_id"),
+        F.col("ts").alias("conversion_ts"),
+        F.col("__first.t").alias("first_touch_type"),
+        F.col("__first.ts").alias("first_touch_ts"),
+        F.col("__last.t").alias("last_touch_type"),
+        F.col("__last.ts").alias("last_touch_ts"))

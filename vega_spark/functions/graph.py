@@ -104,3 +104,36 @@ def triangle_count(edges: DataFrame, src: str = "src",
                  & (F.col("v2") == F.col("b"))))
     nodes = tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iters: int = 2,
+                      checkpoint_every: int = 8) -> DataFrame:
+    """Synchronous label propagation (community detection): every
+    node starts as its own community; each superstep it adopts the
+    most frequent label among its neighbors, ties to the SMALLEST
+    label — fully deterministic, so a fixed iteration count is
+    SQL-replayable (the oracle unrolls the supersteps like
+    pagerank's).
+
+    Superstep plan: one equi-join (labels onto symmetric edges) + one
+    (node, label) count + one per-node rank window — all keyed by
+    node id, no cartesian, no global window. Lineage cut every
+    ``checkpoint_every`` rounds."""
+    from pyspark.sql.window import Window
+
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v"))))
+    labels = (sym.select("u").distinct()
+              .select(F.col("u").alias("node"), F.col("u").alias("label")))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for i in range(iters):
+        votes = (sym.join(labels.withColumnRenamed("node", "u"), "u")
+                 .groupBy(F.col("v").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes.withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") == 1).select("node", "label"))
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

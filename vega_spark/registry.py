@@ -1576,6 +1576,80 @@ def array_hof_sweep_q(spark, sf_dir):
         F.exists(qs, lambda x: x == 40).alias("has_forty"))
 
 
+@_q("attribution_first_last_touch", """
+WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,
+                  event_id AS id FROM events),
+tagged AS (
+  SELECT u, t, ts, id,
+    MIN(CASE WHEN t IN ('view','click')
+             THEN {'ts': ts, 'id': id, 't': t} END)
+      OVER (PARTITION BY u ORDER BY ts, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+    LAST_VALUE(CASE WHEN t IN ('view','click')
+                    THEN {'ts': ts, 'id': id, 't': t} END IGNORE NULLS)
+      OVER (PARTITION BY u ORDER BY ts, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+  FROM e)
+SELECT u AS user_id, id AS conversion_id, ts AS conversion_ts,
+       f.t AS first_touch_type, f.ts AS first_touch_ts,
+       l.t AS last_touch_type, l.ts AS last_touch_ts
+FROM tagged WHERE t = 'purchase'
+""")
+def attribution_first_last_touch_q(spark, sf_dir):
+    """Marketing attribution: first- and last-touch view/click before
+    each purchase, one hash exchange (both touches are windows over
+    the same user partitioning; the chosen touch rides a struct so
+    its fields stay atomic). Timestamps are pre-truncated to µs so
+    ordering and output match the oracle's µs timestamps exactly."""
+    from vega_spark.functions.analytics import attribution_touch
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts"),
+        "event_id")
+    return attribution_touch(ev)
+
+
+@_q("label_propagation_parts", """
+WITH baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT x.i AS u, y.i AS v
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING COUNT(*) >= 2),
+sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+n1 AS (SELECT s.v AS node, l.label, COUNT(*) AS c
+       FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2),
+l1 AS (SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rk
+        FROM n1) WHERE rk = 1),
+n2 AS (SELECT s.v AS node, l.label, COUNT(*) AS c
+       FROM sym s JOIN l1 l ON s.u = l.node GROUP BY 1, 2),
+l2 AS (SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rk
+        FROM n2) WHERE rk = 1)
+SELECT node, label AS community FROM l2
+""")
+def label_propagation_parts_q(spark, sf_dir):
+    """Label-propagation communities on the part co-purchase graph
+    (same edges as pagerank/triangles), 2 deterministic supersteps —
+    the oracle unrolls them as CTEs. Each superstep: one keyed join
+    + one (node,label) count + one per-node rank window."""
+    from vega_spark.functions.graph import label_propagation
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("b"),
+                        F.col("l_partkey").alias("i")).distinct()
+    x = baskets.select("b", F.col("i").alias("u"))
+    y = baskets.select("b", F.col("i").alias("v"))
+    pairs = (x.join(y, "b").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2).select("u", "v"))
+    return label_propagation(pairs, "u", "v", iters=2)
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
