@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "array_hof_sweep",             # lambda-expression surface
     "attribution_first_last_touch",  # single-exchange touch windows
     "label_propagation_parts",     # 2-superstep communities
+    "compact_small_files",         # atomic small-file compaction
 ]
 
 

@@ -161,3 +161,23 @@ def test_compact_small_files(spark, tmp_path):
     assert n == 1
     assert len([f for f in os.listdir(p) if f.endswith(".parquet")]) == 1
     assert spark.read.parquet(p).count() == 40000
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    import os
+    from vega_spark.operators.layout import compact_parquet
+    p = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(p)
+    before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert before == 40
+    stats = compact_parquet(spark, p, target_file_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1          # tiny data: one target file
+    got = spark.read.parquet(p)
+    assert got.count() == 4000
+    assert got.agg({"id": "sum"}).first()[0] == sum(range(4000))
+    # sorted compaction keeps zone maps selective
+    spark.range(0, 1000).repartition(10).write.mode("overwrite").parquet(p)
+    compact_parquet(spark, p, target_file_mb=128, sort_within=["id"])
+    assert spark.read.parquet(p).count() == 1000

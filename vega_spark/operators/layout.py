@@ -95,3 +95,44 @@ def write_bucketed_at(df: DataFrame, table: str, path: str, bucket_col: str,
 def bucketed_join_ready(spark, table: str) -> bool:
     """True if ``table`` already exists in the session catalog."""
     return spark.catalog.tableExists(table)
+
+
+def compact_parquet(spark, path: str, target_file_mb: int = 128,
+                    sort_within: Sequence[str] | None = None) -> dict:
+    """Small-file compaction — the table-maintenance chore every
+    long-running ingest needs (thousands of tiny files destroy scan
+    throughput: per-file open/footer costs dominate and the driver
+    chokes listing them). Rewrites ``path`` into ~``target_file_mb``
+    files, optionally sorting within partitions first (so min/max
+    zone maps stay selective after compaction).
+
+    Mechanics: size the output file count from the CURRENT byte size
+    (ceil(bytes / target)), repartition to exactly that many writers,
+    write to a sibling temp dir, then atomically swap directories —
+    readers see either the old or the new layout, never a partial
+    one. Returns {files_before, files_after, bytes}. This is the
+    OPTIMIZE/compact primitive of lakehouse tables expressed with
+    plain Spark + FS renames (a real table format adds snapshot
+    isolation on top)."""
+    import math
+    import os
+    import shutil
+
+    files = [f for f in os.listdir(path)
+             if f.endswith(".parquet") and not f.startswith("_")]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, math.ceil(total / (target_file_mb * (1 << 20))))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
+    after = len([f for f in os.listdir(path)
+                 if f.endswith(".parquet") and not f.startswith("_")])
+    return {"files_before": len(files), "files_after": after,
+            "bytes": total}

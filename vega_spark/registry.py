@@ -1650,6 +1650,33 @@ def label_propagation_parts_q(spark, sf_dir):
     return label_propagation(pairs, "u", "v", iters=2)
 
 
+@_q("compact_small_files")
+def compact_small_files_q(spark, sf_dir):
+    """Small-file compaction (lakehouse OPTIMIZE primitive): write a
+    deliberately fragmented copy of orders (32 tiny files), compact
+    to target size with an atomic directory swap, and report file
+    counts + row preservation. Rows-only: file layout is
+    engine-internal; row/sum preservation is the assertable part."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from vega_spark.operators.layout import compact_parquet
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    p = os.path.join(tempfile.gettempdir(), f"vega_compact_{tag}")
+    shutil.rmtree(p, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o.repartition(32).write.parquet(p)
+    stats = compact_parquet(spark, p, target_file_mb=128)
+    back = spark.read.parquet(p)
+    return (back.agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+            .select(F.lit(stats["files_before"]).alias("files_before"),
+                    F.lit(stats["files_after"]).alias("files_after"),
+                    "n_rows", "sum_price"))
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
