@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "attribution_first_last_touch",  # single-exchange touch windows
     "label_propagation_parts",     # 2-superstep communities
     "compact_small_files",         # atomic small-file compaction
+    "stratified_sample_langs",     # deterministic hash sampleBy
+    "streaming_kmv_rollup",        # incremental sketch maintenance
 ]
 
 

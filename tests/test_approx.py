@@ -202,3 +202,21 @@ def test_kmv_merge_equals_whole_and_set_relations(spark):
     assert abs(rel["ndv_union_est"] - 4500) / 4500 < 0.2
     assert abs(rel["jaccard_est"] - 1 / 3) < 0.12
     assert abs(rel["intersection_est"] - 1500) / 1500 < 0.35
+
+
+def test_kmv_grouped_exact_and_merge(spark):
+    from vega_spark.operators import sketches as SK
+    df = spark.createDataFrame(
+        [(("a" if i % 2 == 0 else "b"), i % 50) for i in range(2000)],
+        "g string, v int")
+    sk = SK.kmv_sketch_by(df, ["g"], "v", k=64)
+    est = {r.g: r.ndv_est for r in
+           SK.kmv_estimate_by(sk, ["g"], k=64).collect()}
+    # group a sees even i -> v in {0,2,..,48}: 25 distinct; b the odds
+    assert est == {"a": 25.0, "b": 25.0}
+    # merge of per-split partials equals the whole-data sketch
+    s1 = SK.kmv_sketch_by(df.filter("v < 25"), ["g"], "v", k=64)
+    s2 = SK.kmv_sketch_by(df.filter("v >= 25"), ["g"], "v", k=64)
+    merged = SK.kmv_merge_by(s1.unionAll(s2), ["g"], k=64)
+    whole = {(r.g, r.h) for r in sk.collect()}
+    assert {(r.g, r.h) for r in merged.collect()} == whole

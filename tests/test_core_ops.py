@@ -204,3 +204,24 @@ def test_conf_for_scale_small_input_fills_cluster():
     assert int(conf["spark.sql.shuffle.partitions"]) == 128  # 2x cores floor
     # scan splits shrink so all 64 cores participate
     assert int(conf["spark.sql.files.maxPartitionBytes"]) < 128 * 1024**2
+
+
+def test_stratified_sample_deterministic_fractions_and_rerun(spark):
+    from vega_spark.operators.sampling import stratified_sample_deterministic
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    kept = stratified_sample_deterministic(df, "s", {"a": 0.5, "b": 0.1},
+                                           "id")
+    counts = {r.s: r.n for r in
+              kept.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["a"] / 2000 - 0.5) < 0.06
+    assert abs(counts["b"] / 2000 - 0.1) < 0.04
+    # identical selection on rerun (no RNG anywhere)
+    again = {r.id for r in stratified_sample_deterministic(
+        df, "s", {"a": 0.5, "b": 0.1}, "id").select("id").collect()}
+    assert {r.id for r in kept.select("id").collect()} == again
+    # default fraction 0.0 drops unlisted strata entirely
+    extra = spark.createDataFrame([(99999, "c")], "id long, s string")
+    none = stratified_sample_deterministic(
+        df.unionAll(extra), "s", {"a": 0.5, "b": 0.1}, "id")
+    assert none.filter(F.col("s") == "c").count() == 0

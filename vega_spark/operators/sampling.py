@@ -175,3 +175,25 @@ def temperature_resample(df: DataFrame, group_col: str, id_col: str,
             .join(F.broadcast(quota), group_col)
             .filter(F.col("__rn") <= F.col("__quota"))
             .drop("__rn", "__quota"))
+
+
+def stratified_sample_deterministic(df: DataFrame, strata_col: str,
+                                    fractions: dict[str, float],
+                                    id_col: str,
+                                    default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum Bernoulli sampling by hash fraction instead of a
+    seeded RNG: keep a row iff md5-fraction(id) < fraction[stratum].
+    Same contract as `sample_stratified` (Spark's sampleBy) but fully
+    deterministic and engine-replayable — reruns, retries, and any
+    other engine select the IDENTICAL rows, which is what lineage
+    reproducibility at 100 TB actually requires (a seeded sampleBy
+    re-draws per partition split). Narrow expression, no shuffle;
+    strata missing from ``fractions`` get ``default_fraction``."""
+    h = (F.conv(F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 12),
+        16, 10).cast("double") / F.lit(float(16 ** 12)))
+    expr = F.lit(float(default_fraction))
+    for k, v in sorted(fractions.items()):
+        expr = F.when(F.col(strata_col) == k, F.lit(float(v))) \
+                .otherwise(expr)
+    return df.filter(h < expr)

@@ -270,3 +270,47 @@ def bloom_probe(df: DataFrame, bloom: DataFrame, col: Column | str,
         t = F.expr(f"(__bw{i} & shiftleft(CAST(1 AS BIGINT), __bb{i})) != 0")
         hit = t if hit is None else (hit & t)
     return j.withColumn(out_col, hit).drop("bf", *tmp)
+
+
+def kmv_sketch_by(df: DataFrame, keys: Sequence[str],
+                  col: Column | str, k: int = 256) -> DataFrame:
+    """Per-group KMV sketch: for every ``keys`` group, the k smallest
+    distinct hash fractions — rows (keys..., h). The grouped rollup
+    row for incremental pipelines: write one per (group, batch) and
+    any coarser distinct/set question is a merge (`kmv_merge_by`),
+    never a rescan. Exchanges: one dedup on (keys, h), one rank
+    window partitioned by the group — both keyed, never global."""
+    from pyspark.sql.window import Window
+
+    c = F.col(col) if isinstance(col, str) else col
+    d = (df.select(*keys, _kmv_hash(c).alias("h"))
+         .dropDuplicates([*keys, "h"]))
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (d.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+def kmv_merge_by(partials: DataFrame, keys: Sequence[str],
+                 k: int = 256) -> DataFrame:
+    """Merge per-group sketch partials (e.g. one per micro-batch /
+    day) into the group's union sketch: distinct hashes, bottom-k per
+    group. Input cardinality = sketch rows, not base rows."""
+    from pyspark.sql.window import Window
+
+    d = partials.select(*keys, "h").dropDuplicates([*keys, "h"])
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (d.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+def kmv_estimate_by(sketch: DataFrame, keys: Sequence[str],
+                    k: int = 256,
+                    out_col: str = "ndv_est") -> DataFrame:
+    """Per-group distinct estimate: exact count while the group's
+    sketch is not full, else (k-1)/h_k."""
+    return (sketch.groupBy(*keys)
+            .agg(F.count("h").alias("__n"), F.max("h").alias("__hk"))
+            .select(*keys,
+                    F.when(F.col("__n") < k, F.col("__n").cast("double"))
+                    .otherwise(F.lit(float(k - 1)) / F.col("__hk"))
+                    .alias(out_col)))

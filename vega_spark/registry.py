@@ -1677,6 +1677,83 @@ def compact_small_files_q(spark, sf_dir):
                     "n_rows", "sum_price"))
 
 
+@_q("stratified_sample_langs", """
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+      / 281474976710656.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+GROUP BY lang
+""")
+def stratified_sample_langs_q(spark, sf_dir):
+    """Deterministic stratified sampling (hash-fraction Bernoulli per
+    language): rerun- and engine-stable row selection, the property a
+    seeded sampleBy cannot give. The oracle replays the exact hash
+    threshold per stratum."""
+    from vega_spark.operators.sampling import stratified_sample_deterministic
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample_deterministic(
+        docs, "lang", {"en": 0.5, "de": 0.25}, "doc_id",
+        default_fraction=0.1)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
+@_q("streaming_kmv_rollup", """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS ndv_est
+FROM events GROUP BY 1
+""")
+def streaming_kmv_rollup_q(spark, sf_dir):
+    """Incremental sketch maintenance on a stream: each micro-batch
+    writes its per-group KMV partial (≤ k rows per group) to a
+    rollup table via foreachBatch; the final distinct-user estimate
+    per event type is a MERGE of those partials — the base events
+    are never rescanned. k=2048 > the corpus cardinality, so the
+    bottom-k sketch IS the exact hash set and the estimate equals
+    COUNT(DISTINCT): the oracle checks the whole incremental path
+    end-to-end with no approximation slack. At real scale the same
+    rollup answers with (k-1)/h_k error ~1/sqrt(k)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from vega_spark.operators.sketches import (kmv_estimate_by,
+                                               kmv_merge_by,
+                                               kmv_sketch_by)
+    from vega_spark.streaming import sources as SS
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    stage = tempfile.mkdtemp(prefix="vega_stream_kmv_")
+    rollup = os.path.join(stage, "rollup")
+    ev.coalesce(4).write.mode("overwrite") \
+        .parquet(os.path.join(stage, "arrivals"))
+
+    stream = SS.stream_parquet(
+        spark, os.path.join(stage, "arrivals"),
+        "event_type string, user_id long", max_files_per_trigger=1)
+
+    def write_partial(batch_df, batch_id):
+        (kmv_sketch_by(batch_df, ["event_type"], "user_id", k=2048)
+         .write.mode("append").parquet(rollup))
+
+    q = (stream.writeStream.foreachBatch(write_partial)
+         .option("checkpointLocation",
+                 os.path.join(stage, "ckpt_" + uuid.uuid4().hex[:8]))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    partials = spark.read.parquet(rollup)
+    merged = kmv_merge_by(partials, ["event_type"], k=2048)
+    out = kmv_estimate_by(merged, ["event_type"], k=2048)
+    shutil.rmtree(os.path.join(stage, "arrivals"), ignore_errors=True)
+    return out
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
