@@ -372,3 +372,29 @@ def test_pq_scan_reads_codes_not_embeddings(spark, sf_dir):
     assert "embedding" not in cand.schema.fieldNames()
     out = S.pq_adc_topk(enc, queries, cbs, k=3, refine=2)
     assert out.count() > 0
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    from vega_spark.functions.analytics import ewma_by_key
+    ev = load_table(spark, sf_dir, "events")
+    q = ewma_by_key(ev, "user_id", [F.expr("ts div 1000"), F.col("event_id")],
+                    "value", alpha=0.3, window_rows=8)
+    assert I.count_exchanges(q) == 1, I.plan_text(q)
+    assert "No Partition Defined" not in I.plan_text(q)
+
+
+def test_attribution_single_exchange(spark, sf_dir):
+    from vega_spark.functions.analytics import attribution_touch
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts"),
+        "event_id")
+    q = attribution_touch(ev)
+    assert I.count_exchanges(q) == 1, I.plan_text(q)
+
+
+def test_stratified_sample_is_narrow_pushed_scan(spark, sf_dir):
+    from vega_spark.operators.sampling import stratified_sample_deterministic
+    docs = load_table(spark, sf_dir, "documents")
+    q = stratified_sample_deterministic(docs, "lang", {"en": 0.5},
+                                        "doc_id")
+    assert I.count_exchanges(q) == 0, I.plan_text(q)

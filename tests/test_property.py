@@ -163,3 +163,40 @@ def test_zip_with_index_is_permutation_of_sorted_positions(spark, vals, nparts):
     assert sorted(r["idx"] for r in rows) == list(range(len(vals)))
     got_sorted = [r.v for r in sorted(rows, key=lambda r: r["idx"])]
     assert got_sorted == sorted(vals)
+
+
+@given(words=st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=6),
+    min_size=1, max_size=12))
+@SLOW
+def test_bpe_roundtrip_property(spark, words):
+    # for ANY corpus: concatenating a doc's subword tokens and
+    # splitting on the end-of-word marker reproduces the normalized
+    # words exactly — merges never cross word boundaries
+    from vega_spark.functions import bpe as B
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = B.bpe_train(df, num_merges=20)
+    toks = B.bpe_encode(df, merges).first().bpe_tokens
+    joined = "".join(toks).replace("</w>", " ").strip()
+    assert joined == " ".join(text.lower().split())
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=500),
+                     min_size=0, max_size=60),
+       split=st.integers(min_value=0, max_value=500))
+@SLOW
+def test_kmv_merge_property(spark, vals, split):
+    # bottom-k of a union == merge of the parts' bottom-k, for any
+    # data split — the property that makes shard/day rollups sound
+    from vega_spark.operators import sketches as SK
+    if not vals:
+        return
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    lo, hi = df.filter(F.col("v") < split), df.filter(F.col("v") >= split)
+    k = 8
+    merged = SK.kmv_merge(SK.kmv_sketch(lo, "v", k),
+                          SK.kmv_sketch(hi, "v", k), k=k)
+    whole = SK.kmv_sketch(df, "v", k)
+    assert ([r.h for r in merged.orderBy("h").collect()]
+            == [r.h for r in whole.orderBy("h").collect()])
