@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "compact_small_files",         # atomic small-file compaction
     "stratified_sample_langs",     # deterministic hash sampleBy
     "streaming_kmv_rollup",        # incremental sketch maintenance
+    "window_function_sweep",       # 7 window fns, one exchange
+    "null_safe_join_custkeys",     # <=> null-matching equi-join
 ]
 
 

@@ -1754,6 +1754,69 @@ def streaming_kmv_rollup_q(spark, sf_dir):
     return out
 
 
+@_q("window_function_sweep", """
+WITH e AS (SELECT user_id AS u, event_id AS id, epoch_us(ts) AS ts,
+                  value FROM events)
+SELECT u, id,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       CUME_DIST() OVER w AS cdist,
+       PERCENT_RANK() OVER w AS prank
+FROM e
+WINDOW w AS (PARTITION BY u ORDER BY ts, id)
+""")
+def window_function_sweep_q(spark, sf_dir):
+    """Full ranking/navigation window surface (lag, lead, rank,
+    dense_rank, ntile, cume_dist, percent_rank) over ONE per-user
+    ordered partitioning — a single hash exchange serves all seven
+    (no reference equivalent: the RDD algebra has no windows at all).
+    cume_dist/percent_rank are exact integer ratios, so doubles match
+    the oracle bit-for-bit."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("id"),
+        F.expr("ts div 1000").alias("ts"), "value")
+    w = Window.partitionBy("u").orderBy("ts", "id")
+    return ev.select(
+        "u", "id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.percent_rank().over(w).alias("prank"))
+
+
+@_q("null_safe_join_custkeys", """
+WITH o AS (SELECT o_orderkey, NULLIF(o_custkey % 7, 0) AS k FROM orders),
+c AS (SELECT NULLIF(c_custkey % 7, 0) AS k, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1)
+SELECT o.k AS join_key, COUNT(*) AS n_orders, MAX(c.n_cust) AS n_cust
+FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+GROUP BY o.k
+""")
+def null_safe_join_custkeys_q(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of dropping — the semantic fork every
+    SQL engine must pick on nullable keys. Still a hash-partitionable
+    equi-join (null-safe equality is a valid shuffle key), not a
+    theta join."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("k"))
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.nullif(F.col("c_custkey") % 7, F.lit(0)).alias("k"))
+         .groupBy("k").agg(F.count(F.lit(1)).alias("n_cust")))
+    j = o.join(c, o["k"].eqNullSafe(c["k"]), "inner")
+    return (j.groupBy(o["k"].alias("join_key"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.max("n_cust").alias("n_cust")))
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
