@@ -398,3 +398,46 @@ def test_stratified_sample_is_narrow_pushed_scan(spark, sf_dir):
     q = stratified_sample_deterministic(docs, "lang", {"en": 0.5},
                                         "doc_id")
     assert I.count_exchanges(q) == 0, I.plan_text(q)
+
+
+def test_advisor_flags_global_window_and_cartesian(spark):
+    import pytest
+    from pyspark.sql.window import Window
+    from vega_spark.plans.advisor import analyze_plan, assert_scale_safe
+    df = spark.range(100).withColumnRenamed("id", "a")
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("a")))
+    codes = {f["code"] for f in analyze_plan(bad)}
+    assert "global-window" in codes
+    with pytest.raises(AssertionError, match="global-window"):
+        assert_scale_safe(bad)
+    # partitioned window: clean
+    good = df.withColumn("rn", F.row_number().over(
+        Window.partitionBy(F.col("a") % 10).orderBy("a")))
+    assert "global-window" not in {f["code"] for f in analyze_plan(good)}
+    assert_scale_safe(good)
+    # cross joins flagged (nested-loop broadcast variant)
+    cj = df.crossJoin(spark.range(5).withColumnRenamed("id", "b"))
+    assert "cross-nlj" in {f["code"] for f in analyze_plan(cj)}
+
+
+def test_advisor_flags_row_udf_not_arrow(spark):
+    from pyspark.sql.functions import pandas_udf, udf
+    from vega_spark.plans.advisor import analyze_plan
+    df = spark.range(100).withColumnRenamed("id", "a")
+    slow = df.withColumn("b", udf(lambda x: x + 1, "long")(F.col("a")))
+    assert "row-python-udf" in {f["code"] for f in analyze_plan(slow)}
+
+    fast = pandas_udf(lambda s: s + 1, "long")
+    ok = df.withColumn("b", fast(F.col("a")))
+    assert "row-python-udf" not in {f["code"] for f in analyze_plan(ok)}
+
+
+def test_advisor_clean_on_registry_flagships(spark, sf_dir):
+    # every showcase plan in PLANS.md must pass the catch-all gate
+    from vega_spark.plans.advisor import assert_scale_safe
+    from vega_spark.registry import QUERIES
+    for name in ("weblog_agg", "tpch_q3_shipping", "dedup_exact",
+                 "kmv_distinct_jaccard", "semantic_dedup_flags",
+                 "triangle_count_parts", "web_url_dedup_pipeline",
+                 "ewma_user_values", "attribution_first_last_touch"):
+        assert_scale_safe(QUERIES[name](spark, sf_dir))

@@ -1,0 +1,104 @@
+"""Plan advisor: walk a DataFrame's physical plan and flag the
+anti-patterns that kill jobs at 100 TB — the checks
+`tests/test_plans.py` makes per-operator, packaged as a runtime
+diagnostic any user can point at their own query before launching it
+on a cluster.
+
+Checks (each finding: code, severity, detail):
+- global-window    FATAL  a Window with no PARTITION BY — every row
+                          through one task; the single most common
+                          correct-but-dead-at-scale plan.
+- cartesian        FATAL  CartesianProduct — |L|x|R| rows.
+- cross-nlj        WARN   BroadcastNestedLoopJoin with a Cross join
+                          type — quadratic work even though one side
+                          broadcasts; fine only for tiny sides.
+- row-python-udf   WARN   BatchEvalPython — row-at-a-time Python in
+                          the hot path (Arrow/pandas UDFs show up as
+                          ArrowEvalPython and are not flagged).
+- unpushed-filter  INFO   a Filter node above a scan whose
+                          PushedFilters is empty — predicate may be
+                          evaluated post-scan (casts/UDFs in the
+                          predicate commonly cause this).
+- exchanges        INFO   total Exchange count (context, not a flaw).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from vega_spark.plans.inspect import plan_text
+
+
+def _window_partition_groups(args_line: str) -> int:
+    """Count top-level [...] groups in a Window node's Arguments
+    line: 3 (exprs, partition, order) when partitioned, 2 when not."""
+    depth, groups = 0, 0
+    for ch in args_line:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+def analyze_plan(df: DataFrame) -> list[dict]:
+    txt = plan_text(df)
+    findings: list[dict] = []
+
+    # window partitioning: inspect each "(n) Window" section
+    for m in re.finditer(r"\(\d+\) Window\b.*?Arguments: (.*?)\n\n",
+                         txt, re.S):
+        args = " ".join(m.group(1).split("\n"))
+        if _window_partition_groups(args) < 3:
+            findings.append({
+                "code": "global-window", "severity": "FATAL",
+                "detail": "Window with no PARTITION BY: all rows "
+                          "funnel through a single task. Partition "
+                          "the window, or take a bounded head first "
+                          "(orderBy().limit() plans as TakeOrdered)."})
+            break
+
+    if "CartesianProduct" in txt:
+        findings.append({
+            "code": "cartesian", "severity": "FATAL",
+            "detail": "CartesianProduct: |left| x |right| rows. Add "
+                      "an equi-join key (bucket the condition) or "
+                      "broadcast a provably tiny side."})
+    if re.search(r"BroadcastNestedLoopJoin.*Cross", txt, re.S):
+        findings.append({
+            "code": "cross-nlj", "severity": "WARN",
+            "detail": "Cross BroadcastNestedLoopJoin: quadratic "
+                      "work per partition; acceptable only when the "
+                      "broadcast side is a handful of rows."})
+    if "BatchEvalPython" in txt:
+        findings.append({
+            "code": "row-python-udf", "severity": "WARN",
+            "detail": "Row-at-a-time Python UDF (BatchEvalPython): "
+                      "10-100x slower than Arrow-batched pandas UDFs "
+                      "and breaks whole-stage codegen around it."})
+    if re.search(r"PushedFilters: \[\]", txt) and ") Filter" in txt:
+        findings.append({
+            "code": "unpushed-filter", "severity": "INFO",
+            "detail": "A Filter sits above a scan with no pushed "
+                      "predicates; casts or Python UDFs in the "
+                      "predicate usually block pushdown."})
+    findings.append({
+        "code": "exchanges", "severity": "INFO",
+        "detail": f"{txt.count('Exchange')} Exchange node(s) "
+                  "(context: each is a full shuffle of its input)."})
+    return findings
+
+
+def assert_scale_safe(df: DataFrame) -> None:
+    """Raise if the plan contains a FATAL scale anti-pattern — the
+    CI-able form of the advisor (plan tests use targeted assertions;
+    this is the catch-all for user queries)."""
+    fatal = [f for f in analyze_plan(df) if f["severity"] == "FATAL"]
+    if fatal:
+        raise AssertionError(
+            "scale-fatal plan: " + "; ".join(
+                f"{f['code']}: {f['detail']}" for f in fatal))
