@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "streaming_kmv_rollup",        # incremental sketch maintenance
     "window_function_sweep",       # 7 window fns, one exchange
     "null_safe_join_custkeys",     # <=> null-matching equi-join
+    "audio_frame_energy_vad",      # framed energy + VAD gate
 ]
 
 

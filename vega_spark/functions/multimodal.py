@@ -213,3 +213,123 @@ def feature_extract(df: DataFrame, dim: int = 16,
 
     return df.select(id_col, payload_col).mapInPandas(
         op, schema="asset_id long, embedding array<float>")
+
+
+# --- audio columns ---------------------------------------------------------
+
+AUDIO_META_SCHEMA = ("asset_id long, sample_rate int, n_channels int, "
+                     "n_frames long, duration_ms double")
+
+
+def audio_metadata(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload",
+                   decode: str = "fake") -> DataFrame:
+    """Per-asset audio header metadata. decode='real' parses WAV
+    containers with the STDLIB ``wave`` module (no external codec
+    needed — this real path always works for RIFF/WAV payloads;
+    non-WAV bytes raise the normal wave.Error). decode='fake'
+    derives deterministic pseudo-metadata from a content digest, so
+    plumbing tests run on arbitrary binary stand-ins."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import wave
+
+        for b in batches:
+            if decode == "real":
+                srs, chs, nfs, durs = [], [], [], []
+                for p in b[payload_col]:
+                    with wave.open(io.BytesIO(bytes(p))) as w:
+                        sr, ch, nf = (w.getframerate(), w.getnchannels(),
+                                      w.getnframes())
+                    srs.append(sr)
+                    chs.append(ch)
+                    nfs.append(nf)
+                    durs.append(1000.0 * nf / sr)
+                yield pd.DataFrame({
+                    "asset_id": b[id_col].astype("int64"),
+                    "sample_rate": srs, "n_channels": chs,
+                    "n_frames": nfs, "duration_ms": durs})
+                continue
+            metas = []
+            for p in b[payload_col]:
+                d = hashlib.sha256(bytes(p)).digest()
+                sr = (8000, 16000, 44100)[d[2] % 3]
+                nf = len(bytes(p)) * 16
+                metas.append((sr, 1 + d[3] % 2, nf, 1000.0 * nf / sr))
+            yield pd.DataFrame({
+                "asset_id": b[id_col].astype("int64"),
+                "sample_rate": [m[0] for m in metas],
+                "n_channels": [m[1] for m in metas],
+                "n_frames": [m[2] for m in metas],
+                "duration_ms": [m[3] for m in metas]})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=AUDIO_META_SCHEMA)
+
+
+def audio_frame_energy(df: DataFrame, window: int = 32, stride: int = 64,
+                       max_frames: int = 8,
+                       id_col: str = "doc_id",
+                       payload_col: str = "payload",
+                       decode: str = "fake") -> DataFrame:
+    """Framed energy features (1 asset row → ≤ ``max_frames`` frame
+    rows — the flat_map shape that feeds VAD gates and audio dedup).
+
+    decode='real': int16 PCM from a WAV container (stdlib wave +
+    numpy), energy = per-window RMS. decode='fake': frame i covers
+    payload bytes [i*stride, i*stride+window) and energy is their
+    MEAN BYTE VALUE — chosen deliberately so an external engine can
+    replay it from the raw bytes (the registry oracle recomputes it
+    from ASCII codes in SQL)."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import wave
+
+        for b in batches:
+            ids, idxs, starts, energies = [], [], [], []
+            for aid, p in zip(b[id_col], b[payload_col]):
+                raw = bytes(p)
+                if decode == "real":
+                    with wave.open(io.BytesIO(raw)) as w:
+                        pcm = np.frombuffer(
+                            w.readframes(w.getnframes()), dtype="<i2")
+                    for i in range(max_frames):
+                        s = i * stride
+                        if s + window > len(pcm):
+                            break
+                        seg = pcm[s:s + window].astype("float64")
+                        ids.append(int(aid))
+                        idxs.append(i)
+                        starts.append(s)
+                        energies.append(float(np.sqrt((seg * seg).mean())))
+                else:
+                    for i in range(max_frames):
+                        s = i * stride
+                        if s + window > len(raw):
+                            break
+                        seg = raw[s:s + window]
+                        ids.append(int(aid))
+                        idxs.append(i)
+                        starts.append(s)
+                        energies.append(sum(seg) / float(window))
+            yield pd.DataFrame({
+                "asset_id": ids, "frame_idx": idxs,
+                "start": starts, "energy": energies})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, schema="asset_id long, frame_idx int, start long, energy double")
+
+
+def speech_activity_ratio(frames: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Energy-gate VAD summary over `audio_frame_energy` output: per
+    asset, the fraction of frames above ``threshold`` (the
+    keep/drop signal an audio curation pipeline filters on). One
+    keyed aggregate."""
+    return (frames.groupBy("asset_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum(F.when(F.col("energy") > threshold, 1)
+                       .otherwise(0)).alias("n_active"))
+            .withColumn("active_ratio",
+                        F.round(F.col("n_active") / F.col("n_frames"), 4)))

@@ -1817,6 +1817,40 @@ def null_safe_join_custkeys_q(spark, sf_dir):
                  F.max("n_cust").alias("n_cust")))
 
 
+@_q("audio_frame_energy_vad", """
+WITH f AS (
+  SELECT doc_id, g.i AS frame_idx, g.i * 64 AS start,
+         list_reduce(list_transform(generate_series(1, 32),
+             j -> CAST(ascii(substr(text, g.i * 64 + j, 1)) AS DOUBLE)),
+             (a, b) -> a + b) / 32.0 AS energy
+  FROM documents CROSS JOIN
+       (SELECT unnest(generate_series(0, 7)) AS i) g
+  WHERE g.i * 64 + 32 <= len(text)
+)
+SELECT doc_id AS asset_id, COUNT(*) AS n_frames,
+       SUM(CASE WHEN energy > 100.0 THEN 1 ELSE 0 END) AS n_active,
+       ROUND(SUM(CASE WHEN energy > 100.0 THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 4) AS active_ratio
+FROM f GROUP BY doc_id
+""")
+def audio_frame_energy_vad_q(spark, sf_dir):
+    """Audio curation plumbing end-to-end: binary payloads → framed
+    energy features (1 asset → ≤8 frame rows, the flat_map shape) →
+    energy-gate VAD ratio per asset. The fake decode's energy is the
+    mean byte value of each frame window BY DESIGN, so the oracle
+    recomputes the entire path from raw ASCII codes in SQL. The
+    decode='real' WAV path (stdlib wave + numpy RMS — no external
+    codec) is pinned by tests with synthesized PCM."""
+    from vega_spark.functions.multimodal import (attach_binary,
+                                                 audio_frame_energy,
+                                                 speech_activity_ratio)
+    docs = _t(spark, sf_dir, "documents")
+    assets = attach_binary(docs, "text")
+    frames = audio_frame_energy(assets, window=32, stride=64,
+                                max_frames=8)
+    return speech_activity_ratio(frames, threshold=100.0)
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
