@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "window_function_sweep",       # 7 window fns, one exchange
     "null_safe_join_custkeys",     # <=> null-matching equi-join
     "audio_frame_energy_vad",      # framed energy + VAD gate
+    "cdc_apply_changes_orders",    # changefeed collapse + apply
 ]
 
 

@@ -112,3 +112,32 @@ def test_table_diff_value_moving_across_nulls(spark):
            for r in table_diff(old, new, ["k"], ["a", "b"],
                                include_unchanged=True).collect()}
     assert got == {1: "changed"}
+
+
+def test_apply_changes_order_and_supersede(spark):
+    from pyspark.sql import functions as F
+    from vega_spark.operators.merge import apply_changes
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    # out-of-order feed: k=1 upserted then deleted (delete is later);
+    # k=2 two upserts, later one wins; k=9 inserted then updated
+    ch = spark.createDataFrame([
+        (1, "delete", 5, None),
+        (1, "upsert", 3, "a2"),
+        (2, "upsert", 1, "b1"),
+        (2, "upsert", 2, "b2"),
+        (9, "upsert", 1, "new"),
+        (9, "upsert", 4, "new2"),
+    ], "k long, op string, seq long, v string")
+    got = {r.k: r.v for r in
+           apply_changes(snap, ch, ["k"], ["seq"]).collect()}
+    assert got == {2: "b2", 3: "c", 9: "new2"}
+    # shuffle path gives the identical result
+    got2 = {r.k: r.v for r in
+            apply_changes(snap, ch, ["k"], ["seq"],
+                          broadcast_changes=False).collect()}
+    assert got2 == got
+    # delete of an absent key is a no-op
+    ch2 = spark.createDataFrame([(77, "delete", 1, None)],
+                                "k long, op string, seq long, v string")
+    assert apply_changes(snap, ch2, ["k"], ["seq"]).count() == 3

@@ -138,3 +138,41 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str],
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def apply_changes(snapshot: DataFrame, changes: DataFrame,
+                  keys: list[str], seq_cols: list[str],
+                  op_col: str = "op",
+                  broadcast_changes: bool = True) -> DataFrame:
+    """CDC apply (the APPLY CHANGES INTO primitive): fold an ordered
+    changefeed — rows (keys..., ``op_col`` in {'upsert','delete'},
+    seq_cols..., payload) — into a snapshot. Out-of-order and
+    superseded events are handled by collapsing to the LATEST change
+    per key first (max over ``seq_cols``, e.g. (ts, change_id) — the
+    tie-break must be total for determinism), then deletes anti-join
+    the snapshot and upserts run through `merge_into`.
+
+    Plan: one keyed aggregate over the changefeed (max_by the whole
+    row — a partial+final agg, cardinality = touched keys), then the
+    merge path: with ``broadcast_changes`` the 100 TB snapshot is
+    never shuffled (broadcast LEFT + ANTI joins); otherwise one keyed
+    exchange. This is exactly how lakehouse CDC apply works, minus
+    the transaction log."""
+    seq = F.struct(*[F.col(c) for c in seq_cols])
+    payload = [c for c in changes.columns
+               if c not in (*keys, op_col, *seq_cols)]
+    latest = (changes
+              .groupBy(*keys)
+              .agg(F.max(F.struct(seq.alias("__s"),
+                                  F.col(op_col).alias("__op"),
+                                  *[F.col(c) for c in payload]))
+                   .alias("__m"))
+              .select(*keys, F.col("__m.__op").alias(op_col),
+                      *[F.col(f"__m.{c}").alias(c) for c in payload]))
+    if broadcast_changes:
+        latest = F.broadcast(latest)
+    dels = latest.filter(F.col(op_col) == "delete").select(*keys)
+    ups = latest.filter(F.col(op_col) == "upsert").drop(op_col)
+    kept = snapshot.join(dels, on=keys, how="left_anti")
+    return merge_into(kept, ups, keys,
+                      broadcast_source=broadcast_changes)

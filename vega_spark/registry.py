@@ -1851,6 +1851,66 @@ def audio_frame_energy_vad_q(spark, sf_dir):
     return speech_activity_ratio(frames, threshold=100.0)
 
 
+@_q("cdc_apply_changes_orders", """
+WITH ch AS (
+  SELECT o_orderkey AS k, 'upsert' AS op, 1 AS seq,
+         o_totalprice + 10.0 AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'delete', 2, NULL FROM orders
+  WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'upsert', 1, 500.0 FROM orders
+  WHERE o_orderkey % 1000 = 0),
+latest AS (
+  SELECT k, op, price FROM (
+    SELECT k, op, price,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM ch) WHERE rn = 1),
+applied AS (
+  SELECT o.o_orderkey,
+         CASE WHEN l.op = 'upsert' THEN l.price
+              ELSE o.o_totalprice END AS price
+  FROM orders o LEFT JOIN latest l ON o.o_orderkey = l.k
+  WHERE l.op IS DISTINCT FROM 'delete'),
+ins AS (
+  SELECT k AS o_orderkey, price FROM latest
+  WHERE op = 'upsert'
+    AND k NOT IN (SELECT o_orderkey FROM orders)),
+allr AS (SELECT * FROM applied UNION ALL SELECT * FROM ins)
+SELECT COUNT(*) AS n_rows, ROUND(SUM(price), 2) AS total,
+       SUM(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END)
+         AS n_inserted
+FROM allr
+""")
+def cdc_apply_changes_orders_q(spark, sf_dir):
+    """CDC APPLY CHANGES: a synthetic ordered changefeed (price
+    upserts, later deletes that supersede them, inserts of new keys)
+    collapses to the latest change per key and folds into the orders
+    snapshot — deletes anti-join, upserts/inserts via the broadcast
+    merge path (the snapshot never shuffles). Price deltas stay on
+    the 2-decimal grid so the rounded sum is boundary-free."""
+    from vega_spark.operators.merge import apply_changes
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    up = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.lit("upsert").alias("op"), F.lit(1).alias("seq"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"))
+    de = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("delete").alias("op"), F.lit(2).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"))
+    ins = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("upsert").alias("op"), F.lit(1).alias("seq"),
+        F.lit(500.0).alias("o_totalprice"))
+    changes = up.unionByName(de).unionByName(ins)
+    merged = apply_changes(o, changes, ["o_orderkey"], ["seq"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.when(F.col("o_orderkey") >= 10000000, 1).otherwise(0))
+        .alias("n_inserted"))
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
