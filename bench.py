@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "null_safe_join_custkeys",     # <=> null-matching equi-join
     "audio_frame_energy_vad",      # framed energy + VAD gate
     "cdc_apply_changes_orders",    # changefeed collapse + apply
+    "mv_incremental_refresh",      # additive view maintenance
+    "inverted_index_search",       # posting-table AND search
 ]
 
 

@@ -219,3 +219,26 @@ def test_label_propagation_two_cliques(spark):
     b = {r.node: r.community
          for r in label_propagation(bridged, iters=3).collect()}
     assert a == b
+
+
+def test_inverted_index_and_or_search(spark):
+    from vega_spark.functions.search import (build_inverted_index,
+                                             search_terms)
+    docs = spark.createDataFrame([
+        (1, "spark shuffle join"), (2, "spark scan"),
+        (3, "shuffle only here"), (4, "nothing relevant")],
+        "doc_id long, text string")
+    idx = build_inverted_index(docs)
+    hit_and = {r.doc_id for r in
+               search_terms(idx, ["spark", "shuffle"], "and").collect()}
+    assert hit_and == {1}
+    hit_or = {r.doc_id for r in
+              search_terms(idx, ["spark", "shuffle"], "or").collect()}
+    assert hit_or == {1, 2, 3}
+    # max_df banding drops stop terms from the index entirely
+    idx2 = build_inverted_index(docs, max_df=2)
+    assert idx2.filter(F.col("term") == "spark").count() == 2
+    docs5 = docs.unionByName(spark.createDataFrame(
+        [(5, "spark spark spark")], "doc_id long, text string"))
+    idx3 = build_inverted_index(docs5, max_df=2)
+    assert idx3.filter(F.col("term") == "spark").count() == 0

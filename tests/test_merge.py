@@ -141,3 +141,19 @@ def test_apply_changes_order_and_supersede(spark):
     ch2 = spark.createDataFrame([(77, "delete", 1, None)],
                                 "k long, op string, seq long, v string")
     assert apply_changes(snap, ch2, ["k"], ["seq"]).count() == 3
+
+
+def test_mv_refresh_matches_recompute_and_drops_empty_groups(spark):
+    from pyspark.sql import functions as F
+    from vega_spark.operators.incremental import (aggregate_view,
+                                                  refresh_aggregate_view)
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 5.0), ("b", 7.0)], "k string, v double")
+    view = aggregate_view(base, ["k"], ["v"])
+    # insert into a, new group c; retract ALL of b
+    delta = spark.createDataFrame(
+        [("a", 2.0, 1), ("c", 9.0, 1), ("b", 7.0, -1)],
+        "k string, v double, sign int")
+    got = {r.k: (r.v, r.n) for r in refresh_aggregate_view(
+        view, delta, ["k"], ["v"], sign_col="sign").collect()}
+    assert got == {"a": (17.0, 3), "c": (9.0, 1)}   # b vanished (n=0)

@@ -1,0 +1,60 @@
+"""Incremental view maintenance: keep an aggregate snapshot current
+by COMBINING it with a delta's partial aggregates — never re-scanning
+the base table. The fourth leg of the repo's incremental story
+(incremental dedup, KMV/HLL sketch rollups, CDC apply, and now
+additive materialized views).
+
+Soundness rests on the aggregates being ABELIAN (sum/count — and
+anything derivable from them: avg, ratios): partial states add, and
+retractions are just negative contributions. min/max are NOT
+maintainable this way (a retraction can expose a new extremum that
+only the base table knows); refuse them here rather than silently
+corrupt — recompute those, or maintain a sketch/heap per group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_view(base: DataFrame, keys: Sequence[str],
+                   sum_cols: Sequence[str],
+                   count_col: str = "n") -> DataFrame:
+    """Build the maintainable snapshot: per-key sums + row count.
+    One partial+final keyed aggregate."""
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    return (base.groupBy(*keys)
+            .agg(*aggs, F.count(F.lit(1)).alias(count_col)))
+
+
+def refresh_aggregate_view(view: DataFrame, delta: DataFrame,
+                           keys: Sequence[str],
+                           sum_cols: Sequence[str],
+                           count_col: str = "n",
+                           sign_col: str | None = None) -> DataFrame:
+    """Combine a snapshot with a raw-row delta: aggregate the delta
+    (tiny — one keyed agg over the delta only), full-outer on the
+    keys, add the partials, and drop groups whose row count reaches
+    zero. ``sign_col`` (+1 insert / -1 retraction) makes the delta a
+    proper changelog; omitted, every delta row is an insert.
+
+    Cost: O(|delta|) + a join against the view (itself
+    group-cardinality-sized, usually broadcastable) — independent of
+    the base table, which is the point of maintaining the view."""
+    s = F.col(sign_col) if sign_col else F.lit(1)
+    d = (delta.groupBy(*keys)
+         .agg(*[F.sum(F.col(c) * s).alias(c) for c in sum_cols],
+              F.sum(s).alias(count_col)))
+    v, dd = view.alias("v"), d.alias("d")
+    merged = v.join(dd, on=list(keys), how="full_outer")
+    out_sums = [
+        (F.coalesce(F.col(f"v.{c}"), F.lit(0))
+         + F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
+        for c in sum_cols]
+    out_n = (F.coalesce(F.col(f"v.{count_col}"), F.lit(0))
+             + F.coalesce(F.col(f"d.{count_col}"), F.lit(0))).alias(count_col)
+    return (merged.select(*keys, *out_sums, out_n)
+            .filter(F.col(count_col) > 0))

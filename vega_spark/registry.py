@@ -1911,6 +1911,67 @@ def cdc_apply_changes_orders_q(spark, sf_dir):
         .alias("n_inserted"))
 
 
+@_q("mv_incremental_refresh", """
+WITH eff AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE (o_orderkey % 4 != 0 AND o_orderkey % 6 != 0)
+     OR o_orderkey % 4 = 0)
+SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+FROM eff GROUP BY 1
+""")
+def mv_incremental_refresh_q(spark, sf_dir):
+    """Incremental materialized-view maintenance: a per-priority
+    revenue view built from the base snapshot is refreshed with a
+    changelog delta (inserts of the %4 keys, retractions of the %6
+    keys as sign=-1 rows) by combining partial aggregates — the base
+    is never re-scanned. The oracle recomputes the post-refresh
+    state directly from the effective row set; the incremental
+    result must match it exactly. Sums stay on the 2-decimal grid so
+    the round is boundary-free."""
+    from vega_spark.operators.incremental import (aggregate_view,
+                                                  refresh_aggregate_view)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 4 != 0)
+    view = aggregate_view(base, ["o_orderpriority"], ["o_totalprice"])
+    inserts = (o.filter(F.col("o_orderkey") % 4 == 0)
+               .select("o_orderpriority", "o_totalprice",
+                       F.lit(1).alias("sign")))
+    retract = (base.filter(F.col("o_orderkey") % 6 == 0)
+               .select("o_orderpriority", "o_totalprice",
+                       F.lit(-1).alias("sign")))
+    refreshed = refresh_aggregate_view(
+        view, inserts.unionByName(retract), ["o_orderpriority"],
+        ["o_totalprice"], sign_col="sign")
+    return refreshed.select(
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total"), "n")
+
+
+@_q("inverted_index_search", """
+WITH post AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')) AS term
+    FROM documents) GROUP BY term, doc_id),
+hits AS (SELECT * FROM post WHERE term IN ('agg', 'scan')),
+m AS (SELECT doc_id, COUNT(DISTINCT term) AS n_matched,
+             SUM(tf) AS total_tf
+      FROM hits GROUP BY doc_id)
+SELECT doc_id, n_matched, total_tf FROM m WHERE n_matched = 2
+""")
+def inverted_index_search_q(spark, sf_dir):
+    """Inverted-index AND-search: build the (term, doc, tf) posting
+    table once, answer 'docs containing ALL of {agg, scan}' with
+    a pruned-postings aggregate. The corpus is only touched at index
+    build; the oracle replays tokenize/postings/match."""
+    from vega_spark.functions.search import (build_inverted_index,
+                                             search_terms)
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs)
+    return search_terms(idx, ["agg", "scan"], mode="and")
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
