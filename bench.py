@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "cdc_apply_changes_orders",    # changefeed collapse + apply
     "mv_incremental_refresh",      # additive view maintenance
     "inverted_index_search",       # posting-table AND search
+    "bitmap_distinct_rollup",      # exact mergeable distinct
 ]
 
 

@@ -220,3 +220,23 @@ def test_kmv_grouped_exact_and_merge(spark):
     merged = SK.kmv_merge_by(s1.unionAll(s2), ["g"], k=64)
     whole = {(r.g, r.h) for r in sk.collect()}
     assert {(r.g, r.h) for r in merged.collect()} == whole
+
+
+def test_bitmap_rollup_exact_across_batches(spark):
+    from vega_spark.operators import sketches as SK
+    # ids split across two 'days'; overlap must not double-count
+    d1 = spark.createDataFrame([("a", i) for i in range(0, 800)],
+                               "g string, uid long")
+    d2 = spark.createDataFrame([("a", i) for i in range(400, 1200)]
+                               + [("b", 7)], "g string, uid long")
+    p = SK.bitmap_partial(d1, ["g"], "uid").unionAll(
+        SK.bitmap_partial(d2, ["g"], "uid"))
+    got = {r.g: r.n_distinct for r in
+           SK.bitmap_merge_count(p, ["g"]).collect()}
+    assert got == {"a": 1200, "b": 1}
+    # ids crossing the 32k bucket boundary stay exact
+    big = spark.createDataFrame(
+        [("c", i) for i in range(32760, 32780)], "g string, uid long")
+    got2 = SK.bitmap_merge_count(
+        SK.bitmap_partial(big, ["g"], "uid"), ["g"]).first()
+    assert got2.n_distinct == 20

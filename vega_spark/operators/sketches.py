@@ -314,3 +314,38 @@ def kmv_estimate_by(sketch: DataFrame, keys: Sequence[str],
                     F.when(F.col("__n") < k, F.col("__n").cast("double"))
                     .otherwise(F.lit(float(k - 1)) / F.col("__hk"))
                     .alias(out_col)))
+
+
+# --- bitmap rollup: EXACT mergeable distinct for integer ids ---------------
+
+def bitmap_partial(df: DataFrame, keys: Sequence[str],
+                   id_col: str,
+                   bitmap_col: str = "id_bitmap") -> DataFrame:
+    """Per-group roaring-style bitmap of an integer id column
+    (Spark's bitmap_* functions: ids bucket into 32k-bit chunks, the
+    aggregate ORs positions). The EXACT counterpart to the HLL/KMV
+    rollups: same write-once / merge-forever pattern, zero error —
+    the right tool when ids are dense integers (user ids, doc ids)
+    and exactness is required (billing, dedup audits). Sketch size
+    scales with id-range density rather than being constant; for
+    sparse 64-bit ids prefer HLL/KMV.
+
+    Output: (keys..., bucket, bitmap binary) — one row per 32k-id
+    bucket per group."""
+    b = (df.select(*keys,
+                   F.bitmap_bucket_number(F.col(id_col)).alias("bucket"),
+                   F.bitmap_bit_position(F.col(id_col)).alias("pos")))
+    return (b.groupBy(*keys, "bucket")
+            .agg(F.bitmap_construct_agg("pos").alias(bitmap_col)))
+
+
+def bitmap_merge_count(partials: DataFrame, keys: Sequence[str],
+                       bitmap_col: str = "id_bitmap",
+                       out_col: str = "n_distinct") -> DataFrame:
+    """Merge bitmap partials (possibly from many batches/days) up to
+    ``keys`` and count: OR within (keys, bucket), popcount, sum over
+    buckets. Exact at any merge depth; input rows = partial rows."""
+    ored = (partials.groupBy(*keys, "bucket")
+            .agg(F.bitmap_or_agg(bitmap_col).alias("__bm")))
+    return (ored.groupBy(*keys)
+            .agg(F.sum(F.bitmap_count("__bm")).alias(out_col)))

@@ -1972,6 +1972,28 @@ def inverted_index_search_q(spark, sf_dir):
     return search_terms(idx, ["agg", "scan"], mode="and")
 
 
+@_q("bitmap_distinct_rollup", """
+WITH d AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) % 4
+                    AS hour_bucket, user_id FROM events)
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM d GROUP BY 1
+""")
+def bitmap_distinct_rollup_q(spark, sf_dir):
+    """Exact mergeable distinct via integer bitmaps: per
+    (event_type, hour-bucket) bitmap partials roll up to per-type
+    distinct users by OR + popcount — the zero-error sibling of the
+    HLL/KMV rollups, same write-partials/merge-later shape. The
+    oracle is plain COUNT(DISTINCT): bitmaps are exact at any merge
+    depth, so the check has no approximation slack."""
+    from vega_spark.operators.sketches import (bitmap_merge_count,
+                                               bitmap_partial)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (ts_hour_of_day("ts") % 4).alias("hour_bucket"),
+        "user_id")
+    partials = bitmap_partial(ev, ["event_type", "hour_bucket"], "user_id")
+    return bitmap_merge_count(partials, ["event_type"])
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
