@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "mv_incremental_refresh",      # additive view maintenance
     "inverted_index_search",       # posting-table AND search
     "bitmap_distinct_rollup",      # exact mergeable distinct
+    "ab_test_event_values",        # Welch z per experiment group
 ]
 
 

@@ -77,3 +77,24 @@ def test_percentile_by_group_exact(spark):
            percentile_by_group(df, ["g"], "x", [0.5]).collect()}
     assert out["a"].p0_5 == 2.5      # interpolated between 2 and 3
     assert out["b"].p0_5 == 5.0
+
+
+def test_ab_test_z_detects_planted_effect(spark):
+    from vega_spark.operators.stats import ab_test_zscores
+    # treatment shifted by +2.0 with small noise: decisive z;
+    # a no-effect group stays insignificant
+    rows = []
+    for i in range(400):
+        noise = (i % 7) * 0.01
+        rows.append(("shifted", "control", 10.0 + noise))
+        rows.append(("shifted", "treatment", 12.0 + noise))
+        rows.append(("flat", "control", 5.0 + noise))
+        rows.append(("flat", "treatment", 5.0 + noise))
+    df = spark.createDataFrame(rows, "g string, variant string, value double")
+    got = {r.g: r for r in ab_test_zscores(
+        df, ["g"], "variant", "value", "control", "treatment").collect()}
+    assert got["shifted"].z_score > 10
+    assert abs(got["flat"].z_score) < 1e-6
+    assert got["shifted"].n_c == 400 and got["shifted"].n_t == 400
+    assert abs(got["shifted"].mean_treatment
+               - got["shifted"].mean_control - 2.0) < 1e-9

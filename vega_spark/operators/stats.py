@@ -165,3 +165,42 @@ def key_skew_report(df: DataFrame, keys: Sequence[str],
                     F.round(F.col("cnt") * F.col("__groups")
                             / F.col("__total"), 4).alias("x_mean"))
             .orderBy(F.desc("cnt"), *keys).limit(top_n))
+
+
+def ab_test_zscores(df: DataFrame, group_cols: Sequence[str],
+                    variant_col: str, metric_col: str,
+                    control: str, treatment: str) -> DataFrame:
+    """Two-sample Welch z-test per group for an A/B experiment: one
+    conditional-aggregate pass computes each variant's (n, sum,
+    sum-of-squares), then mean/variance/z derive as expressions.
+
+    Determinism contract (how the oracle replays this to identical
+    doubles): the shuffled float sums are ROUNDED AT THEIR DECIMAL
+    GRID first (2-decimal metrics -> sums rounded at 2, squares at 4
+    — grid sums are boundary-free), and every later arithmetic step
+    runs in a fixed operation order on those identical doubles, so z
+    itself needs no rounding. |z| > 1.96 ~ 95% significance; p-values
+    are left to the caller (Spark has no erf builtin and the z is the
+    engine-checkable part)."""
+    m = F.col(metric_col)
+    is_c = F.col(variant_col) == control
+    is_t = F.col(variant_col) == treatment
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("n_c"),
+        F.round(F.sum(F.when(is_c, m)), 2).alias("s_c"),
+        F.round(F.sum(F.when(is_c, m * m)), 4).alias("q_c"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_t"),
+        F.round(F.sum(F.when(is_t, m)), 2).alias("s_t"),
+        F.round(F.sum(F.when(is_t, m * m)), 4).alias("q_t"))
+    mean_c = F.col("s_c") / F.col("n_c")
+    mean_t = F.col("s_t") / F.col("n_t")
+    var_c = (F.col("q_c") - F.col("s_c") * F.col("s_c") / F.col("n_c")) \
+        / (F.col("n_c") - 1)
+    var_t = (F.col("q_t") - F.col("s_t") * F.col("s_t") / F.col("n_t")) \
+        / (F.col("n_t") - 1)
+    z = (mean_t - mean_c) / F.sqrt(var_c / F.col("n_c")
+                                   + var_t / F.col("n_t"))
+    return agg.select(*group_cols, "n_c", "n_t",
+                      mean_c.alias("mean_control"),
+                      mean_t.alias("mean_treatment"),
+                      z.alias("z_score"))

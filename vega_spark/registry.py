@@ -1994,6 +1994,38 @@ def bitmap_distinct_rollup_q(spark, sf_dir):
     return bitmap_merge_count(partials, ["event_type"])
 
 
+@_q("ab_test_event_values", """
+WITH a AS (
+  SELECT event_type,
+    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_c,
+    ROUND(SUM(CASE WHEN user_id % 2 = 0 THEN value END), 2) AS s_c,
+    ROUND(SUM(CASE WHEN user_id % 2 = 0 THEN value * value END), 4) AS q_c,
+    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_t,
+    ROUND(SUM(CASE WHEN user_id % 2 = 1 THEN value END), 2) AS s_t,
+    ROUND(SUM(CASE WHEN user_id % 2 = 1 THEN value * value END), 4) AS q_t
+  FROM events GROUP BY 1)
+SELECT event_type, n_c, n_t,
+       s_c / n_c AS mean_control,
+       s_t / n_t AS mean_treatment,
+       (s_t / n_t - s_c / n_c)
+       / sqrt(((q_c - s_c * s_c / n_c) / (n_c - 1)) / n_c
+              + ((q_t - s_t * s_t / n_t) / (n_t - 1)) / n_t) AS z_score
+FROM a
+""")
+def ab_test_event_values_q(spark, sf_dir):
+    """A/B experiment readout: Welch z per event type (variant =
+    user-id parity). Sums round at their decimal grid, then the
+    mean/variance/z chain runs in identical operation order on both
+    engines — z compares bit-for-bit unrounded."""
+    from vega_spark.operators.stats import ab_test_zscores
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment")).alias("variant"))
+    return ab_test_zscores(ev, ["event_type"], "variant", "value",
+                           "control", "treatment")
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
