@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "inverted_index_search",       # posting-table AND search
     "bitmap_distinct_rollup",      # exact mergeable distinct
     "ab_test_event_values",        # Welch z per experiment group
+    "hist_quantile_rollup",        # mergeable quantile summaries
 ]
 
 

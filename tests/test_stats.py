@@ -98,3 +98,32 @@ def test_ab_test_z_detects_planted_effect(spark):
     assert got["shifted"].n_c == 400 and got["shifted"].n_t == 400
     assert abs(got["shifted"].mean_treatment
                - got["shifted"].mean_control - 2.0) < 1e-9
+
+
+def test_hist_quantile_rollup_merge_and_accuracy(spark):
+    from vega_spark.operators.stats import (hist_merge_quantiles,
+                                            hist_partial)
+    # uniform 0..1000 over [0,1000): quantile estimates within a bin
+    df = spark.createDataFrame(
+        [(("a" if i % 2 == 0 else "b"), float(i % 1000))
+         for i in range(4000)], "g string, v double")
+    bins, lo, hi = 100, 0.0, 1000.0
+    p = hist_partial(df, ["g"], "v", lo, hi, bins)
+    got = {(r.g, r.q): r.quantile_est for r in hist_merge_quantiles(
+        p, ["g"], [0.5, 0.9], lo, hi, bins).collect()}
+    for g in ("a", "b"):
+        assert abs(got[(g, 0.5)] - 500) <= hi / bins
+        assert abs(got[(g, 0.9)] - 900) <= hi / bins
+    # merging per-shard partials == whole-data partials
+    p1 = hist_partial(df.filter("v < 300"), ["g"], "v", lo, hi, bins)
+    p2 = hist_partial(df.filter("v >= 300"), ["g"], "v", lo, hi, bins)
+    merged = hist_merge_quantiles(p1.unionAll(p2), ["g"], [0.5],
+                                  lo, hi, bins)
+    whole = hist_merge_quantiles(p, ["g"], [0.5], lo, hi, bins)
+    assert ({(r.g, r.quantile_est) for r in merged.collect()}
+            == {(r.g, r.quantile_est) for r in whole.collect()})
+    # clamping: out-of-range values land in edge bins, never lost
+    oob = spark.createDataFrame([("c", -50.0), ("c", 5000.0)],
+                                "g string, v double")
+    pc = hist_partial(oob, ["g"], "v", lo, hi, bins)
+    assert pc.agg({"cnt": "sum"}).first()[0] == 2

@@ -204,3 +204,59 @@ def ab_test_zscores(df: DataFrame, group_cols: Sequence[str],
                       mean_c.alias("mean_control"),
                       mean_t.alias("mean_treatment"),
                       z.alias("z_score"))
+
+
+def hist_partial(df: DataFrame, keys: Sequence[str], col: str,
+                 lo: float, hi: float, bins: int = 64) -> DataFrame:
+    """Mergeable quantile summary: per-group fixed-bin histogram
+    counts (values clamped into [lo, hi]). The quantile member of
+    the rollup family (HLL=distincts, CMS=frequencies, KMV=sets,
+    bitmap=exact distincts): write one per (group, day), answer any
+    coarser percentile question by adding counts — error is bounded
+    by the bin width, deterministically (unlike a sampled t-digest).
+    One keyed aggregate, cardinality ≤ groups x bins."""
+    w = (hi - lo) / bins
+    c = F.col(col).cast("double")
+    b = F.least(F.lit(bins - 1),
+                F.greatest(F.lit(0),
+                           F.floor((c - lo) / w).cast("int")))
+    return (df.select(*keys, b.alias("bin"))
+            .groupBy(*keys, "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_merge_quantiles(partials: DataFrame, keys: Sequence[str],
+                         qs: Sequence[float], lo: float, hi: float,
+                         bins: int = 64) -> DataFrame:
+    """Merge histogram partials up to ``keys`` and estimate the
+    ``qs`` quantiles by linear interpolation inside the containing
+    bin: pos = q*n; the first bin whose cumulative count reaches pos
+    contributes est = lo + (bin + (pos - cum_before)/cnt) * width.
+    All arithmetic is a fixed-order expression on exact integer
+    counts, so any engine reproduces the estimates bit-for-bit.
+    Shuffles: one merge aggregate + one per-group cumulative window
+    (partitioned by the group, ordered by ≤ bins rows)."""
+    from pyspark.sql.window import Window
+
+    w = (hi - lo) / bins
+    merged = (partials.groupBy(*keys, "bin")
+              .agg(F.sum("cnt").alias("cnt")))
+    win = (Window.partitionBy(*keys).orderBy("bin")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (merged.withColumn("cum", F.sum("cnt").over(win))
+           .withColumn("n", F.sum("cnt").over(
+               Window.partitionBy(*keys))))
+    qlit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    probe = cum.select(*keys, "bin", "cnt", "cum", "n", qlit)
+    pos = F.col("q") * F.col("n")
+    containing = probe.filter(
+        (pos <= F.col("cum"))
+        & (pos > F.col("cum") - F.col("cnt"))
+        | ((F.col("q") == 0) & (F.col("cum") == F.col("cnt"))))
+    est = (F.lit(float(lo))
+           + (F.col("bin")
+              + (pos - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+           * F.lit(float(w)))
+    return (containing
+            .groupBy(*keys, "q")
+            .agg(F.min(est).alias("quantile_est")))

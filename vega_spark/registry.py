@@ -2026,6 +2026,52 @@ def ab_test_event_values_q(spark, sf_dir):
                            "control", "treatment")
 
 
+@_q("hist_quantile_rollup", """
+WITH part AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) % 4 AS hb,
+         LEAST(63, GREATEST(0,
+           CAST(FLOOR((value - 0.0) / 1.5625) AS INTEGER))) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+m AS (SELECT event_type, bin, SUM(cnt) AS cnt
+      FROM part GROUP BY 1, 2),
+cum AS (SELECT event_type, bin, cnt,
+          SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+          SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM m),
+probe AS (SELECT c.*, q FROM cum c
+          CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE,
+                                     0.99::DOUBLE]) AS q) qq),
+hit AS (SELECT * FROM probe
+        WHERE (q * n <= cum AND q * n > cum - cnt)
+           OR (q = 0 AND cum = cnt))
+SELECT event_type, q,
+       MIN(0.0 + (bin + (q * n - (cum - cnt)) / cnt) * 1.5625)
+         AS quantile_est
+FROM hit GROUP BY 1, 2
+""")
+def hist_quantile_rollup_q(spark, sf_dir):
+    """Mergeable quantiles: per (event_type, hour-bucket) fixed-bin
+    histogram partials merge up to per-type p50/p95/p99 — the
+    quantile member of the rollup family; finer summaries are
+    written once and every coarser percentile question is count
+    addition + deterministic interpolation. Bin width 1.5625 is
+    exact binary, and the whole estimate chain is fixed-order
+    arithmetic on exact integer counts, so estimates compare
+    bit-for-bit unrounded."""
+    from vega_spark.operators.stats import (hist_merge_quantiles,
+                                            hist_partial)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (ts_hour_of_day("ts") % 4).alias("hb"), "value")
+    partials = hist_partial(ev, ["event_type", "hb"], "value",
+                            0.0, 100.0, 64)
+    return hist_merge_quantiles(partials.drop("hb"), ["event_type"],
+                                [0.5, 0.95, 0.99], 0.0, 100.0, 64)
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
