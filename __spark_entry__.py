@@ -52,7 +52,16 @@ _PRIORITY = [
     "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
     "tpch_q9_profit_by_nation", "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
-    # LLM-pipeline flagships
+    # LLM-pipeline flagships (round-2 capability families first: each
+    # is the lone driver-visible representative of a new family)
+    "semantic_dedup_flags", "ann_pq_topk", "kmv_distinct_jaccard",
+    "web_url_dedup_pipeline", "web_line_filter", "bpe_encode_docs",
+    "triangle_count_parts", "label_propagation_parts",
+    "fuzzy_match_suppliers", "ewma_user_values",
+    "attribution_first_last_touch", "cdc_apply_changes_orders",
+    "streaming_kmv_rollup", "mv_incremental_refresh",
+    "bitmap_distinct_rollup", "hist_quantile_rollup",
+    "audio_frame_energy_vad", "inverted_index_search",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_components", "dedup_keep_representatives",
     "dedup_spans", "dedup_incremental", "dedup_incremental_bloom",
