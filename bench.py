@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "bitmap_distinct_rollup",      # exact mergeable distinct
     "ab_test_event_values",        # Welch z per experiment group
     "hist_quantile_rollup",        # mergeable quantile summaries
+    "retention_cohorts_daily",     # cohort x offset matrix
+    "top_event_paths",             # ordered n-gram path mining
+    "resolve_supplier_entities",   # ER capstone: block+CC+survive
 ]
 
 

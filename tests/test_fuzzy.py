@@ -42,3 +42,43 @@ def test_stop_gram_cap_prunes_universal_grams(spark):
     loose = Z.fuzzy_self_pairs(df, "name", "id", max_dist=1,
                                max_gram_freq=100).collect()
     assert len(loose) > 0     # with a permissive cap the pairs appear
+
+
+def test_resolve_entities_survivorship(spark):
+    rows = [
+        (1, "acme corp", 10, 5.0),
+        (2, "acme corp.", 20, 9.0),     # links to 1 (dist 1)
+        (3, "acme corpse", 20, 1.0),    # links to 2 (dist 2): one entity
+        (9, "zzz unrelated", 30, 7.0),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, nat int, bal double")
+    out = {r.entity: r for r in Z.resolve_entities(
+        df, "id", "name", vote_cols=["nat"], max_cols=["bal"],
+        max_gram_freq=100).collect()}
+    assert set(out) == {1, 9}
+    e = out[1]
+    assert e.n_members == 3
+    assert e.canonical_name == "acme corp"       # smallest member id
+    assert e.voted_nat == 20                     # 20 outvotes 10 (2 vs 1)
+    assert e.max_bal == 9.0
+    s = out[9]
+    assert (s.n_members, s.canonical_name, s.voted_nat) == \
+        (1, "zzz unrelated", 30)
+
+
+def test_retention_and_paths_shapes(spark):
+    from pyspark.sql import functions as F
+    from vega_spark.functions.analytics import (retention_cohorts,
+                                                top_event_paths)
+    day = 86_400_000_000_000
+    rows = [(1, "view", 0 * day, 1), (1, "click", 0 * day + 5, 2),
+            (1, "view", 2 * day, 3),
+            (2, "view", 1 * day, 4)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long")
+    ret = {(r.cohort, r.offset): r.n_active for r in retention_cohorts(
+        ev, bucket_expr=lambda c: F.expr(f"ts div {day}")).collect()}
+    assert ret == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+    paths = {r.path: r.n for r in
+             top_event_paths(ev, path_len=2, top_n=5).collect()}
+    assert paths == {"view>click": 1, "click>view": 1}

@@ -373,3 +373,68 @@ def attribution_touch(events: DataFrame, user_col: str = "user_id",
         F.col("__first.ts").alias("first_touch_ts"),
         F.col("__last.t").alias("last_touch_type"),
         F.col("__last.ts").alias("last_touch_ts"))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      bucket_expr=None) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-active
+    period, counted in every later period they return — the
+    (cohort, period_offset, n_active) long-form table behind every
+    retention chart.
+
+    Plan: one aggregate finds each user's cohort (min period), one
+    distinct pass lists (user, period) activity, and the broadcast-
+    joinable user→cohort frame tags it — two keyed shuffles total,
+    both on the user id. ``bucket_expr`` maps the timestamp column to
+    an integer period (default: epoch-day)."""
+    if bucket_expr is None:
+        bucket_expr = lambda c: F.floor(c / F.lit(86_400_000_000_000))  # noqa: E731
+
+    e = events.select(F.col(user_col).alias("u"),
+                      bucket_expr(F.col(ts_col)).cast("long").alias("p"))
+    cohort = e.groupBy("u").agg(F.min("p").alias("cohort"))
+    active = e.distinct()
+    tagged = active.join(cohort, "u")
+    return (tagged.groupBy("cohort",
+                           (F.col("p") - F.col("cohort")).alias("offset"))
+            .agg(F.count_distinct("u").alias("n_active")))
+
+
+def top_event_paths(events: DataFrame, user_col: str = "user_id",
+                    type_col: str = "event_type", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    path_len: int = 3, top_n: int = 20) -> DataFrame:
+    """Most common event-type paths: per user, the time-ordered event
+    sequence slides into ``path_len``-grams, counted corpus-wide —
+    'what do users do next' analysis.
+
+    One hash exchange on the user builds the ordered per-user array
+    (collect_list over a sorted window, taken at the last row so
+    each user contributes once); the n-gram fan-out is a narrow
+    in-row transform; the count is a keyed aggregate on the path
+    string; top-n is a bounded TakeOrdered head."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("u").orderBy("ts", "id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    seq = (events.select(F.col(user_col).alias("u"),
+                         F.col(type_col).alias("t"),
+                         F.col(ts_col).alias("ts"),
+                         F.col(id_col).alias("id"))
+           .withColumn("__seq", F.collect_list("t").over(w))
+           .withColumn("__rn", F.row_number().over(
+               Window.partitionBy("u").orderBy("ts", "id")))
+           .filter(F.col("__rn") == 1)
+           .select("u", "__seq"))
+    n = F.size("__seq")
+    n_paths = n - (path_len - 1)
+    # sequence(1, 0) DESCENDS in Spark — users with fewer events than
+    # path_len must yield an empty array, not indexes [1, 0]
+    arr = F.when(n_paths > 0, F.transform(
+        F.sequence(F.lit(1), n_paths),
+        lambda i: F.array_join(F.slice("__seq", i, path_len), ">"))) \
+        .otherwise(F.array().cast("array<string>"))
+    grams = seq.select(F.explode(arr).alias("path"))
+    return (grams.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("path")).limit(top_n))

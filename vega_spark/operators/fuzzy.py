@@ -19,6 +19,8 @@ short-key domains.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -93,3 +95,56 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             .select("id_l", "id_r",
                     F.col("s_l").alias("name_l"),
                     F.col("s_r").alias("name_r"), "dist"))
+
+
+def resolve_entities(df: DataFrame, id_col: str, name_col: str,
+                     vote_cols: Sequence[str] = (),
+                     max_cols: Sequence[str] = (),
+                     max_dist: int = 2, q: int = 3,
+                     max_gram_freq: int = 1000) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-match names
+    (`fuzzy_self_pairs`), group transitively-linked records
+    (`dedup.connected_components`), and emit ONE canonical record per
+    entity with survivorship rules — the full record-linkage pipeline
+    as one call.
+
+    Survivorship (all deterministic): entity id = smallest member id;
+    canonical name = the name of that smallest-id member;
+    ``vote_cols`` take the most frequent member value (ties to the
+    smallest); ``max_cols`` take the member maximum. Singletons (no
+    fuzzy match) resolve to themselves.
+
+    Plan: the blocked fuzzy join, the iterative min-label CC (shallow
+    graphs — name-dup clusters), then per-entity keyed aggregates;
+    the vote adds one (entity, value) count + per-entity rank window
+    per voted column."""
+    from pyspark.sql.window import Window
+
+    from vega_spark.functions.dedup import connected_components
+
+    pairs = fuzzy_self_pairs(df, name_col, id_col, max_dist=max_dist,
+                             min_dist=1, q=q,
+                             max_gram_freq=max_gram_freq)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+        src="a", dst="b")
+    lab = (df.join(comp.withColumnRenamed("doc_id", id_col), id_col,
+                   "left")
+           .withColumn("__entity",
+                       F.coalesce("component", F.col(id_col)))
+           .drop("component"))
+    base = lab.groupBy("__entity").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min_by(F.col(name_col), F.col(id_col)).alias("canonical_name"),
+        *[F.max(c).alias(f"max_{c}") for c in max_cols])
+    out = base
+    for c in vote_cols:
+        votes = (lab.groupBy("__entity", c)
+                 .agg(F.count(F.lit(1)).alias("__c")))
+        w = Window.partitionBy("__entity").orderBy(F.desc("__c"),
+                                                   F.asc(c))
+        pick = (votes.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("__entity", F.col(c).alias(f"voted_{c}")))
+        out = out.join(pick, "__entity")
+    return out.withColumnRenamed("__entity", "entity")

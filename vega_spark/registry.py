@@ -2072,6 +2072,114 @@ def hist_quantile_rollup_q(spark, sf_dir):
                                 [0.5, 0.95, 0.99], 0.0, 100.0, 64)
 
 
+@_q("retention_cohorts_daily", """
+WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS p
+           FROM events),
+cohort AS (SELECT u, MIN(p) AS cohort FROM e GROUP BY u),
+active AS (SELECT DISTINCT u, p FROM e)
+SELECT cohort, p - cohort AS "offset",
+       COUNT(DISTINCT u) AS n_active
+FROM active JOIN cohort USING (u) GROUP BY 1, 2
+""")
+def retention_cohorts_daily_q(spark, sf_dir):
+    """Daily retention cohorts: users bucketed by first-active day,
+    counted per day-offset they return — two keyed shuffles on the
+    user id. Day buckets come from exact INTEGER division of the ns
+    epoch (double division of 1e18-scale epochs loses sub-day
+    precision past 2^53)."""
+    from vega_spark.functions.analytics import retention_cohorts
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(
+        ev, bucket_expr=lambda c: F.expr("ts div 86400000000000"))
+
+
+@_q("top_event_paths", """
+WITH seq AS (
+  SELECT user_id AS u,
+         list(event_type ORDER BY epoch_us(ts), event_id) AS s
+  FROM events GROUP BY user_id),
+grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(s) - 2, 0)),
+           i -> array_to_string(s[i:i+2], '>'))) AS path
+  FROM seq)
+SELECT path, COUNT(*) AS n FROM grams
+GROUP BY path ORDER BY n DESC, path LIMIT 20
+""")
+def top_event_paths_q(spark, sf_dir):
+    """Most common 3-event user paths ('what happens next'): ordered
+    per-user sequences (one user-keyed exchange), narrow in-row
+    n-gram fan-out, keyed count, bounded TakeOrdered head. Ordering
+    is µs-truncated + event-id to match the oracle exactly."""
+    from vega_spark.functions.analytics import top_event_paths
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts"),
+        "event_id")
+    return top_event_paths(ev, path_len=3, top_n=20)
+
+
+@_q("resolve_supplier_entities", """
+WITH RECURSIVE n AS (
+  SELECT s_suppkey AS id, lower(s_name) AS s FROM supplier),
+g0 AS (SELECT id, s,
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(s) - 2, 1)),
+          i -> substr(s, i, 3))) AS grams FROM n),
+g AS (SELECT id, s, unnest(grams) AS gram FROM g0),
+rare AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1)
+         WHERE c <= 50),
+gg AS (SELECT g.id, g.s, g.gram FROM g JOIN rare USING (gram)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.s AS s_a, b.s AS s_b
+         FROM gg a JOIN gg b ON a.gram = b.gram AND a.id < b.id),
+p AS (SELECT id_a AS a, id_b AS b FROM cand
+      WHERE abs(len(s_a) - len(s_b)) <= 2
+        AND levenshtein(s_a, s_b) BETWEEN 1 AND 2),
+e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component
+         FROM reach GROUP BY u),
+lab AS (SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal,
+               COALESCE(c.component, s.s_suppkey) AS entity
+        FROM supplier s LEFT JOIN comp c ON s.s_suppkey = c.id),
+base AS (SELECT entity, COUNT(*) AS n_members,
+                MIN(s_suppkey) AS rep_id,
+                MAX(s_acctbal) AS max_s_acctbal
+         FROM lab GROUP BY 1),
+rep AS (SELECT l.entity, l.s_name FROM lab l
+        JOIN base b ON l.entity = b.entity AND l.s_suppkey = b.rep_id),
+votes AS (SELECT entity, s_nationkey, COUNT(*) AS c
+          FROM lab GROUP BY 1, 2),
+pick AS (SELECT entity, s_nationkey FROM (
+          SELECT entity, s_nationkey,
+                 ROW_NUMBER() OVER (PARTITION BY entity
+                                    ORDER BY c DESC, s_nationkey) AS rn
+          FROM votes) WHERE rn = 1)
+SELECT b.entity, b.n_members, rep.s_name AS canonical_name,
+       b.max_s_acctbal, pick.s_nationkey AS voted_s_nationkey
+FROM base b JOIN rep ON b.entity = rep.entity
+JOIN pick ON b.entity = pick.entity
+""")
+def resolve_supplier_entities_q(spark, sf_dir):
+    """Entity-resolution capstone: fuzzy-name blocking + transitive
+    closure + survivorship (smallest-id canonical name, majority-vote
+    nation, max balance) collapse linked supplier records into one
+    canonical row each. The oracle replays the ENTIRE pipeline —
+    blocking, edit-distance verify, recursive-CTE closure, votes —
+    which is the strongest per-query check in the registry."""
+    from vega_spark.operators.fuzzy import resolve_entities
+    sup = _t(spark, sf_dir, "supplier")
+    out = resolve_entities(sup, "s_suppkey", "s_name",
+                           vote_cols=["s_nationkey"],
+                           max_cols=["s_acctbal"],
+                           max_dist=2, q=3, max_gram_freq=50)
+    return out.select("entity", "n_members", "canonical_name",
+                      "max_s_acctbal", "voted_s_nationkey")
+
+
 @_q("tpch_q18_large_orders", """
 SELECT c_custkey, o_orderkey, ROUND(SUM(l_quantity), 1) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey
