@@ -200,3 +200,35 @@ def test_kmv_merge_property(spark, vals, split):
     whole = SK.kmv_sketch(df, "v", k)
     assert ([r.h for r in merged.orderBy("h").collect()]
             == [r.h for r in whole.orderBy("h").collect()])
+
+
+@given(snap=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 99)),
+                     min_size=0, max_size=15),
+       ch=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 99),
+                             st.booleans()),
+                   min_size=0, max_size=15))
+@SLOW
+def test_apply_changes_idempotent_property(spark, snap, ch):
+    # applying the SAME changefeed twice is a no-op the second time
+    # (last-writer-wins collapse makes the fold idempotent), and the
+    # broadcast and shuffle paths agree — for ANY snapshot/feed
+    from vega_spark.operators.merge import apply_changes
+    snap_u = {k: v for k, v in snap}
+    if not snap_u and not ch:
+        return
+    s = spark.createDataFrame(
+        list(snap_u.items()) or [(None, None)], "k int, v int").dropna()
+    rows = [(k, ("delete" if d else "upsert"), i,
+             (None if d else v))
+            for i, (k, v, d) in enumerate(ch)]
+    c = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "k int, op string, seq int, v int").dropna(subset=["k"])
+    once = apply_changes(s, c, ["k"], ["seq"])
+    twice = apply_changes(once, c, ["k"], ["seq"])
+    got1 = sorted((r.k, r.v) for r in once.collect())
+    got2 = sorted((r.k, r.v) for r in twice.collect())
+    assert got1 == got2
+    shuffled = apply_changes(s, c, ["k"], ["seq"],
+                             broadcast_changes=False)
+    assert sorted((r.k, r.v) for r in shuffled.collect()) == got1
