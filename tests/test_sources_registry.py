@@ -158,3 +158,24 @@ def test_custom_datasource_kv_decoder(spark):
           .option("rows", 10).option("decoder", "kv").load())
     assert kv.columns == ["user_id", "value"]
     assert kv.count() == 10
+
+
+def test_bench_and_oracle_sets_consistent(spark):
+    # drift guards: every bench query is registered; every oracle has
+    # a query; entry-module ordering returns the full registry
+    import importlib.util
+    import os
+    import sys
+
+    from vega_spark import registry
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+    assert set(bench.BENCH_QUERIES) <= set(registry.QUERIES)
+    assert set(registry.ORACLES) <= set(registry.QUERIES)
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(root, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert set(mod.queries()) == set(registry.QUERIES)
+    assert mod.oracle_sql() == registry.ORACLES
