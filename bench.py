@@ -116,6 +116,14 @@ BENCH_QUERIES = [
     "retention_cohorts_daily",     # cohort x offset matrix
     "top_event_paths",             # ordered n-gram path mining
     "resolve_supplier_entities",   # ER capstone: block+CC+survive
+    # round-2 final widening: anomaly / rules / BFS / forecast
+    "anomalies_event_values",      # median/MAD outlier screen
+    "spikes_event_hours",          # hourly burst z-scores
+    "assoc_rules_parts",           # support/confidence/lift rules
+    "item_neighbors_parts",        # item-item cosine top-k
+    "bfs_parts_distance",          # frontier BFS, 4 hops
+    "forecast_backtest_events",    # seasonal-naive MAE backtest
+    "dsir_select_en",              # DSIR hashed-unigram importance weights
 ]
 
 

@@ -1,0 +1,150 @@
+"""Round-2 late analytics families: robust anomalies, spike z-scores,
+association rules, item-item neighbors, BFS distances, seasonal-naive
+backtest (functions/analytics, functions/graph.bfs_distances)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vega_spark.functions.analytics import (
+    association_rules,
+    hourly_spikes,
+    item_item_neighbors,
+    robust_anomalies,
+    seasonal_naive_backtest,
+)
+from vega_spark.functions.graph import bfs_distances
+from vega_spark.plans.advisor import assert_scale_safe
+
+
+def test_robust_anomalies_flags_only_outliers(spark):
+    # group a: values 1..9 plus a wild 100 -> med 5.5, MAD 2.5
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5,
+                                                      6, 7, 8, 9, 100])]
+    # group b: constant -> MAD 0 -> never flagged (z undefined)
+    rows += [(100 + i, "b", 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    out = robust_anomalies(df, "k", "v", id_cols=["id"], z_thresh=3.5)
+    got = out.collect()
+    assert [r.id for r in got] == [9]
+    expect = round(0.6745 * (100 - 5.5) / 2.5, 3)
+    assert got[0].robust_z == expect
+
+
+def test_robust_anomalies_plan_scale_safe(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, k string, v double")
+    assert_scale_safe(robust_anomalies(df, "k", "v", id_cols=["id"]))
+
+
+def test_hourly_spikes_z_values(spark):
+    # type x: three hours with counts 1, 1, 4 -> mu=2, sd=sqrt(3)
+    rows = [("x", "2024-01-01 00:00:05"),
+            ("x", "2024-01-01 01:00:05"),
+            ("x", "2024-01-01 02:00:05"), ("x", "2024-01-01 02:10:00"),
+            ("x", "2024-01-01 02:20:00"), ("x", "2024-01-01 02:30:00"),
+            # type y: a single hour -> sd undefined -> spike_z null
+            ("y", "2024-01-01 00:00:01")]
+    ev = spark.createDataFrame(rows, "event_type string, s string") \
+        .select("event_type", F.col("s").cast("timestamp").alias("ts"))
+    out = {(r.event_type, str(r.hour)): r
+           for r in hourly_spikes(ev).collect()}
+    sd = math.sqrt(3.0)
+    assert out[("x", "2024-01-01 02:00:00")].spike_z == round(2 / sd, 3)
+    assert out[("x", "2024-01-01 00:00:00")].spike_z == round(-1 / sd, 3)
+    assert out[("y", "2024-01-01 00:00:00")].spike_z is None
+
+
+def test_association_rules_hand_computed(spark):
+    # baskets: {1,2} x3, {1,3} x1  -> N=4, n_1=4, n_2=3, n_3=1
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (4, 1), (4, 3)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    out = {(r.ante, r.cons): r
+           for r in association_rules(df, "b", "i", min_count=2).collect()}
+    # only pair (1,2) reaches min_count; both directions emitted
+    assert set(out) == {(1, 2), (2, 1)}
+    r = out[(1, 2)]
+    assert (r.n_baskets, r.support) == (3, round(3 / 4, 6))
+    assert r.confidence == round(3 / 4, 6)           # P(2|1) = 3/4
+    assert r.lift == round(3 * 4 / (4 * 3), 6)       # = 1.0
+    assert out[(2, 1)].confidence == round(3 / 3, 6)  # P(1|2) = 1
+
+
+def test_item_item_neighbors_topk_and_ties(spark):
+    # item 1 co-occurs with 2 (x2) and 3 (x2); n_1=4, n_2=2, n_3=2
+    # -> identical cosine; tie must break on the smaller neighbor id
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 1), (4, 3)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    out = item_item_neighbors(df, "b", "i", k=1, min_count=2).collect()
+    mine = {r.item: r for r in out}
+    assert mine[1].neighbor == 2 and mine[1].rank == 1
+    cos = round(2 / math.sqrt(4 * 2), 6)
+    assert mine[1].cosine == cos
+    # every item emits at most k rows
+    counts = {}
+    for r in item_item_neighbors(df, "b", "i", k=1, min_count=2).collect():
+        counts[r.item] = counts.get(r.item, 0) + 1
+    assert max(counts.values()) == 1
+
+
+def test_bfs_distances_hops_and_cap(spark):
+    # path graph 1-2-3-4-5 plus isolated edge 8-9 (unreachable)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "u long, v long")
+    out = {r.node: r.dist for r in bfs_distances(edges, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}          # capped at 2 hops
+    full = {r.node: r.dist
+            for r in bfs_distances(edges, max_hops=10).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # early-exits, 8/9 excluded
+
+
+def test_bfs_explicit_source(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    src = spark.createDataFrame([(3,)], "node long")
+    out = {r.node: r.dist
+           for r in bfs_distances(edges, source=src, max_hops=4).collect()}
+    assert out == {3: 0, 2: 1, 1: 2}
+
+
+def test_seasonal_naive_backtest_mae(spark):
+    # hours 0h,24h,48h with counts 1,2,4 -> two scored hours:
+    # |2-1| and |4-2| -> MAE 1.5
+    rows = ([("x", "2024-01-01 00:00:00")]
+            + [("x", "2024-01-02 00:%02d:00" % m) for m in (1, 2)]
+            + [("x", "2024-01-03 00:%02d:00" % m) for m in (1, 2, 3, 4)])
+    ev = spark.createDataFrame(rows, "event_type string, s string") \
+        .select("event_type", F.col("s").cast("timestamp").alias("ts"))
+    r = seasonal_naive_backtest(ev, season_hours=24).collect()[0]
+    assert (r.n_hours, r.mae) == (2, 1.5)
+
+
+def test_rules_and_neighbors_plans_scale_safe(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2)], "b long, i long")
+    assert_scale_safe(association_rules(df, "b", "i"))
+    # the per-item window is PARTITIONED — advisor would flag a global one
+    assert_scale_safe(item_item_neighbors(df, "b", "i"))
+
+
+def test_dsir_weights_separate_domains(spark):
+    from vega_spark.functions.pipeline import dsir_importance_weights
+    # target docs speak "alpha beta", pool docs speak "gamma delta";
+    # doc 5 is a pool doc written in pure target vocabulary
+    rows = [(1, "alpha beta alpha", "en"), (2, "beta alpha beta", "en"),
+            (3, "gamma delta gamma", "de"), (4, "delta gamma delta", "de"),
+            (5, "alpha beta", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in dsir_importance_weights(
+        docs, F.col("lang") == "en").collect()}
+    assert out[5].selected and out[1].selected
+    assert not out[3].selected and not out[4].selected
+    assert out[5].n_tokens == 2
+    # target-vocab docs score strictly above pool-vocab docs
+    assert out[5].llr_weight > 0 > out[3].llr_weight
+
+
+def test_dsir_plan_scale_safe(spark):
+    from vega_spark.functions.pipeline import dsir_importance_weights
+    docs = spark.createDataFrame([(1, "a b", "en")],
+                                 "doc_id long, text string, lang string")
+    assert_scale_safe(dsir_importance_weights(docs, F.col("lang") == "en"))

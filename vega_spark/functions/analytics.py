@@ -438,3 +438,187 @@ def top_event_paths(events: DataFrame, user_col: str = "user_id",
     grams = seq.select(F.explode(arr).alias("path"))
     return (grams.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("path")).limit(top_n))
+
+
+def robust_anomalies(df: DataFrame, key_col: str, value_col: str,
+                     id_cols: list[str], z_thresh: float = 3.5,
+                     round_dp: int = 3) -> DataFrame:
+    """Robust per-group outlier detection: flag rows whose value is
+    more than ``z_thresh`` robust z-scores (0.6745·|x−med|/MAD —
+    Iglewicz-Hoaglin) from the group median. Median/MAD, not
+    mean/stddev, so a burst of bad rows can't drag the baseline
+    toward itself — the standard data-quality screen before training
+    ingestion.
+
+    Plan: two keyed aggregates build the per-group (median, MAD)
+    frame — group-cardinality rows, broadcast-joined back onto the
+    data (AQE picks broadcast while it fits); the fact table is
+    scanned twice but never shuffled on a non-key, and the exact
+    ``percentile`` aggregate is a per-group sort of that group only
+    (keyed exchange, no global order). Output is only the flagged
+    rows — result stays tiny even at 100 TB input."""
+    v, k = F.col(value_col), F.col(key_col)
+    med = (df.groupBy(k.alias("__k"))
+           .agg(F.expr(f"percentile({value_col}, 0.5)").alias("__med")))
+    j = df.join(F.broadcast(med), k == F.col("__k")).drop("__k")
+    mad = (j.groupBy(k.alias("__k"))
+           .agg(F.expr(f"percentile(abs({value_col} - __med), 0.5)")
+                .alias("__mad")))
+    out = (j.join(F.broadcast(mad), k == F.col("__k")).drop("__k")
+           .withColumn("robust_z",
+                       F.when(F.col("__mad") > 0,
+                              F.round(0.6745 * (v - F.col("__med"))
+                                      / F.col("__mad"), round_dp))))
+    return (out.filter(F.abs(F.col("robust_z")) > z_thresh)
+            .select(*id_cols, key_col, value_col, "robust_z"))
+
+
+def hourly_spikes(events: DataFrame, type_col: str = "event_type",
+                  ts_col: str = "ts", round_dp: int = 3) -> DataFrame:
+    """Time-series spike scores: per (event type, hour) the activity
+    count and its z-score against that type's own hourly mean/stddev
+    — the trending/burst-detection primitive (a monitoring table, or
+    a 'suddenly-popular n-gram' screen at corpus scale).
+
+    Plan: one keyed aggregate to the hourly grid (cardinality
+    types×hours — already tiny relative to events), one per-type
+    mean/stddev rollup over that grid, broadcast-joined back. The
+    event table is touched exactly once."""
+    hourly = (events.groupBy(F.col(type_col).alias("event_type"),
+                             F.date_trunc("hour", F.col(ts_col))
+                             .alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    stats = (hourly.groupBy(F.col("event_type").alias("__t"))
+             .agg(F.avg("n").alias("__mu"),
+                  F.stddev_samp(F.col("n").cast("double"))
+                  .alias("__sd")))
+    return (hourly.join(F.broadcast(stats),
+                        F.col("event_type") == F.col("__t"))
+            .select("event_type", "hour", "n",
+                    F.when(F.col("__sd") > 0,
+                           F.round((F.col("n") - F.col("__mu"))
+                                   / F.col("__sd"), round_dp))
+                    .alias("spike_z")))
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_count: int = 2, max_basket: int = 200,
+                      round_dp: int = 6) -> DataFrame:
+    """Market-basket association rules over frequent 2-itemsets:
+    for every directed rule a→b with ≥ ``min_count`` shared baskets,
+    support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)P(b)).
+    The classic curation screen for always-co-occurring boilerplate.
+
+    Plan: pair counts come from :func:`cooccurrence_pairs` (narrow
+    in-row fan-out, no self-join); item supports are one keyed
+    aggregate; the basket total is a one-row aggregate frame — both
+    join back as broadcast sides. The big table is never shuffled
+    beyond the basket grouping."""
+    pairs = cooccurrence_pairs(df, basket_col, item_col,
+                               min_count=min_count,
+                               max_basket=max_basket)
+    baskets = df.select(F.col(basket_col).alias("b"),
+                        F.col(item_col).alias("i")).distinct()
+    item_n = baskets.groupBy(F.col("i").alias("item")) \
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    total = baskets.select("b").distinct() \
+        .agg(F.count(F.lit(1)).alias("__N"))
+    # both directions: (a→b) and (b→a) share the same pair count
+    directed = (pairs.select(F.col("item_a").alias("ante"),
+                             F.col("item_b").alias("cons"),
+                             F.col("n_baskets"))
+                .union(pairs.select(F.col("item_b").alias("ante"),
+                                    F.col("item_a").alias("cons"),
+                                    F.col("n_baskets"))))
+    out = (directed
+           .join(F.broadcast(item_n.withColumnRenamed("item", "ante")
+                             .withColumnRenamed("n_item", "n_ante")),
+                 "ante")
+           .join(F.broadcast(item_n.withColumnRenamed("item", "cons")
+                             .withColumnRenamed("n_item", "n_cons")),
+                 "cons")
+           .crossJoin(F.broadcast(total)))
+    nb = F.col("n_baskets").cast("double")
+    return out.select(
+        "ante", "cons", "n_baskets",
+        F.round(nb / F.col("__N"), round_dp).alias("support"),
+        F.round(nb / F.col("n_ante"), round_dp).alias("confidence"),
+        F.round(nb * F.col("__N")
+                / (F.col("n_ante").cast("double") * F.col("n_cons")),
+                round_dp).alias("lift"))
+
+
+def item_item_neighbors(df: DataFrame, basket_col: str, item_col: str,
+                        k: int = 3, min_count: int = 2,
+                        max_basket: int = 200,
+                        round_dp: int = 6) -> DataFrame:
+    """Item-item collaborative filtering: top-``k`` nearest neighbors
+    per item by co-occurrence cosine n_ab/√(n_a·n_b) — the
+    'users who took a also took b' recommender table, and at corpus
+    scale a related-documents index.
+
+    Plan: reuses the narrow pair fan-out; the per-item top-k is a
+    window PARTITIONED by the item (per-key heap, no global sort).
+    Ties break on the neighbor id so the result is deterministic."""
+    from pyspark.sql.window import Window
+
+    pairs = cooccurrence_pairs(df, basket_col, item_col,
+                               min_count=min_count,
+                               max_basket=max_basket)
+    baskets = df.select(F.col(basket_col).alias("b"),
+                        F.col(item_col).alias("i")).distinct()
+    item_n = baskets.groupBy(F.col("i").alias("item")) \
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    directed = (pairs.select(F.col("item_a").alias("item"),
+                             F.col("item_b").alias("neighbor"),
+                             F.col("n_baskets"))
+                .union(pairs.select(F.col("item_b").alias("item"),
+                                    F.col("item_a").alias("neighbor"),
+                                    F.col("n_baskets"))))
+    scored = (directed
+              .join(F.broadcast(item_n), "item")
+              .join(F.broadcast(item_n
+                                .withColumnRenamed("item", "neighbor")
+                                .withColumnRenamed("n_item", "n_nb")),
+                    "neighbor")
+              .withColumn("cosine",
+                          F.col("n_baskets")
+                          / F.sqrt(F.col("n_item").cast("double")
+                                   * F.col("n_nb"))))
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"),
+                                           F.asc("neighbor"))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select("item", "neighbor", "n_baskets",
+                    F.round("cosine", round_dp).alias("cosine"),
+                    F.col("__rk").alias("rank")))
+
+
+def seasonal_naive_backtest(events: DataFrame,
+                            type_col: str = "event_type",
+                            ts_col: str = "ts",
+                            season_hours: int = 24,
+                            round_dp: int = 4) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's activity
+    count with the count one season (default 24 h) earlier and score
+    MAE per event type over hours where both sides exist — the
+    sanity baseline every fancier forecaster must beat.
+
+    Plan: one keyed aggregate to the hourly grid, then a self-join of
+    that (already tiny) grid shifted by the season, then a per-type
+    rollup — the raw event table is aggregated before anything
+    quadratic-ish happens."""
+    hourly = (events.groupBy(F.col(type_col).alias("event_type"),
+                             F.date_trunc("hour", F.col(ts_col))
+                             .alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    pred = hourly.select(
+        "event_type",
+        (F.col("hour") + F.expr(f"INTERVAL {season_hours} HOURS"))
+        .alias("hour"),
+        F.col("n").alias("pred"))
+    joined = hourly.join(pred, ["event_type", "hour"])
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.round(F.avg(F.abs(F.col("n") - F.col("pred"))
+                               .cast("double")), round_dp).alias("mae")))

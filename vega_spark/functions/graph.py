@@ -150,3 +150,47 @@ def label_propagation(edges: DataFrame, src: str = "src",
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bfs_distances(edges: DataFrame, src: str = "u", dst: str = "v",
+                  source: DataFrame | None = None, max_hops: int = 4,
+                  materialize_edges: bool = True) -> DataFrame:
+    """Single-source BFS hop distance over an UNDIRECTED graph
+    (edges symmetrized): returns ``(node, dist)`` for every node
+    reachable from the source within ``max_hops`` hops. The frontier
+    expansion the reference could only express as driver-side job
+    resubmission (its one loop pattern, `examples/` style).
+
+    ``source`` is a one-row DataFrame with a ``node`` column; when
+    None the smallest node id in the edge set is used (computed as a
+    one-row aggregate frame, never collected to the driver — it
+    enters the join as the broadcast side).
+
+    Plan per hop: frontier ⋈ edges on the frontier key (frontier is
+    ≤ nodes, edges side is the big one — AQE broadcasts the frontier
+    while it fits) → distinct new nodes → anti-join against visited.
+    Both per-hop shuffles are keyed by node id; no global window, no
+    cartesian. The visited set is localCheckpoint-ed every hop so
+    lineage stays O(1) and each hop's anti-join reads a materialized
+    frame instead of replaying all prior hops. Early-exits when a
+    frontier comes back empty (one cheap isEmpty job per hop — the
+    standard Pregel-style driver loop)."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v"))).distinct())
+    if materialize_edges:
+        sym = sym.localCheckpoint(eager=True)
+    if source is None:
+        source = sym.agg(F.min("u").alias("node"))
+    frontier = source.select("node", F.lit(0).alias("dist"))
+    visited = frontier.localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(sym, frontier["node"] == sym["u"])
+               .select(F.col("v").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(h)))
+        frontier = nxt.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+    return visited

@@ -119,3 +119,62 @@ def pack_sequences(docs: DataFrame, budget_tokens: int,
                         F.floor(F.col("cum_before") / budget_tokens)
                         .cast("int"))
             .drop("cum_before"))
+
+
+def dsir_importance_weights(docs: DataFrame, is_target,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n_buckets: int = 4096,
+                            round_dp: int = 6) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al., arXiv:2302.03169
+    — Data Selection for Language Models via Importance Resampling):
+    score every raw document by the mean log-likelihood ratio of its
+    hashed-unigram buckets under a target-domain unigram model vs the
+    raw-pool model (add-one smoothing). ``selected`` marks docs whose
+    weight is positive — more target-like than pool-like — the
+    threshold rule that needs no global sort.
+
+    ``is_target`` is a Column predicate naming the target-domain rows
+    (they are scored too, for audit, but the typical use filters to
+    the raw side afterwards).
+
+    Scale design, per the paper: unigrams are HASHED into
+    ``n_buckets`` buckets (md5-based so any engine can replay it), so
+    the model frame is bounded at n_buckets rows regardless of corpus
+    vocabulary — it broadcasts at any corpus size. Plan: one narrow
+    tokenize/explode pass → one keyed aggregate to (doc, bucket)
+    counts → bucket models are two aggregates over that frame →
+    broadcast joined back → one per-doc rollup. The document text
+    crosses exactly one shuffle (the doc-bucket aggregate)."""
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        is_target.alias("__t"),
+                        F.explode(F.filter(
+                            F.split(F.lower(F.col(text_col)), r"\s+"),
+                            lambda x: x != "")).alias("w")))
+    b = (F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
+         % n_buckets).alias("bucket")
+    dw = (toks.select("doc_id", "__t", b)
+          .groupBy("doc_id", "__t", "bucket")
+          .agg(F.count(F.lit(1)).alias("c")))
+    models = (dw.groupBy("bucket")
+              .agg(F.sum(F.when(F.col("__t"), F.col("c"))
+                         .otherwise(0)).alias("ct"),
+                   F.sum(F.when(~F.col("__t"), F.col("c"))
+                         .otherwise(0)).alias("cr")))
+    totals = models.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    llr = (models.crossJoin(F.broadcast(totals))
+           .select("bucket",
+                   F.log(((F.col("ct") + 1.0)
+                          / (F.col("tt") + F.lit(float(n_buckets))))
+                         / ((F.col("cr") + 1.0)
+                            / (F.col("tr") + F.lit(float(n_buckets)))))
+                   .alias("llr")))
+    scored = (dw.join(F.broadcast(llr), "bucket")
+              .groupBy("doc_id")
+              .agg(F.sum("c").alias("n_tokens"),
+                   (F.sum(F.col("c") * F.col("llr"))
+                    / F.sum("c")).alias("__w")))
+    return scored.select(
+        "doc_id", "n_tokens",
+        F.round("__w", round_dp).alias("llr_weight"),
+        (F.col("__w") > 0).alias("selected"))

@@ -4239,3 +4239,231 @@ def streaming_dedup_exact_q(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.count_distinct("event_id").alias("n_ids"),
                  F.round(F.sum("value"), 2).alias("total")))
+
+
+# --- round-2 late additions: anomaly / rules / BFS / forecasting ------------
+# (no reference counterpart — the reference's RDD algebra has no window,
+# median, or iterative-frontier surface; SURVEY.md §2.11. These are the
+# training-data-curation analytics families the brief lists as first-class.)
+
+@_q("anomalies_event_values", """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY 1),
+j AS (
+  SELECT e.event_id, e.event_type, e.value, m.m
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - m), 0.5) AS md
+  FROM j GROUP BY 1)
+SELECT j.event_id, j.event_type, j.value,
+       ROUND(0.6745 * (j.value - j.m) / d.md, 3) AS robust_z
+FROM j JOIN mad d USING (event_type)
+WHERE d.md > 0
+  AND ABS(ROUND(0.6745 * (j.value - j.m) / d.md, 3)) > 3.5
+""")
+def anomalies_event_values_q(spark, sf_dir):
+    """Robust (median/MAD) per-type outlier screen over event values
+    — flags |z| > 3.5 (Iglewicz-Hoaglin). Two keyed aggregates build
+    the tiny per-type stats frame; joined back as broadcast sides;
+    output is flagged rows only. Oracle replays median, MAD and the
+    rounded z exactly (quantile_cont == Spark's exact percentile:
+    both interpolate at p*(n-1))."""
+    from vega_spark.functions.analytics import robust_anomalies
+    ev = _t(spark, sf_dir, "events")
+    return robust_anomalies(ev, "event_type", "value",
+                            id_cols=["event_id"], z_thresh=3.5)
+
+
+@_q("spikes_event_hours", """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, AVG(n) AS mu,
+         STDDEV_SAMP(CAST(n AS DOUBLE)) AS sd
+  FROM h GROUP BY 1)
+SELECT h.event_type, h.hour, h.n,
+       CASE WHEN s.sd > 0
+            THEN ROUND((h.n - s.mu) / s.sd, 3) END AS spike_z
+FROM h JOIN s USING (event_type)
+""")
+def spikes_event_hours_q(spark, sf_dir):
+    """Burst detection: per (type, hour) activity z-scored against
+    that type's own hourly distribution. One pass over events to the
+    hourly grid; stats roll up from the grid, not the raw table."""
+    from vega_spark.functions.analytics import hourly_spikes
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return hourly_spikes(ev, "event_type", "ts")
+
+
+@_q("assoc_rules_parts", """
+WITH baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT x.i AS a, y.i AS bb, COUNT(*) AS n
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+directed AS (
+  SELECT a AS ante, bb AS cons, n FROM pairs
+  UNION ALL SELECT bb, a, n FROM pairs),
+items AS (SELECT i AS item, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT b) AS nb FROM baskets)
+SELECT d.ante, d.cons, d.n AS n_baskets,
+       ROUND(CAST(d.n AS DOUBLE) / t.nb, 6) AS support,
+       ROUND(CAST(d.n AS DOUBLE) / ia.n_item, 6) AS confidence,
+       ROUND(CAST(d.n AS DOUBLE) * t.nb
+             / (CAST(ia.n_item AS DOUBLE) * ic.n_item), 6) AS lift
+FROM directed d
+JOIN items ia ON d.ante = ia.item
+JOIN items ic ON d.cons = ic.item
+CROSS JOIN tot t
+""")
+def assoc_rules_parts_q(spark, sf_dir):
+    """Association rules (support/confidence/lift) over part
+    co-purchases. The oracle uses the textbook self-join; our plan
+    fans pairs out narrowly inside each basket row and broadcasts
+    the item-support and basket-total frames."""
+    from vega_spark.functions.analytics import association_rules
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey",
+                             min_count=2)
+
+
+@_q("item_neighbors_parts", """
+WITH baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT x.i AS a, y.i AS bb, COUNT(*) AS n
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+directed AS (
+  SELECT a AS item, bb AS neighbor, n FROM pairs
+  UNION ALL SELECT bb, a, n FROM pairs),
+items AS (SELECT i AS item, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+scored AS (
+  SELECT d.item, d.neighbor, d.n,
+         CAST(d.n AS DOUBLE)
+         / SQRT(CAST(ia.n_item AS DOUBLE) * ib.n_item) AS cosine
+  FROM directed d
+  JOIN items ia ON d.item = ia.item
+  JOIN items ib ON d.neighbor = ib.item),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                               ORDER BY cosine DESC, neighbor) AS rk
+  FROM scored)
+SELECT item, neighbor, n AS n_baskets, ROUND(cosine, 6) AS cosine,
+       CAST(rk AS INTEGER) AS nb_rank
+FROM r WHERE rk <= 3
+""")
+def item_neighbors_parts_q(spark, sf_dir):
+    """Item-item collaborative filtering: top-3 neighbors per part by
+    co-occurrence cosine. Per-item top-k is a PARTITIONED window
+    (per-key heap — no global sort); deterministic tie-break on the
+    neighbor id, replayed exactly by the oracle."""
+    from vega_spark.functions.analytics import item_item_neighbors
+    li = _t(spark, sf_dir, "lineitem")
+    out = item_item_neighbors(li, "l_orderkey", "l_partkey", k=3,
+                              min_count=2)
+    return out.withColumnRenamed("rank", "nb_rank")
+
+
+@_q("bfs_parts_distance", """
+WITH RECURSIVE baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT x.i AS u, y.i AS v
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING COUNT(*) >= 2),
+e AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+src AS (SELECT MIN(u) AS s FROM e),
+bfs(node, dist) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT e.v, b.dist + 1 FROM bfs b JOIN e ON e.u = b.node
+  WHERE b.dist < 4)
+SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
+""")
+def bfs_parts_distance_q(spark, sf_dir):
+    """Single-source BFS hop distances on the part co-purchase graph
+    (≤ 4 hops from the smallest part id). Frontier-expansion loop:
+    per hop one keyed join + distinct + anti-join against visited,
+    lineage cut every hop. Oracle: bounded recursive CTE with
+    UNION-dedup (working set ≤ nodes×hops), min-dist per node."""
+    from vega_spark.functions.graph import bfs_distances
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("b"),
+                        F.col("l_partkey").alias("i")).distinct()
+    x = baskets.select("b", F.col("i").alias("u"))
+    y = baskets.select("b", F.col("i").alias("v"))
+    pairs = (x.join(y, "b").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2).select("u", "v"))
+    return bfs_distances(pairs, "u", "v", max_hops=4)
+
+
+@_q("forecast_backtest_events", """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT event_type, hour + INTERVAL 24 HOURS AS hour, n AS pred
+  FROM h),
+j AS (
+  SELECT h.event_type, h.n, p.pred
+  FROM h JOIN p USING (event_type, hour))
+SELECT event_type, COUNT(*) AS n_hours,
+       ROUND(AVG(CAST(ABS(n - pred) AS DOUBLE)), 4) AS mae
+FROM j GROUP BY event_type
+""")
+def forecast_backtest_events_q(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each hour with the
+    count 24 h earlier, score MAE per type. The self-join happens on
+    the already-aggregated hourly grid, never on raw events. The MAE
+    is an exact integer sum divided once — order-independent, so the
+    oracle matches without a tolerance."""
+    from vega_spark.functions.analytics import seasonal_naive_backtest
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return seasonal_naive_backtest(ev, "event_type", "ts",
+                                   season_hours=24)
+
+
+@_q("dsir_select_en", r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS t,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+dw AS (
+  SELECT doc_id, t,
+         ('0x' || substr(md5(w), 1, 12))::BIGINT % 4096 AS bucket,
+         COUNT(*) AS c
+  FROM toks GROUP BY 1, 2, 3),
+models AS (
+  SELECT bucket,
+         SUM(CASE WHEN t THEN c ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT t THEN c ELSE 0 END) AS cr
+  FROM dw GROUP BY 1),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM models),
+llr AS (
+  SELECT bucket,
+         LN(((ct + 1.0) / (tt + 4096.0))
+            / ((cr + 1.0) / (tr + 4096.0))) AS llr
+  FROM models CROSS JOIN tot),
+scored AS (
+  SELECT dw.doc_id, SUM(c) AS n_tokens, SUM(c * llr) / SUM(c) AS w
+  FROM dw JOIN llr USING (bucket) GROUP BY 1)
+SELECT doc_id, n_tokens, ROUND(w, 6) AS llr_weight, w > 0 AS selected
+FROM scored
+""")
+def dsir_select_en_q(spark, sf_dir):
+    """DSIR importance weighting (hashed-unigram LLR, target = 'en'
+    docs) — the published importance-resampling selection method at
+    its 100 TB shape: the bucket model frame is bounded (4096 rows)
+    and broadcast, text crosses one shuffle. Oracle replays the md5
+    bucketing, both smoothed models and the per-doc mean LLR."""
+    from vega_spark.functions.pipeline import dsir_importance_weights
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(docs, F.col("lang") == "en")
