@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "bfs_parts_distance",          # frontier BFS, 4 hops
     "forecast_backtest_events",    # seasonal-naive MAE backtest
     "dsir_select_en",              # DSIR hashed-unigram importance weights
+    "sssp_parts_weighted",         # Bellman-Ford bounded relaxation
+    "jackknife_event_means",       # delete-one-fold error bars
 ]
 
 

@@ -148,3 +148,46 @@ def test_dsir_plan_scale_safe(spark):
     docs = spark.createDataFrame([(1, "a b", "en")],
                                  "doc_id long, text string, lang string")
     assert_scale_safe(dsir_importance_weights(docs, F.col("lang") == "en"))
+
+
+def test_shortest_paths_weighted_relaxation(spark):
+    from vega_spark.functions.graph import shortest_paths
+    # 1-2 (w1), 2-3 (w1), 1-3 (w5): direct edge loses to the 2-hop path
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5)], "u long, v long, w int")
+    out = {r.node: r.dist
+           for r in shortest_paths(edges, max_rounds=4).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
+    # with a single round the relaxation can't find the cheap detour
+    one = {r.node: r.dist
+           for r in shortest_paths(edges, max_rounds=1).collect()}
+    assert one[3] == 5
+
+
+def test_jackknife_mean_matches_closed_form(spark):
+    from vega_spark.operators.stats import jackknife_mean
+    # g=2 folds via md5 parity is opaque — instead verify invariants:
+    # constant values => se 0; n and mean exact
+    rows = [(i, "a", 10.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    r = jackknife_mean(df, "v", "k", "id", g=4).collect()[0]
+    assert (r.n, r.mean, r.g_folds) == (40, 10.0, 4)
+    assert r.se_jack == 0.0
+    # a single-fold group drops out (no leave-one-out sample)
+    df1 = spark.createDataFrame([(1, "b", 5.0)], "id long, k string, v double")
+    assert jackknife_mean(df1, "v", "k", "id", g=1).collect() == []
+
+
+def test_jackknife_detects_spread(spark):
+    from vega_spark.operators.stats import jackknife_mean
+    rows = [(i, "a", float(i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    r = jackknife_mean(df, "v", "k", "id", g=10).collect()[0]
+    assert r.se_jack > 0
+    assert r.g_folds == 10
+
+
+def test_sssp_plan_scale_safe(spark):
+    from vega_spark.functions.graph import shortest_paths
+    edges = spark.createDataFrame([(1, 2, 1)], "u long, v long, w int")
+    assert_scale_safe(shortest_paths(edges, max_rounds=1))

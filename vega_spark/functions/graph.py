@@ -194,3 +194,41 @@ def bfs_distances(edges: DataFrame, src: str = "u", dst: str = "v",
             break
         visited = visited.union(frontier).localCheckpoint(eager=True)
     return visited
+
+
+def shortest_paths(edges: DataFrame, src: str = "u", dst: str = "v",
+                   weight: str = "w", source: DataFrame | None = None,
+                   max_rounds: int = 4) -> DataFrame:
+    """Single-source weighted shortest paths, Bellman-Ford style over
+    an UNDIRECTED graph: after ``max_rounds`` relaxation rounds,
+    ``(node, dist)`` is the cheapest path of ≤ ``max_rounds`` edges
+    from the source (non-negative weights). A fixed round count keeps
+    the result deterministic and SQL-replayable (the oracle carries a
+    hop counter in a bounded recursive CTE).
+
+    Plan per round: dists ⋈ edges on the relaxed node (dists is
+    node-sized — the broadcast side under AQE while it fits) → union
+    with the standing dists → one keyed min-aggregate. Everything
+    keys on the node id; lineage cut every round. This is BFS's
+    sibling with the frontier generalized to monotone relaxation —
+    at web-graph scale the same shape runs delta-stepping by
+    filtering the join's left side to nodes whose dist improved last
+    round."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                        F.col(weight).alias("w"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v"),
+                               F.col(weight).alias("w"))))
+    sym = sym.localCheckpoint(eager=True)
+    if source is None:
+        source = sym.agg(F.min("u").alias("node"))
+    dists = source.select("node", F.lit(0).cast("long").alias("dist")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        relaxed = (dists.join(sym, dists["node"] == sym["u"])
+                   .select(F.col("v").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dists = (dists.union(relaxed)
+                 .groupBy("node").agg(F.min("dist").alias("dist"))
+                 .localCheckpoint(eager=True))
+    return dists

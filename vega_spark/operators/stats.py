@@ -260,3 +260,50 @@ def hist_merge_quantiles(partials: DataFrame, keys: Sequence[str],
     return (containing
             .groupBy(*keys, "q")
             .agg(F.min(est).alias("quantile_est")))
+
+
+def jackknife_mean(df: DataFrame, value_col: str, group_col: str,
+                   id_col: str, g: int = 20,
+                   round_dp: int = 6) -> DataFrame:
+    """Delete-one-group jackknife standard error of the per-group
+    mean: rows are hashed into ``g`` deterministic folds (md5 of the
+    id — any engine can replay it), the mean is recomputed leaving
+    each fold out, and the spread of those leave-one-out means
+    estimates the sampling error — the single-pass error bar for any
+    100 TB aggregate, no resampling passes over the data.
+
+    se² = (G−1)/G · Σ_j (mean_{−j} − mean̄)², G = observed folds.
+
+    Plan: ONE pass over the data to (group, fold) partial sums —
+    everything after runs on that groups×g-row frame (group totals,
+    leave-one-out means, two tiny aggregates), joined back broadcast.
+    The big table shuffles once, keyed by (group, fold)."""
+    fold = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                               1, 12), 16, 10).cast("long")
+            % g).alias("fold")
+    f = (df.select(F.col(group_col).alias("grp"), fold,
+                   F.col(value_col).alias("v"))
+         .groupBy("grp", "fold")
+         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+    t = f.groupBy(F.col("grp").alias("__g")) \
+        .agg(F.sum("s").alias("ts"), F.sum("n").alias("tn"),
+             F.count(F.lit(1)).alias("gf"))
+    # a single-fold group has no leave-one-out sample: it drops out
+    # (tn == n would divide by zero) — both engines replay this
+    loo = (f.join(F.broadcast(t), F.col("grp") == F.col("__g"))
+           .filter(F.col("tn") > F.col("n"))
+           .select("grp", "ts", "tn", "gf",
+                   ((F.col("ts") - F.col("s"))
+                    / (F.col("tn") - F.col("n"))).alias("loo")))
+    mbar = loo.groupBy(F.col("grp").alias("__g2")) \
+        .agg(F.avg("loo").alias("mbar"))
+    return (loo.join(F.broadcast(mbar), F.col("grp") == F.col("__g2"))
+            .groupBy(F.col("grp").alias(group_col))
+            .agg(F.first("tn").alias("n"),
+                 F.round(F.first(F.col("ts") / F.col("tn")), round_dp)
+                 .alias("mean"),
+                 F.first("gf").alias("g_folds"),
+                 F.round(F.sqrt(
+                     (F.first("gf") - F.lit(1.0)) / F.first("gf")
+                     * F.sum(F.pow(F.col("loo") - F.col("mbar"), 2))),
+                     round_dp).alias("se_jack")))

@@ -4467,3 +4467,72 @@ def dsir_select_en_q(spark, sf_dir):
     from vega_spark.functions.pipeline import dsir_importance_weights
     docs = _t(spark, sf_dir, "documents")
     return dsir_importance_weights(docs, F.col("lang") == "en")
+
+
+@_q("sssp_parts_weighted", """
+WITH RECURSIVE baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT x.i AS u, y.i AS v, COUNT(*) AS n
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING COUNT(*) >= 2),
+we AS (
+  SELECT u, v, CASE WHEN n >= 3 THEN 1 ELSE 2 END AS w FROM pairs),
+e AS (SELECT u, v, w FROM we UNION ALL SELECT v, u, w FROM we),
+src AS (SELECT MIN(u) AS s FROM e),
+walk(node, dist, hops) AS (
+  SELECT s, CAST(0 AS BIGINT), 0 FROM src
+  UNION
+  SELECT e.v, b.dist + e.w, b.hops + 1
+  FROM walk b JOIN e ON e.u = b.node WHERE b.hops < 4)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+""")
+def sssp_parts_weighted_q(spark, sf_dir):
+    """Weighted single-source shortest paths (Bellman-Ford, 4
+    relaxation rounds) on the part co-purchase graph — strong ties
+    (≥3 shared baskets) cost 1, weak ties cost 2. Per round one keyed
+    join + one min-aggregate; the oracle replays the relaxation in a
+    bounded hop-counting recursive CTE."""
+    from vega_spark.functions.graph import shortest_paths
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("b"),
+                        F.col("l_partkey").alias("i")).distinct()
+    x = baskets.select("b", F.col("i").alias("u"))
+    y = baskets.select("b", F.col("i").alias("v"))
+    pairs = (x.join(y, "b").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2))
+    we = pairs.select("u", "v", F.when(F.col("n") >= 3, 1)
+                      .otherwise(2).alias("w"))
+    return shortest_paths(we, "u", "v", "w", max_rounds=4)
+
+
+@_q("jackknife_event_means", """
+WITH f AS (
+  SELECT event_type AS grp,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+         % 20 AS fold,
+         SUM(value) AS s, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT grp, SUM(s) AS ts, SUM(n) AS tn, COUNT(*) AS gf
+      FROM f GROUP BY 1),
+loo AS (
+  SELECT f.grp, t.ts, t.tn, t.gf,
+         (t.ts - f.s) / (t.tn - f.n) AS loo
+  FROM f JOIN t USING (grp) WHERE t.tn > f.n),
+m AS (SELECT grp, AVG(loo) AS mbar FROM loo GROUP BY 1)
+SELECT l.grp AS event_type, MAX(l.tn) AS n,
+       ROUND(MAX(l.ts / l.tn), 6) AS mean,
+       MAX(l.gf) AS g_folds,
+       ROUND(SQRT((MAX(l.gf) - 1.0) / MAX(l.gf)
+                  * SUM(POW(l.loo - m.mbar, 2))), 6) AS se_jack
+FROM loo l JOIN m USING (grp) GROUP BY 1
+""")
+def jackknife_event_means_q(spark, sf_dir):
+    """Delete-one-fold jackknife standard error of the mean event
+    value per type (20 md5-hashed folds) — one shuffle over the data,
+    all resampling math on the tiny fold frame. Oracle replays fold
+    assignment, leave-one-out means and the variance combine."""
+    from vega_spark.operators.stats import jackknife_mean
+    ev = _t(spark, sf_dir, "events")
+    return jackknife_mean(ev, "value", "event_type", "event_id", g=20)
