@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "dsir_select_en",              # DSIR hashed-unigram importance weights
     "sssp_parts_weighted",         # Bellman-Ford bounded relaxation
     "jackknife_event_means",       # delete-one-fold error bars
+    "streaming_anomaly_flags",     # stream-static robust scoring drain
 ]
 
 

@@ -191,3 +191,11 @@ def test_sssp_plan_scale_safe(spark):
     from vega_spark.functions.graph import shortest_paths
     edges = spark.createDataFrame([(1, 2, 1)], "u long, v long, w int")
     assert_scale_safe(shortest_paths(edges, max_rounds=1))
+
+
+def test_robust_stats_frame(spark):
+    from vega_spark.functions.analytics import robust_stats
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    r = robust_stats(df, "k", "v").collect()[0]
+    assert (r.k, r.med, r.mad) == ("a", 3.0, 1.0)  # |x-3| -> [0,1,1,2,97]

@@ -90,6 +90,21 @@ SHOWCASE: list[tuple[str, str]] = [
      "aggregate, then deletes and upserts ride BROADCAST anti/left "
      "joins — the snapshot side (the 100 TB table) has no Exchange "
      "anywhere in the plan."),
+    ("dsir_select_en",
+     "DSIR selection: unigram hashing bounds the model frame at "
+     "n_buckets rows regardless of corpus vocabulary, so both model "
+     "joins are BroadcastExchanges; document text crosses exactly "
+     "one hash Exchange (the doc-bucket aggregate)."),
+    ("item_neighbors_parts",
+     "Item-item CF: pair fan-out stays inside each basket row "
+     "(no self-join of the fact table); supports broadcast back; "
+     "the per-item top-k is a window PARTITIONED by item — per-key "
+     "heaps, no global sort anywhere."),
+    ("jackknife_event_means",
+     "Jackknife error bars: the data crosses ONE (group, fold) "
+     "Exchange; every resampling step after — totals, leave-one-out "
+     "means, variance combine — runs on the groups x folds frame, "
+     "joined back as BroadcastExchanges."),
 ]
 
 

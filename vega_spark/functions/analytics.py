@@ -440,6 +440,21 @@ def top_event_paths(events: DataFrame, user_col: str = "user_id",
             .orderBy(F.desc("n"), F.asc("path")).limit(top_n))
 
 
+def robust_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-group (median, MAD) frame — group-cardinality rows, the
+    broadcastable baseline for :func:`robust_anomalies` and for
+    streaming scoring (compute once on the batch table, stream-static
+    join it against live events)."""
+    k = F.col(key_col)
+    med = (df.groupBy(k.alias("__k"))
+           .agg(F.expr(f"percentile({value_col}, 0.5)").alias("__med")))
+    j = df.join(F.broadcast(med), k == F.col("__k")).drop("__k")
+    return (j.groupBy(k.alias(key_col))
+            .agg(F.first("__med").alias("med"),
+                 F.expr(f"percentile(abs({value_col} - __med), 0.5)")
+                 .alias("mad")))
+
+
 def robust_anomalies(df: DataFrame, key_col: str, value_col: str,
                      id_cols: list[str], z_thresh: float = 3.5,
                      round_dp: int = 3) -> DataFrame:

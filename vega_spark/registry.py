@@ -4536,3 +4536,58 @@ def jackknife_event_means_q(spark, sf_dir):
     from vega_spark.operators.stats import jackknife_mean
     ev = _t(spark, sf_dir, "events")
     return jackknife_mean(ev, "value", "event_type", "event_id", g=20)
+
+
+@_q("streaming_anomaly_flags", """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY 1),
+j AS (
+  SELECT e.event_id, e.event_type, e.value, m.m
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - m), 0.5) AS md
+  FROM j GROUP BY 1)
+SELECT j.event_id, j.event_type, j.value,
+       ROUND(0.6745 * (j.value - j.m) / d.md, 3) AS robust_z
+FROM j JOIN mad d USING (event_type)
+WHERE d.md > 0
+  AND ABS(ROUND(0.6745 * (j.value - j.m) / d.md, 3)) > 3.5
+""")
+def streaming_anomaly_flags_q(spark, sf_dir):
+    """Streaming robust anomaly detection: the per-type (median, MAD)
+    baseline is computed ONCE on the batch table (robust_stats — a
+    tiny frame), then every arriving micro-batch is scored by a
+    stream-static broadcast join + narrow expressions and only
+    flagged rows reach the sink. Stateless (append mode): the stream
+    never shuffles at all. The oracle is the batch equivalent —
+    identical flags because scoring is per-row against a fixed
+    baseline."""
+    import tempfile
+    import uuid
+
+    from vega_spark.functions.analytics import robust_stats
+    from vega_spark.streaming import sources as SS
+    from vega_spark.streaming.joins import stream_static_join
+
+    ev = _t(spark, sf_dir, "events")
+    stats = (robust_stats(ev, "event_type", "value")
+             .filter(F.col("mad") > 0)
+             .select(F.col("event_type").alias("__t"), "med", "mad"))
+    stage = tempfile.mkdtemp(prefix="vega_stream_anom_")
+    (ev.select("event_id", "event_type", "value")
+       .coalesce(8).write.mode("overwrite").parquet(stage))
+    stream = SS.stream_parquet(
+        spark, stage, "event_id long, event_type string, value double")
+    scored = (stream_static_join(stream, stats,
+                                 F.col("event_type") == F.col("__t"))
+              .withColumn("robust_z",
+                          F.round(0.6745 * (F.col("value") - F.col("med"))
+                                  / F.col("mad"), 3))
+              .filter(F.abs(F.col("robust_z")) > 3.5)
+              .select("event_id", "event_type", "value", "robust_z"))
+    name = "stream_anom_" + uuid.uuid4().hex[:8]
+    q = SS.to_memory(scored, name, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
