@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "sssp_parts_weighted",         # Bellman-Ford bounded relaxation
     "jackknife_event_means",       # delete-one-fold error bars
     "streaming_anomaly_flags",     # stream-static robust scoring drain
+    "trend_event_hours",           # exact-integer OLS activity trend
 ]
 
 

@@ -232,3 +232,49 @@ def test_apply_changes_idempotent_property(spark, snap, ch):
     shuffled = apply_changes(s, c, ["k"], ["seq"],
                              broadcast_changes=False)
     assert sorted((r.k, r.v) for r in shuffled.collect()) == got1
+
+
+@given(baskets=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),
+              st.integers(min_value=0, max_value=6)),
+    min_size=2, max_size=24))
+@SLOW
+def test_association_rule_laws(spark, baskets):
+    """support <= confidence (n_a <= N) and lift symmetry
+    lift(a->b) == lift(b->a) — both straight from the definitions."""
+    from vega_spark.functions.analytics import association_rules
+    df = spark.createDataFrame(baskets, "b int, i int")
+    rows = association_rules(df, "b", "i", min_count=1).collect()
+    by_pair = {(r.ante, r.cons): r for r in rows}
+    for r in rows:
+        assert r.support <= r.confidence + 1e-9
+        mirror = by_pair[(r.cons, r.ante)]
+        assert abs(r.lift - mirror.lift) <= 2e-6  # both rounded at 6dp
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8),
+              st.integers(min_value=0, max_value=8)),
+    min_size=1, max_size=16).map(
+        lambda es: [e for e in es if e[0] != e[1]]).filter(len))
+@SLOW
+def test_bfs_matches_python_reference(spark, edges):
+    from collections import deque
+
+    from vega_spark.functions.graph import bfs_distances
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    source = min(adj)
+    want, dq = {source: 0}, deque([source])
+    while dq:
+        n = dq.popleft()
+        for m in adj[n]:
+            if m not in want and want[n] < 4:
+                want[m] = want[n] + 1
+                dq.append(m)
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {r.node: r.dist
+           for r in bfs_distances(df, max_hops=4).collect()}
+    assert got == want

@@ -199,3 +199,19 @@ def test_robust_stats_frame(spark):
     df = spark.createDataFrame(rows, "id long, k string, v double")
     r = robust_stats(df, "k", "v").collect()[0]
     assert (r.k, r.med, r.mad) == ("a", 3.0, 1.0)  # |x-3| -> [0,1,1,2,97]
+
+
+def test_hourly_trend_exact_ols(spark):
+    from vega_spark.functions.analytics import hourly_trend
+    # counts 1,2,3 in consecutive hours -> slope exactly 1, intercept 1
+    rows = ([("x", "2024-01-01 00:00:00")]
+            + [("x", "2024-01-01 01:%02d:00" % m) for m in (1, 2)]
+            + [("x", "2024-01-01 02:%02d:00" % m) for m in (1, 2, 3)]
+            # single-hour key -> NULL slope
+            + [("y", "2024-01-01 05:00:00")])
+    ev = spark.createDataFrame(rows, "event_type string, s string") \
+        .select("event_type", F.col("s").cast("timestamp").alias("ts"))
+    out = {r.event_type: r for r in hourly_trend(ev).collect()}
+    assert (out["x"].slope, out["x"].intercept) == (1.0, 1.0)
+    assert out["x"].n_hours == 3
+    assert out["y"].slope is None

@@ -637,3 +637,44 @@ def seasonal_naive_backtest(events: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_hours"),
                  F.round(F.avg(F.abs(F.col("n") - F.col("pred"))
                                .cast("double")), round_dp).alias("mae")))
+
+
+def hourly_trend(events: DataFrame, type_col: str = "event_type",
+                 ts_col: str = "ts", round_dp: int = 6) -> DataFrame:
+    """Per-key linear activity trend: closed-form OLS of hourly event
+    counts against the hour index — slope in events/hour², the
+    is-this-growing signal behind every monitoring dashboard.
+
+    Determinism at any scale: the hour index is RECENTERED to each
+    key's first active hour, so every OLS sum (Σx, Σx², Σxy) is an
+    exact small integer — no int64 overflow at decade-long spans, no
+    float summation-order noise, and any engine replays it bit-for-
+    bit (the one division happens last). Plan: one pass to the hourly
+    grid, a per-key min broadcast back, one per-key aggregate.
+    ``slope`` is NULL for keys with a single active hour."""
+    hourly = (events.groupBy(F.col(type_col).alias("event_type"),
+                             (F.unix_timestamp(F.col(ts_col))
+                              .cast("long") / 3600).cast("long")
+                             .alias("xh"))
+              .agg(F.count(F.lit(1)).alias("y")))
+    x0 = hourly.groupBy(F.col("event_type").alias("__t")) \
+        .agg(F.min("xh").alias("x0"))
+    c = (hourly.join(F.broadcast(x0),
+                     F.col("event_type") == F.col("__t"))
+         .select("event_type", (F.col("xh") - F.col("x0")).alias("x"),
+                 "y"))
+    s = (c.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+    den = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    slope = F.when(den != 0,
+                   num.cast("double") / den.cast("double"))
+    return s.select(
+        "event_type", F.col("n").alias("n_hours"),
+        F.round(slope, round_dp).alias("slope"),
+        F.round((F.col("sy").cast("double") - slope
+                 * F.col("sx").cast("double")) / F.col("n"), round_dp)
+        .alias("intercept"))

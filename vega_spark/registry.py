@@ -4591,3 +4591,40 @@ def streaming_anomaly_flags_q(spark, sf_dir):
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@_q("trend_event_hours", """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS xh,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+x0 AS (SELECT event_type, MIN(xh) AS x0 FROM h GROUP BY 1),
+c AS (
+  SELECT h.event_type, h.xh - x0.x0 AS x, h.y
+  FROM h JOIN x0 USING (event_type)),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM c GROUP BY 1)
+SELECT event_type, n AS n_hours,
+       ROUND(CASE WHEN n * sxx - sx * sx <> 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END, 6)
+       AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CASE WHEN n * sxx - sx * sx <> 0
+                      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) END)
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+FROM s
+""")
+def trend_event_hours_q(spark, sf_dir):
+    """Per-type linear activity trend (closed-form OLS over hourly
+    counts, recentered hour index so every sum is an exact small
+    integer — the division is the only float op, replayed bit-exact
+    by the oracle)."""
+    from vega_spark.functions.analytics import hourly_trend
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return hourly_trend(ev, "event_type", "ts")
