@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "jackknife_event_means",       # delete-one-fold error bars
     "streaming_anomaly_flags",     # stream-static robust scoring drain
     "trend_event_hours",           # exact-integer OLS activity trend
+    "mi_event_type_value",         # mutual-information dependence screen
 ]
 
 

@@ -215,3 +215,20 @@ def test_hourly_trend_exact_ols(spark):
     assert (out["x"].slope, out["x"].intercept) == (1.0, 1.0)
     assert out["x"].n_hours == 3
     assert out["y"].slope is None
+
+
+def test_mutual_information_known_values(spark):
+    from vega_spark.operators.stats import mutual_information
+    # perfectly dependent: x='a' -> low bin, x='b' -> high bin
+    rows = [("a", 10.0)] * 8 + [("b", 90.0)] * 8
+    df = spark.createDataFrame(rows, "x string, v double")
+    r = mutual_information(df, "x", "v", y_bins=2, y_lo=0.0,
+                           y_hi=100.0).collect()[0]
+    assert (r.n, r.n_cells) == (16, 2)
+    assert r.mi_nats == round(math.log(2.0), 6)   # 1 bit, in nats
+    # independent: both x values spread evenly over both bins
+    rows2 = [("a", 10.0), ("a", 90.0), ("b", 10.0), ("b", 90.0)] * 4
+    df2 = spark.createDataFrame(rows2, "x string, v double")
+    r2 = mutual_information(df2, "x", "v", y_bins=2, y_lo=0.0,
+                            y_hi=100.0).collect()[0]
+    assert r2.mi_nats == 0.0

@@ -307,3 +307,44 @@ def jackknife_mean(df: DataFrame, value_col: str, group_col: str,
                      (F.first("gf") - F.lit(1.0)) / F.first("gf")
                      * F.sum(F.pow(F.col("loo") - F.col("mbar"), 2))),
                      round_dp).alias("se_jack")))
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str,
+                       y_bins: int = 4, y_lo: float = 0.0,
+                       y_hi: float = 100.0,
+                       round_dp: int = 6) -> DataFrame:
+    """Mutual information (nats) between a categorical column and a
+    fixed-grid binning of a numeric column — the dependence screen
+    for 'does this feature carry signal about that label' that, at
+    corpus scale, ranks metadata columns by usefulness before anyone
+    trains on them. Fixed bin edges (not quantiles) keep the
+    contingency table deterministic and engine-replayable.
+
+    MI = Σ_xy (n_xy/N) · ln(n_xy·N / (n_x·n_y)) — computed from
+    integer cell counts with one division and one log per cell, so
+    any engine reproduces it bit-for-bit up to the final tiny sum.
+
+    Plan: ONE pass to the contingency table (cardinality |x|·bins);
+    marginals and the MI fold run on that tiny frame (two aggregates
+    + broadcast joins). Output: one row (n, n_cells, mi_nats)."""
+    w = (y_hi - y_lo) / y_bins
+    yb = F.least(F.lit(y_bins - 1),
+                 F.greatest(F.lit(0),
+                            F.floor((F.col(col_y) - y_lo) / w)
+                            .cast("int"))).alias("yb")
+    cells = (df.select(F.col(col_x).alias("x"), yb)
+             .groupBy("x", "yb").agg(F.count(F.lit(1)).alias("nxy")))
+    mx = cells.groupBy(F.col("x").alias("__x")) \
+        .agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy(F.col("yb").alias("__y")) \
+        .agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    j = (cells.join(F.broadcast(mx), F.col("x") == F.col("__x"))
+         .join(F.broadcast(my), F.col("yb") == F.col("__y"))
+         .crossJoin(F.broadcast(tot)))
+    term = (F.col("nxy").cast("double") / F.col("n")) \
+        * F.log((F.col("nxy") * F.col("n")).cast("double")
+                / (F.col("nx") * F.col("ny")).cast("double"))
+    return j.agg(F.first("n").alias("n"),
+                 F.count(F.lit(1)).alias("n_cells"),
+                 F.round(F.sum(term), round_dp).alias("mi_nats"))

@@ -4628,3 +4628,30 @@ def trend_event_hours_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return hourly_trend(ev, "event_type", "ts")
+
+
+@_q("mi_event_type_value", """
+WITH cells AS (
+  SELECT event_type AS x,
+         LEAST(3, GREATEST(0, CAST(FLOOR((value - 0.0) / 25.0) AS INTEGER)))
+         AS yb,
+         COUNT(*) AS nxy
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT x, SUM(nxy) AS nx FROM cells GROUP BY 1),
+my AS (SELECT yb, SUM(nxy) AS ny FROM cells GROUP BY 1),
+tot AS (SELECT SUM(nxy) AS n FROM cells)
+SELECT MAX(t.n) AS n, COUNT(*) AS n_cells,
+       ROUND(SUM((CAST(c.nxy AS DOUBLE) / t.n)
+                 * LN(CAST(c.nxy * t.n AS DOUBLE)
+                      / CAST(mx.nx * my.ny AS DOUBLE))), 6) AS mi_nats
+FROM cells c
+JOIN mx USING (x) JOIN my USING (yb) CROSS JOIN tot t
+""")
+def mi_event_type_value_q(spark, sf_dir):
+    """Mutual information between event type and a 4-bin fixed grid
+    over value — exact integer contingency table, one log per cell.
+    Oracle replays binning, marginals and the MI fold."""
+    from vega_spark.operators.stats import mutual_information
+    ev = _t(spark, sf_dir, "events")
+    return mutual_information(ev, "event_type", "value",
+                              y_bins=4, y_lo=0.0, y_hi=100.0)
