@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "streaming_anomaly_flags",     # stream-static robust scoring drain
     "trend_event_hours",           # exact-integer OLS activity trend
     "mi_event_type_value",         # mutual-information dependence screen
+    "kcore_parts",                 # bounded k-core peeling
+    "chi2_event_type_value",       # chi-squared independence
+    "weighted_sample_docs",        # A-Res weighted sampling head
 ]
 
 

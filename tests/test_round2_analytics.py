@@ -232,3 +232,54 @@ def test_mutual_information_known_values(spark):
     r2 = mutual_information(df2, "x", "v", y_bins=2, y_lo=0.0,
                             y_hi=100.0).collect()[0]
     assert r2.mi_nats == 0.0
+
+
+def test_k_core_peels_tendrils(spark):
+    from vega_spark.functions.graph import k_core
+    # triangle 1-2-3 plus a tendril 3-4: node 4 peels off, then the
+    # triangle is stable at degree 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long")
+    out = {r.node: r.deg for r in k_core(edges, k=2, max_rounds=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=3 kills everything (no node survives a 3-core here)
+    assert k_core(edges, k=3, max_rounds=2).collect() == []
+
+
+def test_chi_squared_known_values(spark):
+    from vega_spark.operators.stats import chi_squared
+    # perfect dependence, 2x2, 8+8 rows: chi2 == n == 16, dof 1
+    rows = [("a", 10.0)] * 8 + [("b", 90.0)] * 8
+    df = spark.createDataFrame(rows, "x string, v double")
+    r = chi_squared(df, "x", "v", y_bins=2, y_lo=0.0, y_hi=100.0).collect()[0]
+    assert (r.n, r.n_cells, r.dof, r.chi2) == (16, 4, 1, 16.0)
+    # independence: chi2 exactly 0
+    rows2 = [("a", 10.0), ("a", 90.0), ("b", 10.0), ("b", 90.0)] * 4
+    df2 = spark.createDataFrame(rows2, "x string, v double")
+    assert chi_squared(df2, "x", "v", y_bins=2, y_lo=0.0,
+                       y_hi=100.0).collect()[0].chi2 == 0.0
+
+
+def test_weighted_sample_ares_properties(spark):
+    from vega_spark.operators.sampling import weighted_sample_ares
+    rows = [(i, float(1 + i % 10)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample_ares(df, "w", "doc_id", n=40).collect()
+    assert len(got) == 40
+    assert len({r.id for r in got}) == 40           # without replacement
+    again = weighted_sample_ares(df, "w", "doc_id", n=40).collect()
+    assert [r.id for r in got] == [r.id for r in again]  # deterministic
+    # heavier rows are overrepresented: mean sampled weight > corpus mean
+    corpus_mean = sum(w for _, w in rows) / len(rows)
+    assert sum(r.weight for r in got) / 40 > corpus_mean
+    # zero/negative weights never sampled
+    dfz = spark.createDataFrame([(1, 0.0), (2, 5.0)], "doc_id long, w double")
+    assert [r.id for r in weighted_sample_ares(dfz, "w", "doc_id", 5)
+            .collect()] == [2]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from vega_spark.operators.sampling import weighted_sample_ares
+    from vega_spark.plans import inspect as I
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, w double")
+    assert I.uses_take_ordered(weighted_sample_ares(df, "w", "doc_id", 5))

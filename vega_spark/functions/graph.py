@@ -232,3 +232,33 @@ def shortest_paths(edges: DataFrame, src: str = "u", dst: str = "v",
                  .groupBy("node").agg(F.min("dist").alias("dist"))
                  .localCheckpoint(eager=True))
     return dists
+
+
+def k_core(edges: DataFrame, src: str = "u", dst: str = "v",
+           k: int = 2, max_rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling: drop nodes with degree < ``k``,
+    recompute degrees on the induced subgraph, repeat ``max_rounds``
+    times — after enough rounds this is the classic k-core (the
+    densely-connected backbone; in curation, the boilerplate cluster
+    detector). A FIXED round count keeps the result deterministic
+    and SQL-replayable (the oracle unrolls the peels); callers who
+    want the fixpoint raise ``max_rounds`` — each extra round is one
+    cheap keyed pass and the peel is monotone (node sets only
+    shrink).
+
+    Plan per round: one degree aggregate over the surviving edges +
+    two semi-joins to induce the subgraph — all keyed by node id,
+    edges never replicated. Lineage cut every round. Returns
+    ``(node, deg)`` on the surviving subgraph."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v"))).distinct()
+           .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        sym = (sym.join(keep, "u", "semi")
+               .join(keep.withColumnRenamed("u", "v"), "v", "semi")
+               .select("u", "v").localCheckpoint(eager=True))
+    return (sym.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg")))

@@ -197,3 +197,30 @@ def stratified_sample_deterministic(df: DataFrame, strata_col: str,
         expr = F.when(F.col(strata_col) == k, F.lit(float(v))) \
                 .otherwise(expr)
     return df.filter(h < expr)
+
+
+def weighted_sample_ares(df: DataFrame, weight_col: str, id_col: str,
+                         n: int, round_dp: int = 6) -> DataFrame:
+    """Weighted sampling without replacement, A-Res scheme (Efraimidis
+    & Spirakis 2006): each row draws a deterministic md5-based
+    uniform u ∈ (0,1) and the top ``n`` rows by key u^(1/w) form the
+    sample — inclusion probability proportional to weight, one pass,
+    fully replayable on any engine (no RNG state). The curation use:
+    importance-weighted corpus subsampling where reruns must pick the
+    identical rows.
+
+    Plan: the key is a narrow expression; selection is a bounded
+    TakeOrdered head (per-partition heaps + driver merge) — no global
+    sort, no shuffle of the table. Weights must be > 0 (rows with
+    w <= 0 are dropped, matching 'never sampled')."""
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                            1, 12), 16, 10).cast("double") + 1.0) \
+        / float(1 << 48)
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (df.filter(F.col(weight_col) > 0)
+            .select(F.col(id_col).alias("id"),
+                    F.col(weight_col).alias("weight"),
+                    F.round(key, round_dp).alias("sort_key"),
+                    key.alias("__k"))
+            .orderBy(F.desc("__k"), F.asc("id")).limit(n)
+            .drop("__k"))

@@ -348,3 +348,44 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str,
     return j.agg(F.first("n").alias("n"),
                  F.count(F.lit(1)).alias("n_cells"),
                  F.round(F.sum(term), round_dp).alias("mi_nats"))
+
+
+def chi_squared(df: DataFrame, col_x: str, col_y: str,
+                y_bins: int = 4, y_lo: float = 0.0,
+                y_hi: float = 100.0,
+                round_dp: int = 4) -> DataFrame:
+    """Pearson chi-squared independence statistic between a
+    categorical column and a fixed-grid binning of a numeric column —
+    :func:`mutual_information`'s frequentist sibling, same
+    single-pass contingency plan. χ² = Σ (o − e)²/e with
+    e = n_x·n_y/N from exact integer marginals; the only float ops
+    are one division per cell and the final tiny sum, so any engine
+    replays it. Output: (n, n_cells, dof, chi2)."""
+    w = (y_hi - y_lo) / y_bins
+    yb = F.least(F.lit(y_bins - 1),
+                 F.greatest(F.lit(0),
+                            F.floor((F.col(col_y) - y_lo) / w)
+                            .cast("int"))).alias("yb")
+    cells = (df.select(F.col(col_x).alias("x"), yb)
+             .groupBy("x", "yb").agg(F.count(F.lit(1)).alias("nxy")))
+    mx = cells.groupBy(F.col("x").alias("__x")) \
+        .agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy(F.col("yb").alias("__y")) \
+        .agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    # expected counts exist for every (x, y) marginal pair, including
+    # cells with zero observed count — build the full grid from the
+    # (tiny) marginal frames, not from observed cells
+    grid = (mx.crossJoin(my).crossJoin(F.broadcast(tot))
+            .join(cells, (F.col("__x") == F.col("x"))
+                  & (F.col("__y") == F.col("yb")), "left")
+            .select("__x", "__y", "nx", "ny", "n",
+                    F.coalesce(F.col("nxy"), F.lit(0)).alias("o")))
+    e = (F.col("nx") * F.col("ny")).cast("double") / F.col("n")
+    term = F.pow(F.col("o") - e, 2) / e
+    return grid.agg(
+        F.first("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.count_distinct("__x") - 1)
+         * (F.count_distinct("__y") - 1)).alias("dof"),
+        F.round(F.sum(term), round_dp).alias("chi2"))

@@ -4655,3 +4655,87 @@ def mi_event_type_value_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return mutual_information(ev, "event_type", "value",
                               y_bins=4, y_lo=0.0, y_hi=100.0)
+
+
+@_q("kcore_parts", """
+WITH baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT x.i AS u, y.i AS v
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING COUNT(*) >= 2),
+e0 AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+d1 AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY 1),
+k1 AS (SELECT u FROM d1 WHERE d >= 2),
+e1 AS (SELECT e0.u, e0.v FROM e0
+       JOIN k1 a ON e0.u = a.u JOIN k1 b ON e0.v = b.u),
+d2 AS (SELECT u, COUNT(*) AS d FROM e1 GROUP BY 1),
+k2 AS (SELECT u FROM d2 WHERE d >= 2),
+e2 AS (SELECT e1.u, e1.v FROM e1
+       JOIN k2 a ON e1.u = a.u JOIN k2 b ON e1.v = b.u)
+SELECT u AS node, COUNT(*) AS deg FROM e2 GROUP BY 1
+""")
+def kcore_parts_q(spark, sf_dir):
+    """2-core of the part co-purchase graph after two bounded peel
+    rounds — per round one degree aggregate + two semi-joins, all
+    keyed. Oracle unrolls the peels exactly."""
+    from vega_spark.functions.graph import k_core
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("b"),
+                        F.col("l_partkey").alias("i")).distinct()
+    x = baskets.select("b", F.col("i").alias("u"))
+    y = baskets.select("b", F.col("i").alias("v"))
+    pairs = (x.join(y, "b").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2).select("u", "v"))
+    return k_core(pairs, "u", "v", k=2, max_rounds=2)
+
+
+@_q("chi2_event_type_value", """
+WITH cells AS (
+  SELECT event_type AS x,
+         LEAST(3, GREATEST(0, CAST(FLOOR((value - 0.0) / 25.0) AS INTEGER)))
+         AS yb,
+         COUNT(*) AS nxy
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT x, SUM(nxy) AS nx FROM cells GROUP BY 1),
+my AS (SELECT yb, SUM(nxy) AS ny FROM cells GROUP BY 1),
+tot AS (SELECT SUM(nxy) AS n FROM cells),
+grid AS (
+  SELECT mx.x, my.yb, mx.nx, my.ny, t.n, COALESCE(c.nxy, 0) AS o
+  FROM mx CROSS JOIN my CROSS JOIN tot t
+  LEFT JOIN cells c ON c.x = mx.x AND c.yb = my.yb)
+SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+       (COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT yb) - 1) AS dof,
+       ROUND(SUM(POW(o - CAST(nx * ny AS DOUBLE) / n, 2)
+                 / (CAST(nx * ny AS DOUBLE) / n)), 4) AS chi2
+FROM grid
+""")
+def chi2_event_type_value_q(spark, sf_dir):
+    """Pearson chi-squared independence over the same contingency
+    grid as mi_event_type_value — expected counts from exact integer
+    marginals, zero-cells included via the marginal cross-grid."""
+    from vega_spark.operators.stats import chi_squared
+    ev = _t(spark, sf_dir, "events")
+    return chi_squared(ev, "event_type", "value",
+                       y_bins=4, y_lo=0.0, y_hi=100.0)
+
+
+@_q("weighted_sample_docs", """
+WITH s AS (
+  SELECT doc_id AS id, n_chars AS weight,
+         POW((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+              + 1.0) / 281474976710656.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS k
+  FROM documents WHERE n_chars > 0)
+SELECT id, weight, ROUND(k, 6) AS sort_key
+FROM s ORDER BY k DESC, id LIMIT 50
+""")
+def weighted_sample_docs_q(spark, sf_dir):
+    """A-Res weighted sampling without replacement (Efraimidis-
+    Spirakis keys from md5-derived uniforms): 50 documents with
+    inclusion odds ∝ n_chars, selected by a bounded TakeOrdered head
+    — deterministic, engine-replayable, no RNG state."""
+    from vega_spark.operators.sampling import weighted_sample_ares
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_ares(docs, "n_chars", "doc_id", n=50)
