@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "kcore_parts",                 # bounded k-core peeling
     "chi2_event_type_value",       # chi-squared independence
     "weighted_sample_docs",        # A-Res weighted sampling head
+    "diversity_by_source",         # Shannon/Simpson corpus composition
 ]
 
 

@@ -283,3 +283,18 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     from vega_spark.plans import inspect as I
     df = spark.createDataFrame([(1, 2.0)], "doc_id long, w double")
     assert I.uses_take_ordered(weighted_sample_ares(df, "w", "doc_id", 5))
+
+
+def test_category_diversity_known_values(spark):
+    from vega_spark.functions.analytics import category_diversity
+    # source s1: 2+2 over two langs -> H = ln 2, simpson = 0.5
+    # source s2: single lang -> H = 0, simpson = 0
+    rows = [("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),
+            ("s2", "en")]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r.source: r for r in category_diversity(df, "source",
+                                                   "lang").collect()}
+    assert (out["s1"].n, out["s1"].n_cats) == (4, 2)
+    assert out["s1"].shannon_nats == round(math.log(2.0), 6)
+    assert out["s1"].simpson == 0.5
+    assert (out["s2"].shannon_nats, out["s2"].simpson) == (0.0, 0.0)

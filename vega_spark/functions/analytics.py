@@ -678,3 +678,29 @@ def hourly_trend(events: DataFrame, type_col: str = "event_type",
         F.round((F.col("sy").cast("double") - slope
                  * F.col("sx").cast("double")) / F.col("n"), round_dp)
         .alias("intercept"))
+
+
+def category_diversity(df: DataFrame, group_col: str, cat_col: str,
+                       round_dp: int = 6) -> DataFrame:
+    """Diversity report per group: category count, Shannon entropy
+    (nats) and Simpson index (1 − Σp²) of the category distribution —
+    the corpus-composition numbers (how language-diverse is each
+    source?) every data card quotes.
+
+    Plan: one pass to (group, category) counts; both indices fold on
+    that tiny frame from exact integer counts (one division + one log
+    per category — engine-replayable). Two keyed aggregates total."""
+    cells = (df.groupBy(F.col(group_col).alias("grp"),
+                        F.col(cat_col).alias("cat"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    tot = cells.groupBy(F.col("grp").alias("__g")) \
+        .agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (cells.join(F.broadcast(tot), F.col("grp") == F.col("__g"))
+            .groupBy(F.col("grp").alias(group_col))
+            .agg(F.first("n").alias("n"),
+                 F.count(F.lit(1)).alias("n_cats"),
+                 F.round(-F.sum(p * F.log(p)), round_dp)
+                 .alias("shannon_nats"),
+                 F.round(1.0 - F.sum(p * p), round_dp)
+                 .alias("simpson")))

@@ -4739,3 +4739,24 @@ def weighted_sample_docs_q(spark, sf_dir):
     from vega_spark.operators.sampling import weighted_sample_ares
     docs = _t(spark, sf_dir, "documents")
     return weighted_sample_ares(docs, "n_chars", "doc_id", n=50)
+
+
+@_q("diversity_by_source", """
+WITH cells AS (
+  SELECT source AS grp, lang AS cat, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT grp, SUM(c) AS n FROM cells GROUP BY 1)
+SELECT c.grp AS source, MAX(t.n) AS n, COUNT(*) AS n_cats,
+       ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n)
+                  * LN(CAST(c.c AS DOUBLE) / t.n)), 6) AS shannon_nats,
+       ROUND(1.0 - SUM((CAST(c.c AS DOUBLE) / t.n)
+                       * (CAST(c.c AS DOUBLE) / t.n)), 6) AS simpson
+FROM cells c JOIN tot t USING (grp) GROUP BY 1
+""")
+def diversity_by_source_q(spark, sf_dir):
+    """Language-diversity report per document source: Shannon entropy
+    and Simpson index from exact integer counts — the data-card
+    composition numbers. Oracle replays both folds."""
+    from vega_spark.functions.analytics import category_diversity
+    docs = _t(spark, sf_dir, "documents")
+    return category_diversity(docs, "source", "lang")
