@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "chi2_event_type_value",       # chi-squared independence
     "weighted_sample_docs",        # A-Res weighted sampling head
     "diversity_by_source",         # Shannon/Simpson corpus composition
+    "benford_event_values",        # first-digit data-quality screen
 ]
 
 

@@ -298,3 +298,23 @@ def test_category_diversity_known_values(spark):
     assert out["s1"].shannon_nats == round(math.log(2.0), 6)
     assert out["s1"].simpson == 0.5
     assert (out["s2"].shannon_nats, out["s2"].simpson) == (0.0, 0.0)
+
+
+def test_benford_screen_separates_conforming_data(spark):
+    from vega_spark.operators.stats import benford_screen
+    # group "b": perfect Benford sample — one value per digit d with
+    # multiplicity round(1000*log10(1+1/d)) -> tiny chi2
+    import math as m
+    rows = []
+    for d in range(1, 10):
+        rows += [("b", float(d))] * round(1000 * m.log10(1 + 1 / d))
+    # group "u": all values lead with digit 9 -> huge chi2
+    rows += [("u", 9.5)] * 100
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.k: r for r in benford_screen(df, "k", "v").collect()}
+    assert out["b"].benford_chi2 < 1.0
+    assert out["u"].benford_chi2 > 100.0
+    # sub-cent values are excluded from n
+    df2 = spark.createDataFrame([("x", 0.001), ("x", 1.0)],
+                                "k string, v double")
+    assert benford_screen(df2, "k", "v").collect()[0].n == 1

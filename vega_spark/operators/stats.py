@@ -389,3 +389,40 @@ def chi_squared(df: DataFrame, col_x: str, col_y: str,
         ((F.count_distinct("__x") - 1)
          * (F.count_distinct("__y") - 1)).alias("dof"),
         F.round(F.sum(term), round_dp).alias("chi2"))
+
+
+def benford_screen(df: DataFrame, group_col: str, value_col: str,
+                   round_dp: int = 6) -> DataFrame:
+    """Benford first-digit screen per group: observed share of each
+    leading significant digit (1-9) vs the Benford expectation
+    log10(1 + 1/d), with the chi-squared distance per group — the
+    classic synthetic/fabricated-numbers detector for ingest audits.
+
+    Expects fixed-2-decimal data (the events/TPC-H money shape):
+    values are scaled to integer cents, whose decimal-string leading
+    character is the leading significant digit — pure integer/string
+    math, no float log in the binning, so any engine replays it
+    bit-for-bit. Rows below 0.01 are excluded (no leading digit).
+    Plan: one pass to (group, digit) counts; everything after folds
+    on the ≤ groups×9 frame (the 1-9 grid is crossed in so absent
+    digits score their full expected deficit)."""
+    d = F.substring(F.round(F.col(value_col) * 100, 0)
+                    .cast("long").cast("string"), 1, 1).cast("int")
+    cells = (df.filter(F.col(value_col) >= 0.01)
+             .groupBy(F.col(group_col).alias("grp"), d.alias("digit"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    tot = cells.groupBy(F.col("grp").alias("__g")) \
+        .agg(F.sum("o").alias("n"))
+    digits = df.sparkSession.range(1, 10) \
+        .select(F.col("id").cast("int").alias("digit"))
+    grid = (tot.crossJoin(F.broadcast(digits))
+            .join(cells, (F.col("__g") == F.col("grp"))
+                  & (cells["digit"] == digits["digit"]), "left")
+            .select(F.col("__g").alias("grp"), digits["digit"],
+                    "n", F.coalesce(F.col("o"), F.lit(0)).alias("o")))
+    p_exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    e = p_exp * F.col("n")
+    return (grid.groupBy(F.col("grp").alias(group_col))
+            .agg(F.first("n").alias("n"),
+                 F.round(F.sum(F.pow(F.col("o") - e, 2) / e), round_dp)
+                 .alias("benford_chi2")))

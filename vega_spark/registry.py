@@ -4760,3 +4760,32 @@ def diversity_by_source_q(spark, sf_dir):
     from vega_spark.functions.analytics import category_diversity
     docs = _t(spark, sf_dir, "documents")
     return category_diversity(docs, "source", "lang")
+
+
+@_q("benford_event_values", """
+WITH cells AS (
+  SELECT event_type AS grp,
+         CAST(substr(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS o
+  FROM events WHERE value >= 0.01 GROUP BY 1, 2),
+tot AS (SELECT grp, SUM(o) AS n FROM cells GROUP BY 1),
+digits AS (SELECT unnest(generate_series(1, 9)) AS digit),
+grid AS (
+  SELECT t.grp, d.digit, t.n, COALESCE(c.o, 0) AS o
+  FROM tot t CROSS JOIN digits d
+  LEFT JOIN cells c ON c.grp = t.grp AND c.digit = d.digit)
+SELECT grp AS event_type, MAX(n) AS n,
+       ROUND(SUM(POW(o - LOG10(1.0 + 1.0 / digit) * n, 2)
+                 / (LOG10(1.0 + 1.0 / digit) * n)), 6) AS benford_chi2
+FROM grid GROUP BY 1
+""")
+def benford_event_values_q(spark, sf_dir):
+    """Benford first-digit screen per event type — leading digit via
+    exact integer-cents string math (engine-identical), chi-squared
+    distance to the log10(1+1/d) expectation. Uniform synthetic
+    values score far from Benford, which is exactly what the screen
+    reports."""
+    from vega_spark.operators.stats import benford_screen
+    ev = _t(spark, sf_dir, "events")
+    return benford_screen(ev, "event_type", "value")
