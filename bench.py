@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "weighted_sample_docs",        # A-Res weighted sampling head
     "diversity_by_source",         # Shannon/Simpson corpus composition
     "benford_event_values",        # first-digit data-quality screen
+    "weighted_sample_docs_by_lang",  # stratified A-Res quota sampler
 ]
 
 

@@ -318,3 +318,19 @@ def test_benford_screen_separates_conforming_data(spark):
     df2 = spark.createDataFrame([("x", 0.001), ("x", 1.0)],
                                 "k string, v double")
     assert benford_screen(df2, "k", "v").collect()[0].n == 1
+
+
+def test_weighted_sample_stratified_quota(spark):
+    from vega_spark.operators.sampling import weighted_sample_ares_by
+    rows = [(i, "s%d" % (i % 3), float(1 + i % 5)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = weighted_sample_ares_by(df, "g", "w", "doc_id", n=7).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.stratum, []).append(r.id)
+    assert set(per) == {"s0", "s1", "s2"}
+    assert all(len(v) == 7 == len(set(v)) for v in per.values())
+    again = weighted_sample_ares_by(df, "g", "w", "doc_id", n=7).collect()
+    assert sorted((r.stratum, r.id) for r in got) == \
+        sorted((r.stratum, r.id) for r in again)
+    assert_scale_safe(weighted_sample_ares_by(df, "g", "w", "doc_id", 7))

@@ -224,3 +224,30 @@ def weighted_sample_ares(df: DataFrame, weight_col: str, id_col: str,
                     key.alias("__k"))
             .orderBy(F.desc("__k"), F.asc("id")).limit(n)
             .drop("__k"))
+
+
+def weighted_sample_ares_by(df: DataFrame, stratum_col: str,
+                            weight_col: str, id_col: str, n: int,
+                            round_dp: int = 6) -> DataFrame:
+    """Stratified A-Res: ``n`` weighted samples WITHOUT replacement
+    per stratum (same deterministic md5-uniform keys as
+    :func:`weighted_sample_ares`), selected with a window PARTITIONED
+    by the stratum — a per-key bounded heap, no global sort, one
+    keyed exchange. The per-language / per-source quota sampler for
+    corpus mixing where reruns must be bit-identical."""
+    from pyspark.sql.window import Window
+
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                            1, 12), 16, 10).cast("double") + 1.0) \
+        / float(1 << 48)
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    w = Window.partitionBy("stratum").orderBy(F.desc("__k"), F.asc("id"))
+    return (df.filter(F.col(weight_col) > 0)
+            .select(F.col(stratum_col).alias("stratum"),
+                    F.col(id_col).alias("id"),
+                    F.col(weight_col).alias("weight"),
+                    key.alias("__k"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= n)
+            .select("stratum", "id", "weight",
+                    F.round("__k", round_dp).alias("sort_key"), "rk"))

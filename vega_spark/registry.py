@@ -4789,3 +4789,29 @@ def benford_event_values_q(spark, sf_dir):
     from vega_spark.operators.stats import benford_screen
     ev = _t(spark, sf_dir, "events")
     return benford_screen(ev, "event_type", "value")
+
+
+@_q("weighted_sample_docs_by_lang", """
+WITH s AS (
+  SELECT lang AS stratum, doc_id AS id, n_chars AS weight,
+         POW((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+              + 1.0) / 281474976710656.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS k
+  FROM documents WHERE n_chars > 0),
+r AS (
+  SELECT stratum, id, weight, k,
+         ROW_NUMBER() OVER (PARTITION BY stratum
+                            ORDER BY k DESC, id) AS rk
+  FROM s)
+SELECT stratum, id, weight, ROUND(k, 6) AS sort_key,
+       CAST(rk AS INTEGER) AS rk
+FROM r WHERE rk <= 10
+""")
+def weighted_sample_docs_by_lang_q(spark, sf_dir):
+    """Stratified A-Res: 10 documents per language, inclusion odds ∝
+    n_chars — per-stratum PARTITIONED window (per-key heap, no
+    global sort), deterministic md5 keys replayed by the oracle."""
+    from vega_spark.operators.sampling import weighted_sample_ares_by
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_ares_by(docs, "lang", "n_chars", "doc_id",
+                                   n=10)
