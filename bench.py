@@ -135,6 +135,11 @@ BENCH_QUERIES = [
     "diversity_by_source",         # Shannon/Simpson corpus composition
     "benford_event_values",        # first-digit data-quality screen
     "weighted_sample_docs_by_lang",  # stratified A-Res quota sampler
+    # round-2 continuation: model-eval / privacy statistics layer
+    "roc_auc_purchase_value",      # binned Mann-Whitney AUC, no global sort
+    "ks_drift_purchase_view",      # fixed-grid two-sample KS drift test
+    "dp_noisy_event_counts",       # seeded Laplace ε-DP release
+    "k_anonymity_docs",            # quasi-identifier risk audit
 ]
 
 

@@ -127,3 +127,76 @@ def test_hist_quantile_rollup_merge_and_accuracy(spark):
                                 "g string, v double")
     pc = hist_partial(oob, ["g"], "v", lo, hi, bins)
     assert pc.agg({"cnt": "sum"}).first()[0] == 2
+
+
+def test_binned_roc_auc_perfect_and_random(spark):
+    from pyspark.sql import functions as F
+    # perfect separation: positives all score higher -> AUC = 1
+    rows = [(float(i), i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y boolean").repartition(8)
+    r = ST.binned_roc_auc(df, "y", "s", bins=64).first()
+    assert r.n_pos == 50 and r.n_neg == 50
+    assert r.auc == 1.0
+    # anti-separation -> AUC = 0
+    r2 = ST.binned_roc_auc(df, ~F.col("y"), "s", bins=64).first()
+    assert r2.auc == 0.0
+    # label independent of score -> AUC = 0.5 (ties take midrank)
+    rows3 = [(float(i % 10), (i // 10) % 2 == 0) for i in range(200)]
+    df3 = spark.createDataFrame(rows3, "s double, y boolean")
+    r3 = ST.binned_roc_auc(df3, "y", "s", bins=64).first()
+    assert abs(r3.auc - 0.5) < 1e-9
+
+
+def test_binned_roc_auc_matches_exact_rank_auc(spark):
+    # binned with bins >> distinct scores == exact Mann-Whitney AUC
+    import random
+    rng = random.Random(7)
+    rows = [(round(rng.random(), 3), rng.random() < 0.4) for _ in range(500)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = ST.binned_roc_auc(df, "y", "s", bins=2048).first().auc
+    pos = sorted(s for s, y in rows if y)
+    neg = sorted(s for s, y in rows if not y)
+    num = sum((sum(1 for n in neg if n < p)
+               + 0.5 * sum(1 for n in neg if n == p)) for p in pos)
+    exact = num / (len(pos) * len(neg))
+    assert abs(got - exact) < 2e-3   # off only by within-bin smearing
+
+
+def test_ks_binned_detects_shift_and_null_case(spark):
+    rows = ([("a", float(v % 50)) for v in range(500)]
+            + [("b", 50.0 + v % 50) for v in range(500)])
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    r = ST.ks_binned(df, "g", "v", "a", "b", bins=20, lo=0.0,
+                     hi=100.0).first()
+    assert r.n_a == 500 and r.n_b == 500
+    assert r.ks_stat == 1.0          # disjoint supports -> max gap 1
+    r2 = ST.ks_binned(df, "g", "v", "a", "a", bins=20, lo=0.0,
+                      hi=100.0).first()
+    assert r2.ks_stat == 0.0         # identical samples -> 0
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    rows = [(f"g{i % 3}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    a = {r.k: (r.n_noisy, r.noise)
+         for r in ST.dp_noisy_counts(df, "k", epsilon=1.0, seed=3).collect()}
+    b = {r.k: (r.n_noisy, r.noise)
+         for r in ST.dp_noisy_counts(df, "k", epsilon=1.0, seed=3).collect()}
+    assert a == b                    # seeded -> reproducible release
+    c = {r.k: r.noise
+         for r in ST.dp_noisy_counts(df, "k", epsilon=1.0, seed=4).collect()}
+    assert any(c[k] != a[k][1] for k in c)   # seed rotates the draw
+    for k, (nz, noise) in a.items():
+        assert abs(nz - 100 - noise) < 1e-9  # noisy = true + noise
+
+
+def test_k_anonymity_audit_exact_counts(spark):
+    # classes: (a: 1 row), (b: 3 rows), (c: 10 rows)
+    rows = [("a", 0)] + [("b", 0)] * 3 + [("c", 0)] * 10
+    df = spark.createDataFrame(rows, "q string, z int").repartition(4)
+    got = {r.k: (r.classes_at_risk, r.rows_at_risk, r.risk_share)
+           for r in ST.k_anonymity_audit(df, ["q", "z"],
+                                         ks=(2, 5, 11)).collect()}
+    assert got[2] == (1, 1, round(1 / 14, 6))
+    assert got[5] == (2, 4, round(4 / 14, 6))
+    assert got[11] == (3, 14, 1.0)

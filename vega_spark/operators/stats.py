@@ -426,3 +426,169 @@ def benford_screen(df: DataFrame, group_col: str, value_col: str,
             .agg(F.first("n").alias("n"),
                  F.round(F.sum(F.pow(F.col("o") - e, 2) / e), round_dp)
                  .alias("benford_chi2")))
+
+
+def binned_roc_auc(df: DataFrame, label_col, score_col: str,
+                   bins: int = 256, round_dp: int = 6) -> DataFrame:
+    """Binned ROC AUC for a boolean label vs a numeric score — the
+    model-quality readout a 100 TB scoring pipeline needs without a
+    global sort. Scores are bucketed onto a fixed ``bins``-cell grid
+    between the observed min/max (two tiny aggregates), ties within a
+    bin take the midrank — the textbook binned Mann-Whitney estimator
+    whose error vs the exact AUC is O(1/bins).
+
+    All rank math is EXACT integer arithmetic on the ≤``bins``-row
+    cell frame (numerator kept doubled so midranks stay integral);
+    the single division happens once at the end, so any engine
+    replays the statistic bit-for-bit. Plan: one scan → per-bin
+    (pos, neg) counts (one keyed exchange of ≤bins groups), then a
+    deterministic sorted-list fold on the one-row frame — no window,
+    no sort of the data itself. Capability superset (reference has no
+    metrics layer; SURVEY.md §2.11)."""
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    rng = df.agg(F.min(score_col).alias("__lo"),
+                 F.max(score_col).alias("__hi"))
+    b = (df.crossJoin(F.broadcast(rng))
+         .select(F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+                 .otherwise(F.least(
+                     F.lit(bins - 1),
+                     F.floor((F.col(score_col) - F.col("__lo"))
+                             / (F.col("__hi") - F.col("__lo")) * bins)
+                     .cast("int"))).alias("b"),
+                 lab.cast("int").alias("y")))
+    cells = b.groupBy("b").agg(
+        F.sum("y").alias("np"),
+        F.sum(F.lit(1) - F.col("y")).alias("nn"))
+    one = cells.agg(
+        F.sum("np").alias("n_pos"), F.sum("nn").alias("n_neg"),
+        F.sort_array(F.collect_list(F.struct("b", "np", "nn")))
+        .alias("cs"))
+    # fold ascending by bin: acc = (cum_neg, 2*rank-sum numerator);
+    # num2 += 2*np*cum_neg_below + np*nn  (midrank ties), all BIGINT
+    folded = F.aggregate(
+        F.col("cs"),
+        F.struct(F.lit(0).cast("long").alias("cn"),
+                 F.lit(0).cast("long").alias("num2")),
+        lambda acc, x: F.struct(
+            (acc["cn"] + x["nn"]).alias("cn"),
+            (acc["num2"] + 2 * x["np"] * acc["cn"]
+             + x["np"] * x["nn"]).alias("num2")))
+    return (one.select("n_pos", "n_neg", folded["num2"].alias("__n2"))
+            .select("n_pos", "n_neg",
+                    F.round(F.col("__n2").cast("double")
+                            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                            round_dp).alias("auc")))
+
+
+def ks_binned(df: DataFrame, group_col: str, value_col: str,
+              group_a, group_b, bins: int = 64,
+              lo: float = 0.0, hi: float = 100.0,
+              round_dp: int = 6) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the
+    ``value_col`` distributions of two groups, on a FIXED ``bins``-
+    cell grid — the drift test that complements the PSI monitor
+    (drift_psi): max CDF gap instead of likelihood-ratio mass. Fixed
+    edges (not quantiles) keep the statistic deterministic and
+    engine-replayable; grid KS lower-bounds exact KS by at most one
+    bin's mass.
+
+    The max-gap search runs on EXACT integers: the fold tracks
+    max_b |cumA_b * n_b_total - cumB_b * n_a_total| and divides once
+    at the end — no per-bin float compare can tie-break differently
+    across engines. Plan: one scan → ≤bins cells → one-row fold."""
+    w = (hi - lo) / bins
+    bcol = F.least(F.lit(bins - 1),
+                   F.greatest(F.lit(0),
+                              F.floor((F.col(value_col) - lo) / w)
+                              .cast("int"))).alias("b")
+    g = F.col(group_col)
+    cells = (df.filter(g.isin([group_a, group_b]))
+             .select(bcol, g.alias("g"))
+             .groupBy("b")
+             .agg(F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+                  .alias("na"),
+                  F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+                  .alias("nb")))
+    one = cells.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"),
+                    F.sort_array(F.collect_list(F.struct("b", "na", "nb")))
+                    .alias("cs"))
+    folded = F.aggregate(
+        F.col("cs"),
+        F.struct(F.lit(0).cast("long").alias("ca"),
+                 F.lit(0).cast("long").alias("cb"),
+                 F.lit(0).cast("long").alias("mx")),
+        lambda acc, x: F.struct(
+            (acc["ca"] + x["na"]).alias("ca"),
+            (acc["cb"] + x["nb"]).alias("cb"),
+            F.greatest(acc["mx"], F.abs(
+                (acc["ca"] + x["na"]) * F.col("n_b")
+                - (acc["cb"] + x["nb"]) * F.col("n_a"))).alias("mx")))
+    return (one.select("n_a", "n_b", folded["mx"].alias("__mx"))
+            .select("n_a", "n_b",
+                    F.round(F.col("__mx").cast("double")
+                            / (F.col("n_a") * F.col("n_b")).cast("double"),
+                            round_dp).alias("ks_stat")))
+
+
+def dp_noisy_counts(df: DataFrame, group_col: str,
+                    epsilon: float = 1.0, seed: int = 7,
+                    round_dp: int = 4) -> DataFrame:
+    """Differentially-private group counts: exact per-group counts
+    plus Laplace(1/ε) noise, with the noise drawn DETERMINISTICALLY
+    from an md5-derived uniform per (group, seed) — the repo's
+    standard engine-replayable randomness (same construction as
+    hash_split / A-Res sampling). For a count query the L1
+    sensitivity is 1, so b = 1/ε gives ε-DP under the usual
+    one-row-per-individual model; the fixed seed makes repeated
+    releases reproducible (a real deployment rotates it per release
+    and accounts the budget).
+
+    u = (k + 0.5)/16^12 from the first 12 md5 hex chars (never 0 or
+    1, so the inverse-CDF log is finite); noise =
+    -b·sign(u-½)·ln(1-2|u-½|). Everything is per-group scalar math
+    after ONE keyed count — no second pass, no driver state."""
+    b = 1.0 / epsilon
+    k = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col("grp").cast("string"),
+                          F.lit(str(seed)))), 1, 12), 16, 10) \
+        .cast("long")
+    u = (k.cast("double") + 0.5) / float(16 ** 12)
+    centered = u - 0.5
+    noise = (-F.lit(b) * F.signum(centered)
+             * F.log(1.0 - 2.0 * F.abs(centered)))
+    return (df.groupBy(F.col(group_col).alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_true"))
+            .select(F.col("grp").alias(group_col),
+                    F.round(F.col("n_true") + noise, round_dp)
+                    .alias("n_noisy"),
+                    F.round(noise, round_dp).alias("noise")))
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: Sequence[str],
+                      ks: Sequence[int] = (2, 5, 10),
+                      round_dp: int = 6) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: for
+    each threshold k, how many equivalence classes have fewer than k
+    members and how many rows sit in them — the standard re-
+    identification risk screen run before a corpus leaves the
+    pipeline. One keyed count to class sizes (the only data-sized
+    shuffle); each k is a conditional aggregate over the class-size
+    frame, output one row per k with the exact integer counts and
+    the rounded at-risk share."""
+    sizes = (df.groupBy(*[F.col(c) for c in quasi_cols])
+             .agg(F.count(F.lit(1)).alias("sz")))
+    rows = []
+    for k in ks:
+        rows.append(sizes.agg(
+            F.lit(int(k)).alias("k"),
+            F.sum(F.when(F.col("sz") < k, 1).otherwise(0))
+            .alias("classes_at_risk"),
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+            .alias("rows_at_risk"),
+            F.round(F.sum(F.when(F.col("sz") < k, F.col("sz"))
+                          .otherwise(0)).cast("double")
+                    / F.sum("sz"), round_dp).alias("risk_share")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -4815,3 +4815,124 @@ def weighted_sample_docs_by_lang_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return weighted_sample_ares_by(docs, "lang", "n_chars", "doc_id",
                                    n=10)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 continuation: model-evaluation / privacy statistics layer
+# (capability superset — the reference has no metrics or privacy ops,
+# SURVEY.md §2.11; these are the readouts a 100 TB scoring/release
+# pipeline runs as first-class jobs)
+# ---------------------------------------------------------------------------
+
+@_q("roc_auc_purchase_value", """
+WITH rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+b AS (
+  SELECT LEAST(255, CAST(FLOOR((value - lo) / (hi - lo) * 256) AS INTEGER))
+           AS b,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events, rng),
+cells AS (
+  SELECT b, SUM(y) AS np, SUM(1 - y) AS nn FROM b GROUP BY b),
+c AS (
+  SELECT b, np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+  FROM cells)
+SELECT (SELECT SUM(np) FROM cells) AS n_pos,
+       (SELECT SUM(nn) FROM cells) AS n_neg,
+       ROUND(CAST(SUM(2 * np * cn + np * nn) AS DOUBLE)
+             / (2.0 * (SELECT SUM(np) FROM cells)
+                * (SELECT SUM(nn) FROM cells)), 6) AS auc
+FROM c
+""")
+def roc_auc_purchase_value_q(spark, sf_dir):
+    """Binned ROC AUC (256 fixed cells, midrank ties): does `value`
+    separate purchase events from the rest? Exact-integer rank fold
+    on the cell frame — no global sort of the data (the scale
+    decision; see operators/stats.binned_roc_auc)."""
+    from vega_spark.operators.stats import binned_roc_auc
+    ev = _t(spark, sf_dir, "events")
+    return binned_roc_auc(ev, F.col("event_type") == "purchase",
+                          "value", bins=256)
+
+
+@_q("ks_drift_purchase_view", """
+WITH f AS (
+  SELECT LEAST(63, GREATEST(0,
+           CAST(FLOOR((value - 0.0) / 7.8125) AS INTEGER))) AS b,
+         event_type AS g
+  FROM events WHERE event_type IN ('purchase', 'view')),
+cells AS (
+  SELECT b,
+         SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS nb
+  FROM f GROUP BY b),
+tot AS (SELECT SUM(na) AS n_a, SUM(nb) AS n_b FROM cells),
+c AS (
+  SELECT SUM(na) OVER (ORDER BY b) AS ca,
+         SUM(nb) OVER (ORDER BY b) AS cb
+  FROM cells)
+SELECT t.n_a, t.n_b,
+       ROUND(CAST(MAX(ABS(ca * t.n_b - cb * t.n_a)) AS DOUBLE)
+             / CAST(t.n_a * t.n_b AS DOUBLE), 6) AS ks_stat
+FROM c, tot t GROUP BY t.n_a, t.n_b
+""")
+def ks_drift_purchase_view_q(spark, sf_dir):
+    """Two-sample KS on a fixed 64-bin [0,500) grid: value
+    distribution of purchase vs view events. Exact-integer max-gap
+    fold (PSI's rank-based sibling in the drift-monitor family)."""
+    from vega_spark.operators.stats import ks_binned
+    ev = _t(spark, sf_dir, "events")
+    return ks_binned(ev, "event_type", "value", "purchase", "view",
+                     bins=64, lo=0.0, hi=500.0)
+
+
+@_q("dp_noisy_event_counts", """
+WITH g AS (
+  SELECT event_type AS grp, COUNT(*) AS n_true FROM events GROUP BY 1),
+u AS (
+  SELECT grp, n_true,
+         (('0x' || substr(md5(grp || '|7'), 1, 12))::BIGINT + 0.5)
+           / 281474976710656.0 AS u
+  FROM g)
+SELECT grp AS event_type,
+       ROUND(n_true + (-2.0 * SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5))),
+             4) AS n_noisy,
+       ROUND(-2.0 * SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5)), 4) AS noise
+FROM u
+""")
+def dp_noisy_event_counts_q(spark, sf_dir):
+    """ε-DP event-type counts (ε=0.5, Laplace b=2) with seeded
+    md5-derived noise — reproducible privacy-preserving release of
+    group counts; one keyed count, scalar math after."""
+    from vega_spark.operators.stats import dp_noisy_counts
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, "event_type", epsilon=0.5, seed=7)
+
+
+@_q("k_anonymity_docs", """
+WITH sizes AS (
+  SELECT lang, source, CAST(FLOOR(n_chars / 100) AS INTEGER) AS lb,
+         COUNT(*) AS sz
+  FROM documents GROUP BY 1, 2, 3),
+a AS (
+  SELECT k,
+         SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS classes_at_risk,
+         SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS rows_at_risk,
+         ROUND(CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+               / SUM(sz), 6) AS risk_share
+  FROM sizes, (SELECT UNNEST([2, 5, 10]) AS k) ks GROUP BY k)
+SELECT * FROM a
+""")
+def k_anonymity_docs_q(spark, sf_dir):
+    """k-anonymity audit of documents under the quasi-identifier
+    (lang, source, n_chars/100 bucket): classes and rows below each
+    k ∈ {2,5,10} — the re-identification screen before a corpus
+    ships. One keyed count; per-k conditional aggregates on the
+    class-size frame."""
+    from vega_spark.operators.stats import k_anonymity_audit
+    docs = (_t(spark, sf_dir, "documents")
+            .select("lang", "source",
+                    (F.col("n_chars") / 100).cast("int").alias("lb")))
+    return k_anonymity_audit(docs, ["lang", "source", "lb"],
+                             ks=(2, 5, 10))
