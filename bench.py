@@ -140,6 +140,11 @@ BENCH_QUERIES = [
     "ks_drift_purchase_view",      # fixed-grid two-sample KS drift test
     "dp_noisy_event_counts",       # seeded Laplace ε-DP release
     "k_anonymity_docs",            # quasi-identifier risk audit
+    # ML feature-prep layer
+    "feature_vector_events",       # z/minmax/one-hot/hashed features
+    "target_encode_orders_priority",  # smoothed mean encoding table
+    "naive_bayes_lang_confusion",  # in-engine NB train + score
+    "holt_forecast_hourly",        # Holt level+trend fold per key
 ]
 
 

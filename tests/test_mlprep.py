@@ -1,0 +1,86 @@
+"""ML feature-prep layer (functions/mlprep.py) + Holt smoothing —
+capability superset over the reference's RDD-only surface
+(SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vega_spark.functions import mlprep as M
+
+
+def test_feature_vector_zscore_minmax_onehot(spark):
+    rows = [(1, 10.0, "a", "p1"), (2, 20.0, "b", "p2"),
+            (3, 30.0, "a", "p3"), (4, 40.0, "c", "p4")]
+    df = spark.createDataFrame(
+        rows, "id int, v double, cat string, props string").repartition(4)
+    got = {r.id: r for r in M.feature_vector(
+        df, "id", "v", "cat", ["a", "b", "c"], "props",
+        hash_buckets=8).collect()}
+    # mean 25, pop-std sqrt(125): z for v=10 is -15/sqrt(125)
+    assert math.isclose(got[1].z_value, round(-15 / math.sqrt(125), 6))
+    assert math.isclose(got[4].z_value, round(15 / math.sqrt(125), 6))
+    assert got[1].mm_value == 0.0 and got[4].mm_value == 1.0
+    assert math.isclose(got[2].mm_value, round(1 / 3, 6))
+    assert (got[1].is_a, got[1].is_b, got[1].is_c) == (1, 0, 0)
+    assert (got[2].is_a, got[2].is_b, got[2].is_c) == (0, 1, 0)
+    assert all(0 <= got[i].hash_bucket < 8 for i in got)
+    # deterministic hashing: same input -> same bucket
+    again = {r.id: r.hash_bucket for r in M.feature_vector(
+        df, "id", "v", "cat", ["a", "b", "c"], "props",
+        hash_buckets=8).collect()}
+    assert again == {i: got[i].hash_bucket for i in got}
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    # common: 100 rows mean 10; rare: 1 row value 1000; global pull
+    rows = [("common", 10.0)] * 100 + [("rare", 1000.0)]
+    df = spark.createDataFrame(rows, "cat string, t double").repartition(4)
+    got = {r.cat: r for r in M.target_encode(df, "cat", "t", m=10).collect()}
+    g_mean = (100 * 10.0 + 1000.0) / 101
+    exp_rare = (1000.0 + 10 * g_mean) / (1 + 10)
+    exp_common = (100 * 10.0 + 10 * g_mean) / (100 + 10)
+    assert math.isclose(got["rare"].target_enc, round(exp_rare, 6))
+    assert math.isclose(got["common"].target_enc, round(exp_common, 6))
+    # rare is pulled far off its raw mean toward the prior
+    assert got["rare"].target_enc < 200
+
+
+def test_naive_bayes_separable_corpus(spark):
+    # two languages with disjoint vocabularies -> perfect diagonal
+    rows = ([(i, "aa bb aa cc", "en") for i in range(20)]
+            + [(100 + i, "xx yy xx zz", "fr") for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r.actual, r.predicted): r.n_docs
+           for r in M.naive_bayes_confusion(
+               df, vocab_size=10, alpha=1.0).collect()}
+    assert got == {("en", "en"): 20, ("fr", "fr"): 20}
+
+
+def test_naive_bayes_tie_breaks_to_smallest_label(spark):
+    # doc text outside the vocabulary + equal priors -> score = prior
+    # for every label -> deterministic min-label prediction
+    rows = [(1, "qq", "b"), (2, "qq", "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = M.naive_bayes_confusion(df, vocab_size=2, alpha=1.0).collect()
+    preds = {(r.actual, r.predicted): r.n_docs for r in out}
+    # both docs share the vocab, same score under both labels -> 'a'
+    assert sum(n for (a, p), n in preds.items() if p == "a") == 2
+
+
+def test_holt_linear_exact_on_linear_series(spark):
+    from vega_spark.functions.analytics import holt_linear_forecast
+    # perfectly linear hourly series: level tracks it exactly and the
+    # h=3 forecast continues the line (Holt is exact on linear input)
+    rows2 = [("t", 1700000000 + 3600 * h, 10.0 + 5.0 * h)
+             for h in range(12)]
+    df2 = spark.createDataFrame(rows2, "event_type string, es long, v double") \
+        .select("event_type", F.timestamp_seconds(F.col("es")).alias("ts"),
+                F.col("v").alias("value"))
+    r = holt_linear_forecast(df2, alpha=0.5, beta=0.25, horizon=3).first()
+    assert r.n_hours == 12
+    assert math.isclose(r.level, 10.0 + 5.0 * 11)
+    assert math.isclose(r.trend, 5.0)
+    assert math.isclose(r.forecast_h3, 10.0 + 5.0 * 14)

@@ -704,3 +704,68 @@ def category_diversity(df: DataFrame, group_col: str, cat_col: str,
                  .alias("shannon_nats"),
                  F.round(1.0 - F.sum(p * p), round_dp)
                  .alias("simpson")))
+
+
+def holt_linear_forecast(events: DataFrame, type_col: str = "event_type",
+                         ts_col: str = "ts", value_col: str = "value",
+                         alpha: float = 0.5, beta: float = 0.25,
+                         horizon: int = 3,
+                         round_dp: int = 6) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of each
+    key's hourly value series, with an h-step-ahead forecast — the
+    seasonal-naive backtest's trend-aware sibling for capacity
+    planning dashboards.
+
+    The recursion l' = α·x + (1−α)(l+b), b' = β(l'−l) + (1−β)b is
+    inherently sequential PER KEY, so it runs as a deterministic fold
+    over the key's ORDERED hourly grid (bounded: hours, not rows) —
+    never over raw events. Hourly sums are exact integer cents, the
+    smoothing constants are binary-exact (.5/.25 by default), and the
+    fold order is fixed, so every engine performs the identical IEEE
+    op sequence and reproduces level/trend bit-for-bit. Keys with a
+    single active hour are dropped (no trend seed). Plan: one pass to
+    the hourly grid (keyed exchange) → per-key sorted-list fold on
+    the grid frame."""
+    hourly = (events.groupBy(F.col(type_col).alias("event_type"),
+                             (F.unix_timestamp(F.col(ts_col))
+                              .cast("long") / 3600).cast("long")
+                              .alias("xh"))
+              .agg(F.sum(F.round(F.col(value_col) * 100, 0)
+                         .cast("long")).alias("y")))
+    series = (hourly.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_hours"),
+                   F.transform(
+                       F.sort_array(F.collect_list(F.struct("xh", "y"))),
+                       lambda s: s["y"]).alias("xs"))
+              .filter(F.col("n_hours") >= 2))
+    a, b1 = float(alpha), float(beta)
+    # seed at the SECOND point: l=x₁, b=x₁−x₀ — the init that makes
+    # Holt exact on a perfectly linear series (pinned by unit test)
+    init = F.struct(
+        F.element_at(F.col("xs"), 2).cast("double").alias("l"),
+        (F.element_at(F.col("xs"), 2)
+         - F.element_at(F.col("xs"), 1)).cast("double").alias("b"))
+
+    def step(acc, x):
+        l_new = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(b1) * (l_new - acc["l"])
+             + F.lit(1.0 - b1) * acc["b"]).alias("b"))
+
+    folded = F.aggregate(
+        F.slice(F.col("xs"), 3,
+                F.greatest(F.size(F.col("xs")) - 2, F.lit(0))),
+        init, step)
+    return (series.select("event_type", "n_hours",
+                          folded["l"].alias("__l"),
+                          folded["b"].alias("__b"))
+            .select("event_type", "n_hours",
+                    F.round(F.col("__l") / 100.0, round_dp)
+                    .alias("level"),
+                    F.round(F.col("__b") / 100.0, round_dp)
+                    .alias("trend"),
+                    F.round((F.col("__l")
+                             + F.lit(float(horizon)) * F.col("__b"))
+                            / 100.0, round_dp).alias("forecast_h3"))
+            .orderBy("event_type"))

@@ -1,0 +1,190 @@
+"""ML feature-preparation operators — the "last mile" between a
+cleaned corpus/warehouse and a trainer: per-row feature encoding,
+category target encoding, and a multinomial Naive Bayes baseline
+classifier trained and scored entirely inside the engine.
+
+Capability superset (the reference has no ML/feature layer,
+SURVEY.md §2.11). Design rules shared by every op here:
+
+- **Exact-integer cores.** Money/count columns are scaled to integer
+  cents / token counts before any aggregate, so sums are exact and
+  independent of partitioning/summation order; the single float
+  division (and, for NB, a per-cell log rounded to a fixed 1e-6
+  grid) happens last. Any engine replays the outputs bit-for-bit —
+  which is what makes these oracle-checkable, and at 100 TB makes
+  reruns reproducible across cluster sizes.
+- **Tiny-frame broadcasts.** Global stats (mean/std/min/max), the
+  encoding table, the NB log-prob table are all bounded frames
+  (1 row, |categories|, or vocab×langs) joined back by broadcast —
+  the data-sized side is touched in one narrow pass + at most one
+  keyed exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LOG_SCALE = 1_000_000  # fixed 1e-6 grid for log-prob integerization
+
+
+def feature_vector(df: DataFrame, id_col: str, value_col: str,
+                   cat_col: str, categories: Sequence[str],
+                   hash_col: str, hash_buckets: int = 64,
+                   round_dp: int = 6) -> DataFrame:
+    """Per-row feature encoding: z-score + min-max of ``value_col``,
+    fixed-vocabulary one-hot of ``cat_col``, and an md5 feature-hash
+    bucket of ``hash_col`` — the standard tabular prep pass.
+
+    The category list is FIXED (passed in), not derived — at scale
+    the feature schema must be stable across reruns/partitions, and
+    a drifting category set silently reshapes the model input. The
+    z/min-max cores run on integer cents: with S=Σv, Q=Σv² (exact
+    BIGINTs), z = (n·v − S) / √(n·Q − S²), minmax = (v−min)/(max−min)
+    — one aggregate broadcast back over the full frame, no second
+    pass, no order-dependent float sums."""
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    stats = (df.select(cents.alias("c"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+                  F.sum("c").cast("decimal(38,0)").alias("__s"),
+                  F.sum(F.col("c") * F.col("c"))
+                  .cast("decimal(38,0)").alias("__q"),
+                  F.min("c").alias("__lo"), F.max("c").alias("__hi")))
+    out = df.select(id_col, cents.alias("__c"), cat_col, hash_col) \
+        .crossJoin(F.broadcast(stats))
+    # decimal(38,0) products: n·v and n·Q−S² overflow BIGINT already
+    # at ~10⁵ rows × 10⁷ cents² — exact decimals keep the core
+    # order-independent at any scale, cast to double only for the
+    # final divide/sqrt
+    z = ((F.col("__n") * F.col("__c") - F.col("__s")).cast("double")
+         / F.sqrt((F.col("__n") * F.col("__q")
+                   - F.col("__s") * F.col("__s")).cast("double")))
+    mm = ((F.col("__c") - F.col("__lo")).cast("double")
+          / (F.col("__hi") - F.col("__lo")).cast("double"))
+    onehot = [F.when(F.col(cat_col) == c, 1).otherwise(0)
+              .alias(f"is_{c}") for c in categories]
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.col(hash_col)), 1, 12),
+                           16, 10).cast("long"),
+                    F.lit(hash_buckets)).cast("int")
+    return out.select(F.col(id_col),
+                      F.round(z, round_dp).alias("z_value"),
+                      F.round(mm, round_dp).alias("mm_value"),
+                      *onehot,
+                      bucket.alias("hash_bucket"))
+
+
+def target_encode(df: DataFrame, cat_col: str, target_col: str,
+                  m: int = 20, round_dp: int = 6) -> DataFrame:
+    """Smoothed target (mean) encoding of a category: enc_c =
+    (Σ_c target + m·global_mean) / (n_c + m) — the m-estimate shrink
+    toward the prior that keeps rare categories from memorizing
+    noise. Exact-rational core on integer cents: enc_c =
+    (S_c·N + m·S) / (100·N·(n_c+m)) with every product a BIGINT, one
+    division at the end. One keyed aggregate + one 1-row broadcast;
+    output is |categories| rows (the encoding table a scoring join
+    broadcasts back out)."""
+    cents = F.round(F.col(target_col) * 100, 0).cast("long")
+    per = (df.select(F.col(cat_col).alias("cat"), cents.alias("c"))
+           .groupBy("cat")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sc")))
+    tot = per.agg(F.sum("n").cast("decimal(38,0)").alias("__nn"),
+                  F.sum("sc").cast("decimal(38,0)").alias("__ss"))
+    # exact decimal rational (S_c·N products pass BIGINT range fast)
+    enc = ((F.col("sc").cast("decimal(38,0)") * F.col("__nn")
+            + F.lit(int(m)) * F.col("__ss")).cast("double")
+           / (F.lit(100.0)
+              * (F.col("__nn") * (F.col("n") + F.lit(int(m)))
+                 ).cast("double")))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("cat").alias(cat_col), "n",
+                    F.round(enc, round_dp).alias("target_enc")))
+
+
+def _tokens(c: F.Column) -> F.Column:
+    """The repo's standard whitespace tokenization (functions/text.py
+    convention — identical on the DuckDB oracle side)."""
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def naive_bayes_confusion(docs: DataFrame, label_col: str = "lang",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          vocab_size: int = 500,
+                          alpha: float = 1.0) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND scored in-engine, reported
+    as a label confusion matrix — the classic strong baseline for
+    language/domain classification over a corpus, and the shape a
+    quality-classifier scoring pass takes at 100 TB (train on a
+    sample, broadcast the model, score in one narrow pass).
+
+    Model: P(t|l) = (c_tl + α)/(T_l + α·V) over a bounded top-V
+    vocabulary (global term ranking via TakeOrderedAndProject — per-
+    partition heaps, no global sort); priors from label doc counts.
+    Log-probs are integerized on a fixed 1e-6 grid, so per-document
+    scores are EXACT BIGINT sums — partitioning cannot perturb the
+    argmax, and any engine replays the matrix. Ties (e.g. docs with
+    zero in-vocab tokens under equal priors) break toward the
+    lexicographically smallest label — deterministic, documented.
+
+    Plan: tokenize once (narrow) → (label, term) counts (one keyed
+    exchange) → vocab head (bounded) → model frame vocab×labels
+    (broadcast) → exploded tokens ⋈ broadcast model → per (doc,
+    label) integer sum (one keyed exchange) → bounded argmax and a
+    |labels|² confusion aggregate. The corpus is shuffled only by
+    (doc, label) score keys, never by payload."""
+    toks = (docs.select(F.col(id_col).alias("doc"),
+                        F.col(label_col).alias("actual"),
+                        F.explode(_tokens(F.col(text_col))).alias("t")))
+    # bounded vocabulary: top-V terms by global count, term asc ties
+    vocab = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.desc("n"), F.asc("t")).limit(vocab_size)
+             .select("t"))
+    # per-(label, vocab term) counts; full label x vocab grid so every
+    # term has a smoothed probability under every label
+    ltc = (toks.join(F.broadcast(vocab), "t")
+           .groupBy(F.col("actual").alias("cl"), F.col("t").alias("ct"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    labels = (docs.groupBy(F.col(label_col).alias("actual"))
+              .agg(F.count(F.lit(1)).alias("nd")))
+    tl = ltc.groupBy(F.col("cl").alias("__l")) \
+        .agg(F.sum("c").alias("tl"))
+    grid = (labels.join(F.broadcast(tl),
+                        F.col("actual") == F.col("__l"), "left")
+            .select(F.col("actual").alias("l"),
+                    F.coalesce(F.col("tl"), F.lit(0)).alias("tl"), "nd")
+            .crossJoin(F.broadcast(vocab.select(F.col("t").alias("vt"))))
+            .join(ltc, (F.col("l") == F.col("cl"))
+                  & (F.col("vt") == F.col("ct")), "left")
+            .select(F.col("l"), F.col("vt").alias("t"),
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+                    F.col("tl")))
+    logp = F.round(F.log((F.col("c") + F.lit(alpha))
+                         / (F.col("tl") + F.lit(alpha * vocab_size)))
+                   * LOG_SCALE, 0).cast("long")
+    model = grid.select("l", "t", logp.alias("s"))
+    ntot = labels.agg(F.sum("nd").alias("__nall"))
+    prior = (labels.crossJoin(F.broadcast(ntot))
+             .select(F.col("actual").alias("l"),
+                     F.round(F.log(F.col("nd").cast("double")
+                                   / F.col("__nall")) * LOG_SCALE, 0)
+                     .cast("long").alias("p")))
+    # score: every doc gets a row per label (priors), plus the token
+    # evidence for labels with matching vocab terms
+    ev = (toks.join(F.broadcast(model), "t")
+          .groupBy("doc", "l").agg(F.sum("s").alias("es")))
+    base = (docs.select(F.col(id_col).alias("doc"),
+                        F.col(label_col).alias("actual"))
+            .crossJoin(F.broadcast(prior)))
+    scored = (base.join(ev, ["doc", "l"], "left")
+              .select("doc", "actual", "l",
+                      (F.col("p") + F.coalesce(F.col("es"), F.lit(0)))
+                      .alias("score")))
+    best = scored.groupBy("doc").agg(F.max("score").alias("__mx"))
+    pred = (scored.join(best, "doc")
+            .filter(F.col("score") == F.col("__mx"))
+            .groupBy("doc", "actual")
+            .agg(F.min("l").alias("predicted")))
+    return (pred.groupBy("actual", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("actual", "predicted"))

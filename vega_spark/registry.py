@@ -4936,3 +4936,161 @@ def k_anonymity_docs_q(spark, sf_dir):
                     (F.col("n_chars") / 100).cast("int").alias("lb")))
     return k_anonymity_audit(docs, ["lang", "source", "lb"],
                              ks=(2, 5, 10))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 continuation: ML feature-prep layer (functions/mlprep.py) +
+# Holt trend smoothing — the last mile between a cleaned corpus and a
+# trainer, all exact-integer/decimal cores, all broadcast-scored
+# ---------------------------------------------------------------------------
+
+@_q("feature_vector_events", """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS sm,
+         CAST(SUM(c * c) AS HUGEINT) AS q,
+         MIN(c) AS lo, MAX(c) AS hi
+  FROM (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events))
+SELECT event_id,
+       ROUND(CAST(n * c - sm AS DOUBLE)
+             / SQRT(CAST(n * q - sm * sm AS DOUBLE)), 6) AS z_value,
+       ROUND(CAST(c - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE), 6)
+         AS mm_value,
+       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error,
+       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+       CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_signup,
+       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+       CAST(('0x' || substr(md5(props), 1, 12))::BIGINT % 64 AS INTEGER)
+         AS hash_bucket
+FROM (SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             event_type, props
+      FROM events), s
+""")
+def feature_vector_events_q(spark, sf_dir):
+    """Tabular feature prep over events: exact-decimal z-score +
+    min-max of value, fixed-vocabulary one-hot of event_type, md5
+    feature-hash bucket of props — one tiny aggregate broadcast over
+    a single narrow pass."""
+    from vega_spark.functions.mlprep import feature_vector
+    ev = _t(spark, sf_dir, "events")
+    return feature_vector(
+        ev, "event_id", "value", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+        "props", hash_buckets=64)
+
+
+@_q("target_encode_orders_priority", """
+WITH per AS (
+  SELECT o_orderpriority AS cat, COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sc
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+               CAST(SUM(sc) AS HUGEINT) AS ss FROM per)
+SELECT cat AS o_orderpriority, n,
+       ROUND(CAST(CAST(sc AS HUGEINT) * nn + 20 * ss AS DOUBLE)
+             / (100.0 * CAST(nn * (n + 20) AS DOUBLE)), 6) AS target_enc
+FROM per, tot
+""")
+def target_encode_orders_priority_q(spark, sf_dir):
+    """Smoothed target encoding (m=20) of order priority by mean
+    total price — exact decimal rational, one keyed agg + 1-row
+    broadcast; emits the encoding table a scoring join broadcasts."""
+    from vega_spark.functions.mlprep import target_encode
+    orders = _t(spark, sf_dir, "orders")
+    return target_encode(orders, "o_orderpriority", "o_totalprice", m=20)
+
+
+@_q("naive_bayes_lang_confusion", """
+WITH toks AS (
+  SELECT doc_id AS doc, lang AS actual,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+vocab AS (
+  SELECT t FROM (SELECT t, COUNT(*) AS n FROM toks GROUP BY t)
+  ORDER BY n DESC, t LIMIT 300),
+ltc AS (
+  SELECT actual, toks.t, COUNT(*) AS c
+  FROM toks JOIN vocab ON toks.t = vocab.t GROUP BY 1, 2),
+labels AS (SELECT lang AS actual, COUNT(*) AS nd FROM documents GROUP BY 1),
+tl AS (SELECT actual, SUM(c) AS tl FROM ltc GROUP BY 1),
+grid AS (
+  SELECT l.actual AS l, COALESCE(tl.tl, 0) AS tl, v.t,
+         COALESCE(ltc.c, 0) AS c
+  FROM labels l
+  LEFT JOIN tl ON l.actual = tl.actual
+  CROSS JOIN vocab v
+  LEFT JOIN ltc ON ltc.actual = l.actual AND ltc.t = v.t),
+model AS (
+  SELECT l, t,
+         CAST(ROUND(LN((c + 1.0) / (tl + 300.0)) * 1000000, 0) AS BIGINT)
+           AS s
+  FROM grid),
+prior AS (
+  SELECT actual AS l,
+         CAST(ROUND(LN(CAST(nd AS DOUBLE)
+                       / (SELECT SUM(nd) FROM labels)) * 1000000, 0)
+              AS BIGINT) AS p
+  FROM labels),
+ev AS (
+  SELECT doc, m.l, SUM(m.s) AS es
+  FROM toks JOIN model m ON toks.t = m.t GROUP BY 1, 2),
+scored AS (
+  SELECT d.doc_id AS doc, d.lang AS actual, pr.l,
+         pr.p + COALESCE(ev.es, 0) AS score
+  FROM documents d CROSS JOIN prior pr
+  LEFT JOIN ev ON ev.doc = d.doc_id AND ev.l = pr.l),
+best AS (SELECT doc, MAX(score) AS mx FROM scored GROUP BY 1),
+pred AS (
+  SELECT s.doc, s.actual, MIN(s.l) AS predicted
+  FROM scored s JOIN best b ON s.doc = b.doc AND s.score = b.mx
+  GROUP BY 1, 2)
+SELECT actual, predicted, COUNT(*) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def naive_bayes_lang_confusion_q(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained and scored
+    in-engine (top-300 vocab, add-1 smoothing, 1e-6 integerized
+    log-probs → exact BIGINT scores), reported as the label confusion
+    matrix. The scale shape of a broadcast-model scoring pass."""
+    from vega_spark.functions.mlprep import naive_bayes_confusion
+    docs = _t(spark, sf_dir, "documents")
+    return naive_bayes_confusion(docs, vocab_size=300, alpha=1.0)
+
+
+@_q("holt_forecast_hourly", """
+WITH RECURSIVE h AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS xh,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         list(y ORDER BY xh) AS xs
+  FROM h GROUP BY 1 HAVING COUNT(*) >= 2),
+r AS (
+  SELECT event_type, n_hours, xs, 3 AS i,
+         CAST(xs[2] AS DOUBLE) AS l,
+         CAST(xs[2] - xs[1] AS DOUBLE) AS b
+  FROM a
+  UNION ALL
+  SELECT event_type, n_hours, xs, i + 1,
+         0.5 * xs[i] + 0.5 * (l + b),
+         0.25 * ((0.5 * xs[i] + 0.5 * (l + b)) - l) + 0.75 * b
+  FROM r WHERE i <= n_hours)
+SELECT event_type, n_hours,
+       ROUND(l / 100.0, 6) AS level,
+       ROUND(b / 100.0, 6) AS trend,
+       ROUND((l + 3.0 * b) / 100.0, 6) AS forecast_h3
+FROM r WHERE i = n_hours + 1 ORDER BY event_type
+""")
+def holt_forecast_hourly_q(spark, sf_dir):
+    """Holt double-exponential smoothing (α=.5, β=.25 — binary-exact
+    constants) of hourly value sums per event type, 3-hour-ahead
+    forecast; deterministic per-key fold over the bounded hourly
+    grid, bit-replayed by a recursive-CTE oracle."""
+    from vega_spark.functions.analytics import holt_linear_forecast
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return holt_linear_forecast(ev, alpha=0.5, beta=0.25, horizon=3)
