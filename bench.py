@@ -145,6 +145,10 @@ BENCH_QUERIES = [
     "target_encode_orders_priority",  # smoothed mean encoding table
     "naive_bayes_lang_confusion",  # in-engine NB train + score
     "holt_forecast_hourly",        # Holt level+trend fold per key
+    "html_extract_docs",           # boilerplate strip, narrow regex pipeline
+    "ols_price_qty_discount",      # closed-form 2-feature OLS, one pass
+    "stump_return_price",          # best Gini split over fixed grid
+    "markov_next_event",           # per-user transition matrix
 ]
 
 

@@ -84,3 +84,40 @@ def test_holt_linear_exact_on_linear_series(spark):
     assert math.isclose(r.level, 10.0 + 5.0 * 11)
     assert math.isclose(r.trend, 5.0)
     assert math.isclose(r.forecast_h3, 10.0 + 5.0 * 14)
+
+
+def test_ols_two_feature_recovers_plane(spark):
+    # y = 3 + 2*x1 + 0.5*x2 exactly -> exact coefficients, r2 = 1
+    rows = []
+    for x1 in range(10):
+        for x2 in range(10):
+            rows.append((3.0 + 2.0 * x1 + 0.5 * x2, float(x1),
+                         float(x2) / 100.0))
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double") \
+        .repartition(8)
+    r = M.ols_two_feature(df, "y", "x1", "x2",
+                          y_scale=100, x2_scale=100).first()
+    assert r.n == 100
+    assert math.isclose(r.b0, 3.0, abs_tol=1e-6)
+    assert math.isclose(r.b1, 2.0, abs_tol=1e-6)
+    # x2 natural units: y changes 0.5 per 1.0 of the raw x2 column =
+    # 0.5/0.01 per unit of x2 as passed (x2 column is x2/100)
+    assert math.isclose(r.b2, 50.0, abs_tol=1e-4)
+    assert math.isclose(r.r2, 1.0, abs_tol=1e-9)
+
+
+def test_decision_stump_finds_planted_threshold(spark):
+    # label exactly (v >= 60): best split sits at the 60 boundary and
+    # the gain equals the parent impurity (pure children)
+    rows = [(float(v), v >= 60) for v in range(100)]
+    df = spark.createDataFrame(rows, "v double, y boolean").repartition(8)
+    r = M.decision_stump(df, "y", "v", bins=100).first()
+    assert r.n == 100 and r.n_pos == 40
+    # parent gini = 2*.4*.6 = .48, children pure -> gain = .48
+    assert math.isclose(r.gini_gain, 0.48, abs_tol=1e-9)
+    assert abs(r.split_value - 60.0) <= 1.0   # one grid cell
+    # no-signal label: gain ~ 0
+    rows2 = [(float(v % 10), (v // 10) % 2 == 0) for v in range(200)]
+    df2 = spark.createDataFrame(rows2, "v double, y boolean")
+    r2 = M.decision_stump(df2, "y", "v", bins=50).first()
+    assert r2.gini_gain < 0.02

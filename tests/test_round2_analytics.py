@@ -334,3 +334,20 @@ def test_weighted_sample_stratified_quota(spark):
     assert sorted((r.stratum, r.id) for r in got) == \
         sorted((r.stratum, r.id) for r in again)
     assert_scale_safe(weighted_sample_ares_by(df, "g", "w", "doc_id", 7))
+
+
+def test_markov_transitions_exact_matrix(spark):
+    from vega_spark.functions.analytics import markov_transitions
+    # user 1: a->b->a->b ; user 2: a->a
+    rows = [(1, 1, "a", 10), (2, 1, "b", 20), (3, 1, "a", 30),
+            (4, 1, "b", 40), (5, 2, "a", 10), (6, 2, "a", 20)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long")
+    got = {(r.cur, r.next): (r.n, r.p)
+           for r in markov_transitions(df).collect()}
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "a")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    # lead pairing is per user: no cross-user (b -> a) leak from
+    # user1's trailing b into user2's first a
+    assert sum(n for (c, _), (n, _) in got.items() if c == "b") == 1

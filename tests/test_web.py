@@ -61,3 +61,26 @@ def test_line_filter_rules_and_empty_doc(spark):
     # empty doc: split('') -> [''], nothing kept, ratio 0, no div-by-0
     assert out[2].n_kept == 0 and out[2].clean_text == ""
     assert out[2].kept_ratio == 0.0
+
+
+def test_strip_html_drops_script_style_keeps_blocks(spark):
+    from pyspark.sql import functions as F
+    from vega_spark.functions.web import extract_main_text
+    html = ('<html><head><script>var x = "<p>evil</p>";</script>'
+            '<style>.a{}</style></head><body><p>Hello &amp; welcome</p>'
+            '<div>Second   block</div><br>Tail</body></html>')
+    df = spark.createDataFrame([(1, html)], "id int, html string")
+    r = extract_main_text(df, "html").first()
+    assert r.main_text == "Hello & welcome\nSecond block\nTail"
+    assert r.html_chars == len(html)
+    assert r.text_chars == len(r.main_text)
+    assert 0 < r.text_density < 1
+
+
+def test_strip_html_entities_and_collapse(spark):
+    from vega_spark.functions.web import strip_html
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("a &lt;b&gt; &quot;c&quot;&nbsp;d   e",)], "h string")
+    got = df.select(strip_html("h").alias("t")).first().t
+    assert got == 'a <b> "c" d e'

@@ -769,3 +769,36 @@ def holt_linear_forecast(events: DataFrame, type_col: str = "event_type",
                              + F.lit(float(horizon)) * F.col("__b"))
                             / 100.0, round_dp).alias("forecast_h3"))
             .orderBy("event_type"))
+
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", type_col: str = "event_type",
+                       id_col: str = "event_id",
+                       round_dp: int = 6) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current) with exact pair counts —
+    the model behind next-action prediction, funnel leak analysis and
+    session simulation. Deterministic sequencing: events are ordered
+    per user by (ts, id) — the id tiebreak makes the lead() pairing
+    reproducible under timestamp collisions on any engine.
+
+    Plan: ONE per-user window pass (hash exchange on user — the same
+    partitioning every sessionization op uses) to form (cur, next)
+    pairs, then a keyed count onto the bounded |types|² matrix; the
+    probability normalization folds on that tiny frame."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (events
+             .withColumn("__next", F.lead(type_col).over(w))
+             .filter(F.col("__next").isNotNull())
+             .groupBy(F.col(type_col).alias("cur"),
+                      F.col("__next").alias("next"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = pairs.groupBy(F.col("cur").alias("__c")) \
+        .agg(F.sum("n").alias("tot"))
+    return (pairs.join(F.broadcast(tot), F.col("cur") == F.col("__c"))
+            .select("cur", "next", "n",
+                    F.round(F.col("n").cast("double") / F.col("tot"),
+                            round_dp).alias("p"))
+            .orderBy("cur", "next"))

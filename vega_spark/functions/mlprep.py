@@ -48,9 +48,11 @@ def feature_vector(df: DataFrame, id_col: str, value_col: str,
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
     stats = (df.select(cents.alias("c"))
              .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
-                  F.sum("c").cast("decimal(38,0)").alias("__s"),
-                  F.sum(F.col("c") * F.col("c"))
-                  .cast("decimal(38,0)").alias("__q"),
+                  F.sum(F.col("c").cast("decimal(38,0)")).alias("__s"),
+                  # cast BEFORE the square: Σc² overflows BIGINT at
+                  # ~10⁶ rows of 10⁷-cent values
+                  F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+                  .alias("__q"),
                   F.min("c").alias("__lo"), F.max("c").alias("__hi")))
     out = df.select(id_col, cents.alias("__c"), cat_col, hash_col) \
         .crossJoin(F.broadcast(stats))
@@ -188,3 +190,151 @@ def naive_bayes_confusion(docs: DataFrame, label_col: str = "lang",
     return (pred.groupBy("actual", "predicted")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy("actual", "predicted"))
+
+
+def ols_two_feature(df: DataFrame, y_col, x1_col, x2_col,
+                    y_scale: int = 100, x2_scale: int = 100,
+                    round_dp: int = 6) -> DataFrame:
+    """Closed-form two-feature linear regression (with intercept) via
+    the centered normal equations — the in-engine baseline for "how
+    much does each driver move the target", one aggregate pass over
+    any table size.
+
+    The nine raw sums (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y,
+    Σx₂y) are EXACT integers (inputs scaled to ints first), and the
+    centered co-moments A = n·Σx₁²−(Σx₁)² … are exact decimal(38,0)
+    products — so the 2×2 Cramer solve b₁ = (P·C−Q·B)/(A·C−B²) is
+    bit-replayable by any engine; only the final divisions are float.
+    Decimal width bounds this exact path at roughly n·Σ|x²y| < 10³⁸
+    (petabyte row counts with small features fit; beyond that swap
+    the core for Spark's streaming co-moment aggregates à la
+    corr_matrix — same single-pass plan, float precision).
+    Output: n, b0 (intercept), b1, b2 (per natural unit), r2."""
+    y = F.round(F.col(y_col) * y_scale, 0).cast("long") \
+        if y_scale != 1 else F.col(y_col).cast("long")
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.round(F.col(x2_col) * x2_scale, 0).cast("long") \
+        if x2_scale != 1 else F.col(x2_col).cast("long")
+    d = "decimal(38,0)"
+    # products are cast to decimal BEFORE summing: Σy² overflows
+    # BIGINT already at ~10⁶ rows of 10⁷-cent values — the sums
+    # themselves must be wide, not just the co-moment products
+    s = (df.select(y.alias("y"), x1.alias("x1"), x2.alias("x2"))
+         .agg(F.count(F.lit(1)).cast(d).alias("n"),
+              F.sum(F.col("x1").cast(d)).alias("s1"),
+              F.sum(F.col("x2").cast(d)).alias("s2"),
+              F.sum(F.col("y").cast(d)).alias("sy"),
+              F.sum(F.col("x1").cast(d) * F.col("x1")).alias("s11"),
+              F.sum(F.col("x2").cast(d) * F.col("x2")).alias("s22"),
+              F.sum(F.col("x1").cast(d) * F.col("x2")).alias("s12"),
+              F.sum(F.col("x1").cast(d) * F.col("y")).alias("s1y"),
+              F.sum(F.col("x2").cast(d) * F.col("y")).alias("s2y"),
+              F.sum(F.col("y").cast(d) * F.col("y")).alias("syy")))
+    A = F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")
+    B = F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")
+    C = F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")
+    P = F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")
+    Q = F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")
+    Syy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    det = (A * C - B * B).cast("double")
+    b1 = (P * C - Q * B).cast("double") / det          # y-units per x1
+    b2 = (Q * A - P * B).cast("double") / det          # y-units per x2
+    b0 = ((F.col("sy").cast("double")
+           - b1 * F.col("s1").cast("double")
+           - b2 * F.col("s2").cast("double"))
+          / F.col("n").cast("double"))
+    r2 = ((b1 * P.cast("double") + b2 * Q.cast("double"))
+          / Syy.cast("double"))
+    ys, x2s = float(y_scale), float(x2_scale)
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b0 / ys, round_dp).alias("b0"),
+        F.round(b1 / ys, round_dp).alias("b1"),
+        F.round(b2 * x2s / ys, round_dp).alias("b2"),
+        F.round(r2, round_dp).alias("r2"))
+
+
+def decision_stump(df: DataFrame, label_col, score_col: str,
+                   bins: int = 64, round_dp: int = 6) -> DataFrame:
+    """Best single-split decision stump on a numeric feature for a
+    boolean label — max weighted-Gini gain over a fixed ``bins``-cell
+    candidate grid between the observed min/max. The one-pass answer
+    to "is there a usable threshold on this column", and the exact
+    building block a boosted-trees pipeline evaluates millions of
+    times.
+
+    Plan mirrors binned_roc_auc: one scan → per-bin (pos, neg)
+    counts → deterministic sorted fold over the ≤bins cell frame.
+    Candidate split k puts bins < k left. Gains are doubles computed
+    from identical exact integers on every engine (ties break toward
+    the smallest split index), output thresholds are the bin's left
+    edge in feature units."""
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    rng = df.agg(F.min(score_col).alias("__lo"),
+                 F.max(score_col).alias("__hi"))
+    b = (df.crossJoin(F.broadcast(rng))
+         .select(F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+                 .otherwise(F.least(
+                     F.lit(bins - 1),
+                     F.floor((F.col(score_col) - F.col("__lo"))
+                             / (F.col("__hi") - F.col("__lo")) * bins)
+                     .cast("int"))).alias("b"),
+                 lab.cast("int").alias("y"),
+                 F.col("__lo"), F.col("__hi")))
+    cells = b.groupBy("b").agg(
+        F.sum("y").alias("np"),
+        F.sum(F.lit(1) - F.col("y")).alias("nn"),
+        F.first("__lo").alias("lo"), F.first("__hi").alias("hi"))
+    one = cells.agg(
+        F.sum("np").alias("tp"), F.sum("nn").alias("tn"),
+        F.first("lo").alias("lo"), F.first("hi").alias("hi"),
+        F.sort_array(F.collect_list(F.struct("b", "np", "nn")))
+        .alias("cs"))
+
+    def gini_term(p, n):
+        tot = (p + n).cast("double")
+        return F.when(p + n == 0, F.lit(0.0)).otherwise(
+            2.0 * p.cast("double") * n.cast("double") / tot)
+
+    # fold over candidate splits: acc tracks cumulative left counts
+    # and the best (weighted child impurity, split index); minimizing
+    # Σ 2·p·q/|child| == maximizing Gini gain (parent term constant)
+    def step(acc, x):
+        lp, ln = acc["lp"], acc["ln"]
+        cost = F.when(
+            (lp + ln == 0)
+            | (F.col("tp") - lp + F.col("tn") - ln == 0),
+            F.lit(None).cast("double")
+        ).otherwise(gini_term(lp, ln)
+                    + gini_term(F.col("tp") - lp, F.col("tn") - ln))
+        better = cost.isNotNull() & (acc["best_cost"].isNull()
+                                     | (cost < acc["best_cost"]))
+        return F.struct(
+            (lp + x["np"]).alias("lp"), (ln + x["nn"]).alias("ln"),
+            F.when(better, cost).otherwise(acc["best_cost"])
+            .alias("best_cost"),
+            F.when(better, x["b"]).otherwise(acc["best_b"])
+            .alias("best_b"))
+
+    z = F.lit(0).cast("long")
+    folded = F.aggregate(
+        F.col("cs"),
+        F.struct(z.alias("lp"), z.alias("ln"),
+                 F.lit(None).cast("double").alias("best_cost"),
+                 F.lit(None).cast("int").alias("best_b")),
+        step)
+    parent = gini_term(F.col("tp"), F.col("tn"))
+    out = one.select(
+        "tp", "tn", "lo", "hi",
+        folded["best_b"].alias("split_bin"),
+        folded["best_cost"].alias("__cost"),
+        parent.alias("__parent"))
+    width = (F.col("hi") - F.col("lo")) / bins
+    n = (F.col("tp") + F.col("tn")).cast("double")
+    return out.select(
+        (F.col("tp") + F.col("tn")).alias("n"),
+        F.col("tp").alias("n_pos"),
+        F.round(F.col("lo") + F.col("split_bin") * width, round_dp)
+        .alias("split_value"),
+        F.round((F.col("__parent") - F.col("__cost")) / n, round_dp)
+        .alias("gini_gain"))

@@ -115,3 +115,55 @@ def line_filter(df: DataFrame, text_col: str = "text",
             .withColumn("kept_ratio",
                         F.round(F.col("n_kept")
                                 / F.greatest(F.col("n_lines"), F.lit(1)), 4)))
+
+
+def strip_html(html: Column | str, keep_block_breaks: bool = True) -> Column:
+    """Extract visible text from an HTML string — the boilerplate-
+    strip pass every CommonCrawl-style ingest runs before any quality
+    heuristic sees the text. Pure stacked regexp_replace (one codegen
+    stage, no Python, no shuffle): drop <script>/<style> subtrees
+    (their text is never content), turn block-level closes into
+    newlines (so paragraph structure survives for line_filter), strip
+    the remaining tags, decode the five predefined HTML entities, and
+    collapse runs of whitespace. Patterns are RE2-safe (no
+    lookaround) so the DuckDB oracle replays them verbatim.
+
+    This is the deterministic 80% of readability extraction; a
+    text-density main-content model can layer on top of the per-line
+    output, but the tag strip is what unlocks every downstream text
+    operator."""
+    c = F.col(html) if isinstance(html, str) else html
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    if keep_block_breaks:
+        c = F.regexp_replace(
+            c, r"(?i)</(p|div|h[1-6]|li|tr|table|blockquote)>", "\n")
+        c = F.regexp_replace(c, r"(?i)<br[^>]*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    c = F.regexp_replace(c, r"&nbsp;", " ")
+    c = F.regexp_replace(c, r"&amp;", "&")
+    c = F.regexp_replace(c, r"&lt;", "<")
+    c = F.regexp_replace(c, r"&gt;", ">")
+    c = F.regexp_replace(c, r"&quot;", "\"")
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.trim(c)
+
+
+def extract_main_text(df: DataFrame, html_col: str,
+                      out_col: str = "main_text",
+                      round_dp: int = 6) -> DataFrame:
+    """HTML → visible text with extraction diagnostics: adds
+    ``out_col`` (the stripped text), ``html_chars``, ``text_chars``
+    and ``text_density`` (text/html char ratio — the classic
+    boilerplate-heavy-page signal; CommonCrawl pipelines drop pages
+    whose density is tiny). Narrow write-through pass, fused with
+    the scan at any scale."""
+    stripped = strip_html(F.col(html_col))
+    return (df.withColumn(out_col, stripped)
+            .withColumn("html_chars", F.length(F.col(html_col)))
+            .withColumn("text_chars", F.length(F.col(out_col)))
+            .withColumn("text_density",
+                        F.round(F.col("text_chars").cast("double")
+                                / F.col("html_chars"), round_dp)))

@@ -5094,3 +5094,186 @@ def holt_forecast_hourly_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return holt_linear_forecast(ev, alpha=0.5, beta=0.25, horizon=3)
+
+
+@_q("html_extract_docs", """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>d' || CAST(doc_id AS VARCHAR) ||
+         '</title><script type="text/javascript">var a=1;</script>' ||
+         '<style>.x{color:red}</style></head><body>' ||
+         '<div class="nav">Home | About | Contact</div><p>' || text ||
+         '</p><div class="footer">(c) 2026 Example</div></body></html>'
+           AS html
+  FROM documents),
+x AS (
+  SELECT doc_id, html,
+    trim(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        html,
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?i)</(p|div|h[1-6]|li|tr|table|blockquote)>', chr(10), 'g'),
+        '(?i)<br[^>]*>', chr(10), 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' ', 'g'),
+        '&amp;', '&', 'g'),
+        '&lt;', '<', 'g'),
+        '&gt;', '>', 'g'),
+        '&quot;', '"', 'g'),
+        '[ ' || chr(9) || chr(13) || chr(12) || ']+', ' ', 'g'),
+        ' ?' || chr(10) || ' ?', chr(10), 'g') ) AS mt0
+  FROM h),
+y AS (
+  SELECT doc_id, html,
+         regexp_replace(mt0, chr(10) || '{2,}', chr(10), 'g') AS main_text
+  FROM x)
+SELECT doc_id, LENGTH(html) AS html_chars,
+       LENGTH(main_text) AS text_chars,
+       ROUND(CAST(LENGTH(main_text) AS DOUBLE) / LENGTH(html), 6)
+         AS text_density,
+       substr(main_text, 1, 40) AS head
+FROM y
+""")
+def html_extract_docs_q(spark, sf_dir):
+    """HTML boilerplate strip over a deterministic page template
+    wrapped around each document: script/style subtrees dropped,
+    block closes become line breaks, tags stripped, entities decoded,
+    whitespace collapsed — the CommonCrawl-ingest text-extraction
+    pass as a pure narrow expression pipeline (RE2-safe patterns the
+    oracle replays verbatim). Returns per-doc char diagnostics and
+    the text head."""
+    from vega_spark.functions.web import extract_main_text
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>d'), F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">var a=1;</script>'
+              '<style>.x{color:red}</style></head><body>'
+              '<div class="nav">Home | About | Contact</div><p>'),
+        F.col("text"),
+        F.lit('</p><div class="footer">(c) 2026 Example</div>'
+              '</body></html>'))
+    wrapped = docs.select("doc_id", html.alias("html"))
+    out = extract_main_text(wrapped, "html")
+    return out.select("doc_id", "html_chars", "text_chars",
+                      "text_density",
+                      F.substring("main_text", 1, 40).alias("head"))
+
+
+@_q("ols_price_qty_discount", """
+WITH z AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2
+  FROM lineitem),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+         CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+         CAST(SUM(x2 * y) AS HUGEINT) AS s2y,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM z),
+m AS (
+  SELECT n, s1, s2, sy,
+         n * s11 - s1 * s1 AS A, n * s12 - s1 * s2 AS B,
+         n * s22 - s2 * s2 AS C, n * s1y - s1 * sy AS P,
+         n * s2y - s2 * sy AS Q, n * syy - sy * sy AS Syy
+  FROM s),
+sol AS (
+  SELECT n, sy, s1, s2, P, Q, Syy,
+         CAST(P * C - Q * B AS DOUBLE) / CAST(A * C - B * B AS DOUBLE)
+           AS b1,
+         CAST(Q * A - P * B AS DOUBLE) / CAST(A * C - B * B AS DOUBLE)
+           AS b2
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE)
+              - b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0, 6)
+         AS b0,
+       ROUND(b1 / 100.0, 6) AS b1,
+       ROUND(b2 * 100.0 / 100.0, 6) AS b2,
+       ROUND((b1 * CAST(P AS DOUBLE) + b2 * CAST(Q AS DOUBLE))
+             / CAST(Syy AS DOUBLE), 6) AS r2
+FROM sol
+""")
+def ols_price_qty_discount_q(spark, sf_dir):
+    """Two-feature closed-form OLS: extended price on (quantity,
+    discount) — exact decimal(38,0) normal equations in ONE aggregate
+    pass, Cramer 2×2 solve, floats only in the final divisions."""
+    from vega_spark.functions.mlprep import ols_two_feature
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_two_feature(li, "l_extendedprice", "l_quantity",
+                           "l_discount", y_scale=100, x2_scale=100)
+
+
+@_q("stump_return_price", """
+WITH rng AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+             FROM lineitem),
+b AS (
+  SELECT LEAST(63, CAST(FLOOR((l_extendedprice - lo) / (hi - lo) * 64)
+                        AS INTEGER)) AS b,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem, rng),
+cells AS (
+  SELECT b, SUM(y) AS np, SUM(1 - y) AS nn FROM b GROUP BY b),
+t AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM cells),
+c AS (
+  SELECT b,
+         COALESCE(SUM(np) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lp,
+         COALESCE(SUM(nn) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ln
+  FROM cells),
+costs AS (
+  SELECT c.b,
+         2.0 * lp * ln / CAST(lp + ln AS DOUBLE)
+         + 2.0 * (t.tp - lp) * (t.tn - ln)
+           / CAST(t.tp - lp + t.tn - ln AS DOUBLE) AS cost
+  FROM c, t
+  WHERE lp + ln > 0 AND t.tp - lp + t.tn - ln > 0),
+best AS (SELECT b, cost FROM costs ORDER BY cost, b LIMIT 1)
+SELECT CAST(t.tp + t.tn AS BIGINT) AS n, CAST(t.tp AS BIGINT) AS n_pos,
+       ROUND(rng.lo + best.b * ((rng.hi - rng.lo) / 64), 6) AS split_value,
+       ROUND((2.0 * t.tp * t.tn / CAST(t.tp + t.tn AS DOUBLE)
+              - best.cost) / CAST(t.tp + t.tn AS DOUBLE), 6) AS gini_gain
+FROM best, t, rng
+""")
+def stump_return_price_q(spark, sf_dir):
+    """Best single Gini split of extended price for predicting
+    returned lineitems — the boosted-trees building block over a
+    64-cell fixed grid; binned_roc_auc's sibling plan (one scan,
+    bounded fold, no global sort)."""
+    from vega_spark.functions.mlprep import decision_stump
+    li = _t(spark, sf_dir, "lineitem")
+    return decision_stump(li, F.col("l_returnflag") == "R",
+                          "l_extendedprice", bins=64)
+
+
+@_q("markov_next_event", """
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next
+  FROM events),
+pairs AS (
+  SELECT cur, next, COUNT(*) AS n FROM seq
+  WHERE next IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT cur, SUM(n) AS tot FROM pairs GROUP BY 1)
+SELECT p.cur, p.next, p.n,
+       ROUND(CAST(p.n AS DOUBLE) / t.tot, 6) AS p
+FROM pairs p JOIN tot t ON p.cur = t.cur
+ORDER BY p.cur, p.next
+""")
+def markov_next_event_q(spark, sf_dir):
+    """First-order Markov next-event transition matrix over per-user
+    sequences ((ts, id)-ordered lead pairing — one user-partitioned
+    window pass, bounded |types|² output)."""
+    from vega_spark.functions.analytics import markov_transitions
+    ev = _t(spark, sf_dir, "events")
+    return markov_transitions(ev)
