@@ -149,6 +149,12 @@ BENCH_QUERIES = [
     "ols_price_qty_discount",      # closed-form 2-feature OLS, one pass
     "stump_return_price",          # best Gini split over fixed grid
     "markov_next_event",           # per-user transition matrix
+    "calibration_value_purchase",  # reliability table, fixed bins
+    "decile_lift_purchase",        # gains/lift tiers, no global sort
+    "readability_docs",            # Flesch regex counts, narrow
+    "profile_orders",              # exact per-column profiling census
+    "bigram_lm_docs",              # order-aware bigram LM scoring
+    "image_header_decode",         # real PNG header parse, mapInPandas
 ]
 
 

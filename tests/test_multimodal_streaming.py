@@ -204,3 +204,37 @@ def test_audio_fake_decode_deterministic(spark):
     e2 = [(r.frame_idx, r.energy)
           for r in audio_frame_energy(a).orderBy("frame_idx").collect()]
     assert e1 == e2 and len(e1) > 0
+
+
+def test_parse_image_header_formats():
+    import struct
+
+    from vega_spark.functions.multimodal import (
+        make_test_png, parse_image_header)
+    assert parse_image_header(make_test_png(31, 17)) == ("png", 31, 17)
+    gif = b"GIF89a" + struct.pack("<HH", 640, 480)
+    assert parse_image_header(gif) == ("gif", 640, 480)
+    jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes(9) + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 33, 44) + bytes(10))
+    assert parse_image_header(jpeg) == ("jpeg", 44, 33)
+    bmp = b"BM" + bytes(16) + struct.pack("<ii", 99, -55)
+    assert parse_image_header(bmp) == ("bmp", 99, 55)
+    assert parse_image_header(b"not an image") is None
+    assert parse_image_header(b"") is None
+
+
+def test_image_header_metadata_real_decode(spark):
+    import pandas as pd
+
+    from vega_spark.functions.multimodal import (
+        image_header_metadata, make_test_png)
+    rows = [(1, make_test_png(8, 4)), (2, make_test_png(3, 9)),
+            (3, b"garbage bytes")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary") \
+        .repartition(2)
+    got = {r.asset_id: r for r in image_header_metadata(df).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("png", 8, 4)
+    assert (got[2].format, got[2].width, got[2].height) == ("png", 3, 9)
+    assert got[3].format == "unknown" and got[3].width is None
+    assert got[1].n_bytes == len(make_test_png(8, 4))

@@ -200,3 +200,45 @@ def test_k_anonymity_audit_exact_counts(spark):
     assert got[2] == (1, 1, round(1 / 14, 6))
     assert got[5] == (2, 4, round(4 / 14, 6))
     assert got[11] == (3, 14, 1.0)
+
+
+def test_calibration_bins_perfect_calibration(spark):
+    import random
+    rng = random.Random(3)
+    # score IS the true probability: pos_rate tracks mean_score
+    rows = [(p / 10 + 0.05, rng.random() < p / 10 + 0.05)
+            for p in range(10) for _ in range(500)]
+    df = spark.createDataFrame(rows, "s double, y boolean").repartition(8)
+    out = ST.calibration_bins(df, "y", "s", bins=10).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n == 500
+        assert math.isclose(r.mean_score, r.bin / 10 + 0.05, abs_tol=1e-6)
+        assert abs(r.pos_rate - r.mean_score) < 0.08   # sampling noise
+
+
+def test_decile_lift_separated_scores(spark):
+    # top 10% of scores are all positive, rest negative
+    rows = [(float(i), i >= 900) for i in range(1000)]
+    df = spark.createDataFrame(rows, "s double, y boolean").repartition(8)
+    out = {r.tier: r for r in ST.decile_lift(df, "y", "s",
+                                             bins=1000).collect()}
+    assert out[0].n_pos == 100 and out[0].n_rows == 100
+    assert out[0].lift == 10.0
+    assert all(out[t].n_pos == 0 for t in range(1, 10))
+    assert sum(r.n_rows for r in out.values()) == 1000
+
+
+def test_profile_table_exact_counts_and_top(spark):
+    rows = [("a", 1), ("a", None), ("b", 2), ("b", 2), ("b", None)]
+    df = spark.createDataFrame(rows, "s string, x int").repartition(4)
+    got = {r.column: r for r in ST.profile_table(df, ["s", "x"]).collect()}
+    assert got["s"].n_rows == 5 and got["s"].n_null == 0
+    assert got["s"].n_distinct == 2
+    assert (got["s"].top_value, got["s"].top_count) == ("b", 3)
+    assert got["x"].n_null == 2 and got["x"].n_distinct == 2
+    assert (got["x"].top_value, got["x"].top_count) == ("2", 2)
+    # tie breaks to the smallest value: a/b both 1 -> 'a'
+    df2 = spark.createDataFrame([("b",), ("a",)], "s string")
+    r2 = ST.profile_table(df2, ["s"]).first()
+    assert r2.top_value == "a" and r2.top_count == 1

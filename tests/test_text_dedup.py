@@ -362,3 +362,34 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
         df, [base[0], base[1], base[2]], eps=0.999)
     assert flags.count() == df.count()
     assert flags.filter(F.col("is_dup")).count() == 3
+
+
+def test_readability_flesch_counts(spark):
+    from vega_spark.functions.text import readability_scores
+    df = spark.createDataFrame(
+        [(1, "The cat sat. On a mat!"), (2, "xyz 123")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    # doc 1: 6 words, 2 sentence runs; syllables: vowel groups in
+    # "the cat sat on a mat" = 6, no vowel-less words
+    assert got[1].n_words == 6 and got[1].n_sentences == 2
+    assert got[1].n_syllables == 6
+    import math
+    exp = 206.835 - 1.015 * 6 / 2 - 84.6 * 6 / 6
+    assert math.isclose(got[1].flesch, round(exp, 6))
+    # doc 2: "xyz" has y (1 group), "123" no vowels -> +1 floor
+    assert got[2].n_syllables == 2
+    assert got[2].n_sentences == 1   # floored at 1 with no punctuation
+
+
+def test_bigram_lm_orders_beat_shuffled(spark):
+    from vega_spark.functions.text import bigram_lm_score
+    # corpus of repeated ordered phrases; one doc with the same words
+    # in scrambled order scores lower under the bigram model
+    corpus = [(i, "the quick brown fox jumps") for i in range(30)]
+    corpus.append((100, "fox the jumps quick brown"))
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob
+           for r in bigram_lm_score(df, vocab_size=10).collect()}
+    assert got[100] < got[0]          # wrong order -> lower score
+    assert all(got[i] == got[0] for i in range(30))  # identical docs tie

@@ -333,3 +333,99 @@ def speech_activity_ratio(frames: DataFrame,
                        .otherwise(0)).alias("n_active"))
             .withColumn("active_ratio",
                         F.round(F.col("n_active") / F.col("n_frames"), 4)))
+
+
+# --- codec-free REAL header parsing (PNG/GIF/JPEG/BMP) -----------------------
+# Closes the gap between decode='fake' and Pillow-gated decode='real':
+# image dimensions/format live in the first bytes of the container and
+# are parsed with pure stdlib struct math — runnable on ANY executor,
+# no codec dependency, and exactly what a 100 TB ingest census needs
+# (dims/format filtering happens long before pixel decode).
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from container magic bytes, or None
+    for unrecognized payloads. PNG: IHDR fixed offset; GIF: logical
+    screen descriptor (LE); BMP: BITMAPINFOHEADER (LE); JPEG: walk
+    the marker stream to the first SOFn frame header (BE)."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("bmp", w, abs(h))
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+    return None
+
+
+def image_header_metadata(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """REAL container-header decode (no codec needed): per asset,
+    (format, width, height, n_bytes) parsed from PNG/GIF/JPEG/BMP
+    magic structures; unrecognized payloads report format='unknown'
+    with NULL dims instead of failing the batch (a corpus census
+    must survive garbage bytes). Arrow-batched mapInPandas, narrow,
+    schema-stable — the same plumbing contract as image_metadata."""
+    schema = ("asset_id long, format string, width int, height int, "
+              "n_bytes long")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            fmts, ws, hs, ns = [], [], [], []
+            for p in b[payload_col]:
+                raw = bytes(p)
+                parsed = parse_image_header(raw)
+                if parsed is None:
+                    fmts.append("unknown")
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    fmts.append(parsed[0])
+                    ws.append(parsed[1])
+                    hs.append(parsed[2])
+                ns.append(len(raw))
+            yield pd.DataFrame({
+                "asset_id": b[id_col].astype("int64"),
+                "format": fmts,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "n_bytes": ns,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=schema)
+
+
+def make_test_png(width: int, height: int) -> bytes:
+    """A minimal VALID 8-bit grayscale PNG of the given dims (stdlib
+    zlib only) — deterministic synthetic payloads for exercising the
+    real header/codec paths without shipping binary fixtures."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))

@@ -392,3 +392,110 @@ def encode_tokens(docs: DataFrame, vocab: DataFrame,
                                              F.lit(oov_id)))
                     .alias("token_ids"))
             )
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       round_dp: int = 6) -> DataFrame:
+    """Flesch reading-ease per document from pure-regex counts —
+    words (whitespace tokens), sentences (runs of .!? — floored at
+    1), syllables (vowel-group runs per word, floored at 1/word via a
+    no-vowel-word correction) — the classic text-quality feature a
+    corpus filter thresholds on. Expression-only narrow pass (no
+    Python, no shuffle); every count is an exact integer and the
+    Flesch formula's two divisions happen last, so any engine
+    replays it."""
+    t = F.lower(F.col(text_col))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    words = F.size(toks)
+    sentences = F.greatest(F.lit(1),
+                           F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")))
+    vowel_groups = F.regexp_count(t, F.lit(r"[aeiouy]+"))
+    no_vowel_words = F.size(F.filter(toks, lambda x:
+                                     ~x.rlike("[aeiouy]")))
+    syllables = vowel_groups + no_vowel_words
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * words.cast("double")
+              / sentences.cast("double")
+              - F.lit(84.6) * syllables.cast("double")
+              / words.cast("double"))
+    return (docs.filter(words > 0)
+            .select(F.col(id_col), words.alias("n_words"),
+                    sentences.alias("n_sentences"),
+                    syllables.alias("n_syllables"),
+                    F.round(flesch, round_dp).alias("flesch")))
+
+
+def bigram_lm_score(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", vocab_size: int = 200,
+                    alpha: float = 1.0, lam: float = 0.75,
+                    round_dp: int = 6) -> DataFrame:
+    """Interpolated bigram language-model score per document —
+    unigram_lm_score's stronger sibling: mean ln(λ·P(w₂|w₁) +
+    (1−λ)·P(w₂)) over the doc's bigrams, with add-α smoothing over a
+    bounded top-V vocabulary and out-of-vocab tokens mapped to an
+    <unk> class. Low scores flag boilerplate/garbled text that
+    unigram stats miss (wrong word ORDER, not wrong words).
+
+    Determinism/scale: vocab is a TakeOrdered head (bounded);
+    per-bigram log terms are integerized on a 1e-6 grid so each
+    doc's score is an exact BIGINT sum ÷ count; the bigram count
+    frame is keyed by (w₁,w₂) observed pairs (≤ corpus bigrams, hit
+    by an equi-join — never broadcast when large); the unigram model
+    (V+1 rows) broadcasts. Two keyed shuffles over token frames +
+    one per-doc aggregate."""
+    toks_arr = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda x: x != "")
+    base = docs.select(F.col(id_col).alias("doc"),
+                       toks_arr.alias("ts")).filter(F.size("ts") >= 2)
+    uni = (base.select(F.explode("ts").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    vocab = (uni.orderBy(F.desc("n"), F.asc("t")).limit(vocab_size)
+             .select("t", "n"))
+    # map every token through the bounded vocab (broadcast): OOV → <unk>
+    mapped = (base.select(
+        "doc",
+        F.posexplode("ts").alias("i", "t"))
+        .join(F.broadcast(vocab.select(F.col("t").alias("__vt"))),
+              F.col("t") == F.col("__vt"), "left")
+        .select("doc", "i",
+                F.when(F.col("__vt").isNotNull(), F.col("t"))
+                .otherwise(F.lit("<unk>")).alias("w")))
+    # per-doc consecutive pairs via a doc-partitioned window (doc
+    # sequences are bounded by doc length — the sessionizer bound)
+    from pyspark.sql.window import Window
+    wd = Window.partitionBy("doc").orderBy("i")
+    pairs = (mapped.withColumn("w2", F.lead("w").over(wd))
+             .filter(F.col("w2").isNotNull())
+             .select("doc", F.col("w").alias("w1"), "w2"))
+    big = pairs.groupBy(F.col("w1").alias("b1"), F.col("w2").alias("b2")) \
+        .agg(F.count(F.lit(1)).alias("c12"))
+    # unigram model over the mapped classes (vocab + <unk>)
+    cls = (mapped.groupBy(F.col("w").alias("u"))
+           .agg(F.count(F.lit(1)).alias("cu")))
+    tot = cls.agg(F.sum("cu").alias("T"))
+    v1 = vocab_size + 1
+    p_uni = ((F.col("cu") + F.lit(alpha))
+             / (F.col("T") + F.lit(alpha * v1)))
+    uni_model = (cls.crossJoin(F.broadcast(tot))
+                 .select("u", F.col("cu").alias("c1"),
+                         p_uni.alias("pu")))
+    scored = (pairs
+              .join(big, (F.col("w1") == F.col("b1"))
+                    & (F.col("w2") == F.col("b2")), "left")
+              .join(F.broadcast(uni_model.select(
+                  F.col("u").alias("__u1"), F.col("c1"))),
+                  F.col("w1") == F.col("__u1"))
+              .join(F.broadcast(uni_model.select(
+                  F.col("u").alias("__u2"), F.col("pu"))),
+                  F.col("w2") == F.col("__u2")))
+    p_bi = ((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+            / (F.col("c1") + F.lit(alpha * v1)))
+    term = F.round(F.log(F.lit(lam) * p_bi
+                         + F.lit(1.0 - lam) * F.col("pu"))
+                   * 1_000_000, 0).cast("long")
+    return (scored.groupBy(F.col("doc").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum(term).cast("double")
+                         / (F.count(F.lit(1)) * 1_000_000.0), round_dp)
+                 .alias("avg_logprob")))

@@ -592,3 +592,127 @@ def k_anonymity_audit(df: DataFrame, quasi_cols: Sequence[str],
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def calibration_bins(df: DataFrame, label_col, score_col: str,
+                     bins: int = 10, lo: float = 0.0, hi: float = 1.0,
+                     round_dp: int = 6) -> DataFrame:
+    """Reliability (calibration) table for a probabilistic score vs a
+    boolean outcome: per fixed score bin, the mean predicted score
+    and the observed positive rate — the readout that says whether a
+    quality/toxicity classifier's 0.9 really means 90%. Fixed
+    [lo,hi) grid (probability scores have a natural range), exact
+    integer counts; the mean score per bin sums scores pre-rounded to
+    a 1e-6 grid as integers, so the per-bin means are bit-replayable
+    regardless of partitioning. One scan → ≤bins cells."""
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    w = (hi - lo) / bins
+    b = F.least(F.lit(bins - 1),
+                F.greatest(F.lit(0),
+                           F.floor((F.col(score_col) - lo) / w)
+                           .cast("int"))).alias("bin")
+    s6 = F.round(F.col(score_col) * 1_000_000, 0).cast("long")
+    return (df.select(b, s6.alias("s6"), lab.cast("int").alias("y"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("y").alias("n_pos"),
+                 F.round(F.sum("s6").cast("double")
+                         / (F.count(F.lit(1)) * 1_000_000.0), round_dp)
+                 .alias("mean_score"),
+                 F.round(F.sum("y").cast("double") / F.count(F.lit(1)),
+                         round_dp).alias("pos_rate"))
+            .orderBy("bin"))
+
+
+def decile_lift(df: DataFrame, label_col, score_col: str,
+                bins: int = 256, deciles: int = 10,
+                round_dp: int = 6) -> DataFrame:
+    """Gains/lift table: rank rows by score into ``deciles`` equal-
+    population tiers (computed from a fixed ``bins``-cell histogram —
+    no global sort) and report each tier's positive share and lift
+    over the base rate — the campaign-targeting readout paired with
+    binned_roc_auc. Tier boundaries land on bin edges, so tier sizes
+    are only approximately n/deciles (exact sizes are reported); all
+    counts are exact integers, divisions happen last.
+
+    Plan: one scan → ≤bins (pos, total) cells → one-row sorted fold
+    assigns each bin to a tier by cumulative population (top scores
+    first), then a bounded re-aggregation to the tier table."""
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    rng = df.agg(F.min(score_col).alias("__lo"),
+                 F.max(score_col).alias("__hi"))
+    b = (df.crossJoin(F.broadcast(rng))
+         .select(F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+                 .otherwise(F.least(
+                     F.lit(bins - 1),
+                     F.floor((F.col(score_col) - F.col("__lo"))
+                             / (F.col("__hi") - F.col("__lo")) * bins)
+                     .cast("int"))).alias("b"),
+                 lab.cast("int").alias("y")))
+    cells = b.groupBy("b").agg(F.count(F.lit(1)).alias("m"),
+                               F.sum("y").alias("mp"))
+    one = cells.agg(F.sum("m").alias("n"), F.sum("mp").alias("np"),
+                    F.sort_array(F.collect_list(F.struct("b", "m", "mp")),
+                                 asc=False).alias("cs"))
+    # descending-score fold: tier = how many deciles the cumulative
+    # population BEFORE this bin already filled (floor(cum*D/n))
+    tier_of = F.transform(
+        F.col("cs"),
+        lambda x: F.struct(
+            F.least(
+                F.lit(deciles - 1),
+                F.floor((F.aggregate(
+                    F.filter(F.col("cs"), lambda z: z["b"] > x["b"]),
+                    F.lit(0).cast("long"), lambda a, z: a + z["m"])
+                    * deciles).cast("double") / F.col("n"))
+                .cast("int")).alias("tier"),
+            x["m"].alias("m"), x["mp"].alias("mp")))
+    tiers = (one.select("n", "np", F.explode(tier_of).alias("t"))
+             .groupBy(F.col("t.tier").alias("tier"))
+             .agg(F.first("n").alias("__n"), F.first("np").alias("__np"),
+                  F.sum("t.m").alias("n_rows"),
+                  F.sum("t.mp").alias("n_pos")))
+    base = F.col("__np").cast("double") / F.col("__n")
+    rate = F.col("n_pos").cast("double") / F.col("n_rows")
+    return (tiers.select("tier", "n_rows", "n_pos",
+                         F.round(rate, round_dp).alias("pos_rate"),
+                         F.round(rate / base, round_dp).alias("lift"))
+            .orderBy("tier"))
+
+
+def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Column profiling report — the first query anyone runs on an
+    unfamiliar 100 TB table: per column, row count, null count,
+    EXACT distinct count, and the most frequent value (ties break to
+    the smallest value; reported with its count). Output one row per
+    column, values stringified for a uniform schema.
+
+    Plan: per column, one keyed count onto the column's distinct
+    frame (the only data-sized shuffle), from which nulls, the exact
+    distinct count AND the top value all derive — profiling k columns
+    costs k aggregation passes, the unavoidable lower bound for exact
+    per-column distincts. The per-column results are 1-row frames
+    unioned into the report."""
+    # deterministic top value needs (count desc, value asc): a bounded
+    # TakeOrdered head over the distinct frame, not max_by tie-luck
+    outs = []
+    for c in cols:
+        per = (df.groupBy(F.col(c).alias("v"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        stats = per.agg(
+            F.lit(c).alias("column"),
+            F.sum("n").alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("v").isNull(), F.col("n"))),
+                       F.lit(0)).alias("n_null"),
+            F.count(F.when(F.col("v").isNotNull(), F.lit(1)))
+            .alias("n_distinct"))
+        top = (per.filter(F.col("v").isNotNull())
+               .orderBy(F.desc("n"), F.asc(F.col("v").cast("string")))
+               .limit(1)
+               .select(F.col("v").cast("string").alias("top_value"),
+                       F.col("n").alias("top_count")))
+        outs.append(stats.crossJoin(top))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

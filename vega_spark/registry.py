@@ -5277,3 +5277,207 @@ def markov_next_event_q(spark, sf_dir):
     from vega_spark.functions.analytics import markov_transitions
     ev = _t(spark, sf_dir, "events")
     return markov_transitions(ev)
+
+
+@_q("calibration_value_purchase", """
+WITH s AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 500.0 / 0.1) AS INTEGER)))
+           AS bin,
+         CAST(ROUND(value / 500.0 * 1000000, 0) AS BIGINT) AS s6,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events)
+SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos,
+       ROUND(CAST(SUM(s6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+         AS mean_score,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+FROM s GROUP BY bin ORDER BY bin
+""")
+def calibration_value_purchase_q(spark, sf_dir):
+    """Reliability table: value/500 as a pseudo-probability vs the
+    purchase outcome, 10 fixed bins — per-bin mean score (integerized
+    1e-6 sums, partition-order independent) against observed rate."""
+    from vega_spark.operators.stats import calibration_bins
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "score", F.col("value") / 500.0)
+    return calibration_bins(ev, F.col("event_type") == "purchase",
+                            "score", bins=10, lo=0.0, hi=1.0)
+
+
+@_q("decile_lift_purchase", """
+WITH rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+b AS (
+  SELECT LEAST(255, CAST(FLOOR((value - lo) / (hi - lo) * 256) AS INTEGER))
+           AS b,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events, rng),
+cells AS (SELECT b, COUNT(*) AS m, SUM(y) AS mp FROM b GROUP BY b),
+t AS (SELECT SUM(m) AS n, SUM(mp) AS np FROM cells),
+c AS (
+  SELECT b, m, mp,
+         COALESCE(SUM(m) OVER (ORDER BY b DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM cells),
+tiers AS (
+  SELECT LEAST(9, CAST(FLOOR(CAST(cum * 10 AS DOUBLE) / t.n) AS INTEGER))
+           AS tier, m, mp
+  FROM c, t)
+SELECT tier, SUM(m) AS n_rows, SUM(mp) AS n_pos,
+       ROUND(CAST(SUM(mp) AS DOUBLE) / SUM(m), 6) AS pos_rate,
+       ROUND((CAST(SUM(mp) AS DOUBLE) / SUM(m))
+             / (CAST(t.np AS DOUBLE) / t.n), 6) AS lift
+FROM tiers, t GROUP BY tier, t.np, t.n ORDER BY tier
+""")
+def decile_lift_purchase_q(spark, sf_dir):
+    """Gains/lift table over value-ranked deciles for the purchase
+    outcome — histogram-derived tiers (no global sort), exact
+    integer counts, lift over base rate."""
+    from vega_spark.operators.stats import decile_lift
+    ev = _t(spark, sf_dir, "events")
+    return decile_lift(ev, F.col("event_type") == "purchase",
+                       "value", bins=256, deciles=10)
+
+
+@_q("readability_docs", """
+WITH t AS (
+  SELECT doc_id, text, lower(text) AS lt,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, len(toks) AS n_words,
+       GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+       len(regexp_extract_all(lt, '[aeiouy]+'))
+         + len(list_filter(toks, x -> NOT regexp_matches(x, '[aeiouy]')))
+         AS n_syllables,
+       ROUND(206.835
+             - 1.015 * CAST(len(toks) AS DOUBLE)
+               / GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+             - 84.6 * CAST(len(regexp_extract_all(lt, '[aeiouy]+'))
+                 + len(list_filter(toks,
+                       x -> NOT regexp_matches(x, '[aeiouy]')))
+                 AS DOUBLE) / len(toks), 6) AS flesch
+FROM t WHERE len(toks) > 0
+""")
+def readability_docs_q(spark, sf_dir):
+    """Flesch reading ease per document from exact regex counts
+    (words / sentence runs / vowel-group syllables with a no-vowel
+    floor) — expression-only narrow pass."""
+    from vega_spark.functions.text import readability_scores
+    docs = _t(spark, sf_dir, "documents")
+    return readability_scores(docs)
+
+
+@_q("profile_orders", """
+WITH s AS (SELECT o_orderstatus AS v FROM orders),
+p AS (SELECT o_orderpriority AS v FROM orders),
+k AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders)
+SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
+       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(DISTINCT v) AS n_distinct,
+       (SELECT v FROM s WHERE v IS NOT NULL GROUP BY v
+        ORDER BY COUNT(*) DESC, v LIMIT 1) AS top_value,
+       (SELECT COUNT(*) FROM s WHERE v IS NOT NULL GROUP BY v
+        ORDER BY COUNT(*) DESC, v LIMIT 1) AS top_count
+FROM s
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT v),
+       (SELECT v FROM p WHERE v IS NOT NULL GROUP BY v
+        ORDER BY COUNT(*) DESC, v LIMIT 1),
+       (SELECT COUNT(*) FROM p WHERE v IS NOT NULL GROUP BY v
+        ORDER BY COUNT(*) DESC, v LIMIT 1)
+FROM p
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT v),
+       (SELECT v FROM k WHERE v IS NOT NULL GROUP BY v
+        ORDER BY COUNT(*) DESC, v LIMIT 1),
+       (SELECT COUNT(*) FROM k WHERE v IS NOT NULL GROUP BY v
+        ORDER BY COUNT(*) DESC, v LIMIT 1)
+FROM k
+""")
+def profile_orders_q(spark, sf_dir):
+    """Column profiling census over orders (status, priority,
+    custkey): exact distincts + deterministic top value per column —
+    one keyed distinct-frame pass per column."""
+    from vega_spark.operators.stats import profile_table
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(orders,
+                         ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+
+@_q("bigram_lm_docs", """
+WITH base AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+b2 AS (SELECT doc, ts FROM base WHERE len(ts) >= 2),
+uni AS (
+  SELECT t, COUNT(*) AS n
+  FROM (SELECT unnest(ts) AS t FROM base) GROUP BY t),
+vocab AS (SELECT t FROM uni ORDER BY n DESC, t LIMIT 200),
+mapped AS (
+  SELECT doc, i,
+         CASE WHEN v.t IS NOT NULL THEN u.t ELSE '<unk>' END AS w
+  FROM (SELECT doc, unnest(ts) AS t,
+               generate_subscripts(ts, 1) AS i FROM b2) u
+  LEFT JOIN vocab v ON u.t = v.t),
+pairs AS (
+  SELECT doc, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc ORDER BY i) AS w2
+  FROM mapped QUALIFY w2 IS NOT NULL),
+big AS (SELECT w1 AS b1, w2 AS b2, COUNT(*) AS c12
+        FROM pairs GROUP BY 1, 2),
+cls AS (SELECT w AS u, COUNT(*) AS cu FROM mapped GROUP BY 1),
+tot AS (SELECT SUM(cu) AS T FROM cls),
+terms AS (
+  SELECT p.doc,
+         CAST(ROUND(LN(0.75 * ((COALESCE(big.c12, 0) + 1.0)
+                               / (c1.cu + 201.0))
+                       + 0.25 * ((c2.cu + 1.0) / (tot.T + 201.0)))
+                    * 1000000, 0) AS BIGINT) AS s
+  FROM pairs p
+  LEFT JOIN big ON p.w1 = big.b1 AND p.w2 = big.b2
+  JOIN cls c1 ON p.w1 = c1.u
+  JOIN cls c2 ON p.w2 = c2.u
+  CROSS JOIN tot)
+SELECT doc AS doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(s) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+         AS avg_logprob
+FROM terms GROUP BY doc
+""")
+def bigram_lm_docs_q(spark, sf_dir):
+    """Interpolated bigram LM score per document (top-200 vocab +
+    <unk>, add-1 smoothing, λ=0.75) — word-ORDER-aware quality
+    signal; integerized log terms make per-doc scores exact integer
+    sums."""
+    from vega_spark.functions.text import bigram_lm_score
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, vocab_size=200, alpha=1.0, lam=0.75)
+
+
+@_q("image_header_decode")
+def image_header_decode_q(spark, sf_dir):
+    """REAL codec-free image header decode: deterministic synthetic
+    PNG payloads (dims derived from doc_id) built and parsed
+    entirely on executors — exercises the binary-column plumbing end
+    to end with a real container format. Rows-only check (binary
+    synthesis is not SQL-expressible); dims are pinned by unit tests
+    against the generator."""
+    import pandas as pd
+
+    from vega_spark.functions.multimodal import (
+        image_header_metadata, make_test_png)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "payload": [make_test_png(1 + int(i) % 16, 1 + int(i) % 9)
+                            for i in b["doc_id"]],
+            })
+
+    with_png = docs.mapInPandas(gen, "doc_id long, payload binary")
+    out = image_header_metadata(with_png)
+    return out.select("asset_id", "format", "width", "height")
