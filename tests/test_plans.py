@@ -441,3 +441,20 @@ def test_advisor_clean_on_registry_flagships(spark, sf_dir):
                  "triangle_count_parts", "web_url_dedup_pipeline",
                  "ewma_user_values", "attribution_first_last_touch"):
         assert_scale_safe(QUERIES[name](spark, sf_dir))
+
+
+def test_advisor_clean_on_round2_continuation_queries(spark, sf_dir):
+    # the model-eval / ML-prep / text families added after the 216-
+    # query state: all scale-gated (no global windows, no cartesian,
+    # no row-Python UDFs)
+    from vega_spark.plans.advisor import assert_scale_safe
+    from vega_spark.registry import QUERIES
+    for name in ("roc_auc_purchase_value", "ks_drift_purchase_view",
+                 "dp_noisy_event_counts", "k_anonymity_docs",
+                 "feature_vector_events", "target_encode_orders_priority",
+                 "naive_bayes_lang_confusion", "holt_forecast_hourly",
+                 "html_extract_docs", "ols_price_qty_discount",
+                 "stump_return_price", "markov_next_event",
+                 "calibration_value_purchase", "decile_lift_purchase",
+                 "readability_docs", "profile_orders", "bigram_lm_docs"):
+        assert_scale_safe(QUERIES[name](spark, sf_dir))
