@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "profile_orders",              # exact per-column profiling census
     "bigram_lm_docs",              # order-aware bigram LM scoring
     "image_header_decode",         # real PNG header parse, mapInPandas
+    "versioned_time_travel_orders",  # snapshot commits + time travel
 ]
 
 

@@ -5481,3 +5481,48 @@ def image_header_decode_q(spark, sf_dir):
     with_png = docs.mapInPandas(gen, "doc_id long, payload binary")
     out = image_header_metadata(with_png)
     return out.select("asset_id", "format", "width", "height")
+
+
+@_q("versioned_time_travel_orders", """
+WITH v1 AS (
+  SELECT 1 AS version, COUNT(*) AS n_rows,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents
+  FROM orders),
+v2 AS (
+  SELECT 2 AS version, COUNT(*) AS n_rows,
+         SUM(CAST(ROUND(
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice + 10.0 ELSE o_totalprice END * 100, 0)
+           AS BIGINT)) AS sum_cents
+  FROM orders WHERE o_orderstatus <> 'F')
+SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version
+""")
+def versioned_time_travel_orders_q(spark, sf_dir):
+    """Lakehouse snapshot versioning end to end: commit orders as v1,
+    commit a mutated subset as v2 (urgent orders +10, F-status rows
+    dropped), then TIME-TRAVEL read BOTH versions back and aggregate
+    each — proving v1 stays intact after v2 commits (snapshot
+    isolation via the atomic _latest pointer). The oracle replays
+    both versions' aggregates from the source table."""
+    import tempfile
+
+    from vega_spark.operators.versioned import (
+        commit_snapshot, read_snapshot)
+    orders = _t(spark, sf_dir, "orders")
+    tdir = tempfile.mkdtemp(prefix="vega_versioned_")
+    commit_snapshot(orders, tdir, note="initial load")
+    v2 = (orders.filter(F.col("o_orderstatus") != "F")
+          .withColumn("o_totalprice",
+                      F.when(F.col("o_orderpriority") == "1-URGENT",
+                             F.col("o_totalprice") + 10.0)
+                      .otherwise(F.col("o_totalprice"))))
+    commit_snapshot(v2, tdir, note="urgent reprice + drop F")
+    outs = []
+    for v in (1, 2):
+        snap = read_snapshot(spark, tdir, version=v)
+        outs.append(snap.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("sum_cents")))
+    return outs[0].unionAll(outs[1]).orderBy("version")
