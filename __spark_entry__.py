@@ -41,6 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the TPC-H sweep, then the LLM-pipeline flagships (the judge's
 # priority order), then everything else in registry order.
 _PRIORITY = [
+    # round-2 continuation families (newest first: each is the lone
+    # driver-visible representative of a new capability family)
+    "acf_hourly_events", "cusum_changepoint_hours",
+    "kaplan_meier_conversion", "logreg_purchase_value",
+    "l_diversity_docs", "clustering_coeff_parts",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

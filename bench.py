@@ -156,6 +156,13 @@ BENCH_QUERIES = [
     "bigram_lm_docs",              # order-aware bigram LM scoring
     "image_header_decode",         # real PNG header parse, mapInPandas
     "versioned_time_travel_orders",  # snapshot commits + time travel
+    # round-2 continuation: survival / time-series / graph-cohesion
+    "acf_hourly_events",           # exact-integer lag autocorrelation
+    "cusum_changepoint_hours",     # CUSUM mean-shift + argmax hour
+    "kaplan_meier_conversion",     # KM curve via bounded risk-set fold
+    "logreg_purchase_value",       # 2-step logistic GD, broadcast weights
+    "l_diversity_docs",            # sensitive-diversity privacy audit
+    "clustering_coeff_parts",      # avg local cc, oriented wedges
 ]
 
 

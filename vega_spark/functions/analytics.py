@@ -802,3 +802,180 @@ def markov_transitions(events: DataFrame, user_col: str = "user_id",
                     F.round(F.col("n").cast("double") / F.col("tot"),
                             round_dp).alias("p"))
             .orderBy("cur", "next"))
+
+
+def hourly_autocorrelation(events: DataFrame,
+                           type_col: str = "event_type",
+                           ts_col: str = "ts",
+                           lags: Sequence[int] = (1, 2, 3),
+                           round_dp: int = 6) -> DataFrame:
+    """Autocorrelation of each key's hourly event-count series at the
+    given lags — the is-there-a-cycle screen (r₂₄ ≈ daily
+    seasonality) that decides whether the seasonal-naive or trend
+    forecaster applies to a stream.
+
+    r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)², expanded so every
+    data-sized sum is an EXACT integer (Σy, Σy², and per-lag pair
+    sums Σy_t·y_{t+k}, Σ'y_t, Σ'y_{t+k}); ȳ enters only in the final
+    constant-count float combination, so any engine replays the value
+    bit-for-bit. Missing hours are absent (not zero-filled): a pair
+    exists only when both hours were active.
+
+    Plan: one pass to the hourly grid; the lag pairing is ONE
+    equi-join of the grid with itself shifted (lag exploded on the
+    probe side — |lags|× a bounded frame, not the raw data); per-key
+    totals broadcast back. Keys×lags output rows."""
+    hourly = (events.groupBy(F.col(type_col).alias("event_type"),
+                             (F.unix_timestamp(F.col(ts_col))
+                              .cast("long") / 3600).cast("long")
+                             .alias("xh"))
+              .agg(F.count(F.lit(1)).alias("y")))
+    tot = (hourly.groupBy(F.col("event_type").alias("__t"))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+                F.sum(F.col("y") * F.col("y")).alias("syy")))
+    probe = hourly.select(
+        F.col("event_type").alias("__t2"), F.col("xh").alias("xh2"),
+        F.col("y").alias("yk"),
+        F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("k"))
+    pairs = (hourly.join(
+        probe, (F.col("event_type") == F.col("__t2"))
+        & (F.col("xh") + F.col("k") == F.col("xh2")))
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).alias("m"),
+             F.sum(F.col("y") * F.col("yk")).alias("sxy"),
+             F.sum("y").alias("sa"), F.sum("yk").alias("sb")))
+    ybar = F.col("sy").cast("double") / F.col("n")
+    num = (F.col("sxy").cast("double") - ybar * F.col("sa")
+           - ybar * F.col("sb") + F.col("m") * ybar * ybar)
+    den = F.col("syy").cast("double") - F.col("n") * ybar * ybar
+    return (pairs.join(F.broadcast(tot), F.col("event_type") == F.col("__t"))
+            .select("event_type", F.col("k").alias("lag"),
+                    F.col("m").alias("n_pairs"),
+                    F.round(F.when(den != 0.0, num / den), round_dp)
+                    .alias("acf"))
+            .orderBy("event_type", "lag"))
+
+
+def cusum_changepoint(events: DataFrame, type_col: str = "event_type",
+                      ts_col: str = "ts",
+                      round_dp: int = 6) -> DataFrame:
+    """CUSUM mean-shift screen per key: the standardized maximum
+    |cumulative deviation| of the hourly count series, and the hour
+    where it peaks — the classic did-the-level-change detector for
+    ingest monitoring (large statistic ⇒ a sustained shift, and the
+    argmax hour is the change point).
+
+    Determinism: cum_i = Σ_{t≤i}y_t − i·ȳ is computed as the exact
+    integer n·run_i − i·Σy (scaled by n), so the argmax — including
+    ties, broken toward the earliest hour — is integer-exact on any
+    engine; the final statistic max|cum|/(σ̂√n) does its few float ops
+    last. Plan: one pass to the hourly grid, a per-key ORDERED window
+    on that bounded grid (partitioned by key — hours per key, not
+    rows), per-key totals broadcast, one arg-max aggregate."""
+    from pyspark.sql.window import Window
+
+    hourly = (events.groupBy(F.col(type_col).alias("event_type"),
+                             (F.unix_timestamp(F.col(ts_col))
+                              .cast("long") / 3600).cast("long")
+                             .alias("xh"))
+              .agg(F.count(F.lit(1)).alias("y")))
+    tot = (hourly.groupBy(F.col("event_type").alias("__t"))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+                F.sum(F.col("y") * F.col("y")).alias("syy")))
+    w = Window.partitionBy("event_type").orderBy("xh")
+    run = (hourly
+           .withColumn("run", F.sum("y").over(w))
+           .withColumn("i", F.row_number().over(w)))
+    j = run.join(F.broadcast(tot), F.col("event_type") == F.col("__t"))
+    scaled = j.select(
+        "event_type", "xh", "n", "sy", "syy",
+        (F.col("n") * F.col("run") - F.col("i") * F.col("sy"))
+        .alias("cum_n"))
+    best = (scaled
+            .groupBy("event_type")
+            .agg(F.first("n").alias("n_hours"),
+                 F.first("sy").alias("sy"), F.first("syy").alias("syy"),
+                 F.max(F.struct(F.abs(F.col("cum_n")).alias("a"),
+                                (-F.col("xh")).alias("negh"))).alias("b")))
+    ybar = F.col("sy").cast("double") / F.col("n_hours")
+    var = (F.col("syy").cast("double")
+           - F.col("n_hours") * ybar * ybar) / F.col("n_hours")
+    stat = (F.col("b")["a"].cast("double") / F.col("n_hours")
+            / (F.sqrt(var) * F.sqrt(F.col("n_hours").cast("double"))))
+    return (best.filter(var > 0)
+            .select("event_type", "n_hours",
+                    (-F.col("b")["negh"]).alias("cp_hour"),
+                    F.round(stat, round_dp).alias("cusum_stat"))
+            .orderBy("event_type"))
+
+
+def kaplan_meier(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 convert_type: str = "purchase",
+                 unit_seconds: int = 3600,
+                 round_dp: int = 6) -> DataFrame:
+    """Kaplan–Meier time-to-conversion curve: each user is observed
+    from their first event until their first ``convert_type`` event
+    (an observed conversion) or the end of the data (right-censored,
+    no conversion yet). S(t) steps down by (1 − d/n) at every
+    conversion duration — the survival estimate that, unlike a naive
+    conversion-rate-by-bucket, stays unbiased when the observation
+    window cuts users off mid-journey.
+
+    Plan: one pass to per-user (first event, first conversion) via
+    conditional MINs; the duration table is BOUNDED by the time span
+    in ``unit_seconds`` units, so the inherently-ordered risk-set
+    recursion runs as a deterministic in-memory fold (sorted array +
+    ``F.aggregate``) over that tiny frame — no global window, no
+    driver collect. The product is a fixed-order float chain both
+    engines replay to 6 dp (oracle uses exp-Σln with an explicit
+    zero-factor guard). Output: one row per conversion duration with
+    the at-risk count, conversion count and survival."""
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    u = (events.groupBy(F.col(user_col).alias("u"))
+         .agg(F.min(sec).alias("t0"),
+              F.min(F.when(F.col(type_col) == convert_type, sec))
+              .alias("tc")))
+    gmax = events.agg(F.max(sec).alias("gmax"))
+    lab = (u.crossJoin(F.broadcast(gmax))
+           .select(((F.coalesce(F.col("tc"), F.col("gmax"))
+                     - F.col("t0")) / unit_seconds).cast("long")
+                   .alias("dur"),
+                   F.when(F.col("tc").isNotNull(), 1)
+                   .otherwise(0).alias("obs")))
+    t = (lab.groupBy("dur")
+         .agg(F.sum("obs").alias("d"),
+              F.sum(F.lit(1) - F.col("obs")).alias("c")))
+    packed = t.agg(
+        F.sum(F.col("d") + F.col("c")).alias("n0"),
+        F.sort_array(F.collect_list(F.struct("dur", "d", "c")))
+        .alias("arr"))
+    # ordered fold over the bounded curve: carry (at-risk, survival,
+    # rows-so-far); each step multiplies in this duration's factor
+    # BEFORE removing its deaths+censored from the risk set
+    init = F.struct(
+        F.col("n0").alias("risk"), F.lit(1.0).alias("s"),
+        F.array().cast(
+            "array<struct<dur:bigint,n_risk:bigint,d:bigint,s:double>>")
+        .alias("out"))
+
+    def step(acc, x):
+        s_new = acc["s"] * ((acc["risk"] - x["d"]).cast("double")
+                            / acc["risk"].cast("double"))
+        row = F.struct(x["dur"].alias("dur"), acc["risk"].alias("n_risk"),
+                       x["d"].alias("d"), s_new.alias("s"))
+        return F.struct(
+            (acc["risk"] - x["d"] - x["c"]).alias("risk"),
+            s_new.alias("s"),
+            F.concat(acc["out"], F.array(row)).alias("out"))
+
+    folded = packed.select(
+        F.explode(F.aggregate(F.col("arr"), init, step)["out"])
+        .alias("r"))
+    return (folded
+            .select(F.col("r.dur").alias("dur_units"),
+                    F.col("r.n_risk").alias("n_risk"),
+                    F.col("r.d").alias("n_converted"),
+                    F.round(F.col("r.s"), round_dp).alias("survival"))
+            .filter(F.col("n_converted") > 0)
+            .orderBy("dur_units"))

@@ -338,3 +338,73 @@ def decision_stump(df: DataFrame, label_col, score_col: str,
         .alias("split_value"),
         F.round((F.col("__parent") - F.col("__cost")) / n, round_dp)
         .alias("gini_gain"))
+
+
+def logistic_regression_gd(df: DataFrame, label_col: F.Column | str,
+                           cents_col: F.Column, x_scale: int = 10000,
+                           lr: float = 4.0,
+                           round_dp: int = 6) -> DataFrame:
+    """Two fixed gradient-descent steps of binary logistic regression
+    (intercept + one scaled integer feature) — the whole-dataset
+    learner as a declarative plan: weights are 1-row broadcast frames,
+    each iteration is one scan + aggregate, nothing ever reaches the
+    driver. Two steps is the distillable core — the same chain
+    extends to any fixed depth, and at 100 TB each step stays a
+    single map-side-combined aggregate over the data.
+
+    Determinism across engines: the feature is an exact integer
+    (cents), so step 1's gradient from w=0 (where every σ(z) is
+    EXACTLY 0.5) reduces to integer sums; step 2's per-row σ(z)−y
+    terms are quantized to 1e-6 integers before summing, so the sum
+    is order-independent and both engines agree bit-for-bit (the only
+    cross-engine risk is a per-row exp() ulp landing exactly on a
+    quantization boundary — probability ~1e-10/row). Output: one row
+    with n, the step-2 weights, training accuracy and mean log-loss
+    at those weights."""
+    lab = (F.col(label_col) if isinstance(label_col, str)
+           else label_col).cast("long")
+    base = df.select(lab.alias("y"), cents_col.cast("long").alias("xc"))
+    # step 1 from w=(0,0): sigma(0)=0.5 exactly, so the gradient is
+    # g0 = 0.5*n - sum(y), g1 = (0.5*sum(xc) - sum(y*xc))/x_scale —
+    # all integer sums
+    s1 = base.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+                  F.sum("xc").alias("sx"),
+                  F.sum(F.col("y") * F.col("xc")).alias("syx"))
+    w1 = s1.select(
+        "n",
+        (F.lit(-lr) * (0.5 * F.col("n") - F.col("sy"))
+         / F.col("n")).alias("w0"),
+        (F.lit(-lr) * (0.5 * F.col("sx") - F.col("syx"))
+         / F.lit(float(x_scale)) / F.col("n")).alias("w1"))
+    x = F.col("xc").cast("double") / F.lit(float(x_scale))
+    z1 = F.col("w0") + F.col("w1") * x
+    p1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-z1))
+    # per-row residuals quantized to exact 1e-6 integers: the shuffle
+    # sums bigints, so partial-aggregation order cannot change the sum
+    q = F.round((p1 - F.col("y")) * 1e6, 0).cast("long")
+    s2 = (base.crossJoin(F.broadcast(w1))
+          .agg(F.first("n").alias("n"), F.first("w0").alias("w0a"),
+               F.first("w1").alias("w1a"),
+               F.sum(q).alias("qg0"), F.sum(q * F.col("xc")).alias("qg1")))
+    w2 = s2.select(
+        "n",
+        (F.col("w0a") - F.lit(lr) * (F.col("qg0").cast("double") / 1e6)
+         / F.col("n")).alias("w0"),
+        (F.col("w1a") - F.lit(lr)
+         * (F.col("qg1").cast("double") / 1e6 / F.lit(float(x_scale)))
+         / F.col("n")).alias("w1"))
+    z2 = F.col("w0") + F.col("w1") * x
+    p2 = F.lit(1.0) / (F.lit(1.0) + F.exp(-z2))
+    hit = (F.when((z2 > 0) == (F.col("y") == 1), 1).otherwise(0))
+    qll = F.round(
+        -(F.col("y") * F.log(p2)
+          + (F.lit(1) - F.col("y")) * F.log(F.lit(1.0) - p2)) * 1e6,
+        0).cast("long")
+    return (base.crossJoin(F.broadcast(w2))
+            .agg(F.first("n").alias("n"),
+                 F.round(F.first("w0"), round_dp).alias("w0"),
+                 F.round(F.first("w1"), round_dp).alias("w1"),
+                 F.round(F.sum(hit).cast("double")
+                         / F.first("n"), round_dp).alias("accuracy"),
+                 F.round(F.sum(qll).cast("double") / 1e6
+                         / F.first("n"), round_dp).alias("log_loss")))

@@ -716,3 +716,42 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def l_diversity_audit(df: DataFrame, quasi_cols: Sequence[str],
+                      sensitive_col: str,
+                      ls: Sequence[int] = (2, 3, 5),
+                      round_dp: int = 6) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a class of
+    identical quasi-identifiers is safe only if the SENSITIVE column
+    still takes at least l distinct values inside it (a k-anonymous
+    class where everyone shares one diagnosis leaks it anyway). For
+    each threshold l: classes below it, rows in them, and the rounded
+    at-risk share.
+
+    Plan: one exact distinct-per-class aggregate (two-level groupBy —
+    the (quasi, sensitive) pre-aggregate keeps the count-distinct
+    mergeable and map-side combined), then each l is a conditional
+    fold over the bounded class frame."""
+    cells = (df.groupBy(*[F.col(c) for c in quasi_cols],
+                        F.col(sensitive_col).alias("__s"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    classes = (cells.groupBy(*[F.col(c) for c in quasi_cols])
+               .agg(F.sum("n").alias("sz"),
+                    F.count(F.lit(1)).alias("l_val")))
+    rows = []
+    for l in ls:
+        rows.append(classes.agg(
+            F.lit(int(l)).alias("l"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("l_val") < l, 1).otherwise(0))
+            .alias("classes_at_risk"),
+            F.sum(F.when(F.col("l_val") < l, F.col("sz")).otherwise(0))
+            .alias("rows_at_risk"),
+            F.round(F.sum(F.when(F.col("l_val") < l, F.col("sz"))
+                          .otherwise(0)).cast("double")
+                    / F.sum("sz"), round_dp).alias("risk_share")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -5526,3 +5526,273 @@ def versioned_time_travel_orders_q(spark, sf_dir):
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
             .alias("sum_cents")))
     return outs[0].unionAll(outs[1]).orderBy("version")
+
+
+@_q("acf_hourly_events", """
+WITH hourly AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(y) AS sy, SUM(y*y) AS syy
+  FROM hourly GROUP BY 1),
+probe AS (
+  SELECT event_type, xh, y, k
+  FROM hourly CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS k)),
+pairs AS (
+  SELECT h.event_type, p.k, COUNT(*) AS m, SUM(h.y * p.y) AS sxy,
+         SUM(h.y) AS sa, SUM(p.y) AS sb
+  FROM hourly h
+  JOIN probe p ON h.event_type = p.event_type AND h.xh + p.k = p.xh
+  GROUP BY 1, 2)
+SELECT p.event_type, p.k AS lag, p.m AS n_pairs,
+  ROUND(CASE WHEN CAST(syy AS DOUBLE)
+                  - n * (CAST(sy AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n)
+                  <> 0
+   THEN (CAST(sxy AS DOUBLE)
+         - (CAST(sy AS DOUBLE)/n) * sa
+         - (CAST(sy AS DOUBLE)/n) * sb
+         + m * (CAST(sy AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n))
+        / (CAST(syy AS DOUBLE)
+           - n * (CAST(sy AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n))
+   END, 6) AS acf
+FROM pairs p JOIN tot USING (event_type)
+ORDER BY 1, 2
+""")
+def acf_hourly_events_q(spark, sf_dir):
+    """Hourly-count autocorrelation at lags 1-3 per event type; the
+    oracle replays the exact-integer sum expansion (capability
+    superset: the reference has no windowed/laged analytics —
+    SURVEY.md §2.11)."""
+    from vega_spark.functions.analytics import hourly_autocorrelation
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return hourly_autocorrelation(ev, lags=(1, 2, 3))
+
+
+@_q("cusum_changepoint_hours", """
+WITH hourly AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(y) AS sy, SUM(y*y) AS syy
+  FROM hourly GROUP BY 1),
+run AS (
+  SELECT event_type, xh,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY xh) AS run,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY xh) AS i
+  FROM hourly),
+sc AS (
+  SELECT r.event_type, r.xh, t.n, t.sy, t.syy,
+         t.n * r.run - r.i * t.sy AS cum_n
+  FROM run r JOIN tot t USING (event_type)),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(cum_n) DESC, xh ASC) AS rnk
+  FROM sc)
+SELECT event_type, n AS n_hours, xh AS cp_hour,
+  ROUND(CAST(ABS(cum_n) AS DOUBLE) / n
+        / (SQRT((CAST(syy AS DOUBLE)
+                 - n * (CAST(sy AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n))
+                / n)
+           * SQRT(CAST(n AS DOUBLE))), 6) AS cusum_stat
+FROM rk
+WHERE rnk = 1
+  AND (CAST(syy AS DOUBLE)
+       - n * (CAST(sy AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n)) / n > 0
+ORDER BY 1
+""")
+def cusum_changepoint_hours_q(spark, sf_dir):
+    """CUSUM mean-shift screen per event type over the hourly grid;
+    argmax chosen on the exact integer n·run − i·Σy so the change
+    point (and its earliest-hour tiebreak) replays on any engine."""
+    from vega_spark.functions.analytics import cusum_changepoint
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return cusum_changepoint(ev)
+
+
+@_q("kaplan_meier_conversion", """
+WITH sec AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, event_type
+  FROM events),
+u AS (
+  SELECT user_id, MIN(s) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN s END) AS tc
+  FROM sec GROUP BY 1),
+g AS (SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS gmax FROM events),
+lab AS (
+  SELECT CAST(FLOOR((COALESCE(tc, gmax) - t0) / 3600.0) AS BIGINT)
+         AS dur,
+         CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM u CROSS JOIN g),
+t AS (SELECT dur, SUM(obs) AS d, SUM(1 - obs) AS c FROM lab GROUP BY 1),
+k AS (
+  SELECT dur, d, c,
+         (SELECT SUM(d + c) FROM t)
+         - COALESCE(SUM(d + c) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS n_risk
+  FROM t),
+s AS (
+  SELECT dur, n_risk, d,
+         SUM(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur) AS zeros,
+         SUM(LN(CASE WHEN d = n_risk THEN 1.0
+                     ELSE CAST(n_risk - d AS DOUBLE) / n_risk END))
+           OVER (ORDER BY dur) AS lsum
+  FROM k)
+SELECT dur AS dur_units, n_risk, d AS n_converted,
+       ROUND(CASE WHEN zeros > 0 THEN 0.0 ELSE EXP(lsum) END, 6)
+       AS survival
+FROM s WHERE d > 0 ORDER BY dur
+""")
+def kaplan_meier_conversion_q(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase curve (hours), censored at
+    end of data; the ordered risk-set recursion runs as a bounded
+    in-memory fold, and the oracle replays it as exp-sum-ln with an
+    explicit absorbing-zero guard."""
+    from vega_spark.functions.analytics import kaplan_meier
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return kaplan_meier(ev)
+
+
+@_q("logreg_purchase_value", """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS xc
+  FROM events),
+s1 AS (
+  SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(xc) AS sx,
+         SUM(y * xc) AS syx
+  FROM base),
+w1 AS (
+  SELECT n, (-4.0) * (0.5 * n - sy) / n AS w0a,
+         (-4.0) * (0.5 * sx - syx) / 10000.0 / n AS w1a
+  FROM s1),
+s2 AS (
+  SELECT n, w0a, w1a,
+    SUM(CAST(ROUND((1.0/(1.0 + EXP(-(w0a + w1a
+          * (CAST(xc AS DOUBLE)/10000.0)))) - y) * 1e6, 0) AS BIGINT))
+    AS qg0,
+    SUM(CAST(ROUND((1.0/(1.0 + EXP(-(w0a + w1a
+          * (CAST(xc AS DOUBLE)/10000.0)))) - y) * 1e6, 0) AS BIGINT)
+        * xc) AS qg1
+  FROM base CROSS JOIN w1 GROUP BY 1, 2, 3),
+w2 AS (
+  SELECT n,
+         w0a - 4.0 * (CAST(qg0 AS DOUBLE) / 1000000.0) / n AS w0,
+         w1a - 4.0 * (CAST(qg1 AS DOUBLE) / 1000000.0 / 10000.0) / n
+         AS w1
+  FROM s2),
+fin AS (
+  SELECT n, w0, w1,
+    SUM(CASE WHEN ((w0 + w1 * (CAST(xc AS DOUBLE)/10000.0)) > 0)
+                  = (y = 1) THEN 1 ELSE 0 END) AS hits,
+    SUM(CAST(ROUND(-(y * LN(1.0/(1.0 + EXP(-(w0 + w1
+          * (CAST(xc AS DOUBLE)/10000.0)))))
+          + (1 - y) * LN(1.0 - 1.0/(1.0 + EXP(-(w0 + w1
+          * (CAST(xc AS DOUBLE)/10000.0)))))) * 1e6, 0) AS BIGINT))
+    AS qll
+  FROM base CROSS JOIN w2 GROUP BY 1, 2, 3)
+SELECT n, ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w1,
+       ROUND(CAST(hits AS DOUBLE) / n, 6) AS accuracy,
+       ROUND(CAST(qll AS DOUBLE) / 1e6 / n, 6) AS log_loss
+FROM fin
+""")
+def logreg_purchase_value_q(spark, sf_dir):
+    """Binary logistic regression (is-purchase ~ value), two exact
+    gradient-descent steps with broadcast 1-row weight frames — the
+    fixed-depth distributed learner; per-row residuals quantize to
+    1e-6 integers so both engines sum order-independently."""
+    from vega_spark.functions.mlprep import logistic_regression_gd
+    ev = _t(spark, sf_dir, "events")
+    return logistic_regression_gd(
+        ev, (F.col("event_type") == "purchase").cast("long"),
+        F.round(F.col("value") * 100, 0))
+
+
+@_q("l_diversity_docs", """
+WITH cells AS (
+  SELECT lang, n_chars // 500 AS len_b, source, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2, 3),
+classes AS (
+  SELECT lang, len_b, SUM(n) AS sz, COUNT(*) AS l_val
+  FROM cells GROUP BY 1, 2),
+l AS (SELECT UNNEST([2, 3, 5]) AS l)
+SELECT l.l, COUNT(*) AS n_classes,
+       SUM(CASE WHEN l_val < l.l THEN 1 ELSE 0 END) AS classes_at_risk,
+       SUM(CASE WHEN l_val < l.l THEN sz ELSE 0 END) AS rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN l_val < l.l THEN sz ELSE 0 END)
+                  AS DOUBLE) / SUM(sz), 6) AS risk_share
+FROM classes CROSS JOIN l GROUP BY 1
+""")
+def l_diversity_docs_q(spark, sf_dir):
+    """l-diversity audit on documents: quasi-identifiers (lang,
+    length bucket), sensitive attribute source — flags classes where
+    the sensitive column is too uniform to anonymize."""
+    from vega_spark.operators.stats import l_diversity_audit
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_b", F.expr("n_chars div 500"))
+    return l_diversity_audit(docs, ["lang", "len_b"], "source")
+
+
+@_q("clustering_coeff_parts", """
+WITH baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT x.i AS u, y.i AS v
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING COUNT(*) >= 2),
+e AS (SELECT u AS a, v AS b FROM pairs),
+deg AS (SELECT n, COUNT(*) AS d
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) t
+        GROUP BY n),
+wd AS (SELECT e.a, e.b, x.d AS da, y.d AS db
+       FROM e JOIN deg x ON e.a = x.n JOIN deg y ON e.b = y.n),
+o AS (SELECT CASE WHEN da < db OR (da = db AND a < b)
+                  THEN a ELSE b END AS u,
+             CASE WHEN da < db OR (da = db AND a < b)
+                  THEN b ELSE a END AS w
+      FROM wd),
+tri AS (SELECT w1.u AS u, w1.w AS v1, w2.w AS v2
+        FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.w < w2.w
+        JOIN e ON e.a = w1.w AND e.b = w2.w),
+nn AS (SELECT u AS node FROM tri
+       UNION ALL SELECT v1 FROM tri
+       UNION ALL SELECT v2 FROM tri),
+tc AS (SELECT node, COUNT(*) AS t FROM nn GROUP BY node),
+per AS (
+  SELECT deg.n AS node, deg.d, COALESCE(tc.t, 0) AS t
+  FROM deg LEFT JOIN tc ON deg.n = tc.node),
+q AS (
+  SELECT d, t,
+         CASE WHEN d >= 2
+              THEN CAST(ROUND(2.0 * t / CAST(d * (d - 1) AS DOUBLE)
+                              * 1e6, 0) AS BIGINT)
+              ELSE 0 END AS ccq
+  FROM per)
+SELECT COUNT(*) AS n_nodes,
+       SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS n_deg_ge2,
+       CAST(SUM(t) / 3 AS BIGINT) AS n_triangles,
+       ROUND(CAST(SUM(ccq) AS DOUBLE) / 1e6
+             / SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END), 6) AS avg_cc
+FROM q
+""")
+def clustering_coeff_parts_q(spark, sf_dir):
+    """Average local clustering coefficient of the part co-purchase
+    graph — same degree-oriented skew-immune wedge plan as
+    triangle_count_parts, per-node cc quantized to 1e-6 integers so
+    the cross-node mean replays exactly."""
+    from vega_spark.functions.graph import clustering_coefficient
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("b"),
+                        F.col("l_partkey").alias("i")).distinct()
+    x = baskets.select("b", F.col("i").alias("u"))
+    y = baskets.select("b", F.col("i").alias("v"))
+    pairs = (x.join(y, "b").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2).select("u", "v"))
+    return clustering_coefficient(pairs, "u", "v")
