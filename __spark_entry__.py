@@ -46,6 +46,8 @@ _PRIORITY = [
     "acf_hourly_events", "cusum_changepoint_hours",
     "kaplan_meier_conversion", "logreg_purchase_value",
     "l_diversity_docs", "clustering_coeff_parts",
+    "geo_cell_density_customers", "geo_neighbor_pairs_customers",
+    "geo_nearest_hub_nations",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

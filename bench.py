@@ -163,6 +163,10 @@ BENCH_QUERIES = [
     "logreg_purchase_value",       # 2-step logistic GD, broadcast weights
     "l_diversity_docs",            # sensitive-diversity privacy audit
     "clustering_coeff_parts",      # avg local cc, oriented wedges
+    # geospatial grid family
+    "geo_cell_density_customers",  # bounded cell counts + TakeOrdered head
+    "geo_neighbor_pairs_customers",  # 3x3 neighbor-cell radius join
+    "geo_nearest_hub_nations",     # broadcast hubs, keyed argmin
 ]
 
 

@@ -1,0 +1,124 @@
+"""Geospatial grid operators: cell binning, bucketed radius joins,
+nearest-hub assignment. Capability superset: the reference has no
+spatial surface (SURVEY.md §2.11); these are the patterns a corpus
+with lat/lon metadata needs at 100 TB — every op buckets points into
+fixed-degree grid cells so candidate generation is a narrow equi-join
+on cell ids, NEVER an all-pairs distance computation.
+
+Coordinates here are synthesized deterministically from a key column
+(md5-derived, 1e-4-degree grid) so any engine — including the DuckDB
+oracle — replays them bit-for-bit; swap :func:`synthetic_coords` for
+real lat/lon columns in production use.
+
+Distances are squared-degree (planar) — correct for the small radii
+grid joins target, and exactly replayable (no trig whose libm ulps
+could differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def synthetic_coords(df: DataFrame, key_col: str) -> DataFrame:
+    """Attach deterministic (lat, lon) derived from md5(key): two
+    independent 8-hex-digit fields mapped onto a 1e-4-degree grid.
+    Engine-replayable (md5 + hex-to-int + one division each) and
+    uniform over the globe — the fixture every geo op here tests
+    against."""
+    h = F.md5(F.col(key_col).cast("string"))
+    lat = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+           % 1_800_000) / 10000.0 - 90.0
+    lon = (F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+           % 3_600_000) / 10000.0 - 180.0
+    return df.withColumn("lat", lat).withColumn("lon", lon)
+
+
+def cell_id(lat: F.Column, lon: F.Column, cell_deg: float
+            ) -> tuple[F.Column, F.Column]:
+    """Fixed-degree grid cell of a point: (floor(lat/c), floor(lon/c)).
+    The geohash-equivalent bucketing every op below joins on."""
+    return (F.floor(lat / cell_deg).cast("long"),
+            F.floor(lon / cell_deg).cast("long"))
+
+
+def cell_density(points: DataFrame, lat_col: str = "lat",
+                 lon_col: str = "lon", cell_deg: float = 1.0,
+                 top: int = 20) -> DataFrame:
+    """Point density per grid cell, densest ``top`` cells first
+    (deterministic (count desc, cell) order). One keyed count onto
+    the bounded cell grid; the head plans as TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    cx, cy = cell_id(F.col(lat_col), F.col(lon_col), cell_deg)
+    return (points.groupBy(cx.alias("cell_x"), cy.alias("cell_y"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "cell_x", "cell_y").limit(top))
+
+
+def neighbor_pairs(points: DataFrame, id_col: str,
+                   lat_col: str = "lat", lon_col: str = "lon",
+                   radius_deg: float = 0.5, top: int = 20
+                   ) -> DataFrame:
+    """Closest point pairs within ``radius_deg``: bucket points into
+    radius-sized cells, join each point against the 3×3 neighborhood
+    of cells (the only cells that can hold a match — candidate count
+    is 9×density×|points|, linear, NOT all-pairs), filter by exact
+    squared-degree distance, keep each unordered pair once (id_a <
+    id_b), return the ``top`` closest (distance, then ids — a
+    TakeOrderedAndProject head).
+
+    This is THE scale shape for spatial self-joins: at 100 TB the
+    cell equi-join shuffles on (cell_x, cell_y) with partial
+    pre-bucketing, and a hot cell is a data-skew problem (salt it),
+    never a quadratic one."""
+    cx, cy = cell_id(F.col(lat_col), F.col(lon_col), radius_deg)
+    base = points.select(F.col(id_col).alias("id"),
+                         F.col(lat_col).alias("la"),
+                         F.col(lon_col).alias("lo"),
+                         cx.alias("cx"), cy.alias("cy"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+    probe = (base.select("id", "la", "lo", "cx", "cy", off)
+             .select(F.col("id").alias("id2"), F.col("la").alias("la2"),
+                     F.col("lo").alias("lo2"),
+                     (F.col("cx") + F.col("o.dx")).alias("cx"),
+                     (F.col("cy") + F.col("o.dy")).alias("cy")))
+    d2 = ((F.col("la") - F.col("la2")) * (F.col("la") - F.col("la2"))
+          + (F.col("lo") - F.col("lo2")) * (F.col("lo") - F.col("lo2")))
+    r2 = float(radius_deg) * float(radius_deg)
+    return (base.join(probe, ["cx", "cy"])
+            .filter(F.col("id") < F.col("id2"))
+            .withColumn("d2", d2)
+            .filter(F.col("d2") <= r2)
+            .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"),
+                    F.round(F.col("d2"), 10).alias("dist2"))
+            .orderBy("dist2", "id_a", "id_b").limit(top))
+
+
+def nearest_hub(points: DataFrame, hubs: DataFrame, id_col: str,
+                hub_col: str, lat_col: str = "lat", lon_col: str = "lon"
+                ) -> DataFrame:
+    """Assign every point to its nearest hub (squared-degree
+    distance, hub-id tiebreak) and count assignments per hub — the
+    broadcast-side spatial classify (region tagging, shard-by-geo).
+    Hubs must be small: they broadcast, each point scans |hubs|
+    candidates map-side, and the per-point argmin is one keyed
+    ``min(struct(d2, hub))`` aggregate (a single data-sized
+    exchange); the per-hub rollup reuses the tiny result."""
+    h = hubs.select(F.col(hub_col).alias("hub"),
+                    F.col(lat_col).alias("hla"),
+                    F.col(lon_col).alias("hlo"))
+    d2 = ((F.col("la") - F.col("hla")) * (F.col("la") - F.col("hla"))
+          + (F.col("lo") - F.col("hlo")) * (F.col("lo") - F.col("hlo")))
+    best = (points.select(F.col(id_col).alias("id"),
+                          F.col(lat_col).alias("la"),
+                          F.col(lon_col).alias("lo"))
+            .crossJoin(F.broadcast(h))
+            .groupBy("id")
+            .agg(F.min(F.struct(d2.alias("d2"), F.col("hub").alias("hub")))
+                 .alias("b")))
+    return (best.groupBy(F.col("b.hub").alias("hub"))
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("hub"))

@@ -5796,3 +5796,96 @@ def clustering_coeff_parts_q(spark, sf_dir):
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= 2).select("u", "v"))
     return clustering_coefficient(pairs, "u", "v")
+
+
+_GEO_PT = """
+  (('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8))::BIGINT
+   % 1800000) / 10000.0 - 90.0 AS {la},
+  (('0x' || substr(md5(CAST({k} AS VARCHAR)), 9, 8))::BIGINT
+   % 3600000) / 10000.0 - 180.0 AS {lo}
+"""
+
+
+@_q("geo_cell_density_customers", f"""
+WITH p AS (
+  SELECT {_GEO_PT.format(k='c_custkey', la='la', lo='lo')}
+  FROM customer)
+SELECT CAST(FLOOR(la / 1.0) AS BIGINT) AS cell_x,
+       CAST(FLOOR(lo / 1.0) AS BIGINT) AS cell_y,
+       COUNT(*) AS n
+FROM p GROUP BY 1, 2
+ORDER BY n DESC, cell_x, cell_y LIMIT 20
+""")
+def geo_cell_density_customers_q(spark, sf_dir):
+    """Densest 1-degree grid cells over md5-synthesized customer
+    coordinates — the bounded keyed count + TakeOrdered head every
+    spatial dashboard starts from."""
+    from vega_spark.functions.geo import cell_density, synthetic_coords
+    c = synthetic_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    return cell_density(c, cell_deg=1.0, top=20)
+
+
+@_q("geo_neighbor_pairs_customers", f"""
+WITH p AS (
+  SELECT c_custkey AS id,
+         {_GEO_PT.format(k='c_custkey', la='la', lo='lo')}
+  FROM customer),
+b AS (
+  SELECT id, la, lo, CAST(FLOOR(la / 2.0) AS BIGINT) AS cx,
+         CAST(FLOOR(lo / 2.0) AS BIGINT) AS cy
+  FROM p),
+o AS (SELECT dx, dy
+      FROM (SELECT UNNEST([-1, 0, 1]) AS dx)
+      CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy)),
+pr AS (SELECT id AS id2, la AS la2, lo AS lo2,
+              cx + dx AS cx, cy + dy AS cy
+       FROM b CROSS JOIN o),
+j AS (
+  SELECT b.id AS id_a, pr.id2 AS id_b,
+         (b.la - pr.la2) * (b.la - pr.la2)
+         + (b.lo - pr.lo2) * (b.lo - pr.lo2) AS d2
+  FROM b JOIN pr ON b.cx = pr.cx AND b.cy = pr.cy AND b.id < pr.id2)
+SELECT id_a, id_b, ROUND(d2, 10) AS dist2
+FROM j WHERE d2 <= 4.0
+ORDER BY dist2, id_a, id_b LIMIT 20
+""")
+def geo_neighbor_pairs_customers_q(spark, sf_dir):
+    """Closest customer pairs within 2 degrees via the 3x3
+    neighbor-cell equi-join — candidate generation linear in points,
+    never all-pairs; the oracle replays bucketing, offsets, the exact
+    squared-degree filter and the (dist, ids) head."""
+    from vega_spark.functions.geo import neighbor_pairs, synthetic_coords
+    c = synthetic_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    return neighbor_pairs(c, "c_custkey", radius_deg=2.0, top=20)
+
+
+@_q("geo_nearest_hub_nations", f"""
+WITH hubs AS (
+  SELECT n_nationkey AS hub,
+         {_GEO_PT.format(k='n_nationkey', la='hla', lo='hlo')}
+  FROM nation),
+pts AS (
+  SELECT c_custkey AS id,
+         {_GEO_PT.format(k='c_custkey', la='la', lo='lo')}
+  FROM customer),
+d AS (
+  SELECT p.id, h.hub,
+         (p.la - h.hla) * (p.la - h.hla)
+         + (p.lo - h.hlo) * (p.lo - h.hlo) AS d2
+  FROM pts p CROSS JOIN hubs h),
+r AS (
+  SELECT id, hub,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, hub) AS rn
+  FROM d)
+SELECT hub, COUNT(*) AS n_points FROM r WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+""")
+def geo_nearest_hub_nations_q(spark, sf_dir):
+    """Nearest-hub assignment: 25 nation-derived hubs broadcast to
+    every customer point, per-point argmin as one keyed
+    min(struct(d2, hub)) aggregate, per-hub rollup on the tiny
+    result."""
+    from vega_spark.functions.geo import nearest_hub, synthetic_coords
+    c = synthetic_coords(_t(spark, sf_dir, "customer"), "c_custkey")
+    hubs = synthetic_coords(_t(spark, sf_dir, "nation"), "n_nationkey")
+    return nearest_hub(c, hubs, "c_custkey", "n_nationkey")
