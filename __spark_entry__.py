@@ -47,7 +47,7 @@ _PRIORITY = [
     "kaplan_meier_conversion", "logreg_purchase_value",
     "l_diversity_docs", "clustering_coeff_parts",
     "geo_cell_density_customers", "geo_neighbor_pairs_customers",
-    "geo_nearest_hub_nations",
+    "geo_nearest_hub_nations", "streaming_session_windows",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "geo_cell_density_customers",  # bounded cell counts + TakeOrdered head
     "geo_neighbor_pairs_customers",  # 3x3 neighbor-cell radius join
     "geo_nearest_hub_nations",     # broadcast hubs, keyed argmin
+    "streaming_session_windows",   # merging session-window state, full drain
 ]
 
 

@@ -295,3 +295,15 @@ def test_running_totals_tws_raises_clear_error_without_protobuf(spark):
     df = spark.createDataFrame([("a", 1.0)], "event_type string, value double")
     with pytest.raises(ImportError, match="protobuf"):
         ST.running_totals_tws(df, "event_type", "value")
+
+
+def test_streaming_session_windows_match_batch_sessionize(spark, sf_dir):
+    # stream/batch parity: the streaming session_window drain must
+    # equal the batch gap-sessionizer row for row
+    from vega_spark.registry import QUERIES
+    stream_rows = sorted(
+        map(tuple, QUERIES["streaming_session_windows"](
+            spark, sf_dir).collect()))
+    batch_rows = sorted(
+        map(tuple, QUERIES["sessionize_gap"](spark, sf_dir).collect()))
+    assert stream_rows == batch_rows

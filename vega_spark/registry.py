@@ -1037,7 +1037,7 @@ def streaming_windowed_counts_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")  # ts is BIGINT nanoseconds
     stage = tempfile.mkdtemp(prefix="vega_stream_stage_")
     (ev.select("event_id",
-               F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+               F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
                "event_type", "value")
        .write.mode("overwrite").parquet(stage))
 
@@ -5889,3 +5889,51 @@ def geo_nearest_hub_nations_q(spark, sf_dir):
     c = synthetic_coords(_t(spark, sf_dir, "customer"), "c_custkey")
     hubs = synthetic_coords(_t(spark, sf_dir, "nation"), "n_nationkey")
     return nearest_hub(c, hubs, "c_custkey", "n_nationkey")
+
+
+@_q("streaming_session_windows", """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o)
+SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sess
+""")
+def streaming_session_windows_q(spark, sf_dir):
+    """STREAMING gap sessions: real readStream → ``session_window``
+    state (adjacent windows MERGE as events arrive — the stateful op
+    batch groupBy can't express incrementally) → memory sink, full
+    drain. Must equal the batch gaps-and-islands replay
+    (sessionize_gap's oracle) exactly — the stream/batch parity
+    contract of the unified model."""
+    import tempfile
+    import uuid
+
+    from vega_spark.streaming import sources as SS
+
+    ev = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="vega_stream_sess_")
+    (ev.select("user_id",
+               F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+       .write.mode("overwrite").parquet(stage))
+    stream = SS.stream_parquet(spark, stage, "user_id long, ts timestamp")
+    agg = (stream
+           .groupBy(F.session_window("ts", "30 minutes").alias("session"),
+                    "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    q = SS.to_memory(agg, name, output_mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    return (spark.table(name)
+            .select("user_id",
+                    F.unix_micros(F.col("session.start"))
+                    .alias("session_start_us"),
+                    "n_events"))
