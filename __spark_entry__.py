@@ -48,6 +48,8 @@ _PRIORITY = [
     "l_diversity_docs", "clustering_coeff_parts",
     "geo_cell_density_customers", "geo_neighbor_pairs_customers",
     "geo_nearest_hub_nations", "streaming_session_windows",
+    "pmi_collocations_docs", "gini_event_values",
+    "woe_iv_purchase_value", "user_growth_daily",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

@@ -168,6 +168,10 @@ BENCH_QUERIES = [
     "geo_neighbor_pairs_customers",  # 3x3 neighbor-cell radius join
     "geo_nearest_hub_nations",     # broadcast hubs, keyed argmin
     "streaming_session_windows",   # merging session-window state, full drain
+    "pmi_collocations_docs",       # in-row bigram PMI, bounded ln head
+    "gini_event_values",           # rank-form Gini, one exchange
+    "woe_iv_purchase_value",       # WOE/IV contingency screen
+    "user_growth_daily",           # first-seen + bounded cumsum fold
 ]
 
 

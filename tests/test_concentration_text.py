@@ -1,0 +1,73 @@
+"""PMI collocations, Gini concentration, WOE/IV, user growth
+(functions/text, operators/stats, functions/mlprep,
+functions/analytics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from vega_spark.functions.analytics import user_growth
+from vega_spark.functions.mlprep import woe_iv
+from vega_spark.functions.text import pmi_collocations
+from vega_spark.operators.stats import gini_by_group
+from vega_spark.plans.advisor import assert_scale_safe
+
+
+def test_pmi_ranks_exclusive_pair_above_common_words(spark):
+    # "alpha beta" always co-occur exclusively; "the" pairs with
+    # everything -> PMI(alpha, beta) must rank on top
+    docs = [("alpha beta",)] * 6 + [("the x",), ("the y",), ("the z",),
+                                    ("the w",), ("the v",)]
+    df = spark.createDataFrame(docs, "text string")
+    got = pmi_collocations(df, "text", min_count=5, top=5).collect()
+    assert (got[0].w1, got[0].w2) == ("alpha", "beta")
+    # exact PMI: nxy=6, nx=ny=6, nu=22, nb=11
+    expect = round(math.log(6 * 22 * 22 / (11 * 6 * 6)), 6)
+    assert got[0].pmi == expect
+
+
+def test_gini_extremes(spark):
+    # group a: perfectly equal -> gini 0; group b: one holder -> high
+    rows = [(i, "a", 10.0) for i in range(4)]
+    rows += [(10, "b", 0.0), (11, "b", 0.0), (12, "b", 0.0),
+             (13, "b", 100.0)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = {r.k: r.gini for r in
+           gini_by_group(df, "k", "v", "id").collect()}
+    assert got["a"] == 0.0
+    # rank form with one holder of everything: 2*4/(4*1) - 5/4 = 0.75
+    assert got["b"] == 0.75
+
+
+def test_woe_iv_separating_feature(spark):
+    # label=1 concentrated in high bins -> positive woe up top,
+    # negative at the bottom, IV clearly > 0
+    rows = [(float(v), 1 if v >= 80 else 0) for v in range(100)]
+    df = spark.createDataFrame(rows, "value double, y int")
+    got = woe_iv(df, F.col("y") == 1, "value", bins=10).collect()
+    by_bin = {r.bin: r for r in got}
+    assert by_bin[9].woe > 1.0
+    assert by_bin[0].woe < 0.0
+    assert got[0].iv == got[-1].iv and got[0].iv > 1.0
+
+
+def test_user_growth_cumulative(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base), (2, base),
+            (1, base + dt.timedelta(days=1)),          # not new on day 2
+            (3, base + dt.timedelta(days=1)),
+            (4, base + dt.timedelta(days=3))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = [(r.new_users, r.cum_users)
+           for r in user_growth(df).collect()]
+    assert got == [(2, 2), (1, 3), (1, 4)]
+
+
+def test_concentration_plans_scale_safe(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    for name in ("pmi_collocations_docs", "gini_event_values",
+                 "woe_iv_purchase_value", "user_growth_daily"):
+        assert_scale_safe(QUERIES[name](spark, sf_dir))

@@ -979,3 +979,44 @@ def kaplan_meier(events: DataFrame, user_col: str = "user_id",
                     F.round(F.col("r.s"), round_dp).alias("survival"))
             .filter(F.col("n_converted") > 0)
             .orderBy("dur_units"))
+
+
+def user_growth(events: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts") -> DataFrame:
+    """Daily user growth: new users (first ever appearance) and the
+    running cumulative total per day — the north-star growth chart.
+    Plan: one keyed MIN per user (the only data-sized shuffle), one
+    count onto the bounded day frame; the cumulative sum is the same
+    bounded in-memory fold Kaplan-Meier uses (sorted array +
+    ``F.aggregate``) — no global window, exact integers end to
+    end."""
+    day = (F.unix_timestamp(F.col(ts_col)).cast("long") / 86400) \
+        .cast("long")
+    first = (events.groupBy(F.col(user_col).alias("u"))
+             .agg(F.min(day).alias("d0")))
+    daily = first.groupBy(F.col("d0").alias("day")) \
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "new_users")))
+        .alias("arr"))
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.array().cast(
+            "array<struct<day:bigint,new_users:bigint,cum:bigint>>")
+        .alias("out"))
+
+    def step(acc, x):
+        c = acc["cum"] + x["new_users"]
+        row = F.struct(x["day"].alias("day"),
+                       x["new_users"].alias("new_users"),
+                       c.alias("cum"))
+        return F.struct(c.alias("cum"),
+                        F.concat(acc["out"], F.array(row)).alias("out"))
+
+    folded = packed.select(
+        F.explode(F.aggregate(F.col("arr"), init, step)["out"])
+        .alias("r"))
+    return (folded.select(F.col("r.day").alias("day"),
+                          F.col("r.new_users").alias("new_users"),
+                          F.col("r.cum").alias("cum_users"))
+            .orderBy("day"))

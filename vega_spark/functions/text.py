@@ -499,3 +499,47 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text",
                  F.round(F.sum(term).cast("double")
                          / (F.count(F.lit(1)) * 1_000_000.0), round_dp)
                  .alias("avg_logprob")))
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 5, top: int = 20,
+                     round_dp: int = 6) -> DataFrame:
+    """Top PMI collocations: adjacent token pairs whose co-occurrence
+    beats chance — pointwise mutual information
+    ln(P(xy) / (P(x)·P(y))) over bigram and unigram frequencies, the
+    classic phrase detector (word2vec-phrases, Hanks/Church) run
+    before vocabulary building so 'new york' becomes one token.
+
+    All frequencies are exact integer counts (one unigram and one
+    bigram keyed count — two data shuffles, map-side combined); the
+    single ln per surviving pair happens on the bounded
+    ``min_count``-filtered frame, and the head is a
+    TakeOrderedAndProject on (pmi desc, pair). Bigrams pair in-row
+    (arrays_zip of two slices — narrow, no self-join)."""
+    ts = tokens(text_col)
+    base = df.select(ts.alias("ts")).filter(F.size("ts") >= 2)
+    bi = base.select(F.explode(F.arrays_zip(
+        F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("w1"),
+        F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"))).alias("b"))
+    bic = (bi.groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+           .agg(F.count(F.lit(1)).alias("nxy"))
+           .filter(F.col("nxy") >= min_count))
+    uni = (df.select(F.explode(ts).alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    tot = uni.agg(F.sum("n").alias("nu"))
+    # bigram total counts EVERY adjacent pair (pre-min_count): P(xy)
+    # must normalize by the full bigram mass, not the surviving head
+    nb = base.agg(F.sum(F.size("ts") - 1).alias("nb"))
+    # unigram-count joins are keyed equi-joins; Catalyst broadcasts
+    # them when the vocabulary is small and shuffles when it isn't
+    j = (bic.join(uni.select(F.col("t").alias("w1"),
+                             F.col("n").alias("nx")), "w1")
+         .join(uni.select(F.col("t").alias("w2"),
+                          F.col("n").alias("ny")), "w2")
+         .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(nb)))
+    pmi = F.log(F.col("nxy").cast("double") * F.col("nu") * F.col("nu")
+                / (F.col("nb").cast("double") * F.col("nx")
+                   * F.col("ny")))
+    return (j.select("w1", "w2", "nxy",
+                     F.round(pmi, round_dp).alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(top))

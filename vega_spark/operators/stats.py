@@ -755,3 +755,38 @@ def l_diversity_audit(df: DataFrame, quasi_cols: Sequence[str],
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def gini_by_group(df: DataFrame, group_col: str, value_col: str,
+                  id_col: str, round_dp: int = 6) -> DataFrame:
+    """Gini coefficient of a non-negative value per group — the
+    concentration number (is 1% of users 99% of the spend?) behind
+    every revenue/inequality readout. Rank formulation:
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the ascending sort; ties
+    permute equal values only, so the integer sum Σ i·x₍ᵢ₎ is
+    order-invariant and any engine replays it exactly (id tiebreak
+    pins the rank anyway).
+
+    Plan: ONE hash exchange on the group key — the ranking window and
+    the per-group fold share the partitioning. Values integerize to
+    cents; Σ i·cents stays in int64 for groups up to ~10M rows at
+    typical cent magnitudes — beyond that, feed pre-aggregated
+    (value, count) bins (hist_partial) instead of raw rows."""
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    w = Window.partitionBy("grp").orderBy("c", id_col)
+    ranked = (df.select(F.col(group_col).alias("grp"),
+                        F.col(id_col), cents.alias("c"))
+              .withColumn("i", F.row_number().over(w)))
+    agg = (ranked.groupBy("grp")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"),
+                F.sum(F.col("i") * F.col("c")).alias("si")))
+    gini = (2.0 * F.col("si").cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+            - (F.col("n") + 1).cast("double") / F.col("n"))
+    return (agg.filter(F.col("s") > 0)
+            .select(F.col("grp").alias(group_col), "n",
+                    F.round(F.col("s") / 100.0, 2).alias("total"),
+                    F.round(gini, round_dp).alias("gini"))
+            .orderBy(group_col))

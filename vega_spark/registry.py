@@ -5937,3 +5937,118 @@ def streaming_session_windows_q(spark, sf_dir):
                     F.unix_micros(F.col("session.start"))
                     .alias("session_start_us"),
                     "n_events"))
+
+
+@_q("pmi_collocations_docs", """
+WITH base AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+uni AS (SELECT t, COUNT(*) AS n
+        FROM (SELECT unnest(ts) AS t FROM base) GROUP BY t),
+tot AS (SELECT SUM(n) AS nu FROM uni),
+tokix AS (
+  SELECT doc, unnest(ts) AS t, generate_subscripts(ts, 1) AS i
+  FROM base WHERE len(ts) >= 2),
+bi0 AS (
+  SELECT a.t AS w1, b.t AS w2
+  FROM tokix a JOIN tokix b ON a.doc = b.doc AND b.i = a.i + 1),
+bic AS (SELECT w1, w2, COUNT(*) AS nxy FROM bi0 GROUP BY 1, 2
+        HAVING COUNT(*) >= 5),
+nb AS (SELECT SUM(len(ts) - 1) AS nb FROM base WHERE len(ts) >= 2)
+SELECT w1, w2, nxy,
+       ROUND(LN(CAST(nxy AS DOUBLE) * nu * nu
+                / (CAST(nb.nb AS DOUBLE) * ux.n * uy.n)), 6) AS pmi
+FROM bic JOIN uni ux ON bic.w1 = ux.t JOIN uni uy ON bic.w2 = uy.t
+CROSS JOIN tot CROSS JOIN nb
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+""")
+def pmi_collocations_docs_q(spark, sf_dir):
+    """Top-PMI adjacent-token collocations over the documents corpus
+    (min bigram count 5) — in-row bigram fan-out, two keyed counts,
+    bounded ln head; the oracle replays tokenize/pair/count/ln."""
+    from vega_spark.functions.text import pmi_collocations
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5, top=20)
+
+
+@_q("gini_event_values", """
+WITH r AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(ROUND(value * 100, 0) AS BIGINT), event_id)
+         AS i
+  FROM events),
+a AS (SELECT grp, COUNT(*) AS n, SUM(c) AS s, SUM(i * c) AS si
+      FROM r GROUP BY 1)
+SELECT grp AS event_type, n, ROUND(s / 100.0, 2) AS total,
+       ROUND(2.0 * CAST(si AS DOUBLE) / CAST(n * s AS DOUBLE)
+             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM a WHERE s > 0 ORDER BY 1
+""")
+def gini_event_values_q(spark, sf_dir):
+    """Gini concentration of event value per type — rank formulation
+    on exact integer cents, one hash exchange (window + fold share
+    the group partitioning); oracle replays ranks and the closed
+    form."""
+    from vega_spark.operators.stats import gini_by_group
+    ev = _t(spark, sf_dir, "events")
+    return gini_by_group(ev, "event_type", "value", "event_id")
+
+
+@_q("woe_iv_purchase_value", """
+WITH cells AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(FLOOR((value - 0.0) / 10.0) AS INTEGER))) AS bin,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS pos,
+         SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+         AS neg
+  FROM events GROUP BY 1),
+tot AS (SELECT SUM(pos) AS pt, SUM(neg) AS nt FROM cells),
+per AS (
+  SELECT bin, pos, neg,
+         (pos + 0.5) / (pt + 0.5 * 10) AS ps,
+         (neg + 0.5) / (nt + 0.5 * 10) AS ns
+  FROM cells CROSS JOIN tot),
+w AS (
+  SELECT bin, pos, neg, ROUND(LN(ps / ns), 6) AS woe,
+         ROUND((ps - ns) * LN(ps / ns), 6) AS iv_contrib,
+         (ps - ns) * LN(ps / ns) AS c
+  FROM per),
+iv AS (SELECT ROUND(SUM(c), 6) AS iv FROM w)
+SELECT bin, pos, neg, woe, iv_contrib, iv
+FROM w CROSS JOIN iv ORDER BY bin
+""")
+def woe_iv_purchase_value_q(spark, sf_dir):
+    """Weight-of-evidence / information value of the value column for
+    predicting purchases (10 fixed bins, 0.5 Laplace smoothing) —
+    one contingency pass, all float ops on the bounded cell frame."""
+    from vega_spark.functions.mlprep import woe_iv
+    ev = _t(spark, sf_dir, "events")
+    return woe_iv(ev, (F.col("event_type") == "purchase"), "value",
+                  bins=10, lo=0.0, hi=100.0)
+
+
+@_q("user_growth_daily", """
+WITH f AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS d0
+  FROM events GROUP BY 1),
+d AS (SELECT d0 AS day, COUNT(*) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       AS cum_users
+FROM d ORDER BY day
+""")
+def user_growth_daily_q(spark, sf_dir):
+    """Daily new + cumulative users (first-appearance day per user);
+    the running total folds over the bounded day frame — no global
+    window — and the oracle replays it as a window cumsum."""
+    from vega_spark.functions.analytics import user_growth
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return user_growth(ev)
