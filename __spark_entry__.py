@@ -50,6 +50,7 @@ _PRIORITY = [
     "geo_nearest_hub_nations", "streaming_session_windows",
     "pmi_collocations_docs", "gini_event_values",
     "woe_iv_purchase_value", "user_growth_daily",
+    "scd2_temporal_purchases", "rfm_user_segments",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

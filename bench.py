@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "gini_event_values",           # rank-form Gini, one exchange
     "woe_iv_purchase_value",       # WOE/IV contingency screen
     "user_growth_daily",           # first-seen + bounded cumsum fold
+    "scd2_temporal_purchases",     # point-in-time SCD2 enrichment join
+    "rfm_user_segments",           # fixed-threshold RFM grid
 ]
 
 

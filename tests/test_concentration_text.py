@@ -71,3 +71,41 @@ def test_concentration_plans_scale_safe(spark, sf_dir):
     for name in ("pmi_collocations_docs", "gini_event_values",
                  "woe_iv_purchase_value", "user_growth_daily"):
         assert_scale_safe(QUERIES[name](spark, sf_dir))
+
+
+def test_temporal_join_scd2_picks_containing_version(spark):
+    from vega_spark.functions.analytics import temporal_join_scd2
+    dim = spark.createDataFrame(
+        [(1, "bronze", 0, 100), (1, "gold", 100, None),
+         (2, "silver", 50, None)],
+        "user_id long, state string, valid_from long, valid_to long")
+    facts = spark.createDataFrame(
+        [(1, 99), (1, 100), (1, 500), (2, 10), (3, 7)],
+        "user_id long, ts long")
+    got = {(r.user_id, r.ts): r.state
+           for r in temporal_join_scd2(facts, dim, "user_id",
+                                       "ts").collect()}
+    assert got == {(1, 99): "bronze", (1, 100): "gold",
+                   (1, 500): "gold", (2, 10): None, (3, 7): None}
+
+
+def test_rfm_segments_scores_and_counts(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 20)
+    rows = []
+    # whale: active today, 600 events of value 100 -> (4,4,4)
+    for i in range(600):
+        rows.append((1, base, 100.0))
+    # lapsed light user: 1 event 30 days ago, small value -> (1,1,1)
+    rows.append((2, base - dt.timedelta(days=30), 1.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    from vega_spark.functions.analytics import rfm_segments
+    got = {(r.r_score, r.f_score, r.m_score): r.n_users
+           for r in rfm_segments(df).collect()}
+    assert got == {(4, 4, 4): 1, (1, 1, 1): 1}
+
+
+def test_scd2_rfm_plans_scale_safe(spark, sf_dir):
+    from vega_spark.registry import QUERIES
+    for name in ("scd2_temporal_purchases", "rfm_user_segments"):
+        assert_scale_safe(QUERIES[name](spark, sf_dir))

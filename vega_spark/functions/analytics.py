@@ -1020,3 +1020,77 @@ def user_growth(events: DataFrame, user_col: str = "user_id",
                           F.col("r.new_users").alias("new_users"),
                           F.col("r.cum").alias("cum_users"))
             .orderBy("day"))
+
+
+def temporal_join_scd2(facts: DataFrame, dim: DataFrame, key: str,
+                       fact_ts_col: str, valid_from_col: str = "valid_from",
+                       valid_to_col: str = "valid_to",
+                       how: str = "left") -> DataFrame:
+    """Temporal (point-in-time) join: attach to each fact row the
+    dimension version whose validity interval contains the fact
+    timestamp — the SCD2 consumer every warehouse query 'as of
+    transaction time' needs. Open-ended current versions
+    (``valid_to`` NULL) match everything from ``valid_from`` on.
+
+    Plan: a keyed EQUI-join on the entity key (one shuffle, AQE/
+    broadcast eligible) with the interval predicate as a join filter
+    — correct because SCD2 versions per key are non-overlapping, so
+    at most one version matches and fan-out is bounded by versions
+    per entity, never |facts|x|dim|. The degenerate interval-only
+    join (no entity key) is the range-join problem — use
+    operators/joins.range_join's bucketing instead."""
+    d = dim.select(F.col(key).alias("__k"),
+                   F.col(valid_from_col).alias("__vf"),
+                   F.col(valid_to_col).alias("__vt"),
+                   *[c for c in dim.columns
+                     if c not in (key, valid_from_col, valid_to_col)])
+    cond = ((facts[key] == d["__k"])
+            & (d["__vf"] <= facts[fact_ts_col])
+            & (d["__vt"].isNull()
+               | (facts[fact_ts_col] < d["__vt"])))
+    return facts.join(d, cond, how).drop("__k", "__vf", "__vt")
+
+
+def rfm_segments(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 r_days: tuple[int, int, int] = (2, 7, 14),
+                 f_n: tuple[int, int, int] = (100, 300, 500),
+                 m_cents: tuple[int, int, int] = (500_000, 1_500_000,
+                                                  3_000_000),
+                 ) -> DataFrame:
+    """RFM segmentation: score every user 1-4 on Recency (days since
+    last event), Frequency (event count) and Monetary (total value,
+    exact cents) against FIXED thresholds, then count users per
+    (r, f, m) cell — the marketing-standard customer grid. Fixed
+    thresholds (not per-batch quantiles) keep segments comparable
+    across runs and the computation deterministic on any engine.
+
+    Plan: one keyed aggregate per user (the only data-sized shuffle),
+    max-day broadcast back, scores are pure integer comparisons, and
+    the final rollup lands on the ≤64-cell grid."""
+    day = (F.unix_timestamp(F.col(ts_col)).cast("long") / 86400) \
+        .cast("long")
+    u = (events.groupBy(F.col(user_col).alias("u"))
+         .agg(F.max(day).alias("last_d"),
+              F.count(F.lit(1)).alias("f"),
+              F.sum(F.round(F.col(value_col) * 100, 0).cast("long"))
+              .alias("m")))
+    gmax = u.agg(F.max("last_d").alias("gmax"))
+
+    def score(c: F.Column, t1, t2, t3, reverse: bool = False):
+        if reverse:  # smaller is better (recency)
+            return (F.when(c <= t1, 4).when(c <= t2, 3)
+                    .when(c <= t3, 2).otherwise(1))
+        return (F.when(c >= t3, 4).when(c >= t2, 3)
+                .when(c >= t1, 2).otherwise(1))
+
+    scored = (u.crossJoin(F.broadcast(gmax))
+              .select(score(F.col("gmax") - F.col("last_d"),
+                            *r_days, reverse=True).alias("r_score"),
+                      score(F.col("f"), *f_n).alias("f_score"),
+                      score(F.col("m"), *m_cents).alias("m_score"),
+                      F.col("m")))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.sum("m") / 100.0, 2).alias("total_value"))
+            .orderBy("r_score", "f_score", "m_score"))

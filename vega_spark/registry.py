@@ -6052,3 +6052,88 @@ def user_growth_daily_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return user_growth(ev)
+
+
+@_q("scd2_temporal_purchases", """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (
+  SELECT user_id, event_type, ts_us, event_id FROM e
+  WHERE prev IS NULL OR prev <> event_type),
+runs AS (
+  SELECT user_id, event_type AS state, ts_us AS vf,
+         LEAD(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS vt
+  FROM c),
+f AS (
+  SELECT user_id, epoch_us(ts) - 1 AS tsq,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT f.cents, r.state
+  FROM f LEFT JOIN runs r
+    ON f.user_id = r.user_id AND r.vf <= f.tsq
+       AND (r.vt IS NULL OR f.tsq < r.vt))
+SELECT COALESCE(state, 'none') AS prev_state,
+       COUNT(*) AS n_purchases,
+       ROUND(SUM(cents) / 100.0, 2) AS total_value
+FROM j GROUP BY 1
+""")
+def scd2_temporal_purchases_q(spark, sf_dir):
+    """Point-in-time SCD2 enrichment: each purchase joined to the
+    user's state run in effect 1µs BEFORE it (the state transitioned
+    from) — keyed equi-join with the validity interval as join
+    filter; versions are non-overlapping so at most one matches.
+    Purchases with no prior state bucket as 'none'."""
+    from vega_spark.functions.analytics import (scd2_from_events,
+                                                temporal_join_scd2)
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_events(ev, "user_id", "event_type", "ts",
+                           "event_id").select(
+        "user_id", "state", "valid_from", "valid_to")
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id",
+                     (F.col("ts") - 1000).alias("tsq"),
+                     F.round(F.col("value") * 100, 0).cast("long")
+                     .alias("cents")))
+    j = temporal_join_scd2(facts, dim, "user_id", "tsq")
+    return (j.groupBy(F.coalesce(F.col("state"), F.lit("none"))
+                      .alias("prev_state"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.round(F.sum("cents") / 100.0, 2)
+                 .alias("total_value")))
+
+
+@_q("rfm_user_segments", """
+WITH u AS (
+  SELECT user_id,
+         MAX(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS last_d,
+         COUNT(*) AS f,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS m
+  FROM events GROUP BY 1),
+g AS (SELECT MAX(last_d) AS gmax FROM u),
+s AS (
+  SELECT CASE WHEN gmax - last_d <= 2 THEN 4
+              WHEN gmax - last_d <= 7 THEN 3
+              WHEN gmax - last_d <= 14 THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN f >= 500 THEN 4 WHEN f >= 300 THEN 3
+              WHEN f >= 100 THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN m >= 3000000 THEN 4 WHEN m >= 1500000 THEN 3
+              WHEN m >= 500000 THEN 2 ELSE 1 END AS m_score,
+         m
+  FROM u CROSS JOIN g)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+       ROUND(SUM(m) / 100.0, 2) AS total_value
+FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""")
+def rfm_user_segments_q(spark, sf_dir):
+    """RFM customer grid over events: fixed-threshold 1-4 scores on
+    recency / frequency / monetary (exact cents), user counts and
+    value per cell."""
+    from vega_spark.functions.analytics import rfm_segments
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return rfm_segments(ev)
