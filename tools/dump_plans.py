@@ -105,6 +105,30 @@ SHOWCASE: list[tuple[str, str]] = [
      "Exchange; every resampling step after — totals, leave-one-out "
      "means, variance combine — runs on the groups x folds frame, "
      "joined back as BroadcastExchanges."),
+    ("kaplan_meier_conversion",
+     "Survival curve without a global window: per-user conditional "
+     "MINs cross one user-keyed Exchange; the ordered risk-set "
+     "recursion folds over a collected SORTED ARRAY bounded by the "
+     "time span — the inherently-sequential part never touches a "
+     "data-sized partition."),
+    ("geo_neighbor_pairs_customers",
+     "Spatial radius self-join as a cell equi-join: points bucket "
+     "into radius-sized grid cells, the probe side explodes 9 "
+     "neighbor offsets (9x a bounded frame, narrow), and the ONLY "
+     "join is hash-partitioned on (cell_x, cell_y) — candidate "
+     "count stays linear in points at any scale; the head is "
+     "TakeOrderedAndProject."),
+    ("logreg_purchase_value",
+     "A learner as a declarative plan: each GD step is one scan + "
+     "map-side-combined aggregate; weights flow forward as 1-row "
+     "BroadcastExchanges — no driver loop, no collect, fixed "
+     "3-scan pipeline at any data size."),
+    ("scd2_temporal_purchases",
+     "Point-in-time join: SCD2 versions and facts meet on a keyed "
+     "equi-join (one Exchange each side) with the validity interval "
+     "as a join FILTER — correct because versions per key are "
+     "non-overlapping, so fan-out is bounded; never an interval "
+     "cross-product."),
 ]
 
 

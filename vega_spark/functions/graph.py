@@ -76,7 +76,8 @@ def pagerank(edges: DataFrame, src: str, dst: str,
 
 
 def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
+                   dst: str = "dst",
+                   materialize_edges: bool = True) -> DataFrame:
     """Per-node triangle counts (nodes in no triangle omitted) via
     degree orientation — the MapReduce-classic that bounds wedge
     fan-out: each undirected edge points from its lower-(degree, id)
@@ -90,10 +91,18 @@ def triangle_count(edges: DataFrame, src: str = "src",
     Self-loops and duplicate/reverse edges are cleaned first. Plan:
     two node-sized degree joins, one self-join on the apex, one
     closure join on the canonical pair — all equi-joins Catalyst can
-    broadcast or shuffle by stats."""
+    broadcast or shuffle by stats.
+
+    The canonical edge frame feeds THREE consumers (degrees, wedge
+    orientation, closure probe); when the edges are themselves
+    derived (a basket self-join), ``materialize_edges`` (default)
+    localCheckpoints them once instead of re-deriving per consumer —
+    on a cluster, persist(DISK_ONLY) is the equivalent."""
     e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
                       F.greatest(F.col(src), F.col(dst)).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
     deg = (e.select(F.col("a").alias("n"))
            .union(e.select(F.col("b").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
@@ -282,10 +291,13 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
                       F.greatest(F.col(src), F.col(dst)).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
+    # the canonical edges feed degrees AND all of triangle_count's
+    # consumers — materialize once (cluster equivalent: persist)
+    e = e.localCheckpoint(eager=True)
     deg = (e.select(F.col("a").alias("n"))
            .union(e.select(F.col("b").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
-    tri = triangle_count(e, "a", "b")
+    tri = triangle_count(e, "a", "b", materialize_edges=False)
     per = (deg.join(tri, deg["n"] == tri["node"], "left")
            .select(deg["n"], "d",
                    F.coalesce(F.col("triangles"), F.lit(0))
