@@ -458,3 +458,29 @@ def test_advisor_clean_on_round2_continuation_queries(spark, sf_dir):
                  "calibration_value_purchase", "decile_lift_purchase",
                  "readability_docs", "profile_orders", "bigram_lm_docs"):
         assert_scale_safe(QUERIES[name](spark, sf_dir))
+
+
+def test_advisor_accepts_partitioned_unordered_window(spark):
+    # regression: a partitioned-but-UNORDERED window has only two
+    # argument groups in the formatted plan; the advisor must not
+    # mistake it for a global window (funnel/q17 shape)
+    from pyspark.sql.window import Window
+    from vega_spark.plans.advisor import analyze_plan
+    df = spark.range(100).withColumnRenamed("id", "a")
+    ok = df.withColumn("mx", F.max("a").over(
+        Window.partitionBy(F.col("a") % 10)))
+    assert "global-window" not in {f["code"] for f in analyze_plan(ok)}
+
+
+def test_scale_audit_whole_registry_no_fatals(spark, sf_dir):
+    # the repo-wide sweep: every registry query's plan must be free
+    # of global windows and cartesian products (tools/scale_audit.py
+    # is the CLI twin of this test)
+    from vega_spark.plans.advisor import analyze_plan
+    from vega_spark.registry import QUERIES
+    fatals = []
+    for name, fn in QUERIES.items():
+        findings = analyze_plan(fn(spark, sf_dir))
+        fatals += [(name, f["code"]) for f in findings
+                   if f["severity"] == "FATAL"]
+    assert fatals == []

@@ -31,18 +31,38 @@ from pyspark.sql import DataFrame
 from vega_spark.plans.inspect import plan_text
 
 
-def _window_partition_groups(args_line: str) -> int:
-    """Count top-level [...] groups in a Window node's Arguments
-    line: 3 (exprs, partition, order) when partitioned, 2 when not."""
-    depth, groups = 0, 0
-    for ch in args_line:
-        if ch == "[":
-            if depth == 0:
-                groups += 1
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-    return groups
+def _window_is_global(args_line: str) -> bool:
+    """True when a Window node's Arguments line shows NO partition
+    spec. Group-counting is ambiguous (a partitioned-but-unordered
+    window also has 2 top-level groups), so parse each
+    windowspecdefinition directly: its arguments before
+    specifiedwindowframe are partition columns (bare refs) followed
+    by order columns (carrying ASC/DESC) — a spec whose leading args
+    are empty or all ordered has no PARTITION BY."""
+    for m in re.finditer(r"windowspecdefinition\((.*?)specifiedwindowframe",
+                         args_line):
+        inner = m.group(1).rstrip(", ")
+        if not inner:
+            return True  # neither partition nor order columns
+        # split top-level commas
+        parts, depth, cur = [], 0, ""
+        for ch in inner:
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            cur += ch
+        if cur.strip():
+            parts.append(cur)
+        has_partition = any(" ASC" not in p and " DESC" not in p
+                            for p in parts if p.strip())
+        if not has_partition:
+            return True
+    return False
 
 
 def analyze_plan(df: DataFrame) -> list[dict]:
@@ -53,7 +73,7 @@ def analyze_plan(df: DataFrame) -> list[dict]:
     for m in re.finditer(r"\(\d+\) Window\b.*?Arguments: (.*?)\n\n",
                          txt, re.S):
         args = " ".join(m.group(1).split("\n"))
-        if _window_partition_groups(args) < 3:
+        if _window_is_global(args):
             findings.append({
                 "code": "global-window", "severity": "FATAL",
                 "detail": "Window with no PARTITION BY: all rows "
