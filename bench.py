@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "user_growth_daily",           # first-seen + bounded cumsum fold
     "scd2_temporal_purchases",     # point-in-time SCD2 enrichment join
     "rfm_user_segments",           # fixed-threshold RFM grid
+    "active_time_per_user",        # interval-union engagement coverage
 ]
 
 

@@ -109,3 +109,18 @@ def test_scd2_rfm_plans_scale_safe(spark, sf_dir):
     from vega_spark.registry import QUERIES
     for name in ("scd2_temporal_purchases", "rfm_user_segments"):
         assert_scale_safe(QUERIES[name](spark, sf_dir))
+
+
+def test_active_time_merges_overlapping_windows(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # user 1: events at 0 and 3 min (windows overlap -> ONE session
+    # covering 0..8 min = 480 s); user 2: 0 and 20 min (two disjoint
+    # 5-min windows = 600 s)
+    rows = [(1, base), (1, base + dt.timedelta(minutes=3)),
+            (2, base), (2, base + dt.timedelta(minutes=20))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from vega_spark.functions.analytics import active_time_per_user
+    got = {r.user_id: (r.n_sessions, r.active_s)
+           for r in active_time_per_user(df).collect()}
+    assert got == {1: (1, 480), 2: (2, 600)}

@@ -278,3 +278,66 @@ def test_bfs_matches_python_reference(spark, edges):
     got = {r.node: r.dist
            for r in bfs_distances(df, max_hops=4).collect()}
     assert got == want
+
+
+@given(evs=st.lists(st.tuples(st.integers(0, 6),        # user
+                              st.integers(0, 400),      # hour offset
+                              st.booleans()),            # converts?
+                    min_size=2, max_size=30))
+@SLOW
+def test_kaplan_meier_properties(spark, evs):
+    # survival is in [0, 1], non-increasing in duration, and the
+    # at-risk counts are non-increasing too — for ANY event stream
+    import datetime as dt
+    from vega_spark.functions.analytics import kaplan_meier
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, h, conv in evs:
+        rows.append((u, base + dt.timedelta(hours=h),
+                     "purchase" if conv else "view"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = kaplan_meier(df).collect()
+    survs = [r.survival for r in out]
+    risks = [r.n_risk for r in out]
+    assert all(0.0 <= s <= 1.0 for s in survs)
+    assert survs == sorted(survs, reverse=True)
+    assert risks == sorted(risks, reverse=True)
+    assert all(r.n_converted >= 1 for r in out)
+
+
+@given(vals=st.lists(st.integers(0, 1000), min_size=2, max_size=25))
+@SLOW
+def test_gini_bounds_and_translation(spark, vals):
+    # gini in [0, 1); 0 iff all equal (when total > 0)
+    from vega_spark.operators.stats import gini_by_group
+    rows = [(i, "g", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    out = gini_by_group(df, "k", "v", "id").collect()
+    if sum(vals) == 0:
+        assert out == []
+        return
+    g = out[0].gini
+    assert 0.0 <= g < 1.0
+    if len(set(vals)) == 1:
+        assert g == 0.0
+
+
+@given(counts=st.lists(st.integers(1, 20), min_size=4, max_size=12))
+@SLOW
+def test_acf_bounded(spark, counts):
+    # autocorrelation of any hourly count series stays in [-1, 1]
+    import datetime as dt
+    from vega_spark.functions.analytics import hourly_autocorrelation
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append((1, base + dt.timedelta(hours=h, seconds=i),
+                         "view"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = hourly_autocorrelation(df, lags=(1, 2)).collect()
+    for r in out:
+        if r.acf is not None:
+            assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9

@@ -1094,3 +1094,29 @@ def rfm_segments(events: DataFrame, user_col: str = "user_id",
             .agg(F.count(F.lit(1)).alias("n_users"),
                  F.round(F.sum("m") / 100.0, 2).alias("total_value"))
             .orderBy("r_score", "f_score", "m_score"))
+
+
+def active_time_per_user(events: DataFrame, user_col: str = "user_id",
+                         ts_col: str = "ts", gap: str = "5 minutes",
+                         gap_us: int = 300_000_000) -> DataFrame:
+    """Total ACTIVE time per user: activity windows (each event keeps
+    the user active for ``gap``) merged where they overlap, summed —
+    the interval-union (gaps-and-islands coverage) metric real
+    engagement dashboards use instead of raw event counts, which
+    double-count bursts.
+
+    ``session_window`` does the merge in one keyed pass (same single
+    exchange as sessionization); window bounds are exact integer µs,
+    so the per-user totals replay on any engine. Output: (user,
+    n_sessions, active_s) with active_s = Σ(end − start) in whole
+    seconds, each window ending ``gap`` after its last event."""
+    s = (events.groupBy(F.session_window(ts_col, gap).alias("w"),
+                        F.col(user_col))
+         .agg(F.count(F.lit(1)).alias("n")))
+    dur_us = (F.unix_micros(F.col("w.end"))
+              - F.unix_micros(F.col("w.start")))
+    return (s.groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 (F.sum(dur_us) / 1_000_000).cast("long")
+                 .alias("active_s"))
+            .orderBy(user_col))

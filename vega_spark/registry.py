@@ -6137,3 +6137,35 @@ def rfm_user_segments_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return rfm_segments(ev)
+
+
+@_q("active_time_per_user", """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                   >= 300000000 THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o),
+i AS (
+  SELECT user_id,
+         MAX(epoch_us(ts)) + 300000000 - MIN(epoch_us(ts)) AS dur_us
+  FROM s GROUP BY user_id, sess)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(FLOOR(SUM(dur_us) / 1000000.0) AS BIGINT) AS active_s
+FROM i GROUP BY 1 ORDER BY 1
+""")
+def active_time_per_user_q(spark, sf_dir):
+    """Interval-union engagement: per user, merged 5-minute activity
+    windows summed to total active seconds — session_window does the
+    merge in one keyed exchange; the oracle replays gaps-and-islands
+    coverage with exact µs integers."""
+    from vega_spark.functions.analytics import active_time_per_user
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+    return active_time_per_user(ev)
