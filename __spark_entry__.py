@@ -51,7 +51,7 @@ _PRIORITY = [
     "pmi_collocations_docs", "gini_event_values",
     "woe_iv_purchase_value", "user_growth_daily",
     "scd2_temporal_purchases", "rfm_user_segments",
-    "active_time_per_user",
+    "active_time_per_user", "join_full_outer",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

@@ -6169,3 +6169,25 @@ def active_time_per_user_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
     return active_time_per_user(ev)
+
+
+@_q("join_full_outer", """
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'customer_only'
+            WHEN c.c_custkey IS NULL THEN 'order_only'
+            ELSE 'matched' END AS side,
+       COUNT(*) AS n
+FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""")
+def join_full_outer_q(spark, sf_dir):
+    """Full-outer join completing the §2.4 join-type matrix
+    (reference has inner only — src/rdd/rdd.rs join): match-status
+    census of customer ⟗ orders. One shuffle join + bounded agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    side = (F.when(F.col("o_orderkey").isNull(), "customer_only")
+            .when(F.col("c_custkey").isNull(), "order_only")
+            .otherwise("matched"))
+    return (j.groupBy(side.alias("side"))
+            .agg(F.count(F.lit(1)).alias("n")))
