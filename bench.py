@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "scd2_temporal_purchases",     # point-in-time SCD2 enrichment join
     "rfm_user_segments",           # fixed-threshold RFM grid
     "active_time_per_user",        # interval-union engagement coverage
+    "embedding_truncation_recall",  # Matryoshka dim-ablation recall
 ]
 
 

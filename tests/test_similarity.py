@@ -166,3 +166,16 @@ def test_pq_adc_recall_with_rerank(spark):
     ee = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
     for key in g & e:
         assert abs(ge[key] - ee[key]) < 1e-9
+
+
+def test_truncation_recall_full_dim_is_perfect(spark, sf_dir):
+    # truncating to the FULL dimension must reproduce the baseline
+    # exactly (recall 1.0); shorter prefixes are monotonically <= 1
+    from vega_spark.functions.similarity import truncation_recall
+    from vega_spark.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r.dim: r.recall_at_k
+           for r in truncation_recall(emb, dims=(16, 64), k=3,
+                                      n_queries=5).collect()}
+    assert out[64] == 1.0
+    assert 0.0 <= out[16] <= 1.0

@@ -509,3 +509,46 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
             .filter(F.col("rk") <= k)
             .select("query_id", "neighbor_id",
                     F.round("cos", 6).alias("cos"), "rk"))
+
+
+def truncation_recall(emb: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
+                      k: int = 5, n_queries: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      round_dp: int = 6) -> DataFrame:
+    """Embedding-truncation (Matryoshka-style) recall report: for
+    each prefix length d, the fraction of the FULL-dimension cosine
+    top-k that the d-dim truncation still retrieves — the ablation
+    that decides how many dimensions an index actually needs before
+    anyone pays for the full vectors at 100 TB.
+
+    Per d: one brute-force top-k (same broadcast-queries plan as
+    :func:`cosine_topk_bruteforce` — corpus never collected, per-key
+    window heads) and one (query, neighbor) equi-join against the
+    full-dim baseline; recall = |overlap| / |baseline| from exact
+    integer counts. Output: one row per d."""
+    queries = emb.filter(F.col(id_col) < n_queries)
+    full = cosine_topk_bruteforce(emb, queries, k=k, id_col=id_col,
+                                  vec_col=vec_col, query_id_col=id_col
+                                  ).select("query_id", "neighbor_id")
+    denom = full.agg(F.count(F.lit(1)).alias("nf"))
+    outs = []
+    for d in dims:
+        ct = emb.select(id_col, F.slice(F.col(vec_col), 1, d)
+                        .alias(vec_col))
+        qt = queries.select(id_col, F.slice(F.col(vec_col), 1, d)
+                            .alias(vec_col))
+        tk = cosine_topk_bruteforce(ct, qt, k=k, id_col=id_col,
+                                    vec_col=vec_col, query_id_col=id_col
+                                    ).select("query_id", "neighbor_id")
+        ov = (tk.join(full, ["query_id", "neighbor_id"])
+              .agg(F.count(F.lit(1)).alias("no")))
+        outs.append(ov.crossJoin(F.broadcast(denom)).select(
+            F.lit(int(d)).alias("dim"),
+            F.col("no").alias("n_overlap"),
+            F.round(F.col("no").cast("double") / F.col("nf"), round_dp)
+            .alias("recall_at_k")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("dim")

@@ -6191,3 +6191,50 @@ def join_full_outer_q(spark, sf_dir):
             .otherwise("matched"))
     return (j.groupBy(side.alias("side"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+_TRUNC_TOPK = """
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(list_slice(q.e, 1, {d}),
+                              list_slice(c.e, 1, {d}))
+             / (sqrt(list_dot_product(list_slice(q.e, 1, {d}),
+                                      list_slice(q.e, 1, {d})))
+                * sqrt(list_dot_product(list_slice(c.e, 1, {d}),
+                                        list_slice(c.e, 1, {d}))))
+             DESC, c.vec_id) AS rk
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id < 10) q
+    CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS e
+                FROM embeddings) c) WHERE rk <= 5
+"""
+
+
+@_q("embedding_truncation_recall", f"""
+WITH fullk AS ({_TRUNC_TOPK.format(d=64)}),
+nf AS (SELECT COUNT(*) AS nf FROM fullk),
+t8 AS ({_TRUNC_TOPK.format(d=8)}),
+t16 AS ({_TRUNC_TOPK.format(d=16)}),
+t32 AS ({_TRUNC_TOPK.format(d=32)}),
+o8 AS (SELECT COUNT(*) AS no FROM t8 JOIN fullk USING (query_id, neighbor_id)),
+o16 AS (SELECT COUNT(*) AS no FROM t16 JOIN fullk USING (query_id, neighbor_id)),
+o32 AS (SELECT COUNT(*) AS no FROM t32 JOIN fullk USING (query_id, neighbor_id))
+SELECT 8 AS dim, no AS n_overlap,
+       ROUND(CAST(no AS DOUBLE) / nf, 6) AS recall_at_k
+FROM o8 CROSS JOIN nf
+UNION ALL
+SELECT 16, no, ROUND(CAST(no AS DOUBLE) / nf, 6) FROM o16 CROSS JOIN nf
+UNION ALL
+SELECT 32, no, ROUND(CAST(no AS DOUBLE) / nf, 6) FROM o32 CROSS JOIN nf
+ORDER BY 1
+""")
+def embedding_truncation_recall_q(spark, sf_dir):
+    """Matryoshka-style truncation ablation: recall@5 of 8/16/32-dim
+    embedding prefixes against the full 64-dim cosine top-5 — the
+    report that sizes an ANN index's dimension budget. Same broadcast
+    brute-force plan per prefix; overlap counted by an exact
+    (query, neighbor) join."""
+    from vega_spark.functions.similarity import truncation_recall
+    emb = _t(spark, sf_dir, "embeddings")
+    return truncation_recall(emb, dims=(8, 16, 32), k=5, n_queries=10)
