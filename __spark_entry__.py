@@ -52,7 +52,7 @@ _PRIORITY = [
     "woe_iv_purchase_value", "user_growth_daily",
     "scd2_temporal_purchases", "rfm_user_segments",
     "active_time_per_user", "join_full_outer",
-    "embedding_truncation_recall",
+    "embedding_truncation_recall", "sparse_cosine_doc_pairs",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

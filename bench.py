@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "rfm_user_segments",           # fixed-threshold RFM grid
     "active_time_per_user",        # interval-union engagement coverage
     "embedding_truncation_recall",  # Matryoshka dim-ablation recall
+    "sparse_cosine_doc_pairs",     # TF-IDF postings term-join similarity
 ]
 
 

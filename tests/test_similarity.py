@@ -179,3 +179,18 @@ def test_truncation_recall_full_dim_is_perfect(spark, sf_dir):
                                       n_queries=5).collect()}
     assert out[64] == 1.0
     assert 0.0 <= out[16] <= 1.0
+
+
+def test_sparse_cosine_pairs_identical_docs_top(spark):
+    # two identical docs (shared rare terms) must be the top pair
+    # with cosine 1.0; the df guard drops the ubiquitous term
+    from vega_spark.functions.search import sparse_cosine_pairs
+    rows = [(1, "zeta omega kappa"), (2, "zeta omega kappa"),
+            (3, "unrelated words here"), (4, "more unrelated stuff")]
+    # every doc shares 'common' -> df=4 > ceil(0.5*4)=2 -> dropped
+    rows = [(i, t + " common") for i, t in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sparse_cosine_pairs(df, "text", max_df_frac=0.5, top=3).collect()
+    assert (got[0].d1, got[0].d2, got[0].cos) == (1, 2, 1.0)
+    # no pair can exceed 1
+    assert all(r.cos <= 1.0 for r in got)

@@ -57,3 +57,54 @@ def search_terms(index: DataFrame, terms: Sequence[str],
     if mode == "and":
         return matched.filter(F.col("n_matched") == len(set(want)))
     return matched
+
+
+def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_df_frac: float = 0.1,
+                        top: int = 20, idf_scale: int = 1_000,
+                        round_dp: int = 6) -> DataFrame:
+    """Most-similar document pairs by sparse TF-IDF cosine via the
+    POSTINGS TERM-JOIN — the no-embedding similarity workhorse: the
+    self-join runs on the inverted index keyed by term, so a pair is
+    scored only if it shares a term, and dropping high-document-
+    frequency terms (``max_df``) bounds each term's fan-out at
+    max_df² — the stop-term guard that keeps the join linear-ish at
+    100 TB instead of quadratic on 'the'.
+
+    Determinism: idf is integerized once per term
+    (round(ln(N/df)·idf_scale)), so every weight, dot product and
+    squared norm is an EXACT int64 and the final cosines are
+    bit-identical on any engine; the head is TakeOrderedAndProject
+    on (cos desc, ids). idf_scale=1e3 keeps w1·w2 sums safely inside
+    int64 (w ≤ tf·ln(N)·1e3 ~ 1e7 → pair dot ≤ 1e14·terms)."""
+    tf = (docs.select(F.col(id_col).alias("doc"),
+                      F.explode(tokens(text_col)).alias("t"))
+          .groupBy("doc", "t").agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    df_t = (tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df")
+                    <= F.ceil(F.col("n") * max_df_frac).cast("long"))
+            .select("t", F.round(F.log(F.col("n").cast("double")
+                                       / F.col("df")) * idf_scale, 0)
+                    .cast("long").alias("idf_q")))
+    w = (tf.join(df_t, "t")
+         .select("doc", "t", (F.col("tf") * F.col("idf_q")).alias("w")))
+    norms = w.groupBy(F.col("doc").alias("__d")) \
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc").alias("d1"), "t", F.col("w").alias("w1"))
+    b = w.select(F.col("doc").alias("d2"), "t", F.col("w").alias("w2"))
+    dots = (a.join(b, "t").filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot")))
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("na").cast("double"))
+              * F.sqrt(F.col("nb").cast("double"))))
+    return (dots
+            .join(norms.select(F.col("__d").alias("d1"),
+                               F.col("n2").alias("na")), "d1")
+            .join(norms.select(F.col("__d").alias("d2"),
+                               F.col("n2").alias("nb")), "d2")
+            .select("d1", "d2", F.round(cos, round_dp).alias("cos"))
+            .orderBy(F.desc("cos"), "d1", "d2").limit(top))

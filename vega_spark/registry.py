@@ -6238,3 +6238,45 @@ def embedding_truncation_recall_q(spark, sf_dir):
     from vega_spark.functions.similarity import truncation_recall
     emb = _t(spark, sf_dir, "embeddings")
     return truncation_recall(emb, dims=(8, 16, 32), k=5, n_queries=10)
+
+
+@_q("sparse_cosine_doc_pairs", """
+WITH tf AS (
+  SELECT doc_id AS doc, t, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                                                     '\\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents)
+  GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dft AS (
+  SELECT t, CAST(ROUND(LN(CAST(n AS DOUBLE) / df) * 1000, 0) AS BIGINT)
+         AS idf_q
+  FROM (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1) d
+  CROSS JOIN nd WHERE df <= CAST(CEIL(n * 0.1) AS BIGINT)),
+w AS (
+  SELECT doc, tf.t, tf.tf * idf_q AS w
+  FROM tf JOIN dft ON tf.t = dft.t),
+norms AS (SELECT doc, SUM(w * w) AS n2 FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc AS d1, b.doc AS d2, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.t = b.t AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(na.n2 AS DOUBLE))
+                * SQRT(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+FROM dots
+JOIN norms na ON dots.d1 = na.doc
+JOIN norms nb ON dots.d2 = nb.doc
+ORDER BY cos DESC, d1, d2 LIMIT 20
+""")
+def sparse_cosine_doc_pairs_q(spark, sf_dir):
+    """Most-similar document pairs by sparse TF-IDF cosine through
+    the postings term-join with a max-df stop-term guard — exact
+    integerized weights so the oracle replays every dot product
+    bit-for-bit."""
+    from vega_spark.functions.search import sparse_cosine_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(docs, "text", max_df_frac=0.1, top=20)
