@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "active_time_per_user",        # interval-union engagement coverage
     "embedding_truncation_recall",  # Matryoshka dim-ablation recall
     "sparse_cosine_doc_pairs",     # TF-IDF postings term-join similarity
+    "streaming_interval_join_pairs",  # stream-stream watermarked join drain
 ]
 
 

@@ -6280,3 +6280,53 @@ def sparse_cosine_doc_pairs_q(spark, sf_dir):
     from vega_spark.functions.search import sparse_cosine_pairs
     docs = _t(spark, sf_dir, "documents")
     return sparse_cosine_pairs(docs, "text", max_df_frac=0.1, top=20)
+
+
+@_q("streaming_interval_join_pairs", """
+WITH c AS (SELECT user_id, ts AS cts FROM events
+           WHERE event_type = 'click'),
+v AS (SELECT user_id AS vuser, ts AS vts FROM events
+      WHERE event_type = 'view')
+SELECT user_id, COUNT(*) AS n_pairs
+FROM c JOIN v ON user_id = vuser
+  AND vts >= cts AND vts <= cts + INTERVAL 30 MINUTE
+GROUP BY 1 ORDER BY 1
+""")
+def streaming_interval_join_pairs_q(spark, sf_dir):
+    """STREAM-STREAM interval join end to end: clicks joined to the
+    same user's views within the following 30 minutes, both sides
+    real readStreams with watermarks, drained and then aggregated
+    per user. Single-batch drain makes the inner join complete, so
+    the result must equal the batch interval join the oracle runs —
+    the stream/batch parity contract again."""
+    import tempfile
+    import uuid
+
+    from vega_spark.streaming import joins as SJ
+    from vega_spark.streaming import sources as SS
+
+    ev = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="vega_stream_ssj_")
+    (ev.select("event_id", "user_id", "event_type",
+               F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+       .write.mode("overwrite").parquet(stage))
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    src_c = SS.stream_parquet(spark, stage, schema)
+    src_v = SS.stream_parquet(spark, stage, schema)
+    clicks = (src_c.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    views = (src_v.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_id")))
+    joined = SJ.interval_join(clicks, views, "user_id",
+                              "click_ts", "view_ts",
+                              lower="0 seconds", upper="30 minutes")
+    name = "stream_ssj_" + uuid.uuid4().hex[:8]
+    q = SS.to_memory(joined.select("user_id", "click_id", "view_id"),
+                     name, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("user_id"))
