@@ -53,7 +53,7 @@ _PRIORITY = [
     "scd2_temporal_purchases", "rfm_user_segments",
     "active_time_per_user", "join_full_outer",
     "embedding_truncation_recall", "sparse_cosine_doc_pairs",
-    "streaming_interval_join_pairs",
+    "streaming_interval_join_pairs", "read_merge_schema_evolution",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

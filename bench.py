@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "embedding_truncation_recall",  # Matryoshka dim-ablation recall
     "sparse_cosine_doc_pairs",     # TF-IDF postings term-join similarity
     "streaming_interval_join_pairs",  # stream-stream watermarked join drain
+    "read_merge_schema_evolution",  # mergeSchema across parquet generations
 ]
 
 

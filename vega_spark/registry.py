@@ -6330,3 +6330,47 @@ def streaming_interval_join_pairs_q(spark, sf_dir):
     return (spark.table(name).groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy("user_id"))
+
+
+@_q("read_merge_schema_evolution", """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_discount_pct
+  FROM orders WHERE o_orderkey % 2 = 0),
+v2 AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_orderkey % 10 AS DOUBLE) AS o_discount_pct
+  FROM orders WHERE o_orderkey % 2 = 1),
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_discount_pct IS NULL THEN 1 ELSE 0 END)
+       AS n_legacy,
+       ROUND(SUM(COALESCE(o_discount_pct, 0)), 2) AS sum_discount,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM u
+""")
+def read_merge_schema_evolution_q(spark, sf_dir):
+    """Schema evolution at the SOURCE: two parquet generations (v2
+    adds a column) read as ONE table via mergeSchema — legacy rows
+    surface NULL for the new column. The capability every long-lived
+    100 TB dataset needs; the oracle replays the union semantics."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    stage = tempfile.mkdtemp(prefix="vega_evolve_")
+    (orders.filter(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("overwrite").parquet(stage + "/gen=1"))
+    (orders.filter(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_totalprice",
+             (F.col("o_orderkey") % 10).cast("double")
+             .alias("o_discount_pct"))
+     .write.mode("overwrite").parquet(stage + "/gen=2"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("recursiveFileLookup", "true").parquet(stage))
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_discount_pct").isNull(), 1).otherwise(0))
+        .alias("n_legacy"),
+        F.round(F.sum(F.coalesce(F.col("o_discount_pct"), F.lit(0.0))),
+                2).alias("sum_discount"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
