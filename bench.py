@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "sparse_cosine_doc_pairs",     # TF-IDF postings term-join similarity
     "streaming_interval_join_pairs",  # stream-stream watermarked join drain
     "read_merge_schema_evolution",  # mergeSchema across parquet generations
+    "geo_trajectory_users",        # keyed window path fold, quantized steps
+    "geo_copresence_users",        # (cell, hour) bucket contact pairs
 ]
 
 

@@ -71,3 +71,35 @@ def test_geo_plans_scale_safe(spark, sf_dir):
                  "geo_neighbor_pairs_customers",
                  "geo_nearest_hub_nations"):
         assert_scale_safe(QUERIES[name](spark, sf_dir))
+
+
+def test_trajectory_length_known_path(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # user walks a right triangle: (0,0) -> (0,3) -> (4,3): 3 + 4 = 7
+    rows = [(1, base, 1, 0.0, 0.0),
+            (1, base + dt.timedelta(minutes=1), 2, 0.0, 3.0),
+            (1, base + dt.timedelta(minutes=2), 3, 4.0, 3.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "lat double, lon double")
+    from vega_spark.functions.geo import trajectory_length
+    got = trajectory_length(df, "user_id", "ts", "event_id").collect()
+    assert got[0].n_steps == 2
+    assert abs(got[0].path_deg - 7.0) < 1e-6
+
+
+def test_copresence_counts_shared_buckets(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.1, 10.1), (2, base, 10.2, 10.2),  # same cell+hour
+        (1, base + dt.timedelta(hours=1), 10.1, 10.1),
+        (2, base + dt.timedelta(hours=1), 10.3, 10.3),  # again together
+        (3, base, 50.0, 50.0),                          # elsewhere
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, lat double, lon double")
+    from vega_spark.functions.geo import copresence_pairs
+    got = copresence_pairs(df, "user_id", "ts", cell_deg=1.0).collect()
+    assert [(r.k1, r.k2, r.n_shared) for r in got] == [(1, 2, 2)]

@@ -122,3 +122,68 @@ def nearest_hub(points: DataFrame, hubs: DataFrame, id_col: str,
     return (best.groupBy(F.col("b.hub").alias("hub"))
             .agg(F.count(F.lit(1)).alias("n_points"))
             .orderBy("hub"))
+
+
+def trajectory_length(points: DataFrame, key_col: str, ts_col: str,
+                      id_col: str, lat_col: str = "lat",
+                      lon_col: str = "lon",
+                      round_dp: int = 6) -> DataFrame:
+    """Per-entity trajectory length: the sum of consecutive-point
+    planar distances (degrees) along each key's time-ordered path —
+    the movement metric behind travel-distance, delivery-route and
+    bot-teleportation screens.
+
+    One hash exchange on the key (the ordering window and the fold
+    share it); (ts, id) ordering pins the step sequence under
+    timestamp ties. Each step distance is quantized to a 1e-6 grid
+    BEFORE summing, so the per-key totals are exact integer sums any
+    engine replays."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy("ts", "i")
+    p = points.select(F.col(key_col).alias("k"),
+                      F.col(ts_col).alias("ts"),
+                      F.col(id_col).alias("i"),
+                      F.col(lat_col).alias("la"),
+                      F.col(lon_col).alias("lo"))
+    stepped = (p.withColumn("pla", F.lag("la").over(w))
+               .withColumn("plo", F.lag("lo").over(w)))
+    d = F.sqrt((F.col("la") - F.col("pla")) * (F.col("la") - F.col("pla"))
+               + (F.col("lo") - F.col("plo"))
+               * (F.col("lo") - F.col("plo")))
+    dq = F.round(d * 1e6, 0).cast("long")
+    return (stepped.filter(F.col("pla").isNotNull())
+            .groupBy(F.col("k").alias(key_col))
+            .agg(F.count(F.lit(1)).alias("n_steps"),
+                 F.round(F.sum(dq).cast("double") / 1e6, round_dp)
+                 .alias("path_deg"))
+            .orderBy(key_col))
+
+
+def copresence_pairs(points: DataFrame, key_col: str, ts_col: str,
+                     lat_col: str = "lat", lon_col: str = "lon",
+                     cell_deg: float = 1.0, top: int = 20
+                     ) -> DataFrame:
+    """Co-presence: pairs of entities observed in the SAME grid cell
+    during the SAME hour, ranked by number of shared (hour, cell)
+    buckets — the contact-graph / companion-detection primitive.
+
+    Scale shape: presence collapses to DISTINCT (key, hour, cell)
+    first (one keyed exchange, bounded by active buckets), the pair
+    join is an equi-join ON (hour, cell) — candidates are generated
+    per bucket, never across the whole population — and a hot bucket
+    is a salting problem, not a quadratic one. Head is
+    TakeOrderedAndProject."""
+    hour = (F.unix_timestamp(F.col(ts_col)).cast("long") / 3600) \
+        .cast("long")
+    cx, cy = cell_id(F.col(lat_col), F.col(lon_col), cell_deg)
+    pres = (points.select(F.col(key_col).alias("k"), hour.alias("h"),
+                          cx.alias("cx"), cy.alias("cy"))
+            .distinct())
+    a = pres.select(F.col("k").alias("k1"), "h", "cx", "cy")
+    b = pres.select(F.col("k").alias("k2"), "h", "cx", "cy")
+    return (a.join(b, ["h", "cx", "cy"])
+            .filter(F.col("k1") < F.col("k2"))
+            .groupBy("k1", "k2")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .orderBy(F.desc("n_shared"), "k1", "k2").limit(top))

@@ -6374,3 +6374,63 @@ def read_merge_schema_evolution_q(spark, sf_dir):
         F.round(F.sum(F.coalesce(F.col("o_discount_pct"), F.lit(0.0))),
                 2).alias("sum_discount"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+
+
+@_q("geo_trajectory_users", f"""
+WITH p AS (
+  SELECT user_id AS k, ts, event_id AS i,
+         {_GEO_PT.format(k='event_id', la='la', lo='lo')}
+  FROM events),
+s AS (
+  SELECT k, la, lo,
+         LAG(la) OVER (PARTITION BY k ORDER BY ts, i) AS pla,
+         LAG(lo) OVER (PARTITION BY k ORDER BY ts, i) AS plo
+  FROM p)
+SELECT k AS user_id, COUNT(*) AS n_steps,
+       ROUND(CAST(SUM(CAST(ROUND(SQRT((la - pla) * (la - pla)
+                                      + (lo - plo) * (lo - plo))
+                                 * 1e6, 0) AS BIGINT)) AS DOUBLE)
+             / 1e6, 6) AS path_deg
+FROM s WHERE pla IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""")
+def geo_trajectory_users_q(spark, sf_dir):
+    """Per-user trajectory length over md5-synthesized per-event
+    coordinates — one keyed window pass, 1e-6-quantized steps so the
+    fold is an exact integer sum."""
+    from vega_spark.functions.geo import synthetic_coords, trajectory_length
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    pts = synthetic_coords(ev, "event_id")
+    return trajectory_length(pts, "user_id", "ts", "event_id")
+
+
+@_q("geo_copresence_users", f"""
+WITH q0 AS (
+  SELECT user_id AS k,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+         (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1800000) / 10000.0 - 90.0 AS la,
+         (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8))::BIGINT
+          % 3600000) / 10000.0 - 180.0 AS lo
+  FROM events),
+pres AS (
+  SELECT DISTINCT k, h,
+         CAST(FLOOR(la / 45.0) AS BIGINT) AS cx,
+         CAST(FLOOR(lo / 45.0) AS BIGINT) AS cy
+  FROM q0)
+SELECT a.k AS k1, b.k AS k2, COUNT(*) AS n_shared
+FROM pres a JOIN pres b
+  ON a.h = b.h AND a.cx = b.cx AND a.cy = b.cy AND a.k < b.k
+GROUP BY 1, 2
+ORDER BY n_shared DESC, k1, k2 LIMIT 20
+""")
+def geo_copresence_users_q(spark, sf_dir):
+    """Co-presence contact pairs: users sharing a (45-deg cell, hour)
+    bucket, ranked by shared buckets — candidates generated per
+    bucket via the equi-join, never across the population."""
+    from vega_spark.functions.geo import copresence_pairs, synthetic_coords
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    pts = synthetic_coords(ev, "event_id")
+    return copresence_pairs(pts, "user_id", "ts", cell_deg=45.0, top=20)
