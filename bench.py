@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "read_merge_schema_evolution",  # mergeSchema across parquet generations
     "geo_trajectory_users",        # keyed window path fold, quantized steps
     "geo_copresence_users",        # (cell, hour) bucket contact pairs
+    "funnel_time_boxed_1h_24h",    # deadline funnel, one exchange
 ]
 
 

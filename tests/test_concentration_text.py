@@ -124,3 +124,18 @@ def test_active_time_merges_overlapping_windows(spark):
     got = {r.user_id: (r.n_sessions, r.active_s)
            for r in active_time_per_user(df).collect()}
     assert got == {1: (1, 480), 2: (2, 600)}
+
+
+def test_funnel_time_boxed_enforces_deadlines(spark):
+    # user 1: click 30min after view (inside 1h), purchase 2h after
+    # click (inside 24h) -> full funnel
+    # user 2: click 2h after view -> deadline missed at stage 2
+    h = 3_600_000_000
+    rows = [(1, "view", 0), (1, "click", h // 2), (1, "purchase", 3 * h),
+            (2, "view", 0), (2, "click", 2 * h), (2, "purchase", 3 * h)]
+    df = spark.createDataFrame(rows,
+                               "user_id long, event_type string, ts_us long")
+    from vega_spark.functions.analytics import funnel_time_boxed
+    got = funnel_time_boxed(df).collect()[0]
+    assert (got.n_stage1, got.n_stage2_within,
+            got.n_stage3_within) == (2, 1, 1)

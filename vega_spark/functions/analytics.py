@@ -1120,3 +1120,52 @@ def active_time_per_user(events: DataFrame, user_col: str = "user_id",
                  (F.sum(dur_us) / 1_000_000).cast("long")
                  .alias("active_s"))
             .orderBy(user_col))
+
+
+def funnel_time_boxed(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_us_col: str = "ts_us",
+                      stages: tuple[str, str, str] = ("view", "click",
+                                                      "purchase"),
+                      deadlines_us: tuple[int, int] = (3_600_000_000,
+                                                       86_400_000_000),
+                      ) -> DataFrame:
+    """Time-boxed funnel: stage 2 must follow the user's first stage-1
+    event within ``deadlines_us[0]``, stage 3 within
+    ``deadlines_us[1]`` of that stage-2 event — the conversion-window
+    discipline real funnels need (an attribution click a week later
+    doesn't count). Timestamps are integer µs so every deadline
+    comparison is exact on any engine.
+
+    Same single-exchange shape as :func:`funnel_stages`: three
+    chained conditional MINs over one user-partitioned window, then
+    a per-user collapse reusing the partitioning."""
+    from pyspark.sql.window import Window
+
+    s1, s2, s3 = stages
+    d1, d2 = deadlines_us
+    e = events.select(F.col(user_col).alias("u"),
+                      F.col(type_col).alias("t"),
+                      F.col(ts_us_col).alias("ts"))
+    w = Window.partitionBy("u")
+    staged = (e
+              .withColumn("t1", F.min(F.when(F.col("t") == s1,
+                                             F.col("ts"))).over(w))
+              .withColumn("t2", F.min(F.when(
+                  (F.col("t") == s2) & (F.col("ts") > F.col("t1"))
+                  & (F.col("ts") <= F.col("t1") + d1),
+                  F.col("ts"))).over(w))
+              .withColumn("t3", F.min(F.when(
+                  (F.col("t") == s3) & (F.col("ts") > F.col("t2"))
+                  & (F.col("ts") <= F.col("t2") + d2),
+                  F.col("ts"))).over(w)))
+    per_user = staged.groupBy("u").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"))
+    return per_user.agg(
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0))
+        .alias("n_stage1"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
+        .alias("n_stage2_within"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+        .alias("n_stage3_within"))

@@ -6434,3 +6434,35 @@ def geo_copresence_users_q(spark, sf_dir):
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     pts = synthetic_coords(ev, "event_id")
     return copresence_pairs(pts, "user_id", "ts", cell_deg=45.0, top=20)
+
+
+@_q("funnel_time_boxed_1h_24h", """
+WITH e AS (
+  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts FROM events),
+u1 AS (
+  SELECT u, MIN(CASE WHEN t = 'view' THEN ts END) AS t1
+  FROM e GROUP BY 1),
+u2 AS (
+  SELECT e.u,
+         MIN(CASE WHEN t = 'click' AND e.ts > t1
+                       AND e.ts <= t1 + 3600000000 THEN e.ts END) AS t2
+  FROM e JOIN u1 ON e.u = u1.u GROUP BY 1),
+u3 AS (
+  SELECT e.u,
+         MIN(CASE WHEN t = 'purchase' AND e.ts > t2
+                       AND e.ts <= t2 + 86400000000 THEN e.ts END) AS t3
+  FROM e JOIN u2 ON e.u = u2.u GROUP BY 1)
+SELECT SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_stage1,
+       SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+       AS n_stage2_within,
+       SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+       AS n_stage3_within
+FROM u1 JOIN u2 USING (u) JOIN u3 USING (u)
+""")
+def funnel_time_boxed_1h_24h_q(spark, sf_dir):
+    """Deadline funnel: first view → click within 1h → purchase
+    within 24h, exact integer-µs comparisons, one user exchange."""
+    from vega_spark.functions.analytics import funnel_time_boxed
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"))
+    return funnel_time_boxed(ev)
