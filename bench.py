@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "geo_trajectory_users",        # keyed window path fold, quantized steps
     "geo_copresence_users",        # (cell, hour) bucket contact pairs
     "funnel_time_boxed_1h_24h",    # deadline funnel, one exchange
+    "dau_wau_stickiness",          # rolling exact distinct via vote fan-out
 ]
 
 

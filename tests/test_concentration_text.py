@@ -139,3 +139,17 @@ def test_funnel_time_boxed_enforces_deadlines(spark):
     got = funnel_time_boxed(df).collect()[0]
     assert (got.n_stage1, got.n_stage2_within,
             got.n_stage3_within) == (2, 1, 1)
+
+
+def test_dau_wau_rolling_distinct(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # user 1 active day 0 and day 8; user 2 active day 0 only.
+    # day 0: dau 2, wau 2. day 8: dau 1; wau(8) covers days 2-8 ->
+    # only user 1 -> 1. new_users: day0=2, day8=0.
+    rows = [(1, base), (2, base), (1, base + dt.timedelta(days=8))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from vega_spark.functions.analytics import dau_wau
+    got = {r.day - int(base.timestamp() // 86400):
+           (r.dau, r.wau, r.new_users) for r in dau_wau(df).collect()}
+    assert got == {0: (2, 2, 2), 8: (1, 1, 0)}

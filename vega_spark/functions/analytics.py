@@ -1169,3 +1169,42 @@ def funnel_time_boxed(events: DataFrame, user_col: str = "user_id",
         .alias("n_stage2_within"),
         F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
         .alias("n_stage3_within"))
+
+
+def dau_wau(events: DataFrame, user_col: str = "user_id",
+            ts_col: str = "ts", window_days: int = 7,
+            round_dp: int = 6) -> DataFrame:
+    """Exact DAU / WAU per day plus stickiness (dau/wau) — the
+    engagement headline. Rolling DISTINCT is the op sliding windows
+    can't do with a sum, so it's computed exactly by the presence
+    fan-out: collapse to distinct (user, day) presence (one keyed
+    exchange, bounded by users×days), then each presence row votes
+    into the ``window_days`` windows that end on day d..d+6 (a
+    narrow ×7 explode of the bounded frame), and WAU(d) is a count
+    DISTINCT user per window-end day. New users come from the same
+    presence frame via first-day MINs. All exact integers; one
+    division for stickiness."""
+    day = (F.unix_timestamp(F.col(ts_col)).cast("long") / 86400) \
+        .cast("long")
+    pres = (events.select(F.col(user_col).alias("u"), day.alias("d"))
+            .distinct())
+    dau = pres.groupBy(F.col("d").alias("day")) \
+        .agg(F.count(F.lit(1)).alias("dau"))
+    votes = pres.select(
+        "u", F.explode(F.sequence(
+            F.col("d"), F.col("d") + (window_days - 1))).alias("day"))
+    wau = (votes.groupBy("day")
+           .agg(F.count_distinct("u").alias("wau")))
+    first = (pres.groupBy("u").agg(F.min("d").alias("d0"))
+             .groupBy(F.col("d0").alias("day"))
+             .agg(F.count(F.lit(1)).alias("new_users")))
+    # inner-joining on dau keeps only observed days, which also drops
+    # the partial windows that end beyond the last day of data
+    return (dau.join(wau, "day")
+            .join(first, "day", "left")
+            .select("day", "dau", "wau",
+                    F.coalesce(F.col("new_users"), F.lit(0))
+                    .alias("new_users"),
+                    F.round(F.col("dau").cast("double") / F.col("wau"),
+                            round_dp).alias("stickiness"))
+            .orderBy("day"))

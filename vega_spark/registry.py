@@ -6466,3 +6466,31 @@ def funnel_time_boxed_1h_24h_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"))
     return funnel_time_boxed(ev)
+
+
+@_q("dau_wau_stickiness", """
+WITH pres AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events),
+dau AS (SELECT d AS day, COUNT(*) AS dau FROM pres GROUP BY 1),
+votes AS (
+  SELECT u, d + x AS day
+  FROM pres CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6]) AS x)),
+wau AS (SELECT day, COUNT(DISTINCT u) AS wau FROM votes GROUP BY 1),
+fst AS (
+  SELECT d0 AS day, COUNT(*) AS new_users
+  FROM (SELECT u, MIN(d) AS d0 FROM pres GROUP BY 1) GROUP BY 1)
+SELECT day, dau, wau, COALESCE(new_users, 0) AS new_users,
+       ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day) LEFT JOIN fst USING (day)
+ORDER BY day
+""")
+def dau_wau_stickiness_q(spark, sf_dir):
+    """Exact DAU / trailing-7-day WAU / stickiness per day via the
+    presence fan-out (rolling DISTINCT as a bounded-frame vote
+    explode) — no window function over raw events anywhere."""
+    from vega_spark.functions.analytics import dau_wau
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return dau_wau(ev)
