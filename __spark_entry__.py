@@ -56,6 +56,7 @@ _PRIORITY = [
     "streaming_interval_join_pairs", "read_merge_schema_evolution",
     "geo_trajectory_users", "geo_copresence_users",
     "funnel_time_boxed_1h_24h", "dau_wau_stickiness",
+    "corr_qty_discount_by_flag", "activity_heatmap_dow_hour",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "geo_copresence_users",        # (cell, hour) bucket contact pairs
     "funnel_time_boxed_1h_24h",    # deadline funnel, one exchange
     "dau_wau_stickiness",          # rolling exact distinct via vote fan-out
+    "corr_qty_discount_by_flag",   # per-group Pearson, exact sufficient stats
+    "activity_heatmap_dow_hour",   # 168-cell weekly seasonality fingerprint
 ]
 
 

@@ -153,3 +153,27 @@ def test_dau_wau_rolling_distinct(spark):
     got = {r.day - int(base.timestamp() // 86400):
            (r.dau, r.wau, r.new_users) for r in dau_wau(df).collect()}
     assert got == {0: (2, 2, 2), 8: (1, 1, 0)}
+
+
+def test_corr_by_group_exact_signs(spark):
+    from vega_spark.operators.stats import corr_by_group
+    rows = [("up", float(i), float(2 * i)) for i in range(10)]
+    rows += [("down", float(i), float(-3 * i)) for i in range(10)]
+    rows += [("flat", float(i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r.k: r.corr for r in corr_by_group(df, "k", "x", "y").collect()}
+    assert got["up"] == 1.0 and got["down"] == -1.0
+    assert got["flat"] is None
+
+
+def test_activity_heatmap_shares_sum_to_one(spark, sf_dir):
+    from pyspark.sql import functions as FF
+    from vega_spark.functions.analytics import activity_heatmap
+    from vega_spark.tables import load_table
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", FF.timestamp_micros(FF.expr("ts div 1000")))
+    hm = activity_heatmap(ev)
+    tot = hm.agg(FF.sum("n"), FF.sum("share")).collect()[0]
+    assert tot[0] == ev.count()
+    assert abs(tot[1] - 1.0) < 1e-3
+    assert hm.count() <= 168

@@ -1208,3 +1208,26 @@ def dau_wau(events: DataFrame, user_col: str = "user_id",
                     F.round(F.col("dau").cast("double") / F.col("wau"),
                             round_dp).alias("stickiness"))
             .orderBy("day"))
+
+
+def activity_heatmap(events: DataFrame, ts_col: str = "ts",
+                     round_dp: int = 6) -> DataFrame:
+    """Day-of-week × hour-of-day activity heat map with each cell's
+    share of total traffic — the seasonality fingerprint read before
+    choosing window sizes or forecast seasons. One pass to the 168
+    cells; the share division happens on that bounded frame. Uses
+    epoch arithmetic for dow (1970-01-01 was a Thursday: dow 0 =
+    Monday) so both engines agree without timezone/locale lookups."""
+    day = (F.unix_timestamp(F.col(ts_col)).cast("long") / 86400) \
+        .cast("long")
+    dow = (day + 3) % 7
+    hod = ((F.unix_timestamp(F.col(ts_col)).cast("long") / 3600)
+           .cast("long")) % 24
+    cells = (events.groupBy(dow.alias("dow"), hod.alias("hod"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = cells.agg(F.sum("n").alias("t"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("dow", "hod", "n",
+                    F.round(F.col("n").cast("double") / F.col("t"),
+                            round_dp).alias("share"))
+            .orderBy("dow", "hod"))

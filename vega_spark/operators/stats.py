@@ -790,3 +790,36 @@ def gini_by_group(df: DataFrame, group_col: str, value_col: str,
                     F.round(F.col("s") / 100.0, 2).alias("total"),
                     F.round(gini, round_dp).alias("gini"))
             .orderBy(group_col))
+
+
+def corr_by_group(df: DataFrame, group_col: str, x_col: str,
+                  y_col: str, scale: int = 100,
+                  round_dp: int = 6) -> DataFrame:
+    """Pearson correlation of two numeric columns PER GROUP — the
+    split-by version of the global corr matrix. Both columns are
+    integerized (×``scale``) first, so all five sufficient statistics
+    (Σx, Σy, Σxy, Σx², Σy²) are exact integer sums and the closed
+    form replays bit-for-bit on any engine; one keyed exchange with
+    map-side partials. NULL correlation for degenerate (constant)
+    groups."""
+    xi = F.round(F.col(x_col) * scale, 0).cast("long")
+    yi = F.round(F.col(y_col) * scale, 0).cast("long")
+    s = (df.select(F.col(group_col).alias("grp"), xi.alias("x"),
+                   yi.alias("y"))
+         .groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    r = F.when((vx > 0) & (vy > 0),
+               cov / (F.sqrt(vx) * F.sqrt(vy)))
+    return (s.select(F.col("grp").alias(group_col), "n",
+                     F.round(r, round_dp).alias("corr"))
+            .orderBy(group_col))

@@ -6494,3 +6494,49 @@ def dau_wau_stickiness_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return dau_wau(ev)
+
+
+@_q("corr_qty_discount_by_flag", """
+WITH s AS (
+  SELECT l_returnflag AS grp, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
+        FROM lineitem)
+  GROUP BY 1)
+SELECT grp AS l_returnflag, n,
+       ROUND(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                   AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) END, 6)
+       AS corr
+FROM s ORDER BY 1
+""")
+def corr_qty_discount_by_flag_q(spark, sf_dir):
+    """Per-group Pearson correlation (quantity vs discount per
+    returnflag) from exact integerized sufficient statistics."""
+    from vega_spark.operators.stats import corr_by_group
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_by_group(li, "l_returnflag", "l_quantity", "l_discount")
+
+
+@_q("activity_heatmap_dow_hour", """
+WITH cells AS (
+  SELECT (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) + 3) % 7 AS dow,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS t FROM cells)
+SELECT dow, hod, n, ROUND(CAST(n AS DOUBLE) / t, 6) AS share
+FROM cells CROSS JOIN tot ORDER BY dow, hod
+""")
+def activity_heatmap_dow_hour_q(spark, sf_dir):
+    """Weekly seasonality fingerprint: 168-cell dow × hour counts
+    and traffic shares, epoch-arithmetic day-of-week."""
+    from vega_spark.functions.analytics import activity_heatmap
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return activity_heatmap(ev)
