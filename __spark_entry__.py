@@ -57,6 +57,7 @@ _PRIORITY = [
     "geo_trajectory_users", "geo_copresence_users",
     "funnel_time_boxed_1h_24h", "dau_wau_stickiness",
     "corr_qty_discount_by_flag", "activity_heatmap_dow_hour",
+    "session_depth_bounce", "attribution_time_decay",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

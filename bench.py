@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "dau_wau_stickiness",          # rolling exact distinct via vote fan-out
     "corr_qty_discount_by_flag",   # per-group Pearson, exact sufficient stats
     "activity_heatmap_dow_hour",   # 168-cell weekly seasonality fingerprint
+    "session_depth_bounce",        # session depth distribution + bounce
+    "attribution_time_decay",      # exp-decay multi-touch credit
 ]
 
 

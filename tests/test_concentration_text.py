@@ -177,3 +177,33 @@ def test_activity_heatmap_shares_sum_to_one(spark, sf_dir):
     assert tot[0] == ev.count()
     assert abs(tot[1] - 1.0) < 1e-3
     assert hm.count() <= 168
+
+
+def test_session_depth_buckets_and_bounce(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base)]                                   # bounce
+    rows += [(2, base + dt.timedelta(minutes=i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from vega_spark.functions.analytics import session_depth_stats
+    got = {r.depth: (r.n_sessions, r.share)
+           for r in session_depth_stats(df).collect()}
+    assert got["1 (bounce)"] == (1, 0.5)
+    assert got["3-5"] == (1, 0.5)
+
+
+def test_time_decay_attribution_weights(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 12)
+    # purchase at noon; view 6h before (one half-life -> 0.5 credit);
+    # click 12h before (-> 0.25); old view 2 days before (outside)
+    rows = [(1, "purchase", base),
+            (1, "view", base - dt.timedelta(hours=6)),
+            (1, "click", base - dt.timedelta(hours=12)),
+            (1, "view", base - dt.timedelta(days=2))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    from vega_spark.functions.analytics import time_decay_attribution
+    got = {r.channel: (r.n_touches, r.credit)
+           for r in time_decay_attribution(df).collect()}
+    assert got == {"view": (1, 0.5), "click": (1, 0.25)}

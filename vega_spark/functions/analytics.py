@@ -1231,3 +1231,70 @@ def activity_heatmap(events: DataFrame, ts_col: str = "ts",
                     F.round(F.col("n").cast("double") / F.col("t"),
                             round_dp).alias("share"))
             .orderBy("dow", "hod"))
+
+
+def session_depth_stats(events: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", gap: str = "30 minutes",
+                        round_dp: int = 6) -> DataFrame:
+    """Session depth distribution + bounce rate: sessions (gap-based)
+    bucketed by how many events they contain — depth 1 is a bounce —
+    with each bucket's share of all sessions. One keyed
+    session_window pass to per-session counts, then a bounded bucket
+    rollup; exact integers until the final share division."""
+    s = (events.groupBy(F.session_window(ts_col, gap).alias("w"),
+                        F.col(user_col))
+         .agg(F.count(F.lit(1)).alias("n")))
+    bucket = (F.when(F.col("n") == 1, "1 (bounce)")
+              .when(F.col("n") <= 2, "2")
+              .when(F.col("n") <= 5, "3-5")
+              .when(F.col("n") <= 10, "6-10")
+              .otherwise("11+"))
+    b = s.groupBy(bucket.alias("depth")) \
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    tot = b.agg(F.sum("n_sessions").alias("t"))
+    return (b.crossJoin(F.broadcast(tot))
+            .select("depth", "n_sessions",
+                    F.round(F.col("n_sessions").cast("double")
+                            / F.col("t"), round_dp).alias("share"))
+            .orderBy("depth"))
+
+
+def time_decay_attribution(events: DataFrame,
+                           user_col: str = "user_id",
+                           type_col: str = "event_type",
+                           ts_col: str = "ts",
+                           convert_type: str = "purchase",
+                           lookback_us: int = 86_400_000_000,
+                           halflife_us: int = 21_600_000_000,
+                           round_dp: int = 6) -> DataFrame:
+    """Time-decay multi-touch attribution: every conversion spreads
+    credit 2^(−age/halflife) over the same user's touches in the
+    preceding ``lookback_us`` window; total credit per touch channel
+    is the report — the fairer sibling of first/last-touch.
+
+    Plan: a keyed equi-join on user (conversions × prior touches,
+    fan-out bounded by touches-per-user-per-lookback) — the same
+    bounded-interval shape as the temporal SCD2 join. Per-touch
+    credits are deterministic doubles (exp2 of an exact µs ratio)
+    quantized to a 1e-6 grid, so channel totals are exact integer
+    sums on any engine."""
+    ts_us = F.col("__us")
+    base = events.select(F.col(user_col).alias("u"),
+                         F.col(type_col).alias("t"),
+                         F.unix_micros(F.col(ts_col)).alias("__us"))
+    conv = (base.filter(F.col("t") == convert_type)
+            .select(F.col("u").alias("cu"), ts_us.alias("cts")))
+    touch = (base.filter(F.col("t") != convert_type)
+             .select("u", "t", ts_us.alias("tts")))
+    j = conv.join(touch,
+                  (F.col("cu") == F.col("u"))
+                  & (F.col("tts") < F.col("cts"))
+                  & (F.col("tts") >= F.col("cts") - lookback_us))
+    age = (F.col("cts") - F.col("tts")).cast("double")
+    credit = F.pow(F.lit(2.0), -age / F.lit(float(halflife_us)))
+    cq = F.round(credit * 1e6, 0).cast("long")
+    return (j.groupBy(F.col("t").alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_touches"),
+                 F.round(F.sum(cq).cast("double") / 1e6, round_dp)
+                 .alias("credit"))
+            .orderBy("channel"))

@@ -6540,3 +6540,62 @@ def activity_heatmap_dow_hour_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return activity_heatmap(ev)
+
+
+@_q("session_depth_bounce", """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o),
+c AS (SELECT COUNT(*) AS n FROM s GROUP BY user_id, sess),
+b AS (
+  SELECT CASE WHEN n = 1 THEN '1 (bounce)' WHEN n <= 2 THEN '2'
+              WHEN n <= 5 THEN '3-5' WHEN n <= 10 THEN '6-10'
+              ELSE '11+' END AS depth,
+         COUNT(*) AS n_sessions
+  FROM c GROUP BY 1),
+tot AS (SELECT SUM(n_sessions) AS t FROM b)
+SELECT depth, n_sessions,
+       ROUND(CAST(n_sessions AS DOUBLE) / t, 6) AS share
+FROM b CROSS JOIN tot ORDER BY depth
+""")
+def session_depth_bounce_q(spark, sf_dir):
+    """Session depth distribution + bounce share (30-min gap
+    sessions bucketed by event count)."""
+    from vega_spark.functions.analytics import session_depth_stats
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+    return session_depth_stats(ev)
+
+
+@_q("attribution_time_decay", """
+WITH base AS (
+  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+  FROM events),
+conv AS (SELECT u, us AS cts FROM base WHERE t = 'purchase'),
+touch AS (SELECT u AS tu, t, us AS tts FROM base
+          WHERE t <> 'purchase'),
+j AS (
+  SELECT touch.t,
+         CAST(ROUND(POWER(2.0, -CAST(cts - tts AS DOUBLE)
+                                / 21600000000.0) * 1e6, 0) AS BIGINT)
+         AS cq
+  FROM conv JOIN touch ON conv.u = touch.tu
+    AND tts < cts AND tts >= cts - 86400000000)
+SELECT t AS channel, COUNT(*) AS n_touches,
+       ROUND(CAST(SUM(cq) AS DOUBLE) / 1e6, 6) AS credit
+FROM j GROUP BY 1 ORDER BY 1
+""")
+def attribution_time_decay_q(spark, sf_dir):
+    """Time-decay multi-touch attribution (24h lookback, 6h
+    half-life): keyed equi-join on user with the window as a join
+    filter, per-touch credits quantized to exact integers."""
+    from vega_spark.functions.analytics import time_decay_attribution
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return time_decay_attribution(ev)
