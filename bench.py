@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "activity_heatmap_dow_hour",   # 168-cell weekly seasonality fingerprint
     "session_depth_bounce",        # session depth distribution + bounce
     "attribution_time_decay",      # exp-decay multi-touch credit
+    "dod_wow_event_changes",       # calendar-safe delta self-joins
+    "fulfillment_lag_by_priority",  # cross-table day arithmetic
 ]
 
 

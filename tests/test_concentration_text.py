@@ -207,3 +207,20 @@ def test_time_decay_attribution_weights(spark):
     got = {r.channel: (r.n_touches, r.credit)
            for r in time_decay_attribution(df).collect()}
     assert got == {"view": (1, 0.5), "click": (1, 0.25)}
+
+
+def test_dod_wow_calendar_gap_safe(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # day 0: 10 events; day 1: 20 (dod +1.0); day 3: 5 — yesterday
+    # (day 2) is MISSING, so dod must be NULL, not compared to day 1
+    rows = []
+    for d, n in ((0, 10), (1, 20), (3, 5)):
+        rows += [("view", base + dt.timedelta(days=d, seconds=i))
+                 for i in range(n)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    from vega_spark.functions.analytics import dod_wow_change
+    got = {r.day - int(base.timestamp() // 86400): r.dod_pct
+           for r in dod_wow_change(df).collect()}
+    assert got[1] == 1.0
+    assert got[3] is None

@@ -1298,3 +1298,38 @@ def time_decay_attribution(events: DataFrame,
                  F.round(F.sum(cq).cast("double") / 1e6, round_dp)
                  .alias("credit"))
             .orderBy("channel"))
+
+
+def dod_wow_change(events: DataFrame, type_col: str = "event_type",
+                   ts_col: str = "ts",
+                   round_dp: int = 6) -> DataFrame:
+    """Day-over-day and week-over-week percent change of daily
+    activity per key — the dashboard delta row. One pass to the
+    bounded daily grid; the lag-1 / lag-7 lookups are EQUI-JOINS of
+    the grid with itself shifted (calendar-gap-safe — a missing
+    yesterday yields NULL, not the wrong day, which a row-ordered
+    window would silently produce). Exact integer counts; two
+    divisions per output row."""
+    day = (F.unix_timestamp(F.col(ts_col)).cast("long") / 86400) \
+        .cast("long")
+    daily = (events.groupBy(F.col(type_col).alias("k"), day.alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    prev1 = daily.select(F.col("k").alias("k1"),
+                         (F.col("d") + 1).alias("d1"),
+                         F.col("n").alias("n_prev1"))
+    prev7 = daily.select(F.col("k").alias("k7"),
+                         (F.col("d") + 7).alias("d7"),
+                         F.col("n").alias("n_prev7"))
+    j = (daily
+         .join(prev1, (F.col("k") == F.col("k1"))
+               & (F.col("d") == F.col("d1")), "left")
+         .join(prev7, (F.col("k") == F.col("k7"))
+               & (F.col("d") == F.col("d7")), "left"))
+    dod = (F.col("n") - F.col("n_prev1")).cast("double") \
+        / F.col("n_prev1")
+    wow = (F.col("n") - F.col("n_prev7")).cast("double") \
+        / F.col("n_prev7")
+    return (j.select(F.col("k").alias(type_col), F.col("d").alias("day"),
+                     "n", F.round(dod, round_dp).alias("dod_pct"),
+                     F.round(wow, round_dp).alias("wow_pct"))
+            .orderBy(type_col, "day"))

@@ -6599,3 +6599,61 @@ def attribution_time_decay_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return time_decay_attribution(ev)
+
+
+@_q("dod_wow_event_changes", """
+WITH daily AS (
+  SELECT event_type AS k, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT a.k AS event_type, a.d AS day, a.n,
+       ROUND(CAST(a.n - b.n AS DOUBLE) / b.n, 6) AS dod_pct,
+       ROUND(CAST(a.n - c.n AS DOUBLE) / c.n, 6) AS wow_pct
+FROM daily a
+LEFT JOIN daily b ON a.k = b.k AND a.d = b.d + 1
+LEFT JOIN daily c ON a.k = c.k AND a.d = c.d + 7
+ORDER BY 1, 2
+""")
+def dod_wow_event_changes_q(spark, sf_dir):
+    """Day-over-day / week-over-week deltas per event type —
+    calendar-gap-safe self-equi-joins on the bounded daily grid."""
+    from vega_spark.functions.analytics import dod_wow_change
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return dod_wow_change(ev)
+
+
+@_q("fulfillment_lag_by_priority", """
+WITH lag AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST(FLOOR(epoch(l.l_shipdate) / 86400) AS BIGINT)
+         - CAST(FLOOR(epoch(o.o_orderdate) / 86400) AS BIGINT) AS days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT pri AS o_orderpriority, COUNT(*) AS n,
+       MIN(days) AS min_days, MAX(days) AS max_days,
+       SUM(days) AS total_days,
+       ROUND(CAST(SUM(days) AS DOUBLE) / COUNT(*), 6) AS avg_days
+FROM lag GROUP BY 1 ORDER BY 1
+""")
+def fulfillment_lag_by_priority_q(spark, sf_dir):
+    """Order→ship fulfillment lag per priority: exact day arithmetic
+    across the orders⋈lineitem join (broadcast-eligible dimension
+    flow), integer sums with one final division."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    oday = (F.unix_timestamp(F.col("o_orderdate")).cast("long")
+            / 86400).cast("long")
+    sday = (F.unix_timestamp(F.col("l_shipdate")).cast("long")
+            / 86400).cast("long")
+    j = (o.select("o_orderkey", "o_orderpriority", oday.alias("od"))
+         .join(li.select("l_orderkey", sday.alias("sd")),
+               F.col("o_orderkey") == F.col("l_orderkey")))
+    days = F.col("sd") - F.col("od")
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(days).alias("min_days"),
+                 F.max(days).alias("max_days"),
+                 F.sum(days).alias("total_days"),
+                 F.round(F.sum(days).cast("double") / F.count(F.lit(1)),
+                         6).alias("avg_days"))
+            .orderBy("o_orderpriority"))
