@@ -6657,3 +6657,28 @@ def fulfillment_lag_by_priority_q(spark, sf_dir):
                  F.round(F.sum(days).cast("double") / F.count(F.lit(1)),
                          6).alias("avg_days"))
             .orderBy("o_orderpriority"))
+
+
+@_q("file_layout_skew_report")
+def file_layout_skew_report_q(spark, sf_dir):
+    """Storage-layout diagnostic: rows and bytes per underlying
+    parquet file via the hidden ``_metadata`` scan column, plus the
+    skew ratio (max/avg rows per file) — the report that decides
+    whether compact_small_files (operators/layout.py) is worth a
+    run. Engine-specific (file split is a layout property, not a
+    query result) — rows-only check by design; the shape contract is
+    unit-tested."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_file = (li.select(F.col("_metadata.file_path").alias("f"),
+                          F.col("_metadata.file_size").alias("sz"))
+                .groupBy("f", "sz").agg(F.count(F.lit(1)).alias("rows")))
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows").alias("total_rows"),
+        F.min("rows").alias("min_rows"),
+        F.max("rows").alias("max_rows"),
+        F.round(F.max("rows").cast("double")
+                / (F.sum("rows") / F.count(F.lit(1))), 4)
+        .alias("skew_ratio"),
+        F.round(F.sum("sz").cast("double") / F.count(F.lit(1)) / 1e6,
+                4).alias("avg_file_mb"))
