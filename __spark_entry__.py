@@ -59,7 +59,7 @@ _PRIORITY = [
     "corr_qty_discount_by_flag", "activity_heatmap_dow_hour",
     "session_depth_bounce", "attribution_time_decay",
     "dod_wow_event_changes", "fulfillment_lag_by_priority",
-    "file_layout_skew_report",
+    "file_layout_skew_report", "user_feature_mart",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

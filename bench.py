@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "attribution_time_decay",      # exp-decay multi-touch credit
     "dod_wow_event_changes",       # calendar-safe delta self-joins
     "fulfillment_lag_by_priority",  # cross-table day arithmetic
+    "user_feature_mart",           # churn/LTV features, one exchange
 ]
 
 

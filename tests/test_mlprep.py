@@ -121,3 +121,20 @@ def test_decision_stump_finds_planted_threshold(spark):
     df2 = spark.createDataFrame(rows2, "v double, y boolean")
     r2 = M.decision_stump(df2, "y", "v", bins=50).first()
     assert r2.gini_gain < 0.02
+
+
+def test_user_feature_mart_exact_features(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, "view", 10.0, base, 1),
+            (1, "purchase", 20.0, base + dt.timedelta(hours=2), 2),
+            (1, "view", 30.0, base + dt.timedelta(days=2), 3)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, "
+              "ts timestamp, event_id long")
+    from vega_spark.functions.mlprep import user_feature_mart
+    r = user_feature_mart(df).collect()[0]
+    assert (r.n_events, r.n_conversions) == (3, 1)
+    assert (r.active_days, r.span_days) == (2, 3)
+    assert r.total_value == 60.0 and r.mean_value == 20.0
+    assert r.max_gap_s == (2 * 24 - 2) * 3600

@@ -455,3 +455,39 @@ def woe_iv(df: DataFrame, label_col, score_col: str, bins: int = 10,
     return (per.crossJoin(F.broadcast(iv))
             .select("bin", "pos", "neg", "woe", "iv_contrib", "iv")
             .orderBy("bin"))
+
+
+def user_feature_mart(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      value_col: str = "value", id_col: str = "event_id",
+                      convert_type: str = "purchase",
+                      round_dp: int = 6) -> DataFrame:
+    """Per-user feature mart: the churn/LTV modeling table built in
+    ONE exchange — event counts, conversion counts, active-day span
+    and count, exact-cents monetary stats, and the max inter-event
+    gap (seconds). The ordered gap uses a window over the SAME user
+    partitioning the aggregate reuses, so the plan stays at a single
+    hash exchange; all sums are exact integers with divisions last."""
+    from pyspark.sql.window import Window
+
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    e = events.select(F.col(user_col).alias("u"),
+                      F.col(type_col).alias("t"),
+                      F.round(F.col(value_col) * 100, 0).cast("long")
+                      .alias("cents"),
+                      sec.alias("s"), F.col(id_col).alias("i"))
+    w = Window.partitionBy("u").orderBy("s", "i")
+    g = e.withColumn("gap", F.col("s") - F.lag("s").over(w))
+    day = (F.col("s") / 86400).cast("long")
+    return (g.groupBy(F.col("u").alias(user_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("t") == convert_type, 1)
+                       .otherwise(0)).alias("n_conversions"),
+                 F.count_distinct(day).alias("active_days"),
+                 (F.max(day) - F.min(day) + 1).alias("span_days"),
+                 F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+                 F.round(F.sum("cents").cast("double") / 100.0
+                         / F.count(F.lit(1)), round_dp)
+                 .alias("mean_value"),
+                 F.max("gap").alias("max_gap_s"))
+            .orderBy(user_col))

@@ -6682,3 +6682,32 @@ def file_layout_skew_report_q(spark, sf_dir):
         .alias("skew_ratio"),
         F.round(F.sum("sz").cast("double") / F.count(F.lit(1)) / 1e6,
                 4).alias("avg_file_mb"))
+
+
+@_q("user_feature_mart", """
+WITH e AS (
+  SELECT user_id AS u, event_type AS t,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, event_id AS i
+  FROM events),
+g AS (
+  SELECT *, s - LAG(s) OVER (PARTITION BY u ORDER BY s, i) AS gap
+  FROM e)
+SELECT u AS user_id, COUNT(*) AS n_events,
+       SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+       AS n_conversions,
+       COUNT(DISTINCT s // 86400) AS active_days,
+       MAX(s // 86400) - MIN(s // 86400) + 1 AS span_days,
+       ROUND(SUM(cents) / 100.0, 2) AS total_value,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*), 6)
+       AS mean_value,
+       MAX(gap) AS max_gap_s
+FROM g GROUP BY 1 ORDER BY 1
+""")
+def user_feature_mart_q(spark, sf_dir):
+    """Churn/LTV per-user feature table in one exchange (window +
+    aggregate share the user partitioning); exact integer stats."""
+    from vega_spark.functions.mlprep import user_feature_mart
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return user_feature_mart(ev)
