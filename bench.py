@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "dod_wow_event_changes",       # calendar-safe delta self-joins
     "fulfillment_lag_by_priority",  # cross-table day arithmetic
     "user_feature_mart",           # churn/LTV features, one exchange
+    "custom_sink_jsonl_roundtrip",  # Python DataSource writer, 2-phase commit
 ]
 
 

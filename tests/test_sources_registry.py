@@ -179,3 +179,18 @@ def test_bench_and_oracle_sets_consistent(spark):
     spec.loader.exec_module(mod)
     assert set(mod.queries()) == set(registry.QUERIES)
     assert mod.oracle_sql() == registry.ORACLES
+
+
+def test_custom_jsonl_sink_two_phase_commit(spark, tmp_path):
+    # commit renames temp files; no .tmp- residue; abort-safe names
+    import os
+    from vega_spark.sources.custom_source import register
+    register(spark)
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    out = str(tmp_path / "sink")
+    df.write.format("vega_jsonl").option("path", out).mode("append").save()
+    files = os.listdir(out)
+    assert files and not any(f.startswith(".tmp-") for f in files)
+    back = spark.read.schema("id long, v long").json(out)
+    assert back.count() == 100
+    assert back.agg({"v": "sum"}).collect()[0][0] == 9900

@@ -6711,3 +6711,33 @@ def user_feature_mart_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return user_feature_mart(ev)
+
+
+@_q("custom_sink_jsonl_roundtrip", """
+SELECT COUNT(*) AS n_rows,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents
+FROM events WHERE event_type = 'click'
+""")
+def custom_sink_jsonl_roundtrip_q(spark, sf_dir):
+    """Custom Python DataSource SINK end to end: click events written
+    through the vega_jsonl two-phase-commit writer (task temp files →
+    driver commit renames), then read back with the native JSON
+    reader and aggregated — the write-side twin of
+    custom_source_events. The oracle recomputes from the source
+    table, so a dropped/partial/duplicated task file would fail the
+    hash."""
+    import tempfile
+
+    from vega_spark.sources.custom_source import register
+    register(spark)
+    ev = _t(spark, sf_dir, "events")
+    sub = (ev.filter(F.col("event_type") == "click")
+           .select("event_id",
+                   F.round(F.col("value") * 100, 0).cast("long")
+                   .alias("cents")))
+    tdir = tempfile.mkdtemp(prefix="vega_jsonl_sink_")
+    (sub.write.format("vega_jsonl").option("path", tdir)
+     .mode("append").save())
+    back = spark.read.schema("event_id long, cents long").json(tdir)
+    return back.agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("cents").alias("sum_cents"))

@@ -79,3 +79,74 @@ class SyntheticEventsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of all custom sources."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+# --- custom SINK: Python DataSource writer (two-phase commit) ----------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str):
+        self.tmp_path = tmp_path
+
+
+class JsonlWriter(DataSourceWriter):
+    """Executor-side writer with the standard two-phase commit: each
+    task writes a ``.tmp-`` file and reports it; the driver-side
+    ``commit`` renames every reported file to its final name in one
+    pass (so readers never observe a partial job), and ``abort``
+    deletes the temporaries. The same protocol Spark's file sinks
+    use, expressed through the Python DataSource API — the idiomatic
+    mapping of the reference's save/sink surface
+    (src/rdd/rdd.rs:254-272 save_as_text_file)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vega_jsonl writer requires option 'path'")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _JsonlCommit(tmp)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            final = os.path.join(
+                os.path.dirname(m.tmp_path),
+                os.path.basename(m.tmp_path)[len(".tmp-"):])
+            os.rename(m.tmp_path, final)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """df.write.format("vega_jsonl").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vega_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return JsonlWriter(self.options)
