@@ -60,7 +60,7 @@ _PRIORITY = [
     "session_depth_bounce", "attribution_time_decay",
     "dod_wow_event_changes", "fulfillment_lag_by_priority",
     "file_layout_skew_report", "user_feature_mart",
-    "custom_sink_jsonl_roundtrip",
+    "custom_sink_jsonl_roundtrip", "versioned_data_skipping_orders",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

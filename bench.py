@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "fulfillment_lag_by_priority",  # cross-table day arithmetic
     "user_feature_mart",           # churn/LTV features, one exchange
     "custom_sink_jsonl_roundtrip",  # Python DataSource writer, 2-phase commit
+    "versioned_data_skipping_orders",  # manifest min/max file pruning
 ]
 
 

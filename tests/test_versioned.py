@@ -49,6 +49,60 @@ def test_pointer_flip_is_atomic_artifact(spark):
     assert os.path.isdir(os.path.join(tdir, f"v{v:05d}"))
 
 
+def test_data_skipping_prunes_files_and_preserves_results(spark):
+    # range-partitioned snapshot → disjoint per-file id bands → a
+    # narrow predicate must skip most files while the pruned read
+    # returns exactly what a full scan + filter would
+    tdir = tempfile.mkdtemp(prefix="vt_skip_")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    V.commit_snapshot(df.repartitionByRange(8, "k"), tdir,
+                      stats_cols=["k"])
+    kept, total = V.plan_pruned_files(tdir, {"k": (100, 120)})
+    assert total == 8 and 1 <= len(kept) < total
+    got = {r.k for r in V.read_snapshot_pruned(
+        spark, tdir, {"k": (100, 120)}).collect()}
+    assert got == set(range(100, 121))
+    # open-ended bounds
+    assert V.read_snapshot_pruned(
+        spark, tdir, {"k": (990, None)}).count() == 10
+    assert V.read_snapshot_pruned(
+        spark, tdir, {"k": (None, 9)}).count() == 10
+
+
+def test_data_skipping_conservative_without_stats(spark):
+    # no stats collected → every file kept, result still correct;
+    # fully-disjoint predicate → zero files, empty frame, schema kept
+    tdir = tempfile.mkdtemp(prefix="vt_skip_")
+    V.commit_snapshot(spark.range(100).withColumnRenamed("id", "k")
+                      .repartition(4), tdir)
+    kept, total = V.plan_pruned_files(tdir, {"k": (10, 20)})
+    assert len(kept) == total > 0
+    assert V.read_snapshot_pruned(spark, tdir, {"k": (10, 20)}).count() == 11
+    tdir2 = tempfile.mkdtemp(prefix="vt_skip_")
+    V.commit_snapshot(spark.range(100).withColumnRenamed("id", "k")
+                      .repartitionByRange(4, "k"), tdir2, stats_cols=["k"])
+    empty = V.read_snapshot_pruned(spark, tdir2, {"k": (5000, 6000)})
+    assert empty.count() == 0 and empty.columns == ["k"]
+
+
+def test_data_skipping_timestamp_stats_roundtrip(spark):
+    # temporal min/max must survive the JSON manifest round-trip
+    from datetime import datetime
+
+    tdir = tempfile.mkdtemp(prefix="vt_skip_")
+    rows = [(i, datetime(2024, 1, 1 + i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp")
+    V.commit_snapshot(df.repartitionByRange(4, "ts"), tdir,
+                      stats_cols=["ts"])
+    kept, total = V.plan_pruned_files(
+        tdir, {"ts": (datetime(2024, 1, 3), datetime(2024, 1, 5))})
+    assert total == 4 and len(kept) < total
+    got = V.read_snapshot_pruned(
+        spark, tdir,
+        {"ts": (datetime(2024, 1, 3), datetime(2024, 1, 5))})
+    assert {r.k for r in got.collect()} == {2, 3, 4}
+
+
 def test_vacuum_keeps_current_and_history(spark):
     tdir = tempfile.mkdtemp(prefix="vt_")
     for i in range(4):

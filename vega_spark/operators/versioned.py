@@ -25,11 +25,13 @@ src/rdd/rdd.rs:254-272).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -50,13 +52,66 @@ def current_version(table_dir: str) -> int | None:
         return None
 
 
+def _enc_stat(v):
+    """JSON-encode one min/max cell; temporal types get a type tag so
+    decode restores a comparable Python value."""
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "d", "v": v.isoformat()}
+    return v
+
+
+def _dec_stat(v):
+    if isinstance(v, dict):
+        if v.get("t") == "ts":
+            return datetime.datetime.fromisoformat(v["v"])
+        if v.get("t") == "d":
+            return datetime.date.fromisoformat(v["v"])
+    return v
+
+
+def _collect_file_stats(df_back: DataFrame,
+                        stats_cols: list[str]) -> dict[str, dict]:
+    """Per-file min/max for ``stats_cols`` via the ``_metadata``
+    column — ONE distributed pass over the freshly written snapshot,
+    reduced to an (n_files x n_cols) frame before collect. This is the
+    Delta-log per-file stats model: the driver-side object is bounded
+    by file count, never row count."""
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    rows = (df_back
+            .groupBy(F.col("_metadata.file_path").alias("__path"))
+            .agg(*aggs)
+            .collect())
+    out: dict[str, dict] = {}
+    for r in rows:
+        d = r.asDict()
+        fname = os.path.basename(d.pop("__path"))
+        out[fname] = {
+            c: {"min": _enc_stat(d[f"{c}__min"]),
+                "max": _enc_stat(d[f"{c}__max"])}
+            for c in stats_cols
+        }
+    return out
+
+
 def commit_snapshot(df: DataFrame, table_dir: str,
-                    note: str = "") -> int:
+                    note: str = "",
+                    stats_cols: list[str] | None = None) -> int:
     """Write ``df`` as the next immutable version of ``table_dir``
     and atomically advance the ``_latest`` pointer. Returns the new
     version number. The data write is a normal distributed parquet
     write (any size); only the manifest/pointer steps are driver-side
-    metadata ops."""
+    metadata ops.
+
+    ``stats_cols``: collect per-file min/max for these columns into
+    the manifest (one extra distributed pass over the snapshot), which
+    ``read_snapshot_pruned`` then uses for metadata-only data
+    skipping. Pair with ``repartitionByRange`` on the same columns so
+    file ranges are disjoint and the skip rate is high."""
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     v = (current_version(table_dir) or 0) + 1
     data_dir = os.path.join(table_dir, f"v{v:05d}")
@@ -68,6 +123,10 @@ def commit_snapshot(df: DataFrame, table_dir: str,
         "committed_at": time.time(), "note": note,
         "schema": df.schema.simpleString(),
     }
+    if stats_cols:
+        back = df.sparkSession.read.parquet(data_dir)
+        manifest["stats_cols"] = list(stats_cols)
+        manifest["file_stats"] = _collect_file_stats(back, list(stats_cols))
     mpath = os.path.join(_manifest_dir(table_dir), f"{v:05d}.json")
     with open(mpath, "w") as f:
         json.dump(manifest, f)
@@ -95,6 +154,79 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         manifest = json.load(f)
     return spark.read.parquet(
         os.path.join(table_dir, manifest["data_dir"]))
+
+
+def _load_manifest(table_dir: str, version: int | None) -> dict:
+    v = version if version is not None else current_version(table_dir)
+    if v is None:
+        raise ValueError(f"{table_dir}: no committed version")
+    mpath = os.path.join(_manifest_dir(table_dir), f"{v:05d}.json")
+    if not os.path.exists(mpath):
+        raise ValueError(f"{table_dir}: version {v} does not exist")
+    with open(mpath) as f:
+        return json.load(f)
+
+
+def plan_pruned_files(table_dir: str,
+                      ranges: dict[str, tuple],
+                      version: int | None = None) -> tuple[list[str], int]:
+    """Metadata-only data skipping: given closed-interval predicates
+    ``{col: (lo, hi)}`` (None = unbounded on that side), return the
+    snapshot files whose [min, max] stats intersect EVERY interval,
+    plus the total file count. Runs entirely on the manifest — O(file
+    count) on the driver, zero scans, exactly the Delta/Iceberg skip
+    model. Files without stats for a predicated column are kept
+    (pruning must stay conservative)."""
+    m = _load_manifest(table_dir, version)
+    files = sorted(m.get("file_stats", {}).items())
+    data_dir = os.path.join(table_dir, m["data_dir"])
+    if not files:
+        # stats were not collected: every data file survives
+        all_files = sorted(f for f in os.listdir(data_dir)
+                           if f.endswith(".parquet"))
+        return [os.path.join(data_dir, f) for f in all_files], len(all_files)
+    kept = []
+    for fname, stats in files:
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            st = stats.get(col)
+            if st is None:
+                continue
+            fmin, fmax = _dec_stat(st["min"]), _dec_stat(st["max"])
+            if fmin is None or fmax is None:
+                continue
+            if lo is not None and fmax < lo:
+                keep = False
+                break
+            if hi is not None and fmin > hi:
+                keep = False
+                break
+        if keep:
+            kept.append(os.path.join(data_dir, fname))
+    return kept, len(files)
+
+
+def read_snapshot_pruned(spark: SparkSession, table_dir: str,
+                         ranges: dict[str, tuple],
+                         version: int | None = None) -> DataFrame:
+    """Time-travel read with data skipping: resolve the manifest,
+    drop files whose min/max stats exclude the ``ranges`` predicate,
+    scan only the survivors, and re-apply the predicate as a row
+    filter (file stats prune, they do not filter — correctness never
+    depends on the stats). At cluster scale the file list comes from
+    the manifest, so a selective predicate turns a full-table scan
+    into a handful of file reads before the first task launches."""
+    kept, _total = plan_pruned_files(table_dir, ranges, version)
+    if not kept:
+        base = read_snapshot(spark, table_dir, version)
+        return base.filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df
 
 
 def history(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -5528,6 +5528,47 @@ def versioned_time_travel_orders_q(spark, sf_dir):
     return outs[0].unionAll(outs[1]).orderBy("version")
 
 
+@_q("versioned_data_skipping_orders", """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+GROUP BY 1
+""")
+def versioned_data_skipping_orders_q(spark, sf_dir):
+    """Delta-style DATA SKIPPING end to end: commit orders range-
+    partitioned on o_orderdate so each file owns a contiguous date
+    band, collect per-file min/max stats into the manifest (one
+    distributed pass), then answer a one-year query through
+    ``read_snapshot_pruned`` — the driver drops non-intersecting
+    files from the manifest BEFORE any scan, and the residual row
+    filter keeps correctness independent of the stats. At 100 TB the
+    skip decision is O(file count) manifest metadata; the scan itself
+    touches only the ~1/6 of files whose band overlaps the year. The
+    oracle replays the same year filter on the raw table — pruning
+    must be invisible in the result."""
+    import tempfile
+    from datetime import datetime
+
+    from vega_spark.operators.versioned import (
+        commit_snapshot, read_snapshot_pruned)
+    orders = _t(spark, sf_dir, "orders")
+    tdir = tempfile.mkdtemp(prefix="vega_skip_")
+    commit_snapshot(orders.repartitionByRange(8, "o_orderdate"),
+                    tdir, note="range layout",
+                    stats_cols=["o_orderdate"])
+    pruned = read_snapshot_pruned(
+        spark, tdir,
+        {"o_orderdate": (datetime(1996, 1, 1),
+                         datetime(1996, 12, 31, 23, 59, 59))})
+    return (pruned.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                       .cast("long")).alias("sum_cents")))
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
