@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "user_feature_mart",           # churn/LTV features, one exchange
     "custom_sink_jsonl_roundtrip",  # Python DataSource writer, 2-phase commit
     "versioned_data_skipping_orders",  # manifest min/max file pruning
+    "pareto_customer_frontier",    # two-phase distributed skyline
 ]
 
 

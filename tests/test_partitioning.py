@@ -90,6 +90,45 @@ def test_topk_per_group(spark):
     assert got == [("a", 3), ("a", 5), ("b", 2), ("b", 9)]
 
 
+def _brute_frontier(rows, dims):
+    out = []
+    for p in rows:
+        dom = any(
+            all(q[d] >= p[d] for d in dims) and any(q[d] > p[d] for d in dims)
+            for q in rows)
+        if not dom:
+            out.append(p)
+    return out
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50), rng.randint(0, 50), rng.randint(0, 50))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id int, x long, y long, z long")
+    got = sorted(tuple(r) for r in
+                 K.pareto_frontier(df.repartition(8), ["x", "y", "z"])
+                 .collect())
+    exp = sorted((p["id"], p["x"], p["y"], p["z"])
+                 for p in _brute_frontier([dict(id=a, x=b, y=c, z=d)
+                                           for a, b, c, d in rows],
+                                          ["x", "y", "z"]))
+    assert got == exp
+
+
+def test_pareto_frontier_keeps_exact_ties_and_2d(spark):
+    rows = [(1, 5, 5), (2, 5, 5), (3, 4, 6), (4, 6, 4), (5, 3, 3),
+            (6, 1, 7)]
+    df = spark.createDataFrame(rows, "id int, x long, y long")
+    got = sorted(r.id for r in
+                 K.pareto_frontier(df.repartition(3), ["x", "y"]).collect())
+    # (5,5) twice: neither dominates the other; (3,3) dominated;
+    # (1,7) undominated
+    assert got == [1, 2, 3, 4, 6]
+
+
 # --- skew salting -------------------------------------------------------------
 
 def test_salted_join_equals_plain_join(spark, sf_dir):

@@ -5569,6 +5569,41 @@ def versioned_data_skipping_orders_q(spark, sf_dir):
                        .cast("long")).alias("sum_cents")))
 
 
+@_q("pareto_customer_frontier", """
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS spend_cents,
+         COUNT(*) AS n_orders,
+         MAX(o_orderdate) AS last_order
+  FROM orders GROUP BY 1)
+SELECT p.o_custkey, p.spend_cents, p.n_orders, p.last_order
+FROM per p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per q
+  WHERE q.spend_cents >= p.spend_cents
+    AND q.n_orders   >= p.n_orders
+    AND q.last_order >= p.last_order
+    AND (q.spend_cents > p.spend_cents OR q.n_orders > p.n_orders
+         OR q.last_order > p.last_order))
+""")
+def pareto_customer_frontier_q(spark, sf_dir):
+    """SKYLINE query: customers not dominated on (total spend, order
+    count, recency) simultaneously — the multi-criteria "best
+    customers" set no single ORDER BY can express. Spark side runs
+    the two-phase distributed skyline (per-partition Arrow frontier →
+    global frontier over the tiny candidate union); the oracle is the
+    textbook O(n²) NOT EXISTS dominance query, tractable at sf0.01.
+    Spend in exact cents so both engines compare identical integers."""
+    orders = _t(spark, sf_dir, "orders")
+    per = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long")).alias("spend_cents"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderdate").alias("last_order")))
+    return K.pareto_frontier(
+        per, ["spend_cents", "n_orders", "last_order"])
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
