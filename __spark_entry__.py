@@ -61,7 +61,7 @@ _PRIORITY = [
     "dod_wow_event_changes", "fulfillment_lag_by_priority",
     "file_layout_skew_report", "user_feature_mart",
     "custom_sink_jsonl_roundtrip", "versioned_data_skipping_orders",
-    "pareto_customer_frontier",
+    "pareto_customer_frontier", "pca_covariance_lineitem",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

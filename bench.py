@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "custom_sink_jsonl_roundtrip",  # Python DataSource writer, 2-phase commit
     "versioned_data_skipping_orders",  # manifest min/max file pruning
     "pareto_customer_frontier",    # two-phase distributed skyline
+    "pca_covariance_lineitem",     # exact covariance, one agg pass
 ]
 
 

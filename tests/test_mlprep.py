@@ -138,3 +138,49 @@ def test_user_feature_mart_exact_features(spark):
     assert (r.active_days, r.span_days) == (2, 3)
     assert r.total_value == 60.0 and r.mean_value == 20.0
     assert r.max_gap_s == (2 * 24 - 2) * 3600
+
+
+def test_pca_fit_matches_numpy_and_projects(spark):
+    import numpy as np
+
+    from vega_spark.functions import mlprep as M
+
+    rng = np.random.default_rng(11)
+    # correlated 3-col data on the cents grid (exact after scaling)
+    base = rng.normal(size=(300, 3)) @ np.array(
+        [[3.0, 1.0, 0.0], [0.0, 2.0, 0.5], [0.0, 0.0, 0.2]])
+    data = np.round(base + 10.0, 2)
+    rows = [tuple(float(v) for v in r) for r in data]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    model = M.pca_fit(df, ["a", "b", "c"])
+    # covariance path must equal numpy's population covariance
+    cov_np = np.cov(data.T, bias=True)
+    vals_np = np.sort(np.linalg.eigvalsh(cov_np))[::-1]
+    assert np.allclose(model["explained_variance"], vals_np, atol=1e-9)
+    # components orthonormal, deterministic sign
+    C = model["components"]
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)
+    for k in range(3):
+        assert C[k, np.abs(C[k]).argmax()] > 0
+    # JVM projection == numpy projection
+    proj = M.pca_project(df, model, 2).select("pc1", "pc2").collect()
+    got = np.array([[r.pc1, r.pc2] for r in proj])
+    exp = (data - model["mean"]) @ C[:2].T
+    # row order: collect preserves input order on a narrow plan
+    assert np.allclose(np.sort(got, axis=0), np.sort(exp, axis=0),
+                       atol=1e-8)
+    # variance along pc1 equals the top eigenvalue
+    assert abs(got[:, 0].var() - vals_np[0]) < 1e-6
+
+
+def test_covariance_pairs_partition_invariant(spark):
+    from vega_spark.functions import mlprep as M
+
+    rows = [(float(i % 7), float((i * 3) % 11)) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "x double, y double")
+    a = {(r.ci, r.cj): r.cov_num
+         for r in M.covariance_pairs(df1, ["x", "y"]).collect()}
+    b = {(r.ci, r.cj): r.cov_num
+         for r in M.covariance_pairs(df1.repartition(13), ["x", "y"])
+         .collect()}
+    assert a == b

@@ -491,3 +491,102 @@ def user_feature_mart(events: DataFrame, user_col: str = "user_id",
                  .alias("mean_value"),
                  F.max("gap").alias("max_gap_s"))
             .orderBy(user_col))
+
+
+def covariance_pairs(df: DataFrame, cols: Sequence[str],
+                     scale: int = 100) -> DataFrame:
+    """Exact covariance numerators for every column pair: one agg
+    pass computes per-column sums and pairwise product sums on the
+    integer ``scale`` grid (cents by default), then the single result
+    row fans out to the d*(d+1)/2 pair frame. cov numerator
+    n*S_ij - S_i*S_j is DECIMAL(38,0) end to end — exact under any
+    partitioning, so it replays bit-for-bit in any engine (emitted as
+    a string: both engines print integers canonically). The rounded
+    double ``cov`` divides the exact numerator by n² once.
+
+    Scale shape: ONE map-side-combined aggregation over the table
+    (d + d(d+1)/2 partial sums), a 1-row driver frame, no shuffle of
+    row data — the covariance of a 100 TB table costs one scan."""
+    names = list(cols)
+    ints = {c: F.round(F.col(c) * scale, 0).cast("long") for c in names}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in names:
+        aggs.append(F.sum(ints[c]).alias(f"s_{c}"))
+    for i, ci in enumerate(names):
+        for cj in names[i:]:
+            aggs.append(
+                F.sum((ints[ci].cast("decimal(19,0)")
+                       * ints[cj].cast("decimal(19,0)"))
+                      .cast("decimal(38,0)")).alias(f"p_{ci}_{cj}"))
+    one = df.agg(*aggs)
+    n = F.col("n").cast("decimal(38,0)")
+    pairs = []
+    for i, ci in enumerate(names):
+        for cj in names[i:]:
+            num = (n * F.col(f"p_{ci}_{cj}")
+                   - F.col(f"s_{ci}").cast("decimal(38,0)")
+                   * F.col(f"s_{cj}").cast("decimal(38,0)"))
+            pairs.append(F.struct(
+                F.lit(ci).alias("ci"), F.lit(cj).alias("cj"),
+                num.cast("decimal(38,0)").cast("string").alias("cov_num"),
+                F.round(num.cast("double")
+                        / (F.col("n").cast("double") * F.col("n")
+                           * float(scale * scale)), 6).alias("cov")))
+    return (one.select(F.explode(F.array(*pairs)).alias("p"))
+            .select("p.ci", "p.cj", "p.cov_num", "p.cov"))
+
+
+def pca_fit(df: DataFrame, cols: Sequence[str],
+            scale: int = 100) -> dict:
+    """Principal components from the exact covariance: the d x d
+    matrix (d = len(cols), constant-size) is assembled on the driver
+    from ``covariance_pairs`` and eigendecomposed with numpy —
+    O(d³) driver work, independent of row count. Returns
+    {"cols", "mean", "components" (rows = PCs, descending
+    eigenvalue), "explained_variance"}. Sign convention: each
+    component's largest-|loading| entry is made positive, so results
+    are deterministic across BLAS builds."""
+    import numpy as np
+
+    names = list(cols)
+    stats = covariance_pairs(df, names, scale).collect()
+    one = df.agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.round(F.col(c) * scale, 0).cast("long"))
+                   .alias(f"s_{c}") for c in names]).collect()[0]
+    n = one["n"]
+    mean = np.array([one[f"s_{c}"] / n / scale for c in names])
+    d = len(names)
+    cov = np.zeros((d, d))
+    idx = {c: i for i, c in enumerate(names)}
+    for r in stats:
+        v = int(r.cov_num) / (n * n * scale * scale)
+        cov[idx[r.ci], idx[r.cj]] = v
+        cov[idx[r.cj], idx[r.ci]] = v
+    vals, vecs = np.linalg.eigh(cov)       # ascending
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    comps = vecs.T.copy()
+    for k in range(d):
+        j = int(np.abs(comps[k]).argmax())
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    return {"cols": names, "mean": mean, "components": comps,
+            "explained_variance": vals}
+
+
+def pca_project(df: DataFrame, model: dict, k: int,
+                out_prefix: str = "pc") -> DataFrame:
+    """Project rows onto the first ``k`` principal components with
+    pure JVM column arithmetic (d multiply-adds per component —
+    whole-stage-codegen narrow pass, no Python in the row path)."""
+    names = model["cols"]
+    mean = model["mean"]
+    comps = model["components"]
+    out = df
+    for p in range(k):
+        expr = None
+        for j, c in enumerate(names):
+            term = (F.col(c) - float(mean[j])) * float(comps[p, j])
+            expr = term if expr is None else expr + term
+        out = out.withColumn(f"{out_prefix}{p + 1}", expr)
+    return out

@@ -5604,6 +5604,60 @@ def pareto_customer_frontier_q(spark, sf_dir):
         per, ["spend_cents", "n_orders", "last_order"])
 
 
+@_q("pca_covariance_lineitem", """
+WITH g AS (
+  SELECT CAST(ROUND(l_quantity*100,0) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS e,
+         CAST(ROUND(l_discount*100,0) AS BIGINT) AS d,
+         CAST(ROUND(l_tax*100,0) AS BIGINT) AS t
+  FROM lineitem),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(q) AS sq, SUM(e) AS se, SUM(d) AS sd, SUM(t) AS st,
+         SUM(q*q) AS pqq, SUM(q*e) AS pqe, SUM(q*d) AS pqd,
+         SUM(q*t) AS pqt, SUM(e*e) AS pee, SUM(e*d) AS ped,
+         SUM(e*t) AS pet, SUM(d*d) AS pdd, SUM(d*t) AS pdt,
+         SUM(t*t) AS ptt
+  FROM g)
+SELECT ci, cj, CAST(num AS VARCHAR) AS cov_num,
+       ROUND(CAST(num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0),
+             6) AS cov
+FROM (
+  SELECT n, 'l_quantity' AS ci, 'l_quantity' AS cj,
+         n*pqq - CAST(sq AS HUGEINT)*sq AS num FROM s
+  UNION ALL SELECT n, 'l_quantity', 'l_extendedprice',
+         n*pqe - CAST(sq AS HUGEINT)*se FROM s
+  UNION ALL SELECT n, 'l_quantity', 'l_discount',
+         n*pqd - CAST(sq AS HUGEINT)*sd FROM s
+  UNION ALL SELECT n, 'l_quantity', 'l_tax',
+         n*pqt - CAST(sq AS HUGEINT)*st FROM s
+  UNION ALL SELECT n, 'l_extendedprice', 'l_extendedprice',
+         n*pee - CAST(se AS HUGEINT)*se FROM s
+  UNION ALL SELECT n, 'l_extendedprice', 'l_discount',
+         n*ped - CAST(se AS HUGEINT)*sd FROM s
+  UNION ALL SELECT n, 'l_extendedprice', 'l_tax',
+         n*pet - CAST(se AS HUGEINT)*st FROM s
+  UNION ALL SELECT n, 'l_discount', 'l_discount',
+         n*pdd - CAST(sd AS HUGEINT)*sd FROM s
+  UNION ALL SELECT n, 'l_discount', 'l_tax',
+         n*pdt - CAST(sd AS HUGEINT)*st FROM s
+  UNION ALL SELECT n, 'l_tax', 'l_tax',
+         n*ptt - CAST(st AS HUGEINT)*st FROM s)
+""")
+def pca_covariance_lineitem_q(spark, sf_dir):
+    """Exact covariance matrix of the four lineitem measures — the
+    distributed half of PCA (functions/mlprep.pca_fit eigensolves
+    this d x d frame on the driver; eigenvectors aren't SQL, so the
+    oracle pins the covariance instead). One map-side-combined agg
+    over the table; numerators exact DECIMAL(38,0) on the cents grid
+    so both engines print identical integers."""
+    from vega_spark.functions.mlprep import covariance_pairs
+    li = _t(spark, sf_dir, "lineitem")
+    return covariance_pairs(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
