@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "versioned_data_skipping_orders",  # manifest min/max file pruning
     "pareto_customer_frontier",    # two-phase distributed skyline
     "pca_covariance_lineitem",     # exact covariance, one agg pass
+    "cv_stump_orders_priority",    # k-fold CV on the cell frame
 ]
 
 

@@ -184,3 +184,26 @@ def test_covariance_pairs_partition_invariant(spark):
          for r in M.covariance_pairs(df1.repartition(13), ["x", "y"])
          .collect()}
     assert a == b
+
+
+def test_cv_stump_separable_data_is_perfect(spark):
+    from pyspark.sql import functions as F
+
+    from vega_spark.functions import mlprep as M
+
+    # perfectly separable at v=50: every fold must find the split
+    # and score 100% held-out accuracy
+    rows = [(i, float(i % 100), i % 100 >= 50) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v double, y boolean")
+    out = M.cv_decision_stump(df, "y", "v", "id", folds=4, bins=50)
+    res = out.collect()
+    assert len(res) == 4
+    assert all(r.acc == 1.0 for r in res)
+    assert all(abs(r.split_value - 50.0) < 2.1 for r in res)
+    assert sum(r.n_test for r in res) == 1000
+    for r in res:
+        assert r.n_train + r.n_test == 1000
+    # inverted labels must flip child predictions, not accuracy
+    inv = M.cv_decision_stump(df.withColumn("y", ~F.col("y")),
+                              "y", "v", "id", folds=4, bins=50)
+    assert all(r.acc == 1.0 for r in inv.collect())

@@ -590,3 +590,113 @@ def pca_project(df: DataFrame, model: dict, k: int,
             expr = term if expr is None else expr + term
         out = out.withColumn(f"{out_prefix}{p + 1}", expr)
     return out
+
+
+def cv_decision_stump(df: DataFrame, label_col, score_col: str,
+                      id_col: str, folds: int = 5, bins: int = 20,
+                      round_dp: int = 6) -> DataFrame:
+    """K-fold cross-validation of the binned decision stump, computed
+    ENTIRELY on the (fold x bin) cell frame: rows hash into md5
+    folds, one scan bins them into per-(fold, bin) class counts, and
+    because every row in a cell shares its bin AND its fold, both the
+    k trainings (training counts = bin totals minus the held-out
+    fold's own counts) and the k held-out evaluations (a cell's rows
+    are all predicted alike) are exact arithmetic on that
+    folds x bins frame. ONE data scan + ONE bounded shuffle,
+    independent of k — the textbook "k passes over the data" CV
+    collapses into cell algebra, which is also what makes it replay
+    exactly in any engine.
+
+    Candidate splits: each bin b present in the cells puts bins < b
+    left; children must be non-empty; weighted Gini cost, ties to
+    the smallest bin. Children predict their training majority
+    (positive iff pos > neg). Output per fold: train/test sizes,
+    split threshold (bin left edge), held-out correct count and
+    accuracy."""
+    from pyspark.sql.window import Window
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    fold = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                               1, 12), 16, 10).cast("long")
+            % folds).alias("fold")
+    rng = df.agg(F.min(score_col).alias("__lo"),
+                 F.max(score_col).alias("__hi"))
+    binned = (df.crossJoin(F.broadcast(rng))
+              .select(fold,
+                      F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+                      .otherwise(F.least(
+                          F.lit(bins - 1),
+                          F.floor((F.col(score_col) - F.col("__lo"))
+                                  / (F.col("__hi") - F.col("__lo"))
+                                  * bins).cast("int"))).alias("b"),
+                      lab.cast("int").alias("y"),
+                      F.col("__lo"), F.col("__hi")))
+    cells = binned.groupBy("fold", "b").agg(
+        F.sum("y").alias("np"),
+        F.sum(F.lit(1) - F.col("y")).alias("nn"),
+        F.first("__lo").alias("lo"), F.first("__hi").alias("hi"))
+    tot = cells.groupBy(F.col("b").alias("tb")).agg(
+        F.sum("np").alias("tnp"), F.sum("nn").alias("tnn"))
+    fold_ids = cells.select("fold").distinct()
+    # per-(fold, bin) TRAINING counts: bin totals minus the held-out
+    # fold's own cell (grid is folds x bins — bounded)
+    own = cells.select(F.col("fold").alias("cf"), F.col("b").alias("cb"),
+                       F.col("np").alias("cnp"), F.col("nn").alias("cnn"))
+    grid = (fold_ids.crossJoin(tot)
+            .join(own, (F.col("fold") == F.col("cf"))
+                  & (F.col("tb") == F.col("cb")), "left_outer")
+            .select("fold", F.col("tb").alias("b"),
+                    (F.col("tnp") - F.coalesce(F.col("cnp"), F.lit(0)))
+                    .alias("trp"),
+                    (F.col("tnn") - F.coalesce(F.col("cnn"), F.lit(0)))
+                    .alias("trn")))
+    w = (Window.partitionBy("fold").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wt = Window.partitionBy("fold")
+    cand = grid.select(
+        "fold", "b",
+        F.coalesce(F.sum("trp").over(w), F.lit(0)).alias("lp"),
+        F.coalesce(F.sum("trn").over(w), F.lit(0)).alias("ln"),
+        F.sum("trp").over(wt).alias("ttp"),
+        F.sum("trn").over(wt).alias("ttn"))
+    rp = F.col("ttp") - F.col("lp")
+    rn = F.col("ttn") - F.col("ln")
+
+    def gini(p, n):
+        return F.when(p + n == 0, F.lit(0.0)).otherwise(
+            2.0 * p.cast("double") * n.cast("double")
+            / (p + n).cast("double"))
+
+    cand = cand.withColumn(
+        "cost",
+        F.when((F.col("lp") + F.col("ln") == 0) | (rp + rn == 0),
+               F.lit(None).cast("double"))
+        .otherwise(gini(F.col("lp"), F.col("ln")) + gini(rp, rn)))
+    pick = Window.partitionBy("fold").orderBy(
+        F.col("cost").asc_nulls_last(), F.col("b").asc())
+    model = (cand.withColumn("rk", F.row_number().over(pick))
+             .filter((F.col("rk") == 1) & F.col("cost").isNotNull())
+             .select("fold", F.col("b").alias("sb"),
+                     (F.col("lp") > F.col("ln")).cast("int")
+                     .alias("left_pred"),
+                     (rp > rn).cast("int").alias("right_pred"),
+                     (F.col("ttp") + F.col("ttn")).alias("n_train")))
+    # held-out evaluation on the fold's OWN cells: a cell's rows all
+    # get the same prediction, so correctness is count algebra
+    ev = (cells.join(F.broadcast(model), "fold")
+          .select("fold", "n_train", "np", "nn", "lo", "hi", "sb",
+                  F.when(F.col("b") < F.col("sb"), F.col("left_pred"))
+                  .otherwise(F.col("right_pred")).alias("pred")))
+    width = (F.col("hi") - F.col("lo")) / bins
+    return (ev.groupBy("fold")
+            .agg(F.first("n_train").alias("n_train"),
+                 F.sum(F.col("np") + F.col("nn")).alias("n_test"),
+                 F.sum(F.when(F.col("pred") == 1, F.col("np"))
+                       .otherwise(F.col("nn"))).alias("n_correct"),
+                 F.round(F.first("lo") + F.first("sb")
+                         * F.first(width), round_dp)
+                 .alias("split_value"))
+            .withColumn("acc",
+                        F.round(F.col("n_correct").cast("double")
+                                / F.col("n_test").cast("double"),
+                                round_dp)))

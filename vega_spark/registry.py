@@ -5658,6 +5658,89 @@ def pca_covariance_lineitem_q(spark, sf_dir):
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+@_q("cv_stump_orders_priority", """
+WITH base AS (
+  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+           % 5 AS fold,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         o_totalprice AS s
+  FROM orders),
+rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM base),
+binned AS (
+  SELECT fold, y,
+         CASE WHEN hi = lo THEN 0
+              ELSE LEAST(19, CAST(FLOOR((s - lo) / (hi - lo) * 20)
+                                  AS INTEGER)) END AS b
+  FROM base, rng),
+cells AS (
+  SELECT fold, b, SUM(y) AS np, SUM(1 - y) AS nn
+  FROM binned GROUP BY 1, 2),
+tot AS (SELECT b, SUM(np) AS tnp, SUM(nn) AS tnn FROM cells GROUP BY 1),
+grid AS (
+  SELECT f.fold, t.b,
+         t.tnp - COALESCE(c.np, 0) AS trp,
+         t.tnn - COALESCE(c.nn, 0) AS trn
+  FROM (SELECT DISTINCT fold FROM cells) f
+  CROSS JOIN tot t
+  LEFT JOIN cells c ON c.fold = f.fold AND c.b = t.b),
+cand AS (
+  SELECT fold, b,
+         COALESCE(SUM(trp) OVER (PARTITION BY fold ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lp,
+         COALESCE(SUM(trn) OVER (PARTITION BY fold ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lq,
+         SUM(trp) OVER (PARTITION BY fold) AS ttp,
+         SUM(trn) OVER (PARTITION BY fold) AS ttn
+  FROM grid),
+cost AS (
+  SELECT fold, b, lp, lq, ttp, ttn,
+         CASE WHEN lp + lq = 0 OR (ttp - lp) + (ttn - lq) = 0 THEN NULL
+              ELSE (CASE WHEN lp + lq = 0 THEN 0.0
+                         ELSE 2.0 * lp * lq / (lp + lq) END)
+                 + (CASE WHEN (ttp - lp) + (ttn - lq) = 0 THEN 0.0
+                         ELSE 2.0 * (ttp - lp) * (ttn - lq)
+                              / ((ttp - lp) + (ttn - lq)) END)
+         END AS cost
+  FROM cand),
+model AS (
+  SELECT fold, b AS sb,
+         CASE WHEN lp > lq THEN 1 ELSE 0 END AS left_pred,
+         CASE WHEN ttp - lp > ttn - lq THEN 1 ELSE 0 END AS right_pred,
+         ttp + ttn AS n_train
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fold
+               ORDER BY cost ASC NULLS LAST, b ASC) AS rk FROM cost)
+  WHERE rk = 1 AND cost IS NOT NULL),
+ev AS (
+  SELECT c.fold, m.n_train, c.np, c.nn, m.sb,
+         CASE WHEN c.b < m.sb THEN m.left_pred ELSE m.right_pred END AS pred
+  FROM cells c JOIN model m ON c.fold = m.fold)
+SELECT e.fold, MAX(e.n_train) AS n_train,
+       SUM(e.np + e.nn) AS n_test,
+       SUM(CASE WHEN e.pred = 1 THEN e.np ELSE e.nn END) AS n_correct,
+       ROUND(MIN(r.lo) + MAX(e.sb) * ((MIN(r.hi) - MIN(r.lo)) / 20), 6)
+         AS split_value,
+       ROUND(CAST(SUM(CASE WHEN e.pred = 1 THEN e.np ELSE e.nn END)
+                  AS DOUBLE)
+             / CAST(SUM(e.np + e.nn) AS DOUBLE), 6) AS acc
+FROM ev e, rng r
+GROUP BY 1
+""")
+def cv_stump_orders_priority_q(spark, sf_dir):
+    """5-fold cross-validated decision stump (is this order
+    urgent/high-priority, split on total price): the full CV —
+    binning, k leave-one-fold-out trainings, k held-out accuracy
+    evaluations — runs as exact count algebra on the (fold x bin)
+    cell frame, one data scan + one bounded shuffle regardless of k.
+    The oracle replays every stage (md5 folds, grid binning,
+    cumulative training counts, Gini argmin, cell-wise evaluation)."""
+    from vega_spark.functions.mlprep import cv_decision_stump
+    orders = _t(spark, sf_dir, "orders")
+    return cv_decision_stump(
+        orders, F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        "o_totalprice", "o_orderkey", folds=5, bins=20)
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
