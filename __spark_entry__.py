@@ -62,7 +62,7 @@ _PRIORITY = [
     "file_layout_skew_report", "user_feature_mart",
     "custom_sink_jsonl_roundtrip", "versioned_data_skipping_orders",
     "pareto_customer_frontier", "pca_covariance_lineitem",
-    "cv_stump_orders_priority",
+    "cv_stump_orders_priority", "streaming_watermark_drops",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "pareto_customer_frontier",    # two-phase distributed skyline
     "pca_covariance_lineitem",     # exact covariance, one agg pass
     "cv_stump_orders_priority",    # k-fold CV on the cell frame
+    "streaming_watermark_drops",   # 3-batch late-data drop contract
 ]
 
 

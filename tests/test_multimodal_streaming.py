@@ -238,3 +238,54 @@ def test_image_header_metadata_real_decode(spark):
     assert (got[2].format, got[2].width, got[2].height) == ("png", 3, 9)
     assert got[3].format == "unknown" and got[3].width is None
     assert got[1].n_bytes == len(make_test_png(8, 4))
+
+
+def test_watermark_drops_late_rows_after_one_batch_lag(spark):
+    """Spark applies an advanced watermark to input filtering one
+    batch late: stragglers arriving two batches after the head are
+    dropped (numRowsDroppedByWatermark counts them); the append sink
+    must emit only head windows closed by the watermark."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    stage = tempfile.mkdtemp(prefix="wm_drop_")
+    D = datetime.datetime
+    files = [
+        ("b1", [(D(2024, 1, 10, 12, 0, 5), "a"),
+                (D(2024, 1, 10, 13, 59, 0), "a")]),
+        ("b2", [(D(2024, 1, 10, 11, 30, 0), "a")]),
+        ("b3", [(D(2024, 1, 10, 1, 0, 0), "late"),
+                (D(2024, 1, 10, 2, 30, 0), "late")]),
+    ]
+    mt = None
+    for i, (tag, rows) in enumerate(files):
+        tmp = tempfile.mkdtemp()
+        (spark.createDataFrame(rows, "ts timestamp, k string")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"{tag}.parquet")
+        shutil.copy(os.path.join(tmp, src), dst)
+        mt = os.path.getmtime(dst) if mt is None else mt
+        os.utime(dst, (mt + 60 * i, mt + 60 * i))
+    stream = (spark.readStream.schema("ts timestamp, k string")
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.format("memory").queryName("wmdrop")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    dropped = sum(so.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for so in p["stateOperators"])
+    q.stop()
+    got = {(r.w.start.hour, r.k, r.n)
+           for r in spark.table("wmdrop").collect()}
+    # both stragglers dropped; emitted = head windows with
+    # end <= wm (12:59): the 11:00 window only
+    assert dropped == 2
+    assert got == {(11, "a", 1)}

@@ -5741,6 +5741,90 @@ def cv_stump_orders_priority_q(spark, sf_dir):
         "o_totalprice", "o_orderkey", folds=5, bins=20)
 
 
+@_q("streaming_watermark_drops", """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events),
+mx AS (SELECT MAX(us) AS max_us FROM e),
+recent AS (
+  SELECT (e.us // 3600000000) * 3600 AS win_start_s,
+         e.event_type, e.value
+  FROM e, mx
+  WHERE e.us > mx.max_us - CAST(48 AS BIGINT) * 3600 * 1000000)
+SELECT r.win_start_s, r.event_type,
+       COUNT(*) AS n, ROUND(SUM(r.value), 2) AS total
+FROM recent r, mx
+WHERE (r.win_start_s + 3600) * 1000000 <= mx.max_us - CAST(3600 AS BIGINT) * 1000000
+GROUP BY 1, 2
+""")
+def streaming_watermark_drops_q(spark, sf_dir):
+    """WATERMARK LATE-DATA SEMANTICS end to end: the arrival dir gets
+    three files with ordered mtimes — the newest day of events, then
+    the 24-48h band, then a straggler file holding everything OLDER —
+    and maxFilesPerTrigger=1 forces separate micro-batches. The first
+    batch advances the watermark to max(ts) - 1 h; the second burns
+    the one-batch lag Spark takes to apply an advanced watermark to
+    input filtering; so when the stragglers arrive every one of their
+    windows is already finalized and ALL late rows must be dropped.
+    Append mode then emits exactly the head's windows whose end <=
+    watermark. The oracle replays that contract from the batch table:
+    last-48h rows only, windows closed by the final watermark —
+    dropped stragglers appearing in the result, or head windows
+    missing, both fail the hash. (test_multimodal_streaming asserts
+    numRowsDroppedByWatermark equals the staged straggler count.)"""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from vega_spark.streaming import sources as SS
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select("event_id",
+                  F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+                  "event_type", "value")
+    mx = t.agg(F.max("ts")).collect()[0][0]
+    day = __import__("datetime").timedelta(hours=24)
+    cut24, cut48 = mx - day, mx - 2 * day
+    stage = tempfile.mkdtemp(prefix="vega_stream_wm_")
+    # THREE ordered arrival files: the newest day first (advances the
+    # watermark to max-1h), the 24-48h band second (burns the batch
+    # the watermark needs to become effective for input filtering —
+    # Spark applies it to late-row drops one batch after it advances),
+    # stragglers third — so the straggler batch runs with the fully
+    # effective watermark and every late row is dropped.
+    parts = (("b1_head_new", t.filter(F.col("ts") > F.lit(cut24))),
+             ("b2_head_old", t.filter((F.col("ts") > F.lit(cut48))
+                                      & (F.col("ts") <= F.lit(cut24)))),
+             ("b3_late", t.filter(F.col("ts") <= F.lit(cut48))))
+    order = []
+    for tag, part in parts:
+        tmp = tempfile.mkdtemp(prefix="vega_stream_wm_part_")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"{tag}.parquet")
+        shutil.copy(os.path.join(tmp, src), dst)
+        order.append(dst)
+    base = os.path.getmtime(order[0])
+    for i, p in enumerate(order[1:], start=1):
+        os.utime(p, (base + 60 * i, base + 60 * i))
+
+    stream = SS.stream_parquet(
+        spark, stage,
+        "event_id long, ts timestamp, event_type string, value double",
+        max_files_per_trigger=1)
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total")))
+    name = "stream_wm_" + uuid.uuid4().hex[:8]
+    q = SS.to_memory(agg, name, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    return (spark.table(name)
+            .select(F.col("win.start").cast("long").alias("win_start_s"),
+                    "event_type", "n", "total"))
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
