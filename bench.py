@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "pca_covariance_lineitem",     # exact covariance, one agg pass
     "cv_stump_orders_priority",    # k-fold CV on the cell frame
     "streaming_watermark_drops",   # 3-batch late-data drop contract
+    "quality_suite_orders",        # Deequ-style one-pass constraint gate
 ]
 
 

@@ -242,3 +242,41 @@ def test_profile_table_exact_counts_and_top(spark):
     df2 = spark.createDataFrame([("b",), ("a",)], "s string")
     r2 = ST.profile_table(df2, ["s"]).first()
     assert r2.top_value == "a" and r2.top_count == 1
+
+
+def test_quality_suite_verdicts(spark):
+    from vega_spark.operators.quality import check_suite
+
+    rows = [(1, "a", 5.0), (2, "b", 50.0), (3, None, -1.0), (3, "d", 7.0)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    out = {(r.check, r.column): r for r in check_suite(df, [
+        {"check": "completeness", "column": "s", "min_ratio": 1.0},
+        {"check": "completeness", "column": "id", "min_ratio": 1.0},
+        {"check": "uniqueness", "column": "id", "min_ratio": 1.0},
+        {"check": "in_range", "column": "v", "lo": 0, "hi": 100,
+         "min_ratio": 0.9},
+        {"check": "matches", "column": "s", "pattern": "^[a-c]$",
+         "min_ratio": 0.5},
+        {"check": "row_count", "min_rows": 5},
+    ]).collect()}
+    c = out[("completeness", "s")]
+    assert (c.observed, c.expected, c.passed) == (3, 4, False)
+    assert out[("completeness", "id")].passed
+    u = out[("uniqueness", "id")]
+    assert (u.observed, u.passed) == (3, False)
+    r = out[("in_range", "v")]
+    assert (r.observed, r.metric, r.passed) == (3, 0.75, False)
+    m = out[("matches", "s")]
+    assert (m.observed, m.passed) == (2, True)
+    rc = out[("row_count", "*")]
+    assert (rc.observed, rc.expected, rc.passed) == (4, 5, False)
+
+
+def test_quality_suite_unknown_check_raises(spark):
+    import pytest
+
+    from vega_spark.operators.quality import check_suite
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        check_suite(df, [{"check": "nope"}])

@@ -5825,6 +5825,58 @@ def streaming_watermark_drops_q(spark, sf_dir):
                     "event_type", "n", "total"))
 
 
+@_q("quality_suite_orders", """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS m0,
+         COUNT(DISTINCT o_orderkey) AS m1,
+         SUM(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 500000
+                  THEN 1 ELSE 0 END) AS m2,
+         SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]-')
+                  THEN 1 ELSE 0 END) AS m3
+  FROM orders)
+SELECT * FROM (
+  SELECT 'completeness' AS "check", 'o_custkey' AS "column",
+         m0 AS observed, n AS expected,
+         ROUND(CAST(m0 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS metric,
+         ROUND(CAST(m0 AS DOUBLE) / CAST(n AS DOUBLE), 6) >= 1.0 AS passed
+  FROM s
+  UNION ALL
+  SELECT 'uniqueness', 'o_orderkey', m1, n,
+         ROUND(CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE), 6),
+         ROUND(CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE), 6) >= 1.0 FROM s
+  UNION ALL
+  SELECT 'in_range', 'o_totalprice', m2, n,
+         ROUND(CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE), 6),
+         ROUND(CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE), 6) >= 0.9 FROM s
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority', m3, n,
+         ROUND(CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE), 6),
+         ROUND(CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE), 6) >= 0.5 FROM s
+  UNION ALL
+  SELECT 'row_count', '*', n, 100, CAST(n AS DOUBLE), n >= 100 FROM s)
+""")
+def quality_suite_orders_q(spark, sf_dir):
+    """Deequ-style data-quality admission gate: five declared
+    constraints (null-freedom, key uniqueness, value range, format
+    shape, minimum volume) all measured in ONE aggregation pass and
+    returned as an exact-integer verdict frame. The oracle replays
+    every metric and verdict."""
+    from vega_spark.operators.quality import check_suite
+    orders = _t(spark, sf_dir, "orders")
+    return check_suite(orders, [
+        {"check": "completeness", "column": "o_custkey",
+         "min_ratio": 1.0},
+        {"check": "uniqueness", "column": "o_orderkey",
+         "min_ratio": 1.0},
+        {"check": "in_range", "column": "o_totalprice",
+         "lo": 0, "hi": 500000, "min_ratio": 0.9},
+        {"check": "matches", "column": "o_orderpriority",
+         "pattern": "^[1-3]-", "min_ratio": 0.5},
+        {"check": "row_count", "min_rows": 100},
+    ])
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
