@@ -63,7 +63,7 @@ _PRIORITY = [
     "custom_sink_jsonl_roundtrip", "versioned_data_skipping_orders",
     "pareto_customer_frontier", "pca_covariance_lineitem",
     "cv_stump_orders_priority", "streaming_watermark_drops",
-    "quality_suite_orders",
+    "quality_suite_orders", "jl_projection_embeddings",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

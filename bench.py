@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "cv_stump_orders_priority",    # k-fold CV on the cell frame
     "streaming_watermark_drops",   # 3-batch late-data drop contract
     "quality_suite_orders",        # Deequ-style one-pass constraint gate
+    "jl_projection_embeddings",    # JL Rademacher projection, narrow codegen
 ]
 
 

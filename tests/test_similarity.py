@@ -194,3 +194,36 @@ def test_sparse_cosine_pairs_identical_docs_top(spark):
     assert (got[0].d1, got[0].d2, got[0].cos) == (1, 2, 1.0)
     # no pair can exceed 1
     assert all(r.cos <= 1.0 for r in got)
+
+
+def test_jl_projection_preserves_distances(spark):
+    import numpy as np
+
+    from vega_spark.functions.similarity import jl_project, jl_sign_matrix
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 64)).astype("float32")
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = jl_project(df, "embedding", in_dim=64, out_dim=16)
+    got = {r.vec_id: np.array(r.proj) for r in out.collect()}
+    # matches the literal matrix product (up to the 6dp rounding)
+    R = np.array(jl_sign_matrix(64, 16))
+    exp = (X.astype("float64") @ R.T) / 4.0
+    for i in range(len(X)):
+        assert np.allclose(got[i], exp[i], atol=1e-6)
+    # JL property: squared distances preserved in expectation —
+    # check the mean ratio over pairs is near 1 (loose, seeded)
+    ratios = []
+    for a in range(0, 30, 3):
+        for b in range(1, 40, 7):
+            if a == b:
+                continue
+            d0 = float(((X[a] - X[b]) ** 2).sum())
+            d1 = float(((got[a] - got[b]) ** 2).sum())
+            ratios.append(d1 / d0)
+    m = float(np.mean(ratios))
+    assert 0.6 < m < 1.4
+    # deterministic across seeds only when the seed matches
+    assert jl_sign_matrix(8, 2, "a") != jl_sign_matrix(8, 2, "b")
+    assert jl_sign_matrix(8, 2, "a") == jl_sign_matrix(8, 2, "a")

@@ -552,3 +552,54 @@ def truncation_recall(emb: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("dim")
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int,
+                   seed: str = "jl") -> list[list[float]]:
+    """Deterministic Rademacher (±1) projection matrix from md5 —
+    R[k][j] = +1 iff the first hex digit of md5("seed:j:k") is even.
+    Any engine (or SQL oracle) derives the identical matrix, so a
+    projection computed on one cluster replays bit-for-bit anywhere;
+    no RNG state is shipped or persisted."""
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(
+                f"{seed}:{j}:{k}".encode()).hexdigest()[0], 16) % 2 == 0
+             else -1.0
+             for j in range(in_dim)]
+            for k in range(out_dim)]
+
+
+def jl_project(df, emb_col: str, in_dim: int, out_dim: int = 16,
+               seed: str = "jl", round_dp: int = 6):
+    """Johnson-Lindenstrauss random projection (Achlioptas ±1
+    variant): project ``in_dim`` embeddings to ``out_dim`` with a
+    broadcast-literal sign matrix — y_k = (1/sqrt(m)) Σ_j x_j R_kj,
+    evaluated as a JVM zip_with/aggregate fold in INDEX ORDER (the
+    sequential sum replays exactly as a list_reduce in any engine;
+    a GROUP-BY sum would be order-nondeterministic in floats).
+
+    The workhorse dimensionality reducer in front of ANN at corpus
+    scale: a narrow whole-stage-codegen pass, no shuffle, no Python
+    in the row path, and distances are preserved within
+    (1±eps) with m = O(log n / eps²) — cutting every downstream
+    LSH/IVF index to m/d of its cost. Keep out_dim a power of 4
+    (default 16) so the 1/sqrt(m) scale is a dyadic rational and
+    introduces no cross-engine rounding."""
+    signs = jl_sign_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    xs = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+
+    def mul():
+        return lambda x, r: x * r
+
+    def add():
+        return lambda a, x: a + x
+
+    comps = []
+    for k in range(out_dim):
+        rk = F.array(*[F.lit(s) for s in signs[k]])
+        y = F.aggregate(F.zip_with(xs, rk, mul()),
+                        F.lit(0.0), add())
+        comps.append(F.round(y * scale, round_dp))
+    return df.withColumn("proj", F.array(*comps))

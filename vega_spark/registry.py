@@ -5877,6 +5877,35 @@ def quality_suite_orders_q(spark, sf_dir):
     ])
 
 
+@_q("jl_projection_embeddings", """
+WITH r AS (
+  SELECT k.k, j.j,
+         CASE WHEN ('0x' || substr(md5('jl:' || j.j || ':' || k.k),
+                                   1, 1))::INT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, 15) k(k), generate_series(0, 63) j(j)),
+rl AS (SELECT k, list(s ORDER BY j) AS sl FROM r GROUP BY k)
+SELECT e.vec_id, rl.k,
+       ROUND(list_reduce(
+               list_transform(list_zip(e.embedding, rl.sl),
+                              z -> CAST(z[1] AS DOUBLE) * z[2]),
+               (a, b) -> a + b) * 0.25, 6) AS y
+FROM embeddings e, rl
+""")
+def jl_projection_embeddings_q(spark, sf_dir):
+    """Johnson-Lindenstrauss projection of the 64-dim embedding
+    corpus to 16 dims with a deterministic md5 Rademacher matrix —
+    narrow codegen pass, index-ordered folds, dyadic 1/sqrt(16)
+    scale, so the oracle replays every coordinate exactly
+    (list_reduce in the same element order). Output long-form
+    (vec_id, component k, value)."""
+    from vega_spark.functions.similarity import jl_project
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, "embedding", in_dim=64, out_dim=16)
+    return (proj.select("vec_id", F.posexplode("proj")
+                        .alias("k", "y")))
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
