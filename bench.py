@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "streaming_watermark_drops",   # 3-batch late-data drop contract
     "quality_suite_orders",        # Deequ-style one-pass constraint gate
     "jl_projection_embeddings",    # JL Rademacher projection, narrow codegen
+    "conformal_orders_price",      # split-conformal grid-quantile intervals
 ]
 
 

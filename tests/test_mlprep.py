@@ -207,3 +207,34 @@ def test_cv_stump_separable_data_is_perfect(spark):
     inv = M.cv_decision_stump(df.withColumn("y", ~F.col("y")),
                               "y", "v", "id", folds=4, bins=50)
     assert all(r.acc == 1.0 for r in inv.collect())
+
+
+def test_conformal_coverage_guarantee(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from vega_spark.functions import mlprep as M
+
+    rng = np.random.default_rng(5)
+    rows = [(i, "g" + str(i % 2), float(rng.normal(0, 1.0)))
+            for i in range(4000)]
+    df = (spark.createDataFrame(rows, "id long, g string, y double")
+          .withColumn("pred", F.lit(0.0)))
+    out = {r.g: r for r in M.conformal_intervals(
+        df, "y", "pred", "id", "g", alpha=0.1).collect()}
+    assert set(out) == {"g0", "g1"}
+    for r in out.values():
+        # distribution-free guarantee (conservative binning): the
+        # serve half must reach ~1-alpha coverage
+        assert r.coverage >= 0.88
+        # and the interval shouldn't be vacuous: q̂ ≈ N(0,1) 90%
+        # quantile of |y| (≈1.64), far below the max residual
+        assert 1.3 < r.qhat < 2.3
+        assert r.n_cal + r.n_serve == 2000
+    # tighter alpha → wider interval
+    out2 = {r.g: r for r in M.conformal_intervals(
+        df, "y", "pred", "id", "g", alpha=0.01).collect()}
+    for g in out:
+        assert out2[g].qhat > out[g].qhat
+        assert out2[g].coverage >= out[g].coverage

@@ -5906,6 +5906,72 @@ def jl_projection_embeddings_q(spark, sf_dir):
                         .alias("k", "y")))
 
 
+@_q("conformal_orders_price", """
+WITH s AS (
+  SELECT o_orderkey, o_orderpriority AS g, o_totalprice AS y,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+           % 2 = 0 AS cal
+  FROM orders),
+m AS (
+  SELECT g, CAST(SUM(CAST(ROUND(y * 100, 0) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) / 100.0 AS pred
+  FROM s WHERE cal GROUP BY g),
+r AS (SELECT s.g, s.cal, ABS(s.y - m.pred) AS r
+      FROM s JOIN m ON s.g = m.g),
+gmax AS (SELECT g, MAX(r) AS rmax, COUNT(*) AS n_cal
+         FROM r WHERE cal GROUP BY g),
+cells AS (
+  SELECT r.g, gmax.rmax, gmax.n_cal,
+         CASE WHEN gmax.rmax = 0 THEN 0
+              ELSE LEAST(511, CAST(FLOOR(r.r * 512 / gmax.rmax)
+                                   AS INTEGER)) END AS b,
+         COUNT(*) AS cnt
+  FROM r JOIN gmax ON r.g = gmax.g WHERE r.cal
+  GROUP BY 1, 2, 3, 4),
+hit AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY g ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT) AS k
+  FROM cells),
+model AS (
+  SELECT g, n_cal, k, (b + 1) * rmax / 512 AS qhat
+  FROM hit WHERE cum >= k AND cum - cnt < k)
+SELECT r.g, MAX(model.n_cal) AS n_cal, MAX(model.k) AS k,
+       ROUND(MAX(model.qhat), 6) AS qhat,
+       COUNT(*) AS n_serve,
+       SUM(CASE WHEN r.r <= model.qhat THEN 1 ELSE 0 END) AS n_covered,
+       ROUND(CAST(SUM(CASE WHEN r.r <= model.qhat THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM r JOIN model ON r.g = model.g WHERE NOT r.cal
+GROUP BY 1
+""")
+def conformal_orders_price_q(spark, sf_dir):
+    """Split-conformal prediction intervals around a per-priority
+    mean-price model: calibration/serve md5 split, conservative
+    grid-quantile q̂ of calibration residuals, distribution-free
+    ≥ 90% coverage verified on the serve half — the uncertainty
+    wrapper any point model needs before its predictions gate real
+    decisions. No global sort: a (group, bin) aggregate + ≤ 512-row
+    windows + broadcast model join. The oracle replays the split,
+    the model, the histogram quantile, and the coverage census."""
+    from vega_spark.functions.mlprep import conformal_intervals
+    orders = _t(spark, sf_dir, "orders")
+    is_cal = (F.conv(F.substring(
+        F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long") % 2 == 0)
+    means = (orders.filter(is_cal)
+             .groupBy(F.col("o_orderpriority").alias("mg"))
+             .agg((F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                         .cast("long")).cast("double")
+                   / F.count(F.lit(1)).cast("double") / 100.0)
+                  .alias("pred")))
+    scored = orders.join(F.broadcast(means),
+                         F.col("o_orderpriority") == F.col("mg"))
+    return conformal_intervals(
+        scored, "o_totalprice", "pred", "o_orderkey",
+        "o_orderpriority", alpha=0.1, bins=512)
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
