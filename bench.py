@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "quality_suite_orders",        # Deequ-style one-pass constraint gate
     "jl_projection_embeddings",    # JL Rademacher projection, narrow codegen
     "conformal_orders_price",      # split-conformal grid-quantile intervals
+    "als_recommend_parts",         # rank-4 ALS, vectorized Arrow solves
 ]
 
 

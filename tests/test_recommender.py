@@ -1,0 +1,62 @@
+"""ALS matrix factorization (functions/recommender.py) — the
+collaborative-filtering family. Capability superset: the reference
+has no ML layer (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vega_spark.functions.recommender import (
+    als_explicit,
+    als_rmse,
+    recommend_top_k,
+)
+
+
+def _lowrank_ratings(spark, n_u=25, n_i=30, rank=2, seed=2):
+    rng = np.random.default_rng(seed)
+    U = rng.normal(size=(n_u, rank))
+    V = rng.normal(size=(n_i, rank))
+    R = U @ V.T
+    rows = [(u, i, float(R[u, i]))
+            for u in range(n_u) for i in range(n_i)]
+    return spark.createDataFrame(rows, "user long, item long, r double")
+
+
+def test_als_recovers_low_rank_and_descends(spark):
+    df = _lowrank_ratings(spark).cache()
+    prev = None
+    for iters in (1, 3):
+        xu, yi = als_explicit(df, "user", "item", "r",
+                              rank=3, iters=iters, reg=0.01)
+        rmse = als_rmse(df, "user", "item", "r", xu, yi)
+        if prev is not None:
+            # non-increase up to solver noise (both sides converge to
+            # the ~1e-5 floor on exactly factorizable data)
+            assert rmse <= prev * 1.05 + 1e-9
+        prev = rmse
+    # exactly factorizable matrix: near-perfect reconstruction
+    assert prev < 0.05
+    # factor frames are one row per entity
+    assert xu.count() == 25 and yi.count() == 30
+
+
+def test_als_determinism_and_recommendations(spark):
+    df = _lowrank_ratings(spark, seed=7).cache()
+    xu1, yi1 = als_explicit(df, "user", "item", "r", rank=2, iters=2)
+    xu2, yi2 = als_explicit(df, "user", "item", "r", rank=2, iters=2)
+    # md5 init + deterministic solves → identical factors across runs
+    f1 = sorted((r.id, tuple(round(v, 9) for v in r.f))
+                for r in xu1.collect())
+    f2 = sorted((r.id, tuple(round(v, 9) for v in r.f))
+                for r in xu2.collect())
+    assert f1 == f2
+    users = spark.createDataFrame([(0,), (3,)], "user long")
+    # hold out items >= 25 → recommendations must come from there
+    seen = df.filter("item < 25")
+    rec = recommend_top_k(seen, "user", "item", xu1, yi1, users, k=2)
+    rows = rec.collect()
+    assert len(rows) == 4
+    assert all(r.item >= 25 for r in rows)
+    assert all(r.rk in (1, 2) for r in rows)

@@ -1,0 +1,160 @@
+"""Alternating least squares matrix factorization — the
+collaborative-filtering recommender family (capability superset: the
+reference has no ML layer, SURVEY.md §2.11; this is the classic
+Spark MLlib workload re-expressed on the DataFrame API).
+
+Scale shape — the part that matters at 100 TB of interactions:
+
+- Each half-iteration is ONE equi-join (ratings ⋈ current factors on
+  the fixed side's key) + ONE keyed aggregation to the solving
+  side's key. The aggregation carries only the r² + r normal-equation
+  sufficient statistics per entity (r = rank, so ~20 doubles at
+  r = 4) — interactions are never collected, factors never pass
+  through the driver.
+- The per-entity r x r solve is a VECTORIZED Arrow-batched kernel:
+  numpy's stacked ``linalg.solve`` handles a whole batch of entities
+  in one BLAS call. Driver work is zero; solver work is O(r³) per
+  entity, embarrassingly parallel.
+- Factor init is md5-deterministic (no RNG state), so reruns —
+  and any-engine replays of the init — are bit-stable.
+
+The iteration itself is float least squares, so (like k-means) the
+registry entry is rows-only: SQL cannot express the stacked solve.
+Property tests pin the math: training RMSE decreases monotonically
+and an exactly low-rank matrix is recovered to ~1e-2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _init_factors(df: DataFrame, key: str, rank: int,
+                  seed: str) -> DataFrame:
+    """Deterministic small init: component j of entity e is
+    (md5(seed:e:j) mod 1000)/1000 * 0.1 + 0.05 — positive, bounded,
+    replayable anywhere."""
+    comps = []
+    for j in range(rank):
+        h = F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed),
+                              F.col(key).cast("string"),
+                              F.lit(str(j)))), 1, 12), 16, 10) \
+            .cast("long")
+        comps.append((h % 1000).cast("double") / 1000.0 * 0.1 + 0.05)
+    return df.select(F.col(key).alias("id"),
+                     F.array(*comps).alias("f"))
+
+
+def _solve_side(ratings: DataFrame, solve_key: str, fixed_key: str,
+                rating_col: str, fixed_factors: DataFrame,
+                rank: int, reg: float) -> DataFrame:
+    """One ALS half-step: normal-equation sums per ``solve_key``
+    entity, then a batched r x r solve."""
+    joined = ratings.join(
+        fixed_factors.withColumnRenamed("id", fixed_key), fixed_key)
+    # flattened y yᵀ (r² cols) and r·y (r cols) per interaction —
+    # static column list, one keyed aggregate
+    aggs = []
+    for i in range(rank):
+        for j in range(rank):
+            aggs.append(F.sum(F.col("f")[i] * F.col("f")[j])
+                        .alias(f"a{i}_{j}"))
+    for i in range(rank):
+        aggs.append(F.sum(F.col(rating_col) * F.col("f")[i])
+                    .alias(f"b{i}"))
+    stats = joined.groupBy(F.col(solve_key).alias("id")).agg(*aggs)
+
+    acols = [f"a{i}_{j}" for i in range(rank) for j in range(rank)]
+    bcols = [f"b{i}" for i in range(rank)]
+
+    def solve(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = pdf[acols].to_numpy().reshape(-1, rank, rank)
+            A = A + reg * np.eye(rank)[None, :, :]
+            b = pdf[bcols].to_numpy().reshape(-1, rank, 1)
+            x = np.linalg.solve(A, b)[:, :, 0]
+            yield pd.DataFrame({"id": pdf["id"],
+                                "f": [list(map(float, r)) for r in x]})
+
+    schema = "id long, f array<double>"
+    return stats.mapInPandas(solve, schema)
+
+
+def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
+                 rating_col: str, rank: int = 4, iters: int = 3,
+                 reg: float = 0.1,
+                 seed: str = "als") -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` alternations; returns (user_factors,
+    item_factors) as (id, f array<double>) frames. Caller should
+    cache/localCheckpoint the ratings frame; factor frames are
+    localCheckpointed each alternation to cut the growing lineage
+    (the k-means/PageRank iteration discipline)."""
+    items = ratings.select(F.col(item_col)).distinct()
+    yi = _init_factors(items, item_col, rank, seed).localCheckpoint()
+    xu = None
+    for _ in range(iters):
+        xu = _solve_side(ratings, user_col, item_col, rating_col,
+                         yi, rank, reg).localCheckpoint()
+        yi = _solve_side(ratings, item_col, user_col, rating_col,
+                         xu, rank, reg).localCheckpoint()
+    return xu, yi
+
+
+def als_rmse(ratings: DataFrame, user_col: str, item_col: str,
+             rating_col: str, xu: DataFrame, yi: DataFrame) -> float:
+    """Training RMSE of the factorization (diagnostic)."""
+    j = (ratings
+         .join(xu.withColumnRenamed("id", user_col)
+               .withColumnRenamed("f", "fu"), user_col)
+         .join(yi.withColumnRenamed("id", item_col)
+               .withColumnRenamed("f", "fi"), item_col))
+
+    def mul():
+        return lambda a, b: a * b
+
+    def add():
+        return lambda a, b: a + b
+
+    dot = F.aggregate(F.zip_with("fu", "fi", mul()), F.lit(0.0), add())
+    err = j.agg(F.avg(F.pow(F.col(rating_col) - dot, 2))).collect()[0][0]
+    return float(err) ** 0.5
+
+
+def recommend_top_k(ratings: DataFrame, user_col: str, item_col: str,
+                    xu: DataFrame, yi: DataFrame, users: DataFrame,
+                    k: int = 3) -> DataFrame:
+    """Top-k unseen items for the given (bounded) user set: broadcast
+    the selected user factors across the item-factor frame (narrow
+    score pass over items — never a users x items blowup), anti-join
+    the already-seen pairs, per-user heap via row_number. Ties break
+    on item id — deterministic output."""
+    from pyspark.sql.window import Window
+
+    sel = (users.join(xu.withColumnRenamed("id", user_col), user_col)
+           .withColumnRenamed("f", "fu"))
+
+    def mul():
+        return lambda a, b: a * b
+
+    def add():
+        return lambda a, b: a + b
+
+    scored = (F.broadcast(sel).crossJoin(
+        yi.withColumnRenamed("id", item_col)
+        .withColumnRenamed("f", "fi"))
+        .withColumn("score", F.aggregate(
+            F.zip_with("fu", "fi", mul()), F.lit(0.0), add())))
+    seen = ratings.select(user_col, item_col).distinct()
+    unseen = scored.join(seen, [user_col, item_col], "left_anti")
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col("score").desc(), F.col(item_col).asc()))
+    return (unseen.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(user_col, item_col, F.round("score", 6)
+                    .alias("score"), "rk"))

@@ -5972,6 +5972,33 @@ def conformal_orders_price_q(spark, sf_dir):
         "o_orderpriority", alpha=0.1, bins=512)
 
 
+@_q("als_recommend_parts")
+def als_recommend_parts_q(spark, sf_dir):
+    """ALS collaborative filtering end to end: implicit
+    (customer, part, quantity) interactions from orders ⋈ lineitem,
+    rank-4 factorization (2 alternations — each ONE join + ONE
+    keyed r²-stat aggregate + a vectorized Arrow solve), then top-3
+    unseen-part recommendations for the bounded custkey<25 user set.
+    Float least squares isn't SQL-expressible, so this is rows-only
+    (like kmeans_clusters); test_recommender pins the math —
+    monotone RMSE descent and low-rank recovery."""
+    from vega_spark.functions.recommender import (
+        als_explicit, recommend_top_k)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ratings = (orders.select("o_orderkey", "o_custkey")
+               .join(li.select("l_orderkey", "l_partkey", "l_quantity"),
+                     F.col("o_orderkey") == F.col("l_orderkey"))
+               .groupBy(F.col("o_custkey").alias("user"),
+                        F.col("l_partkey").alias("item"))
+               .agg(F.sum("l_quantity").alias("r"))
+               .localCheckpoint())
+    xu, yi = als_explicit(ratings, "user", "item", "r",
+                          rank=4, iters=2, reg=0.1)
+    users = ratings.select("user").distinct().filter(F.col("user") < 25)
+    return recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
