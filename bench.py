@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "jl_projection_embeddings",    # JL Rademacher projection, narrow codegen
     "conformal_orders_price",      # split-conformal grid-quantile intervals
     "als_recommend_parts",         # rank-4 ALS, vectorized Arrow solves
+    "stl_decompose_hourly",        # dense-grid STL-lite decomposition
 ]
 
 

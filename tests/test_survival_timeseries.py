@@ -121,3 +121,49 @@ def test_new_family_plans_scale_safe(spark, sf_dir):
                  "kaplan_meier_conversion", "logreg_purchase_value",
                  "l_diversity_docs", "clustering_coeff_parts"):
         assert_scale_safe(QUERIES[name](spark, sf_dir))
+
+
+def test_stl_lite_decomposition_identity_and_seasonality(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vega_spark.functions.analytics import stl_lite_hourly
+
+    # 6 days, deterministic daily cycle: hour-of-day h gets h events
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for d in range(6):
+        for h in range(24):
+            for _ in range(h):
+                rows.append(("a", base + dt.timedelta(days=d, hours=h)))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = stl_lite_hourly(df).collect()
+    assert len(out) == 6 * 24 - 23 + 22  # dense span min..max hour
+    for r in out:
+        # decomposition identity up to the two roundings
+        assert abs((r.trend + r.seasonal + r.residual) - r.y) < 2e-6
+    # interior rows: pure cycle → residual ~0 and seasonal carries
+    # the signal (trend flat at the daily mean)
+    interior = [r for r in out if 24 <= r.xh - min(x.xh for x in out)
+                <= 5 * 24 - 13]
+    assert interior
+    assert max(abs(r.residual) for r in interior) < 1.5
+    assert max(abs(r.seasonal) for r in interior) > 5.0
+
+
+def test_stl_lite_zero_fills_gaps(spark):
+    import datetime as dt
+
+    from vega_spark.functions.analytics import stl_lite_hourly
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [("a", base), ("a", base + dt.timedelta(hours=5))]
+    out = {r.xh: r for r in stl_lite_hourly(
+        spark.createDataFrame(rows, "event_type string, ts timestamp")
+    ).collect()}
+    assert len(out) == 6          # dense hours 0..5
+    ys = [r.y for r in out.values()]
+    assert sorted(ys) == [0, 0, 0, 0, 1, 1]

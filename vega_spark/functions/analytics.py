@@ -1333,3 +1333,64 @@ def dod_wow_change(events: DataFrame, type_col: str = "event_type",
                      "n", F.round(dod, round_dp).alias("dod_pct"),
                      F.round(wow, round_dp).alias("wow_pct"))
             .orderBy(type_col, "day"))
+
+
+def stl_lite_hourly(events: DataFrame, type_col: str = "event_type",
+                    ts_col: str = "ts", half_window: int = 12,
+                    round_dp: int = 6) -> DataFrame:
+    """STL-lite seasonal decomposition of each key's hourly count
+    series: y = trend + seasonal + residual, with
+
+    - trend: centered moving average over ±``half_window`` hours
+      (edge rows average their available neighbors),
+    - seasonal: per hour-of-day mean of the detrended series,
+    - residual: what's left — the component an anomaly screen reads.
+
+    Determinism: the grid is DENSE (missing hours zero-filled via a
+    per-key sequence, so window frames are true time offsets, not
+    presence-dependent row offsets); trend is one exact-integer sum
+    divided once; the detrended values are re-quantized on the 1e-6
+    grid before the seasonal mean so that sum is exact again —
+    every engine replays all three components bit-for-bit.
+
+    Plan: one pass to the (key, hour) grid, a bounded per-key window
+    (≤ series length), one (key, hour-of-day) aggregate broadcast
+    back. Output rows = keys x hours — never data-sized."""
+    from pyspark.sql.window import Window
+
+    hourly = (events.groupBy(
+        F.col(type_col).alias("event_type"),
+        (F.unix_timestamp(F.col(ts_col)).cast("long") / 3600)
+        .cast("long").alias("xh"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    span = hourly.groupBy("event_type").agg(
+        F.min("xh").alias("lo"), F.max("xh").alias("hi"))
+    dense = (span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("xh"))
+        .join(hourly, ["event_type", "xh"], "left_outer")
+        .select("event_type", "xh",
+                F.coalesce(F.col("n"), F.lit(0)).alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("xh")
+         .rowsBetween(-half_window, half_window))
+    t = (dense
+         .withColumn("trend", F.sum("y").over(w).cast("double")
+                     / F.count(F.lit(1)).over(w).cast("double"))
+         .withColumn("det",
+                     F.round((F.col("y") - F.col("trend")) * 1000000, 0)
+                     .cast("long")))
+    seas = (t.groupBy(F.col("event_type").alias("__se"),
+                      F.pmod(F.col("xh"), F.lit(24)).alias("hod"))
+            .agg((F.sum("det").cast("double")
+                  / F.count(F.lit(1)).cast("double") / 1000000.0)
+                 .alias("seasonal")))
+    out = (t.join(F.broadcast(seas),
+                  (F.col("event_type") == F.col("__se"))
+                  & (F.pmod(F.col("xh"), F.lit(24)) == F.col("hod")))
+           .select("event_type", "xh", "y",
+                   F.round("trend", round_dp).alias("trend"),
+                   F.round("seasonal", round_dp).alias("seasonal"),
+                   F.round(F.col("det").cast("double") / 1000000.0
+                           - F.col("seasonal"), round_dp)
+                   .alias("residual")))
+    return out

@@ -6041,6 +6041,54 @@ def acf_hourly_events_q(spark, sf_dir):
     return hourly_autocorrelation(ev, lags=(1, 2, 3))
 
 
+@_q("stl_decompose_hourly", """
+WITH hourly AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS xh,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(xh) AS lo, MAX(xh) AS hi
+         FROM hourly GROUP BY 1),
+dense0 AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi)) AS xh FROM span),
+dense AS (
+  SELECT d.event_type, d.xh, COALESCE(h.n, 0) AS y
+  FROM dense0 d LEFT JOIN hourly h
+    ON h.event_type = d.event_type AND h.xh = d.xh),
+t AS (
+  SELECT event_type, xh, y,
+         CAST(SUM(y) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY xh
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+t2 AS (SELECT *, CAST(ROUND((y - trend) * 1000000, 0) AS BIGINT) AS det
+       FROM t),
+seas AS (
+  SELECT event_type, xh % 24 AS hod,
+         CAST(SUM(det) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           / 1000000.0 AS seasonal
+  FROM t2 GROUP BY 1, 2)
+SELECT t2.event_type, t2.xh, t2.y,
+       ROUND(t2.trend, 6) AS trend,
+       ROUND(seas.seasonal, 6) AS seasonal,
+       ROUND(CAST(t2.det AS DOUBLE) / 1000000.0 - seas.seasonal, 6)
+         AS residual
+FROM t2 JOIN seas
+  ON t2.event_type = seas.event_type AND t2.xh % 24 = seas.hod
+""")
+def stl_decompose_hourly_q(spark, sf_dir):
+    """STL-lite decomposition of hourly event counts into trend
+    (±12h centered moving average on a ZERO-FILLED dense grid),
+    hour-of-day seasonal means of the 1e-6-requantized detrended
+    series, and residuals — the decomposition behind seasonality-
+    aware anomaly screens and forecast baselines. All sums exact
+    integers; the oracle replays every component bit-for-bit."""
+    from vega_spark.functions.analytics import stl_lite_hourly
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stl_lite_hourly(ev)
+
+
 @_q("cusum_changepoint_hours", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
