@@ -65,7 +65,7 @@ _PRIORITY = [
     "cv_stump_orders_priority", "streaming_watermark_drops",
     "quality_suite_orders", "jl_projection_embeddings",
     "conformal_orders_price", "als_recommend_parts",
-    "stl_decompose_hourly",
+    "stl_decompose_hourly", "kmeans_silhouette",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "conformal_orders_price",      # split-conformal grid-quantile intervals
     "als_recommend_parts",         # rank-4 ALS, vectorized Arrow solves
     "stl_decompose_hourly",        # dense-grid STL-lite decomposition
+    "kmeans_silhouette",           # O(k)-per-point cluster quality
 ]
 
 

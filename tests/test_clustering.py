@@ -65,3 +65,53 @@ def test_empty_cluster_keeps_centroid(spark):
     assigned, cents = C.kmeans(df, "embedding", k=3, max_iter=3)
     assert len(cents) == 3
     assert assigned.count() == 3
+
+
+def test_silhouette_separated_vs_overlapping(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+
+    def blobs(sep):
+        pts = []
+        for c in range(3):
+            center = np.zeros(8)
+            center[c] = sep
+            # interleave ids so the lowest-id init spans all blobs
+            for i in range(40):
+                pts.append((c + 3 * i,
+                            [float(v) for v in
+                             center + rng.normal(0, 0.3, 8)]))
+        return spark.createDataFrame(
+            pts, "vec_id long, embedding array<float>")
+
+    far = blobs(10.0).cache()
+    near = blobs(0.8).cache()
+    a_far, c_far = C.kmeans(far, "embedding", k=3, max_iter=10)
+    a_near, c_near = C.kmeans(near, "embedding", k=3, max_iter=10)
+    s_far = C.silhouette_simplified(a_far, "embedding", c_far).collect()
+    s_near = C.silhouette_simplified(a_near, "embedding", c_near).collect()
+    mf = sum(r.mean_silhouette * r.n for r in s_far) / 120
+    mn = sum(r.mean_silhouette * r.n for r in s_near) / 120
+    # well-separated blobs ≈ 1; overlapping far lower
+    assert mf > 0.85
+    assert mn < mf - 0.2
+    for r in s_far + s_near:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert r.mean_dist_own >= 0.0
+
+
+def test_silhouette_matches_numpy_reference(spark):
+    import numpy as np
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [10.0, 0.0]),
+            (3, [11.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[0.5, 0.0], [10.5, 0.0]]
+    assigned = C.assign_clusters(df, "embedding", cents)
+    got = {r.cluster: r for r in
+           C.silhouette_simplified(assigned, "embedding", cents).collect()}
+    # every point: a = 0.5, b = 10 ± 0.5 → s = (b-a)/b
+    exp0 = np.mean([(10.5 - 0.5) / 10.5, (9.5 - 0.5) / 9.5])
+    assert abs(got[0].mean_silhouette - round(exp0, 6)) < 1e-9
+    assert got[0].n == 2 and got[1].n == 2

@@ -113,3 +113,47 @@ def cluster_sizes(assigned: DataFrame) -> DataFrame:
     return (assigned.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("cluster"))
+
+
+def silhouette_simplified(assigned: DataFrame, vec_col: str,
+                          centroids: list[list[float]],
+                          round_dp: int = 6) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for each
+    point, a = distance to its own centroid, b = min distance to any
+    OTHER centroid, s = (b - a) / max(a, b); report per-cluster mean
+    s, mean a, and size.
+
+    This is the evaluator that stays computable at corpus scale: the
+    exact silhouette is O(n²) pairwise distances, the simplified form
+    is O(k) per point against broadcast-literal centroids — one
+    narrow Arrow pass + one k-row aggregate, the same cost shape as
+    a single k-means assignment step (sklearn ships the same
+    trade-off; s is in [-1, 1] with identical interpretation)."""
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype="float64")
+
+    def score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype="float64")
+                            for v in pdf[vec_col]])
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d = np.sqrt(d2)
+            own = pdf["cluster"].to_numpy()
+            a = d[np.arange(len(X)), own]
+            d_masked = d.copy()
+            d_masked[np.arange(len(X)), own] = np.inf
+            b = d_masked.min(axis=1)
+            denom = np.maximum(a, b)
+            s = np.where(denom > 0, (b - a) / denom, 0.0)
+            yield pd.DataFrame({"cluster": own, "s": s, "a": a})
+
+    per_point = (assigned.select(vec_col, "cluster")
+                 .mapInPandas(score, "cluster int, s double, a double"))
+    return (per_point.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("s"), round_dp).alias("mean_silhouette"),
+                 F.round(F.avg("a"), round_dp).alias("mean_dist_own"))
+            .orderBy("cluster"))

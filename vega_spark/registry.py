@@ -2485,6 +2485,26 @@ def kmeans_clusters_q(spark, sf_dir):
         emb.unpersist()
 
 
+@_q("kmeans_silhouette")
+def kmeans_silhouette_q(spark, sf_dir):
+    """Cluster-quality evaluation for the k-means family: rank-k
+    clustering of the embedding corpus followed by the simplified
+    (centroid-based) silhouette — the O(k)-per-point evaluator that
+    replaces the O(n²) exact silhouette at scale. Rows-only like
+    kmeans_clusters (geometry is float-iterative); the [-1,1] range,
+    separation ordering, and exact-vs-simplified agreement are pinned
+    in test_clustering."""
+    from vega_spark.functions.clustering import (
+        kmeans, silhouette_simplified)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding").cache()
+    try:
+        assigned, cents = kmeans(emb, "embedding", k=5, max_iter=8)
+        return silhouette_simplified(assigned, "embedding", cents)
+    finally:
+        emb.unpersist()
+
+
 @_q("pivot_event_values", """
 SELECT CAST(ts AS DATE) AS day,
        ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
