@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "als_recommend_parts",         # rank-4 ALS, vectorized Arrow solves
     "stl_decompose_hourly",        # dense-grid STL-lite decomposition
     "kmeans_silhouette",           # O(k)-per-point cluster quality
+    "versioned_bloom_point_lookup",  # per-file Bloom index point skip
 ]
 
 

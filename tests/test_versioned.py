@@ -115,3 +115,28 @@ def test_vacuum_keeps_current_and_history(spark):
     assert V.read_snapshot(spark, tdir, 4).count() == 4
     with pytest.raises(Exception):
         V.read_snapshot(spark, tdir, 1).count()
+
+
+def test_bloom_index_point_lookup_prunes_without_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    tdir = tempfile.mkdtemp(prefix="vt_bloom_")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    V.commit_snapshot(df.repartition(8, "k"), tdir)
+    V.add_bloom_index(spark, tdir, "k", m_bits=1 << 13, k=3)
+    # every present key is found (no false negatives), with pruning
+    pruned_any = False
+    for probe in (0, 17, 555, 1999):
+        kept, total = V.plan_bloom_files(tdir, "k", probe)
+        assert total == 8 and 1 <= len(kept)
+        pruned_any |= len(kept) < total
+        got = V.read_snapshot_point(spark, tdir, "k", probe).collect()
+        assert [(r.k, r.v) for r in got] == [(probe, probe * 2)]
+    assert pruned_any
+    # absent key: result empty regardless of FP survivors
+    assert V.read_snapshot_point(spark, tdir, "k", 999999).count() == 0
+    # un-indexed column: conservative (all files kept), still correct
+    kept, total = V.plan_bloom_files(tdir, "v", 10)
+    assert len(kept) == total
+    assert V.read_snapshot_point(spark, tdir, "v", 10).count() == 1

@@ -265,3 +265,115 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(d)
             dropped.append(v)
     return dropped
+
+
+# --- per-file Bloom index (point-lookup data skipping) ---------------------
+
+def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
+    """k md5 bit positions for a value — identical math in Python
+    (plan-time probe), Spark SQL (build), and any oracle: position_i =
+    int(md5("{value}:{i}")[:12hex], 16) % m_bits."""
+    import hashlib
+
+    return [int(hashlib.md5(f"{value}:{i}".encode()).hexdigest()[:12],
+                16) % m_bits
+            for i in range(k)]
+
+
+def _collect_file_blooms(df_back: DataFrame, col: str,
+                         m_bits: int, k: int) -> dict[str, dict]:
+    """Per-file Bloom word maps in one distributed pass: explode each
+    row's k md5 positions, OR the 64-bit word masks per (file, word)
+    — the shuffle carries only set words (≤ files x m_bits/64 rows),
+    and the driver-side manifest entry is the sparse {word: mask}
+    dict per file."""
+    c = F.col(col).cast("string")
+    pos = [(F.conv(F.substring(
+        F.md5(F.concat_ws(":", c, F.lit(str(i)))), 1, 12), 16, 10)
+        .cast("long") % m_bits)
+        for i in range(k)]
+    bits = (df_back.select(
+        F.col("_metadata.file_path").alias("__path"),
+        F.explode(F.array(*[
+            F.struct((p / 64).cast("int").alias("w"),
+                     F.pmod(p, F.lit(64)).cast("int").alias("b"))
+            for p in pos])).alias("x")))
+    words = (bits.select(
+        "__path", "x.w",
+        F.expr("shiftleft(CAST(1 AS BIGINT), x.b)").alias("m"))
+        .groupBy("__path", "w").agg(F.bit_or("m").alias("m"))
+        .collect())
+    out: dict[str, dict] = {}
+    for r in words:
+        out.setdefault(os.path.basename(r["__path"]), {})[str(r["w"])] \
+            = int(r["m"])
+    return out
+
+
+def add_bloom_index(spark: SparkSession, table_dir: str, col: str,
+                    m_bits: int = 1 << 14, k: int = 3,
+                    version: int | None = None) -> int:
+    """Attach a per-file Bloom index on ``col`` to an existing
+    snapshot's manifest (one distributed pass over that snapshot).
+    Complements min/max stats: ranges prune range predicates, blooms
+    prune POINT lookups even when the layout isn't sorted on the
+    key. Returns the indexed version."""
+    m = _load_manifest(table_dir, version)
+    v = m["version"]
+    back = spark.read.parquet(os.path.join(table_dir, m["data_dir"]))
+    m.setdefault("bloom", {})[col] = {
+        "m_bits": m_bits, "k": k,
+        "files": _collect_file_blooms(back, col, m_bits, k)}
+    mpath = os.path.join(_manifest_dir(table_dir), f"{v:05d}.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, mpath)
+    return v
+
+
+def plan_bloom_files(table_dir: str, col: str, value,
+                     version: int | None = None) -> tuple[list[str], int]:
+    """Metadata-only point-lookup skip: keep files whose Bloom words
+    have ALL k bits of ``value`` set (no false negatives — a file
+    without the key can survive only at the Bloom FP rate; a file
+    with it always survives). Files or columns without an index are
+    kept conservatively."""
+    m = _load_manifest(table_dir, version)
+    data_dir = os.path.join(table_dir, m["data_dir"])
+    all_files = sorted(f for f in os.listdir(data_dir)
+                       if f.endswith(".parquet"))
+    idx = m.get("bloom", {}).get(col)
+    if idx is None:
+        return [os.path.join(data_dir, f) for f in all_files], len(all_files)
+    pos = _bloom_positions(value, idx["m_bits"], idx["k"])
+    kept = []
+    for fname in all_files:
+        words = idx["files"].get(fname)
+        if words is None:
+            kept.append(os.path.join(data_dir, fname))
+            continue
+        ok = True
+        for p in pos:
+            w = words.get(str(p // 64), 0)
+            if not (w >> (p % 64)) & 1:
+                ok = False
+                break
+        if ok:
+            kept.append(os.path.join(data_dir, fname))
+    return kept, len(all_files)
+
+
+def read_snapshot_point(spark: SparkSession, table_dir: str,
+                        col: str, value,
+                        version: int | None = None) -> DataFrame:
+    """Point-lookup read through the Bloom index: scan only files
+    that may contain ``value``, then apply the exact equality filter
+    (the index prunes, the filter decides — correctness never
+    depends on the index)."""
+    kept, _total = plan_bloom_files(table_dir, col, value, version)
+    if not kept:
+        return read_snapshot(spark, table_dir, version) \
+            .filter(F.lit(False))
+    return (spark.read.parquet(*kept)
+            .filter(F.col(col) == F.lit(value)))

@@ -6019,6 +6019,40 @@ def als_recommend_parts_q(spark, sf_dir):
     return recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
 
 
+@_q("versioned_bloom_point_lookup", """
+SELECT l_linenumber,
+       CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+       ROUND(l_extendedprice, 2) AS price
+FROM lineitem WHERE l_orderkey = 7
+""")
+def versioned_bloom_point_lookup_q(spark, sf_dir):
+    """Per-file BLOOM INDEX point lookup: commit lineitem hash-
+    partitioned on l_orderkey, attach a per-file Bloom index to the
+    manifest (one pass; sparse word maps, md5 positions any engine
+    can replay), then answer `l_orderkey = 7` through
+    ``read_snapshot_point`` — the driver consults only manifest
+    metadata to drop every file whose Bloom can't contain the key
+    (no false negatives; survivors beyond the true file occur only
+    at the FP rate), and the residual equality filter decides. The
+    min/max complement: blooms prune POINT predicates even on
+    layouts never sorted by the key. Oracle replays the lookup on
+    the raw table — indexing must be invisible in the result."""
+    import tempfile
+
+    from vega_spark.operators.versioned import (
+        add_bloom_index, commit_snapshot, read_snapshot_point)
+    li = _t(spark, sf_dir, "lineitem")
+    tdir = tempfile.mkdtemp(prefix="vega_bloomidx_")
+    commit_snapshot(li.repartition(16, "l_orderkey"), tdir,
+                    note="hash layout")
+    add_bloom_index(spark, tdir, "l_orderkey")
+    hit = read_snapshot_point(spark, tdir, "l_orderkey", 7)
+    return hit.select("l_linenumber",
+                      F.round(F.col("l_quantity"), 0).cast("long")
+                      .alias("qty"),
+                      F.round("l_extendedprice", 2).alias("price"))
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
