@@ -100,6 +100,34 @@ SHOWCASE: list[tuple[str, str]] = [
      "(no self-join of the fact table); supports broadcast back; "
      "the per-item top-k is a window PARTITIONED by item — per-key "
      "heaps, no global sort anywhere."),
+    ("versioned_data_skipping_orders",
+     "Data skipping: the pruned read's scan lists ONLY the manifest-"
+     "selected files (2 of 8 for the one-year band) — the skip "
+     "decision happened driver-side on metadata before this plan "
+     "existed; the residual range filter sits ON the scan as a "
+     "pushed predicate, so correctness never depends on the stats."),
+    ("pareto_customer_frontier",
+     "Two-phase skyline: phase 1 is a narrow mapInPandas frontier "
+     "per partition (no Exchange touches non-candidates); the single-"
+     "partition Exchange feeding phase 2 carries only the per-"
+     "partition frontiers — TakeOrdered's driver-merge scale, by "
+     "construction."),
+    ("cv_stump_orders_priority",
+     "k-fold CV as cell algebra: the data crosses ONE (fold, bin) "
+     "Exchange; every training (totals minus held-out cell), the "
+     "Gini argmin, and the held-out evaluation run on the folds x "
+     "bins frame with windows PARTITIONED by fold — k never appears "
+     "in the data-pass cost."),
+    ("conformal_orders_price",
+     "Conformal intervals: no global sort — the calibration quantile "
+     "is a (group, bin) aggregate + a <=512-row per-group window, "
+     "and the serve-side coverage check joins the tiny per-group "
+     "model back as a BroadcastExchange."),
+    ("jl_projection_embeddings",
+     "JL projection: one narrow whole-stage-codegen pass — the sign "
+     "matrix rides as array literals, each output component is a "
+     "zip_with/aggregate fold, and the only Exchange in the plan "
+     "belongs to the long-form posexplode output, not the math."),
     ("jackknife_event_means",
      "Jackknife error bars: the data crosses ONE (group, fold) "
      "Exchange; every resampling step after — totals, leave-one-out "
