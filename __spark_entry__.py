@@ -66,7 +66,7 @@ _PRIORITY = [
     "quality_suite_orders", "jl_projection_embeddings",
     "conformal_orders_price", "als_recommend_parts",
     "stl_decompose_hourly", "kmeans_silhouette",
-    "versioned_bloom_point_lookup",
+    "versioned_bloom_point_lookup", "versioned_change_feed_orders",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "stl_decompose_hourly",        # dense-grid STL-lite decomposition
     "kmeans_silhouette",           # O(k)-per-point cluster quality
     "versioned_bloom_point_lookup",  # per-file Bloom index point skip
+    "versioned_change_feed_orders",  # CDF between snapshot versions
 ]
 
 

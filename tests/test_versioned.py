@@ -140,3 +140,33 @@ def test_bloom_index_point_lookup_prunes_without_false_negatives(spark):
     kept, total = V.plan_bloom_files(tdir, "v", 10)
     assert len(kept) == total
     assert V.read_snapshot_point(spark, tdir, "v", 10).count() == 1
+
+
+def test_change_feed_classifies_and_round_trips(spark):
+    from pyspark.sql import functions as F
+
+    tdir = tempfile.mkdtemp(prefix="vt_cdf_")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double")
+    V.commit_snapshot(v1, tdir)
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+        "k long, s string, v double")
+    V.commit_snapshot(v2, tdir)
+    feed = V.change_feed(spark, tdir, 1, 2, ["k"])
+    got = {r.k: r for r in feed.collect()}
+    assert set(got) == {2, 3, 4}           # 1 unchanged → absent
+    assert got[2].op == "update" and got[2].s == "B"
+    assert got[3].op == "delete" and got[3].s is None and got[3].v is None
+    assert got[4].op == "insert" and got[4].v == 40.0
+    # applying the feed to v1 reproduces v2 exactly
+    from vega_spark.operators.merge import apply_changes
+    changes = (feed.withColumn(
+        "op", F.when(F.col("op") == "delete", "delete")
+        .otherwise("upsert")).withColumn("seq", F.lit(1)))
+    applied = apply_changes(V.read_snapshot(spark, tdir, 1), changes,
+                            ["k"], ["seq"])
+    a = {(r.k, r.s, r.v) for r in applied.collect()}
+    b = {(r.k, r.s, r.v) for r in V.read_snapshot(spark, tdir, 2).collect()}
+    assert a == b

@@ -377,3 +377,39 @@ def read_snapshot_point(spark: SparkSession, table_dir: str,
             .filter(F.lit(False))
     return (spark.read.parquet(*kept)
             .filter(F.col(col) == F.lit(value)))
+
+
+def change_feed(spark: SparkSession, table_dir: str,
+                from_version: int, to_version: int,
+                keys: list[str],
+                compare_cols: list[str] | None = None) -> DataFrame:
+    """CHANGE DATA FEED between two committed versions: one row per
+    key whose state differs, tagged insert / delete / update, with
+    the new-side values attached for insert/update (a downstream sync
+    applies the feed with `merge.apply_changes`). Built on the
+    digest-reduced diff (`merge.table_diff`): the version exchange
+    carries (keys, 64-bit digest), never row payloads, so diffing two
+    100 TB snapshots costs one keyed shuffle of the key space; only
+    the changed keys' rows are fetched back (semi-join on the
+    bounded change set)."""
+    from vega_spark.operators.merge import table_diff
+
+    old = read_snapshot(spark, table_dir, from_version)
+    new = read_snapshot(spark, table_dir, to_version)
+    diff = table_diff(old, new, keys, compare_cols)
+    changes = diff.select(
+        *keys,
+        F.when(F.col("change_type") == "inserted", F.lit("insert"))
+        .when(F.col("change_type") == "deleted", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"))
+    payload = new.join(
+        changes.filter(F.col("op") != "delete").select(*keys),
+        keys, "semi")
+    upserts = changes.filter(F.col("op") != "delete") \
+        .join(payload, keys)
+    deletes = changes.filter(F.col("op") == "delete")
+    for c in payload.columns:
+        if c not in keys:
+            deletes = deletes.withColumn(
+                c, F.lit(None).cast(dict(payload.dtypes)[c]))
+    return upserts.unionByName(deletes)

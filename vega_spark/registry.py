@@ -6053,6 +6053,55 @@ def versioned_bloom_point_lookup_q(spark, sf_dir):
                       F.round("l_extendedprice", 2).alias("price"))
 
 
+@_q("versioned_change_feed_orders", """
+WITH ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         'insert' AS op
+  FROM orders WHERE o_orderkey < 100),
+del AS (
+  SELECT o_orderkey, NULL::BIGINT, NULL::VARCHAR, NULL::DOUBLE,
+         NULL::TIMESTAMP, NULL::VARCHAR, 'delete' AS op
+  FROM orders WHERE o_orderstatus = 'F'),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 10.0 AS o_totalprice, o_orderdate,
+         o_orderpriority, 'update' AS op
+  FROM orders WHERE o_orderstatus <> 'F'
+    AND o_orderpriority = '1-URGENT')
+SELECT * FROM ins UNION ALL SELECT * FROM del
+UNION ALL SELECT * FROM upd
+""")
+def versioned_change_feed_orders_q(spark, sf_dir):
+    """CHANGE DATA FEED between snapshot versions: commit orders as
+    v1, commit a mutated v2 (urgent repriced +10, F-status dropped,
+    keys < 100 cloned as new +10M keys), then derive the exact
+    insert/update/delete feed from the two immutable versions — the
+    digest-reduced diff shuffles (key, 64-bit hash) only, and row
+    payloads are fetched back just for the bounded change set. The
+    oracle derives the same feed from the mutation rule itself:
+    a wrong classification or a leaked unchanged row fails the
+    hash."""
+    import tempfile
+
+    from vega_spark.operators.versioned import (
+        change_feed, commit_snapshot)
+    orders = _t(spark, sf_dir, "orders")
+    tdir = tempfile.mkdtemp(prefix="vega_cdf_")
+    commit_snapshot(orders, tdir, note="v1")
+    v2 = (orders.filter(F.col("o_orderstatus") != "F")
+          .withColumn("o_totalprice",
+                      F.when(F.col("o_orderpriority") == "1-URGENT",
+                             F.col("o_totalprice") + 10.0)
+                      .otherwise(F.col("o_totalprice")))
+          .unionByName(
+              orders.filter(F.col("o_orderkey") < 100)
+              .withColumn("o_orderkey",
+                          F.col("o_orderkey") + 10000000)))
+    commit_snapshot(v2, tdir, note="v2")
+    return change_feed(spark, tdir, 1, 2, ["o_orderkey"])
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
