@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "kmeans_silhouette",           # O(k)-per-point cluster quality
     "versioned_bloom_point_lookup",  # per-file Bloom index point skip
     "versioned_change_feed_orders",  # CDF between snapshot versions
+    "streaming_left_outer_interval_join",  # 3-batch outer null emission
 ]
 
 

@@ -6954,6 +6954,107 @@ def streaming_interval_join_pairs_q(spark, sf_dir):
             .orderBy("user_id"))
 
 
+@_q("streaming_left_outer_interval_join", """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS cus, event_id FROM events
+  WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, epoch_us(ts) AS vus, event_id FROM events
+  WHERE event_type = 'view')
+SELECT c.user_id,
+       COUNT(v.event_id) AS n_pairs,
+       SUM(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END)
+         AS n_unmatched
+FROM clicks c LEFT JOIN views v
+  ON v.user_id = c.user_id
+ AND v.vus >= c.cus AND v.vus <= c.cus + 1800000000
+GROUP BY 1
+""")
+def streaming_left_outer_interval_join_q(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join with real null
+    emission: a click with no same-user view in the next 30 min must
+    surface as a null-extended row — but ONLY once the watermark
+    proves no match can still arrive. The arrival dir stages three
+    ordered files (the data, then two far-future watermark-advancer
+    batches — two because the engine applies an advanced watermark
+    one batch late), so by the final batch every base click's match
+    window is provably closed and ALL unmatched clicks flush. The
+    oracle is the plain batch LEFT JOIN: missing null rows (outer
+    semantics not flushed) or extra ones (flushed too early) both
+    fail the hash."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from vega_spark.streaming import joins as SJ
+    from vega_spark.streaming import sources as SS
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "event_type",
+                     F.timestamp_micros(F.expr("ts div 1000"))
+                     .alias("ts"))
+    mx = base.agg(F.max("ts")).collect()[0][0]
+    stage = tempfile.mkdtemp(prefix="vega_stream_loj_")
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp")
+
+    def advancer(hours_ahead: int):
+        t = mx + datetime.timedelta(hours=hours_ahead)
+        return spark.createDataFrame(
+            [(-1, -1, "click", t), (-2, -1, "view", t)], schema)
+
+    files = [("f1_base", base), ("f2_adv", advancer(4)),
+             ("f3_adv", advancer(8))]
+    mt = None
+    for i, (tag, df) in enumerate(files):
+        tmp = tempfile.mkdtemp(prefix="vega_stream_loj_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"{tag}.parquet")
+        shutil.copy(os.path.join(tmp, src), dst)
+        mt = os.path.getmtime(dst) if mt is None else mt
+        os.utime(dst, (mt + 60 * i, mt + 60 * i))
+
+    src_c = SS.stream_parquet(spark, stage, schema,
+                              max_files_per_trigger=1)
+    src_v = SS.stream_parquet(spark, stage, schema,
+                              max_files_per_trigger=1)
+    clicks = (src_c.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    views = (src_v.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("user_id"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("event_id").alias("view_id")))
+    joined = SJ.interval_join(clicks, views, "user_id",
+                              "click_ts", "view_ts",
+                              lower="0 seconds", upper="30 minutes",
+                              watermark_delay="10 minutes",
+                              how="leftOuter")
+    name = "stream_loj_" + uuid.uuid4().hex[:8]
+    # right-size state partitions for the 6 stateful micro-batches:
+    # the state-store partition count is fixed at first batch, and
+    # 32 near-empty HDFS-backed stores per batch is pure overhead at
+    # this state size (at cluster scale, size this to state volume)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = SS.to_memory(joined.select("user_id", "click_id",
+                                       "view_id"),
+                         name, output_mode="append")
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (spark.table(name).filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(F.count("view_id").alias("n_pairs"),
+                 F.sum(F.when(F.col("view_id").isNull(), 1)
+                       .otherwise(0)).alias("n_unmatched")))
+
+
 @_q("read_merge_schema_evolution", """
 WITH v1 AS (
   SELECT o_orderkey, o_totalprice, NULL AS o_discount_pct
