@@ -67,7 +67,7 @@ _PRIORITY = [
     "conformal_orders_price", "als_recommend_parts",
     "stl_decompose_hourly", "kmeans_silhouette",
     "versioned_bloom_point_lookup", "versioned_change_feed_orders",
-    "streaming_left_outer_interval_join",
+    "streaming_left_outer_interval_join", "versioned_zorder_2d_skipping",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

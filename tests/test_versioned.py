@@ -170,3 +170,30 @@ def test_change_feed_classifies_and_round_trips(spark):
     a = {(r.k, r.s, r.v) for r in applied.collect()}
     b = {(r.k, r.s, r.v) for r in V.read_snapshot(spark, tdir, 2).collect()}
     assert a == b
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    from pyspark.sql import functions as F
+
+    from vega_spark.operators.layout import zorder_key
+
+    # 64x64 grid of (x, y) points, Z-order clustered into 16 files:
+    # a band predicate on EITHER dimension must prune files
+    tdir = tempfile.mkdtemp(prefix="vt_z2d_")
+    df = (spark.range(0, 4096)
+          .select((F.col("id") % 64).alias("x"),
+                  (F.col("id") / 64).cast("long").alias("y")))
+    z = zorder_key([F.col("x"), F.col("y")], bits=8)
+    arranged = (df.withColumn("__z", z)
+                .repartitionByRange(16, "__z")
+                .sortWithinPartitions("__z").drop("__z"))
+    V.commit_snapshot(arranged, tdir, stats_cols=["x", "y"])
+    kx, total = V.plan_pruned_files(tdir, {"x": (0, 15)})
+    ky, _ = V.plan_pruned_files(tdir, {"y": (0, 15)})
+    kxy, _ = V.plan_pruned_files(tdir, {"x": (0, 15), "y": (0, 15)})
+    assert total == 16
+    assert len(kx) < total and len(ky) < total
+    assert len(kxy) <= min(len(kx), len(ky))
+    got = V.read_snapshot_pruned(
+        spark, tdir, {"x": (0, 15), "y": (0, 15)})
+    assert got.count() == 16 * 16

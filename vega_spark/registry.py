@@ -6102,6 +6102,56 @@ def versioned_change_feed_orders_q(spark, sf_dir):
     return change_feed(spark, tdir, 1, 2, ["o_orderkey"])
 
 
+@_q("versioned_zorder_2d_skipping", """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents
+FROM orders
+WHERE o_custkey >= 100 AND o_custkey <= 300
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'
+GROUP BY 1
+""")
+def versioned_zorder_2d_skipping_q(spark, sf_dir):
+    """Z-ORDER + data skipping synergy: commit orders clustered by
+    the Morton interleave of (custkey, order day) — a range layout on
+    ONE column leaves the other scattered across every file, but the
+    Z-curve gives BOTH columns file-level locality, so a 2-D
+    predicate (customer band AND date band) prunes on min/max stats
+    of both dimensions at once. Pruning is metadata-only as in
+    versioned_data_skipping_orders; the residual filter keeps
+    correctness stats-independent; the oracle replays the plain 2-D
+    filter. test_versioned pins that the 2-D predicate actually
+    skips files under this layout."""
+    import tempfile
+
+    from vega_spark.operators.layout import zorder_key
+    from vega_spark.operators.versioned import (
+        commit_snapshot, read_snapshot_pruned)
+    from datetime import datetime
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"),
+                     F.lit("1995-01-01").cast("timestamp"))
+    z = zorder_key([F.col("o_custkey").cast("long"),
+                    day.cast("long")], bits=16)
+    arranged = (orders.withColumn("__z", z)
+                .repartitionByRange(16, "__z")
+                .sortWithinPartitions("__z").drop("__z"))
+    tdir = tempfile.mkdtemp(prefix="vega_zskip_")
+    commit_snapshot(arranged, tdir, note="zorder layout",
+                    stats_cols=["o_custkey", "o_orderdate"])
+    pruned = read_snapshot_pruned(
+        spark, tdir,
+        {"o_custkey": (100, 300),
+         "o_orderdate": (datetime(1997, 1, 1),
+                         datetime(1997, 6, 30, 23, 59, 59))})
+    return (pruned.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                       .cast("long")).alias("sum_cents")))
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
