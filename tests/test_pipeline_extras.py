@@ -285,3 +285,24 @@ def test_hash_split_threshold_rounding_to_256(spark):
     df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
     out = hash_split(df, "doc_id", [("a", 0.999), ("b", 0.001)])
     assert {r["split"] for r in out.collect()} == {"a"}
+
+
+def test_sample_negatives_deterministic_and_anchor_free(spark):
+    from vega_spark.functions.pipeline import sample_negatives
+
+    docs = spark.createDataFrame([(i,) for i in range(50)],
+                                 "doc_id long")
+    out1 = sorted((r.anchor, r.slot, r.negative) for r in
+                  sample_negatives(docs, k=3).collect())
+    out2 = sorted((r.anchor, r.slot, r.negative) for r in
+                  sample_negatives(docs.repartition(7), k=3).collect())
+    # pure function of (corpus, seed): partitioning-invariant
+    assert out1 == out2
+    assert len(out1) == 50 * 3
+    # never its own negative; negatives drawn from the corpus
+    for a, _, n in out1:
+        assert n != a and 0 <= n < 50
+    # different seed → different pairing
+    out3 = sorted((r.anchor, r.slot, r.negative) for r in
+                  sample_negatives(docs, k=3, seed="other").collect())
+    assert out3 != out1

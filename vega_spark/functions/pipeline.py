@@ -178,3 +178,42 @@ def dsir_importance_weights(docs: DataFrame, is_target,
         "doc_id", "n_tokens",
         F.round("__w", round_dp).alias("llr_weight"),
         (F.col("__w") > 0).alias("selected"))
+
+
+def sample_negatives(docs, id_col: str = "doc_id", k: int = 4,
+                     seed: str = "neg"):
+    """Deterministic NEGATIVE SAMPLING for contrastive training
+    pairs: each document becomes an anchor paired with ``k``
+    pseudo-random other documents — negative_i(anchor) is the doc at
+    corpus position md5(seed:anchor:i) mod n (bumped by one when it
+    lands on the anchor itself), under the doc_id total order.
+
+    The md5 draw makes the pairing a pure function of (corpus, seed):
+    reruns, other engines, and the SQL oracle all derive the same
+    pairs — no RNG state, no sampled-once-then-frozen artifact to
+    ship. Scale shape: one scalable zip_with_index (range exchange,
+    no global window), one k-way narrow explode, one equi-join on
+    the uniform index (no skew). Output: (anchor id, slot, negative
+    id)."""
+    from pyspark.sql import functions as F
+
+    from vega_spark.operators.joins import zip_with_index
+
+    idx = zip_with_index(docs.select(id_col), [id_col], "__idx")
+    n = idx.count()
+    anchors = (idx.select(F.col(id_col).alias("anchor"),
+                          F.col("__idx").alias("__own"))
+               .withColumn("slot", F.explode(
+                   F.array(*[F.lit(i) for i in range(k)]))))
+    draw = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed),
+                          F.col("anchor").cast("string"),
+                          F.col("slot").cast("string"))), 1, 12),
+        16, 10).cast("long") % n)
+    pos = F.when(draw == F.col("__own"),
+                 (draw + 1) % n).otherwise(draw)
+    want = anchors.select("anchor", "slot", pos.alias("__want"))
+    neg = idx.select(F.col("__idx").alias("__want"),
+                     F.col(id_col).alias("negative"))
+    return (want.join(neg, "__want")
+            .select("anchor", "slot", "negative"))

@@ -6152,6 +6152,36 @@ def versioned_zorder_2d_skipping_q(spark, sf_dir):
                        .cast("long")).alias("sum_cents")))
 
 
+@_q("contrastive_negatives_docs", """
+WITH idx AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+  FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+anchors AS (
+  SELECT d.doc_id AS anchor, d.i AS own, s.slot, nn.n
+  FROM idx d, (SELECT UNNEST(generate_series(0, 3)) AS slot) s, nn),
+draw AS (
+  SELECT anchor, slot, own, n,
+         ('0x' || substr(md5('neg:' || CAST(anchor AS VARCHAR)
+                              || ':' || CAST(slot AS VARCHAR)),
+                         1, 12))::BIGINT % n AS d
+  FROM anchors)
+SELECT a.anchor, a.slot, i2.doc_id AS negative
+FROM draw a JOIN idx i2
+  ON i2.i = CASE WHEN a.d = a.own THEN (a.d + 1) % a.n ELSE a.d END
+""")
+def contrastive_negatives_docs_q(spark, sf_dir):
+    """Deterministic negative sampling over the document corpus —
+    4 contrastive negatives per anchor as a pure function of
+    (corpus, seed): md5 position draws under the doc_id total order,
+    anchor-collision bumped by one. The oracle re-derives every pair
+    (ROW_NUMBER index + the same md5 arithmetic); a different join
+    order, index assignment, or collision rule fails the hash."""
+    from vega_spark.functions.pipeline import sample_negatives
+    docs = _t(spark, sf_dir, "documents")
+    return sample_negatives(docs, "doc_id", k=4)
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
