@@ -68,7 +68,7 @@ _PRIORITY = [
     "stl_decompose_hourly", "kmeans_silhouette",
     "versioned_bloom_point_lookup", "versioned_change_feed_orders",
     "streaming_left_outer_interval_join", "versioned_zorder_2d_skipping",
-    "contrastive_negatives_docs",
+    "contrastive_negatives_docs", "versioned_delete_keys_orders",
     # remaining §2 operators
     "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
     "sum_approx",

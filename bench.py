@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "streaming_left_outer_interval_join",  # 3-batch outer null emission
     "versioned_zorder_2d_skipping",  # Morton layout, 2-D file pruning
     "contrastive_negatives_docs",  # md5 negative sampling, index join
+    "versioned_delete_keys_orders",  # copy-on-write targeted delete
 ]
 
 

@@ -197,3 +197,34 @@ def test_zorder_layout_prunes_both_dimensions(spark):
     got = V.read_snapshot_pruned(
         spark, tdir, {"x": (0, 15), "y": (0, 15)})
     assert got.count() == 16 * 16
+
+
+def test_delete_keys_rewrites_only_affected_files(spark):
+    from pyspark.sql import functions as F
+
+    tdir = tempfile.mkdtemp(prefix="vt_del_")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    V.commit_snapshot(df.repartition(10, "k"), tdir,
+                      stats_cols=["k"])
+    V.add_bloom_index(spark, tdir, "k", m_bits=1 << 13)
+    res = V.delete_keys(spark, tdir, "k", [5, 800])
+    # copy-on-write: only the files that can hold the keys rewrite
+    assert res["version"] == 2
+    assert res["deleted_rows"] == 2
+    assert 1 <= res["rewritten"] <= 4 and res["linked"] >= 6
+    assert res["rewritten"] + res["linked"] >= 10 - res["rewritten"]
+    # new version correct; old version intact (time travel)
+    cur = V.read_snapshot(spark, tdir)
+    assert cur.count() == 998
+    assert cur.filter(F.col("k").isin([5, 800])).count() == 0
+    assert V.read_snapshot(spark, tdir, 1).count() == 1000
+    # carried indexes still serve reads on the new version
+    kept, total = V.plan_pruned_files(tdir, {"k": (0, 50)})
+    assert len(kept) <= total
+    got = V.read_snapshot_point(spark, tdir, "k", 801)
+    assert [r.k for r in got.collect()] == [801]
+    # deleting an absent key is a no-op version bump
+    res2 = V.delete_keys(spark, tdir, "k", [999999])
+    assert res2["deleted_rows"] == 0
+    assert V.read_snapshot(spark, tdir).count() == 998

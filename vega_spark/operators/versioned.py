@@ -413,3 +413,114 @@ def change_feed(spark: SparkSession, table_dir: str,
             deletes = deletes.withColumn(
                 c, F.lit(None).cast(dict(payload.dtypes)[c]))
     return upserts.unionByName(deletes)
+
+
+def delete_keys(spark: SparkSession, table_dir: str, col: str,
+                values: list, note: str = "delete") -> dict:
+    """Targeted DELETE (the right-to-be-forgotten path): remove all
+    rows whose ``col`` is in ``values`` by rewriting ONLY the files
+    that can contain those keys — planned from the manifest's Bloom
+    index (falling back to min/max stats, then to all files) — and
+    HARD-LINKING every untouched file into the new version
+    unchanged. Copy-on-write at file granularity: a delete of a few
+    keys from a 100 TB table costs a scan of the few affected files,
+    zero bytes moved for the rest, and the old version stays intact
+    for time travel until vacuumed.
+
+    Index carry-over keeps reads fast without a rebuild: linked
+    files keep their min/max and Bloom entries verbatim; rewritten
+    files get fresh min/max, and keep their OLD Bloom entry — a
+    Bloom of a superset can only add false positives, never a false
+    negative, so pruning stays correct (rebuild with
+    ``add_bloom_index`` to re-tighten). Returns
+    {"version", "rewritten", "linked", "deleted_rows"}."""
+    import shutil
+
+    m = _load_manifest(table_dir, None)
+    old_v, old_dir = m["version"], os.path.join(table_dir, m["data_dir"])
+    # plan affected files: bloom per value, else min/max, else all
+    affected: set[str] = set()
+    if col in m.get("bloom", {}):
+        for v in values:
+            kept, _ = plan_bloom_files(table_dir, col, v)
+            affected |= {os.path.basename(p) for p in kept}
+    elif col in m.get("stats_cols", []):
+        for v in values:
+            kept, _ = plan_pruned_files(table_dir, {col: (v, v)})
+            affected |= {os.path.basename(p) for p in kept}
+    else:
+        affected = {f for f in os.listdir(old_dir)
+                    if f.endswith(".parquet")}
+    all_files = sorted(f for f in os.listdir(old_dir)
+                       if f.endswith(".parquet"))
+    linked = [f for f in all_files if f not in affected]
+
+    new_v = old_v + 1
+    new_dir = os.path.join(table_dir, f"v{new_v:05d}")
+    os.makedirs(new_dir)
+    for f in linked:
+        src, dst = os.path.join(old_dir, f), os.path.join(new_dir, f)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+    deleted = 0
+    rewritten_names: list[str] = []
+    if affected:
+        aff_paths = [os.path.join(old_dir, f) for f in sorted(affected)]
+        src_df = spark.read.parquet(*aff_paths)
+        keep = src_df.filter(~F.col(col).isin(values))
+        deleted = src_df.count() - keep.count()
+        tmp = new_dir + ".rw"
+        keep.write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"rw-{i:05d}.parquet"
+            shutil.move(os.path.join(tmp, f),
+                        os.path.join(new_dir, name))
+            rewritten_names.append(name)
+        shutil.rmtree(tmp)
+
+    manifest = {
+        "version": new_v, "data_dir": f"v{new_v:05d}",
+        "n_files": len(linked) + len(rewritten_names),
+        "committed_at": time.time(), "note": note,
+        "schema": m["schema"],
+    }
+    # carry indexes: linked files verbatim; rewritten files get fresh
+    # min/max (one pass over just those files)
+    if m.get("stats_cols"):
+        manifest["stats_cols"] = m["stats_cols"]
+        stats = {f: m["file_stats"][f] for f in linked
+                 if f in m.get("file_stats", {})}
+        if rewritten_names:
+            back = spark.read.parquet(*[
+                os.path.join(new_dir, f) for f in rewritten_names])
+            stats.update(_collect_file_stats(back, m["stats_cols"]))
+        manifest["file_stats"] = stats
+    if m.get("bloom"):
+        manifest["bloom"] = {}
+        for bcol, idx in m["bloom"].items():
+            files = {f: w for f, w in idx["files"].items()
+                     if f in set(linked)}
+            if rewritten_names:
+                # superset blooms for rewrites: OR of the affected
+                # files' old blooms (conservative, no false negatives)
+                union: dict[str, int] = {}
+                for f in sorted(affected):
+                    for w, mask in idx["files"].get(f, {}).items():
+                        union[w] = union.get(w, 0) | mask
+                for name in rewritten_names:
+                    files[name] = union
+            manifest["bloom"][bcol] = {
+                "m_bits": idx["m_bits"], "k": idx["k"], "files": files}
+    mpath = os.path.join(_manifest_dir(table_dir), f"{new_v:05d}.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    tmp = _latest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(tmp, _latest_path(table_dir))
+    return {"version": new_v, "rewritten": len(rewritten_names),
+            "linked": len(linked), "deleted_rows": int(deleted)}

@@ -6182,6 +6182,38 @@ def contrastive_negatives_docs_q(spark, sf_dir):
     return sample_negatives(docs, "doc_id", k=4)
 
 
+@_q("versioned_delete_keys_orders", """
+SELECT COUNT(*) AS n_rows,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents,
+       COUNT(DISTINCT o_orderstatus) AS n_status
+FROM orders WHERE o_orderkey NOT IN (1, 2, 3, 7)
+""")
+def versioned_delete_keys_orders_q(spark, sf_dir):
+    """Targeted DELETE with copy-on-write file rewrite: orders
+    committed hash-partitioned with a Bloom index, four keys deleted
+    — the manifest plans exactly which files can contain them, only
+    those are rewritten, every other file HARD-LINKS into the new
+    version (zero bytes moved), and indexes carry over (rewrites
+    keep conservative superset Blooms). The old version remains
+    time-travelable. The oracle replays the post-delete aggregate;
+    the unit test pins the partial-rewrite file accounting."""
+    import tempfile
+
+    from vega_spark.operators.versioned import (
+        add_bloom_index, commit_snapshot, delete_keys, read_snapshot)
+    orders = _t(spark, sf_dir, "orders")
+    tdir = tempfile.mkdtemp(prefix="vega_del_")
+    commit_snapshot(orders.repartition(16, "o_orderkey"), tdir)
+    add_bloom_index(spark, tdir, "o_orderkey")
+    delete_keys(spark, tdir, "o_orderkey", [1, 2, 3, 7])
+    cur = read_snapshot(spark, tdir)
+    return cur.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("sum_cents"),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_status"))
+
+
 @_q("acf_hourly_events", """
 WITH hourly AS (
   SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS xh,
