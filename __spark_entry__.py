@@ -43,6 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # round-2 continuation families (newest first: each is the lone
     # driver-visible representative of a new capability family)
+    "bm25_rank_docs", "hybrid_search_rrf",
+    "retrieval_mrr_ndcg_trunc", "seq_pairs_events",
     "acf_hourly_events", "cusum_changepoint_hours",
     "kaplan_meier_conversion", "logreg_purchase_value",
     "l_diversity_docs", "clustering_coeff_parts",

@@ -208,6 +208,11 @@ BENCH_QUERIES = [
     "versioned_zorder_2d_skipping",  # Morton layout, 2-D file pruning
     "contrastive_negatives_docs",  # md5 negative sampling, index join
     "versioned_delete_keys_orders",  # copy-on-write targeted delete
+    # round-2 continuation: ranked-retrieval + sequence-mining tier
+    "bm25_rank_docs",              # BM25 postings-pruned micro-exact scoring
+    "hybrid_search_rrf",           # BM25 + cosine lists fused via RRF
+    "retrieval_mrr_ndcg_trunc",    # MRR/nDCG eval of truncated index
+    "seq_pairs_events",            # gapped sequential 2-patterns
 ]
 
 

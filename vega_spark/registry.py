@@ -7576,3 +7576,235 @@ def custom_sink_jsonl_roundtrip_q(spark, sf_dir):
     back = spark.read.schema("event_id long, cents long").json(tdir)
     return back.agg(F.count(F.lit(1)).alias("n_rows"),
                     F.sum("cents").alias("sum_cents"))
+
+
+# --- north-star: ranked retrieval (BM25 / hybrid RRF / eval metrics) ---------
+
+_BM25_CORE_SQL = """
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x != '')) AS term
+  FROM documents),
+post AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+scal AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                (SELECT COUNT(*) FROM tok) AS total_len),
+dfreq AS (SELECT term, COUNT(*) AS df_ FROM post GROUP BY 1),
+idf AS (SELECT term,
+               CAST(ROUND(ln((CAST(n_docs AS DOUBLE) - df_ + 0.5)
+                             / (df_ + 0.5) + 1.0) * 1000000.0, 0) AS BIGINT)
+                 AS idf_q
+        FROM dfreq, scal)
+"""
+
+_BM25_SCORE_SQL = """
+CAST(ROUND((CAST(idf_q AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2))
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * ((CAST(dl AS DOUBLE)
+                                       * CAST(n_docs AS DOUBLE))
+                                      / CAST(total_len AS DOUBLE)))),
+           0) AS BIGINT)
+"""
+
+
+@_q("bm25_rank_docs", f"""
+WITH {_BM25_CORE_SQL},
+hits AS (
+  SELECT p.doc_id, {_BM25_SCORE_SQL} AS s_micro
+  FROM post p JOIN idf USING (term) JOIN dlen USING (doc_id), scal
+  WHERE p.term IN ('agg', 'scan', 'vector')),
+sc AS (SELECT doc_id, SUM(s_micro) AS score_micro FROM hits GROUP BY 1),
+ranked AS (
+  SELECT doc_id, score_micro,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+  FROM sc)
+SELECT doc_id, score_micro, rk FROM ranked WHERE rk <= 10
+""")
+def bm25_rank_docs_q(spark, sf_dir):
+    """BM25 ranked retrieval over the documents corpus: postings
+    pruned to the 3 query terms, per-doc EXACT micro-unit score sum
+    (idf integerized, one fixed-shape double division per term —
+    module docstring of functions/retrieval.py), TakeOrderedAndProject
+    head, bounded post-limit rank. The oracle replays tokenize →
+    postings → df/idf → score with the identical expression shape."""
+    from vega_spark.functions.retrieval import bm25_search
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, ["agg", "scan", "vector"], top=10)
+
+
+@_q("hybrid_search_rrf", f"""
+WITH {_BM25_CORE_SQL},
+qt AS (
+  SELECT query_id, term FROM (
+    SELECT t.doc_id AS query_id, t.term,
+           ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                              ORDER BY d.df_ ASC, t.term ASC) AS r
+    FROM (SELECT DISTINCT doc_id, term FROM tok WHERE doc_id < 3) t
+    JOIN dfreq d USING (term))
+  WHERE r <= 4),
+lexhits AS (
+  SELECT qt.query_id, p.doc_id, {_BM25_SCORE_SQL} AS s_micro
+  FROM post p JOIN qt USING (term)
+  JOIN idf USING (term) JOIN dlen USING (doc_id), scal),
+lexsc AS (SELECT query_id, doc_id, SUM(s_micro) AS score_micro
+          FROM lexhits GROUP BY 1, 2),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rk
+  FROM lexsc),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 3),
+cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings),
+vs AS (
+  SELECT query_id, doc_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos_raw
+  FROM qv CROSS JOIN cv),
+vec AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, doc_id) AS rk
+  FROM vs),
+contrib AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(1000000000.0 / (60.0 + CAST(rk AS DOUBLE)), 0) AS BIGINT)
+           AS c
+  FROM (SELECT * FROM lex WHERE rk <= 10
+        UNION ALL SELECT * FROM vec WHERE rk <= 10)),
+fused AS (SELECT query_id, doc_id, SUM(c) AS rrf_nano
+          FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, rrf_nano,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_nano DESC, doc_id) AS rk
+  FROM fused)
+SELECT query_id, doc_id, rrf_nano, rk FROM ranked WHERE rk <= 5
+""")
+def hybrid_search_rrf_q(spark, sf_dir):
+    """Hybrid retrieval capstone: per query doc (ids < 3) a BM25
+    candidate list from its 4 rarest terms AND an exact-cosine
+    embedding candidate list, fused with Reciprocal Rank Fusion
+    (integerized 1e9/(60+rank) contributions, exact int sums). The
+    whole pipeline is rank-only across engines — the oracle replays
+    term selection, both rankings, and the fusion."""
+    from vega_spark.functions import similarity as sim
+    from vega_spark.functions.retrieval import (bm25_search_batch,
+                                                rarest_query_terms,
+                                                rrf_fuse)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    qdocs = docs.filter(F.col("doc_id") < 3)
+    qterms = rarest_query_terms(docs, qdocs, n_terms=4,
+                                query_id_col="doc_id")
+    lex = bm25_search_batch(docs, qterms, top=10)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    vec = sim.cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    return rrf_fuse([lex.select("query_id", "doc_id", "rk"), vec],
+                    k0=60, top=5)
+
+
+@_q("retrieval_mrr_ndcg_trunc", """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+tscore AS (
+  SELECT query_id, e.vec_id AS doc_id,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(v, v))) AS cos_raw
+  FROM q CROSS JOIN emb e),
+truth AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, doc_id) AS trk
+  FROM tscore QUALIFY trk <= 10),
+sscore AS (
+  SELECT query_id, e.vec_id AS doc_id,
+         list_dot_product(qv[1:16], v[1:16])
+           / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+              * sqrt(list_dot_product(v[1:16], v[1:16]))) AS cos_raw
+  FROM q CROSS JOIN emb e),
+sys AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, doc_id) AS srk
+  FROM sscore QUALIFY srk <= 10),
+ideal AS (
+  SELECT query_id,
+         SUM(CAST(ROUND(CAST(11 - trk AS DOUBLE) * 1000000.0
+                        / log2(CAST(trk AS DOUBLE) + 1.0), 0) AS BIGINT))
+           AS idcg_micro
+  FROM truth GROUP BY 1),
+hits AS (
+  SELECT t.query_id, COUNT(*) AS n_hits,
+         SUM(CAST(ROUND(CAST(11 - t.trk AS DOUBLE) * 1000000.0
+                        / log2(CAST(s.srk AS DOUBLE) + 1.0), 0) AS BIGINT))
+           AS dcg_micro,
+         MAX(CASE WHEN t.trk = 1 THEN
+               CAST(ROUND(1000000.0 / CAST(s.srk AS DOUBLE), 0) AS BIGINT)
+             END) AS rr_raw
+  FROM truth t JOIN sys s USING (query_id, doc_id)
+  GROUP BY 1)
+SELECT i.query_id,
+       COALESCE(n_hits, 0) AS n_hits,
+       COALESCE(rr_raw, 0) AS rr_ppm,
+       COALESCE(dcg_micro, 0) AS dcg_micro,
+       idcg_micro,
+       CAST(ROUND(CAST(COALESCE(dcg_micro, 0) AS DOUBLE) * 1000000.0
+                  / CAST(idcg_micro AS DOUBLE), 0) AS BIGINT) AS ndcg_ppm
+FROM ideal i LEFT JOIN hits USING (query_id)
+""")
+def retrieval_mrr_ndcg_trunc_q(spark, sf_dir):
+    """Retrieval-quality metrics (recall@10 hits / MRR / nDCG@10) of a
+    Matryoshka-truncated 16-dim index against the exact full-dim
+    ranking — the eval harness every ANN deployment needs (the
+    metric sibling of embedding_truncation_recall). All-integer
+    output: discounted gains integerized to micros before summing, so
+    DCG/IDCG are exact int64 on any engine/partitioning."""
+    from vega_spark.functions import similarity as sim
+    from vega_spark.functions.retrieval import retrieval_metrics
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    truth = sim.cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = queries.select("query_id",
+                         F.slice("embedding", 1, 16).alias("embedding"))
+    system = sim.cosine_topk_bruteforce(emb16, q16, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    return retrieval_metrics(truth, system, k=10)
+
+
+@_q("seq_pairs_events", """
+WITH o AS (
+  SELECT user_id AS u, event_type AS et,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+s AS (SELECT u, et, rn FROM o WHERE rn <= 30),
+p AS (SELECT DISTINCT f.u, f.et AS a, g.et AS b
+      FROM s f JOIN s g ON f.u = g.u AND f.rn < g.rn),
+sup AS (SELECT a, b, COUNT(*) AS support FROM p GROUP BY 1, 2
+        HAVING COUNT(*) >= 5),
+pre AS (SELECT et AS a, COUNT(DISTINCT u) AS prefix_support
+        FROM s GROUP BY 1)
+SELECT a, b, support, prefix_support,
+       CAST(ROUND(CAST(support AS DOUBLE) * 1000000.0
+                  / CAST(prefix_support AS DOUBLE), 0) AS BIGINT) AS conf_ppm
+FROM sup JOIN pre USING (a)
+""")
+def seq_pairs_events_q(spark, sf_dir):
+    """Gapped sequential 2-patterns (PrefixSpan-style) over user
+    event streams: support and confidence of 'a then later b', each
+    user counted once, sequences truncated to their first 30 events
+    (bounded per-user window — the per-key guard that keeps the pair
+    enumeration ≤ 30² per user at any corpus size)."""
+    from vega_spark.functions.seqmine import sequential_pairs
+    ev = _t(spark, sf_dir, "events")
+    return sequential_pairs(ev, max_len=30, min_support=5)
