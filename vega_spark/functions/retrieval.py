@@ -107,8 +107,10 @@ def bm25_search(docs: DataFrame, terms: Sequence[str],
 
     Plan: postings filtered to the query terms (pruned scan), one
     groupBy(doc) exact micro-sum, TakeOrderedAndProject head, then a
-    rank window over the ≤`top`-row head (bounded — same pattern as
-    text.build_vocab's post-limit ranking)."""
+    WINDOW-FREE rank over the ≤`top`-row head: the global limit lands
+    in one partition, so after an in-partition sort
+    monotonically_increasing_id IS the 0-based position (same bounded
+    pattern as text.build_vocab — no global WindowExec anywhere)."""
     want = sorted({t.lower() for t in terms})
     post, _ = bm25_stats(docs, text_col=text_col, id_col=id_col,
                          max_df=max_df)
@@ -122,9 +124,11 @@ def bm25_search(docs: DataFrame, terms: Sequence[str],
         .agg(F.sum("s_micro").alias("score_micro")))
     head = scored.orderBy(F.col("score_micro").desc(),
                           F.col("doc_id").asc()).limit(top)
-    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-    # bounded head (≤ top rows) — rank the materialized limit result
-    return head.withColumn("rk", F.row_number().over(w))
+    return (head.coalesce(1)
+            .sortWithinPartitions(F.col("score_micro").desc(),
+                                  F.col("doc_id").asc())
+            .withColumn("rk", (F.monotonically_increasing_id() + 1)
+                        .cast("int")))
 
 
 def rarest_query_terms(docs: DataFrame, query_docs: DataFrame,
