@@ -213,6 +213,9 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",           # BM25 + cosine lists fused via RRF
     "retrieval_mrr_ndcg_trunc",    # MRR/nDCG eval of truncated index
     "seq_pairs_events",            # gapped sequential 2-patterns
+    # round-2 continuation: codec-free real pixel decode
+    "png_pixel_decode_stats",      # stdlib inflate+unfilter luma census
+    "png_resize_roundtrip",        # decode→nearest resize→re-encode→decode
 ]
 
 

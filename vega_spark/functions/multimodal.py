@@ -1,13 +1,18 @@
 """Multimodal columns: image/audio/video as opaque BINARY columns
 with typed metadata, processed via Arrow-batched pandas UDFs.
 
-Decode kernels are gated on a RUNTIME import probe (the same pattern
-as the protobuf gate in streaming/stateful.py): ``decode=real`` uses
-Pillow when it imports, and raises NotImplementedError at the exact
-codec call site otherwise (this container bundles no media libs).
-``decode=fake`` produces deterministic synthetic outputs either way,
-so the Spark-side plumbing — schema, batch shape, partitioning — is
-always real and testable.
+``decode=real`` pixel kernels run WITHOUT any external codec for PNG
+payloads: PNG is DEFLATE (stdlib zlib) behind five per-row byte
+filters, so decode_png/encode_png below do true pixel decode/encode
+with the standard library only (canonical, deterministic across
+worker images). Non-PNG payloads fall back to Pillow behind a
+RUNTIME import probe (the same pattern as the protobuf gate in
+streaming/stateful.py) and raise NotImplementedError at the exact
+codec call site when it is absent. ``decode=fake`` produces
+deterministic synthetic outputs either way, so the Spark-side
+plumbing — schema, batch shape, partitioning — is always real and
+testable. Audio ``decode=real`` parses WAV with the stdlib ``wave``
+module (also codec-free).
 
 Scale notes: binary payloads ride in Arrow record batches between
 JVM and Python — the per-row cost is amortized over the batch. The
@@ -109,15 +114,26 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
         Image = pil_image() if decode == "real" else None
         for b in batches:
             if decode == "real":
-                if Image is None:
-                    raise NotImplementedError(
-                        "decode='real' resize needs Pillow on the executor")
                 out = []
                 for p in b[payload_col]:
-                    with Image.open(io.BytesIO(bytes(p))) as im:
-                        buf = io.BytesIO()
-                        im.resize((target_w, target_h)).save(buf, "PNG")
-                        out.append(buf.getvalue())
+                    raw = bytes(p)
+                    try:
+                        # canonical REAL path (PNG, codec-free):
+                        # stdlib decode → pinned nearest resample
+                        # (src = floor(dst*src_dim/dst_dim)) →
+                        # stdlib re-encode. Deterministic across
+                        # worker images — PIL only handles payload
+                        # formats the stdlib kernel can't.
+                        arr = decode_png(raw)
+                        out.append(encode_png(
+                            resize_nearest(arr, target_w, target_h)))
+                    except NotImplementedError:
+                        if Image is None:
+                            raise
+                        with Image.open(io.BytesIO(raw)) as im:
+                            buf = io.BytesIO()
+                            im.resize((target_w, target_h)).save(buf, "PNG")
+                            out.append(buf.getvalue())
             else:
                 out = [bytes(p)[: max(1, target_w * target_h // 8)]
                        for p in b[payload_col]]
@@ -187,14 +203,24 @@ def feature_extract(df: DataFrame, dim: int = 16,
         for b in batches:
             vecs = []
             if decode == "real":
-                if Image is None:
-                    raise NotImplementedError(
-                        "decode='real' feature extraction needs Pillow on "
-                        "the executor (grayscale-histogram features); plug "
-                        "a model encoder here for learned embeddings")
                 for p in b[payload_col]:
-                    with Image.open(io.BytesIO(bytes(p))) as im:
-                        px = list(im.convert("L").resize((16, 16)).getdata())
+                    raw = bytes(p)
+                    try:
+                        # canonical REAL path (PNG, codec-free):
+                        # stdlib pixel decode → pinned luma → 16x16
+                        # nearest resample. Model encoders slot in
+                        # here for learned embeddings; the histogram
+                        # is a true decode-derived feature.
+                        g = to_grayscale(decode_png(raw))
+                        px = [int(v) for v in
+                              resize_nearest(g[:, :, None], 16, 16)
+                              .ravel()]
+                    except NotImplementedError:
+                        if Image is None:
+                            raise
+                        with Image.open(io.BytesIO(raw)) as im:
+                            px = list(im.convert("L").resize((16, 16))
+                                      .getdata())
                     # normalized grayscale histogram: a real, deterministic
                     # decode-based feature (model encoders slot in here)
                     hist = [0] * dim
@@ -412,6 +438,240 @@ def image_header_metadata(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, payload_col).mapInPandas(
         extract, schema=schema)
+
+
+# --- codec-free REAL pixel decode (stdlib-PNG) ------------------------------
+# Closes the last decode='real' gap: PNG pixel data is DEFLATE (stdlib
+# zlib) behind five per-row predictive filters (pure byte arithmetic),
+# so full pixel decode needs no external codec at all. These kernels
+# are the executor-side fallback when Pillow is absent: the pixel
+# paths (resize_images / feature_extract / image_pixel_stats) stay
+# REAL for PNG payloads on any worker image. 8-bit, non-interlaced,
+# color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) — the shapes a
+# curation pipeline normalizes to anyway.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter_row(ft: int, cur: bytearray, prev: bytes, bpp: int) -> None:
+    """Reconstruct one scanline in place (PNG filters 0-4). Byte
+    arithmetic is mod-256 per the spec."""
+    n = len(cur)
+    if ft == 0:
+        return
+    if ft == 1:  # Sub
+        for x in range(bpp, n):
+            cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+    elif ft == 2:  # Up
+        for x in range(n):
+            cur[x] = (cur[x] + prev[x]) & 0xFF
+    elif ft == 3:  # Average
+        for x in range(n):
+            left = cur[x - bpp] if x >= bpp else 0
+            cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+    elif ft == 4:  # Paeth
+        for x in range(n):
+            left = cur[x - bpp] if x >= bpp else 0
+            ul = prev[x - bpp] if x >= bpp else 0
+            cur[x] = (cur[x] + _paeth(left, prev[x], ul)) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter type {ft}")
+
+
+def _filter_row(ft: int, raw: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply one PNG filter to a raw scanline (encoder side)."""
+    n = len(raw)
+    out = bytearray(n)
+    for x in range(n):
+        left = raw[x - bpp] if x >= bpp else 0
+        up = prev[x]
+        ul = prev[x - bpp] if x >= bpp else 0
+        if ft == 0:
+            v = raw[x]
+        elif ft == 1:
+            v = raw[x] - left
+        elif ft == 2:
+            v = raw[x] - up
+        elif ft == 3:
+            v = raw[x] - ((left + up) >> 1)
+        elif ft == 4:
+            v = raw[x] - _paeth(left, up, ul)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr) -> bytes:
+    """Encode a uint8 numpy array (HxW gray or HxWx{2,3,4}) as a
+    valid 8-bit PNG — stdlib only. Filter type rotates per row
+    (row % 5), deliberately exercising every unfilter path on the
+    decode side; a production encoder would pick per-row minimal-
+    entropy filters, same container either way."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    bpp = ch
+    prev = bytes(w * ch)
+    body = bytearray()
+    for y in range(h):
+        raw = a[y].tobytes()
+        ft = y % 5
+        body.append(ft)
+        body += _filter_row(ft, raw, prev, bpp)
+        prev = raw
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes):
+    """Full PNG pixel decode with stdlib zlib + pure byte math:
+    returns an HxWxC uint8 numpy array. Supports bit depth 8,
+    color types 0/2/4/6, non-interlaced (the normalized-corpus
+    shapes); anything else raises NotImplementedError so callers
+    can route to a real codec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload (stdlib decode "
+                                  "handles PNG only; use Pillow for "
+                                  "other formats)")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    "stdlib PNG decode supports 8-bit non-interlaced "
+                    "gray/RGB/GA/RGBA only")
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    stream = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        row = bytearray(stream[off + 1:off + 1 + stride])
+        _unfilter_row(stream[off], row, prev, ch)
+        prev = bytes(row)
+        out[y] = np.frombuffer(prev, dtype=np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def resize_nearest(arr, target_w: int, target_h: int):
+    """Nearest-neighbor resample of an HxWxC uint8 array (numpy
+    fancy indexing — one gather, no Python per pixel)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return arr[ys[:, None], xs[None, :]]
+
+
+def to_grayscale(arr):
+    """Luma conversion (ITU-R 601 integer weights) for 1/2/3/4-channel
+    uint8 arrays; alpha is ignored."""
+    import numpy as np
+
+    ch = arr.shape[2]
+    if ch <= 2:
+        return arr[:, :, 0]
+    rgb = arr[:, :, :3].astype(np.uint32)
+    return ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2])
+            // 1000).astype(np.uint8)
+
+
+def make_pattern_png(width: int, height: int) -> bytes:
+    """Deterministic grayscale test image: pixel(x, y) =
+    (31x + 57y) mod 256 — wraps mod 256 (so a decoder that drops
+    carries fails), replayable by an external engine from (w, h)
+    alone (the registry oracle recomputes the sum in SQL)."""
+    import numpy as np
+
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+    return encode_png(((xs * 31 + ys * 57) % 256).astype(np.uint8))
+
+
+def image_pixel_stats(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL pixel-level decode census: per asset, pixel count and
+    exact integer luma sum. Pillow when the executor has it, the
+    stdlib PNG kernel otherwise — both paths are true decodes
+    (inflate + unfilter), not digests. Arrow-batched mapInPandas,
+    narrow, linear scale-out; per-asset cost is bounded by payload
+    size, so partition sizing is byte-based like any blob scan."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = pil_image()
+        for b in batches:
+            ns, sums = [], []
+            for p in b[payload_col]:
+                raw = bytes(p)
+                try:
+                    # canonical path: stdlib PNG decode + pinned
+                    # integer luma — deterministic across workers;
+                    # PIL only covers non-PNG payload formats.
+                    g = to_grayscale(decode_png(raw)).astype(np.uint32)
+                except NotImplementedError:
+                    if Image is None:
+                        raise
+                    with Image.open(io.BytesIO(raw)) as im:
+                        g = np.asarray(im.convert("L"), dtype=np.uint32)
+                ns.append(int(g.size))
+                sums.append(int(g.sum()))
+            yield pd.DataFrame({
+                "asset_id": b[id_col].astype("int64"),
+                "n_px": ns, "sum_px": sums})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, schema="asset_id long, n_px long, sum_px long")
 
 
 def make_test_png(width: int, height: int) -> bytes:

@@ -5503,6 +5503,88 @@ def image_header_decode_q(spark, sf_dir):
     return out.select("asset_id", "format", "width", "height")
 
 
+@_q("png_pixel_decode_stats", """
+SELECT d.doc_id AS asset_id,
+       (8 + d.doc_id % 25) * (6 + d.doc_id % 17) AS n_px,
+       SUM((x.g * 31 + y.g * 57) % 256)::BIGINT AS sum_px
+FROM documents d
+JOIN generate_series(0, 32) x(g) ON x.g < 8 + d.doc_id % 25
+JOIN generate_series(0, 22) y(g) ON y.g < 6 + d.doc_id % 17
+GROUP BY 1, 2
+""")
+def png_pixel_decode_stats_q(spark, sf_dir):
+    """REAL pixel-level PNG decode, oracle-checked: deterministic
+    grayscale pattern images (pixel = (31x+57y) mod 256, dims from
+    doc_id) are DEFLATE-compressed behind rotating per-row filters
+    (all five PNG filter types), then fully decoded on executors —
+    inflate + unfilter + luma census with NO codec dependency
+    (stdlib zlib; Pillow used instead when present). DuckDB replays
+    the exact integer pixel sums from (w, h) alone, so a decoder
+    that mishandles any filter or drops a mod-256 carry fails the
+    hash. Narrow end to end; blob-scan partition sizing applies."""
+    import pandas as pd
+
+    from vega_spark.functions.multimodal import (image_pixel_stats,
+                                                 make_pattern_png)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "payload": [make_pattern_png(8 + int(i) % 25,
+                                             6 + int(i) % 17)
+                            for i in b["doc_id"]],
+            })
+
+    with_png = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return image_pixel_stats(with_png)
+
+
+@_q("png_resize_roundtrip", """
+SELECT d.doc_id AS asset_id,
+       12 AS width, 10 AS height,
+       SUM((((x.g * (8 + d.doc_id % 25)) // 12) * 31
+            + ((y.g * (6 + d.doc_id % 17)) // 10) * 57) % 256)::BIGINT
+         AS sum_px
+FROM documents d
+JOIN generate_series(0, 11) x(g) ON x.g < 12
+JOIN generate_series(0, 9) y(g) ON y.g < 10
+GROUP BY 1
+""")
+def png_resize_roundtrip_q(spark, sf_dir):
+    """REAL decode → nearest-neighbor resize → re-encode → decode
+    round trip, oracle-checked: the resized image's pixel sum is
+    replayed in SQL from the nearest-neighbor index map
+    (src = floor(dst*src_dim/dst_dim)), so the resample kernel, the
+    re-encode, and the second decode must all be exact. Two narrow
+    mapInPandas stages, no shuffle."""
+    import pandas as pd
+
+    from vega_spark.functions.multimodal import (image_pixel_stats,
+                                                 make_pattern_png,
+                                                 resize_images)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "payload": [make_pattern_png(8 + int(i) % 25,
+                                             6 + int(i) % 17)
+                            for i in b["doc_id"]],
+            })
+
+    with_png = docs.mapInPandas(gen, "doc_id long, payload binary")
+    small = resize_images(with_png, 12, 10, id_col="doc_id",
+                          decode="real")
+    stats = image_pixel_stats(small, id_col="asset_id")
+    return stats.select("asset_id",
+                        F.lit(12).alias("width"),
+                        F.lit(10).alias("height"),
+                        "sum_px")
+
+
 @_q("versioned_time_travel_orders", """
 WITH v1 AS (
   SELECT 1 AS version, COUNT(*) AS n_rows,
