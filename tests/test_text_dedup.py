@@ -393,3 +393,81 @@ def test_bigram_lm_orders_beat_shuffled(spark):
            for r in bigram_lm_score(df, vocab_size=10).collect()}
     assert got[100] < got[0]          # wrong order -> lower score
     assert all(got[i] == got[0] for i in range(30))  # identical docs tie
+
+
+# --- incremental near-dup against a persisted LSH index ---------------------
+
+def _lsh_corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "spark engines shuffle data between executors when wide dependencies appear"),
+        (3, "completely different content about cooking pasta with fresh tomato sauce"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_incremental_flags_recrawled_copy(spark):
+    corpus = _lsh_corpus(spark)
+    sigs, buckets = D.lsh_index(corpus, "text", "doc_id",
+                                num_hashes=32, bands=8)
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river bank today"),
+         (101, "unrelated brand new text on astronomy telescopes and distant galaxies tonight")],
+        "doc_id long, text string")
+    out = {r.doc: r for r in D.near_dup_against_index(
+        batch, sigs, buckets, "text", "doc_id",
+        num_hashes=32, bands=8, threshold=0.7).collect()}
+    assert out[100].is_near_dup and out[100].matched_doc == 1
+    assert out[100].matched_lanes == 32 and out[100].est_jaccard == 1.0
+    assert not out[101].is_near_dup and out[101].matched_doc is None
+    assert out[101].matched_lanes == 0
+
+
+def test_near_dup_incremental_catches_small_edit(spark):
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu") * 2
+    edited = base.replace("oscar", "edited", 1)
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    sigs, buckets = D.lsh_index(corpus, "text", "doc_id",
+                                num_hashes=64, bands=16)
+    batch = spark.createDataFrame([(9, edited)], "doc_id long, text string")
+    (r,) = D.near_dup_against_index(batch, sigs, buckets, "text", "doc_id",
+                                    threshold=0.5).collect()
+    assert r.is_near_dup and r.matched_doc == 1
+    assert 32 <= r.matched_lanes < 64  # near but not exact
+
+
+def test_near_dup_incremental_hot_bucket_guard(spark):
+    # 5 identical corpus docs → every bucket has 5 members; with
+    # max_bucket=4 the lookup must skip them all (stop-bucket
+    # semantics), so even an exact copy is NOT flagged
+    rows = [(i, "same boilerplate footer text repeated on every page here")
+            for i in range(1, 6)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs, buckets = D.lsh_index(corpus, "text", "doc_id",
+                                num_hashes=32, bands=8)
+    batch = spark.createDataFrame(
+        [(99, "same boilerplate footer text repeated on every page here")],
+        "doc_id long, text string")
+    (r,) = D.near_dup_against_index(batch, sigs, buckets, "text", "doc_id",
+                                    num_hashes=32, bands=8,
+                                    threshold=0.7, max_bucket=4).collect()
+    assert not r.is_near_dup
+
+
+def test_near_dup_incremental_tie_breaks_to_smallest_doc(spark):
+    # two identical corpus docs (ids 7 and 3) both match on all
+    # lanes; the deterministic winner is the smaller id
+    rows = [(7, "tie breaking corpus text with many stable words inside"),
+            (3, "tie breaking corpus text with many stable words inside")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs, buckets = D.lsh_index(corpus, "text", "doc_id",
+                                num_hashes=32, bands=8)
+    batch = spark.createDataFrame(
+        [(50, "tie breaking corpus text with many stable words inside")],
+        "doc_id long, text string")
+    (r,) = D.near_dup_against_index(batch, sigs, buckets, "text", "doc_id",
+                                    num_hashes=32, bands=8,
+                                    threshold=0.7).collect()
+    assert r.is_near_dup and r.matched_doc == 3

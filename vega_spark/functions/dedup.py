@@ -22,6 +22,8 @@ practice — a shingle shared by millions of docs carries no signal).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -284,6 +286,120 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         compute, schema="doc long, signature array<long>")
 
 
+def _banded_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Banded projection of MinHash signatures: (doc, band, bucket)
+    rows, bucket = xxhash64 over the band's signature lanes. One
+    narrow explode — |docs| x bands rows, never |docs|²."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col("signature")[bi * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("bucket"),
+            ) for bi in range(bands)
+        ])).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
+def lsh_index(corpus: DataFrame, text_col: str, id_col: str,
+              num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+              seed: int = 42, impl: str = "pandas") -> tuple[DataFrame,
+                                                             DataFrame]:
+    """Persistable near-dup index over a corpus: the pair of tables a
+    continuous-ingest pipeline maintains so NEW batches never rescan
+    historical text —
+
+    - signatures: (doc, signature array<long>) — one row per doc,
+      num_hashes longs (~0.5 KB/doc at k=64), the verification side.
+    - buckets: (band, bucket, doc, n_in_bucket) — the banded LSH
+      projection (bands rows/doc), the candidate-generation side.
+      ``n_in_bucket`` is precomputed so lookups can skip degenerate
+      hot buckets (boilerplate text) without re-counting.
+
+    Both are plain DataFrames: write them with save_as_parquet
+    (bucketed by (band, bucket) for exchange-free lookups at scale)
+    and append per ingest batch. Index size is O(docs x bands) rows
+    of fixed-width keys — payloads never enter it."""
+    assert num_hashes % bands == 0
+    sig = minhash_signatures(corpus, text_col, id_col, num_hashes,
+                             shingle_n, seed, impl=impl)
+    banded = _banded_buckets(sig, num_hashes, bands)
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n_in_bucket"))
+    return sig, banded.join(sizes, ["band", "bucket"])
+
+
+def near_dup_against_index(batch: DataFrame, signatures: DataFrame,
+                           buckets: DataFrame, text_col: str, id_col: str,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_n: int = 3, seed: int = 42,
+                           threshold: float = 0.5,
+                           max_bucket: int = 1000,
+                           impl: str = "pandas") -> DataFrame:
+    """Incremental near-dup: flag rows of ``batch`` whose MinHash
+    signature agrees with some already-indexed document on
+    ≥ ``threshold`` of lanes (lane-agreement is an unbiased Jaccard
+    estimate). The continuous-crawl shape at 100 TB: per batch the
+    work is |batch| signature computations + ONE equi-join on
+    (band, bucket) against the index + a signature-verify join on the
+    candidate set — the corpus text is never touched.
+
+    Hot-bucket guard: index buckets with > ``max_bucket`` members
+    (boilerplate-dominated) are skipped at lookup via the
+    precomputed n_in_bucket — same stop-shingle semantics as
+    ngram_jaccard_pairs' max_doc_freq.
+
+    Returns one row per batch doc: (doc, is_near_dup, matched_doc —
+    the best-agreeing indexed doc or NULL, matched_lanes,
+    est_jaccard). Ties break to the smallest matched_doc
+    (deterministic). Same seed/params as the index build are
+    REQUIRED (signatures must come from the same hash family)."""
+    assert num_hashes % bands == 0
+    sigb = minhash_signatures(batch, text_col, id_col, num_hashes,
+                              shingle_n, seed, impl=impl)
+    bb = _banded_buckets(sigb, num_hashes, bands)
+    cands = (bb.join(buckets.filter(F.col("n_in_bucket") <= max_bucket)
+                     .select("band", "bucket",
+                             F.col("doc").alias("corpus_doc")),
+                     ["band", "bucket"])
+             .select("doc", "corpus_doc").distinct())
+    verified = (cands
+                .join(signatures.select(F.col("doc").alias("corpus_doc"),
+                                        F.col("signature").alias("__cs")),
+                      "corpus_doc")
+                .join(sigb.select("doc", F.col("signature").alias("__bs")),
+                      "doc")
+                .select(
+                    "doc", "corpus_doc",
+                    F.aggregate(
+                        F.zip_with("__bs", "__cs",
+                                   lambda x, y: (x == y).cast("int")),
+                        F.lit(0),
+                        lambda acc, v: acc + v).alias("matched_lanes")))
+    best = (verified
+            .groupBy("doc")
+            .agg(F.max(F.struct(F.col("matched_lanes"),
+                                (-F.col("corpus_doc")).alias("__neg")))
+                 .alias("__b"))
+            .select("doc",
+                    F.col("__b.matched_lanes").alias("matched_lanes"),
+                    (-F.col("__b.__neg")).alias("matched_doc")))
+    need = int(math.ceil(threshold * num_hashes))
+    return (sigb.select("doc")
+            .join(best, "doc", "left")
+            .select(
+                "doc",
+                F.coalesce(F.col("matched_lanes") >= need,
+                           F.lit(False)).alias("is_near_dup"),
+                F.when(F.col("matched_lanes") >= need,
+                       F.col("matched_doc")).alias("matched_doc"),
+                F.coalesce("matched_lanes", F.lit(0)).alias("matched_lanes"),
+                F.round(F.coalesce("matched_lanes", F.lit(0))
+                        / float(num_hashes), 4).alias("est_jaccard")))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3, seed: int = 42,
@@ -295,19 +411,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     explode (doc → bands) + one groupBy — linear in docs. ``max_bucket``
     truncates pathological buckets (hot-key guard)."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
                              seed, impl=impl)
-    banded = sig.select(
-        "doc",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col("signature")[bi * rows_per_band + r]
-                             for r in range(rows_per_band)]).alias("bucket"),
-            ) for bi in range(bands)
-        ])).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    banded = _banded_buckets(sig, num_hashes, bands)
     grouped = (banded.groupBy("band", "bucket")
                .agg(F.slice(F.sort_array(F.collect_list("doc")), 1, max_bucket)
                     .alias("docs"))

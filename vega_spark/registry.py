@@ -3668,6 +3668,34 @@ def dedup_incremental_bloom_q(spark, sf_dir):
 
 # --- custom Python DataSource (reference read_source mapping) --------------
 
+@_q("near_dup_incremental_lsh")
+def near_dup_incremental_lsh_q(spark, sf_dir):
+    """Incremental NEAR-dup against a persisted MinHash-LSH index —
+    the continuous-crawl companion to dedup_incremental (which is
+    exact-hash only): the historical corpus is reduced once to
+    (signatures, banded buckets); each new batch computes signatures,
+    probes the bucket table with ONE equi-join, and lane-verifies
+    candidates against stored signatures. Corpus text is never
+    rescanned. Re-crawled copies (identical text under fresh ids,
+    the dominant real-world dup class) match on all lanes and are
+    flagged; fresh text passes. Rows-only check (MinHash is not
+    SQL-expressible); flag correctness for exact re-crawls and
+    determinism are pinned by unit tests."""
+    from vega_spark.functions.dedup import (lsh_index,
+                                            near_dup_against_index)
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    recrawled = (corpus.filter(F.col("doc_id") % 8 == 1)
+                 .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+    batch = docs.filter(F.col("doc_id") % 4 == 0).unionByName(recrawled)
+    sigs, buckets = lsh_index(corpus, "text", "doc_id")
+    flags = near_dup_against_index(batch, sigs, buckets, "text", "doc_id",
+                                   threshold=0.7)
+    return flags.select(F.col("doc").alias("batch_doc"), "is_near_dup",
+                        "matched_doc", "matched_lanes", "est_jaccard")
+
+
 @_q("custom_source_events", """
 WITH g AS (
   SELECT range AS i,
