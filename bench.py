@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     # round-2 continuation: codec-free real pixel decode
     "png_pixel_decode_stats",      # stdlib inflate+unfilter luma census
     "png_resize_roundtrip",        # decode→nearest resize→re-encode→decode
+    "image_dhash_census",          # real-decode dHash/aHash signatures
+    "image_near_dup_hamming",      # pigeonhole hamming near-dup blocking
 ]
 
 

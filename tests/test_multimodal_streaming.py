@@ -369,3 +369,70 @@ def test_to_grayscale_luma_weights():
     g = M.to_grayscale(px)
     assert g[0].tolist() == [255 * 299 // 1000, 255 * 587 // 1000,
                              255 * 114 // 1000]
+
+
+# --- perceptual hashes -------------------------------------------------------
+
+def test_image_dhash_identical_and_perturbed(spark):
+    import numpy as np
+    import pandas as pd
+
+    base = ((np.arange(24)[:, None] * 7 + np.arange(32)[None, :] * 11)
+            % 256).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[3, 4] = (int(tweaked[3, 4]) + 96) % 256  # local edit
+    rows = [(1, M.encode_png(base)), (2, M.encode_png(base)),
+            (3, M.encode_png(tweaked))]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["doc_id", "payload"]))
+    got = {r.asset_id: (r.dhash, r.ahash)
+           for r in M.image_dhash(df).collect()}
+    assert got[1] == got[2]                      # identical -> same hashes
+    d12 = bin(got[1][0] ^ got[3][0]).count("1")
+    assert 0 <= d12 <= 6                         # local edit -> near hash
+
+
+def test_hamming_pairs_match_bruteforce(spark):
+    # pigeonhole blocking must find EXACTLY the pairs a quadratic
+    # scan finds (it is exact, not approximate)
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    base = rng.getrandbits(64)
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    hashes = []
+    for i in range(40):
+        u = base
+        for _ in range(rng.randrange(0, 6)):
+            u ^= 1 << rng.randrange(64)
+        hashes.append((i, signed(u)))
+    df = spark.createDataFrame(hashes, "asset_id long, dhash long")
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in M.hamming_near_dup_pairs(df, max_hamming=3).collect()}
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(hashes, 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            want.add((min(ia, ib), max(ia, ib), d))
+    assert got == want
+
+
+def test_dhash_signed_wrap_bit63(spark):
+    # an image whose dHash sets bit 63 must come back as a negative
+    # long (two's-complement wrap), not overflow
+    import numpy as np
+    import pandas as pd
+
+    # bit 63 = (y=7, x=7): need p(7,7) > p(8,7) in the 9x8 resample.
+    # A left-to-right DECREASING ramp sets every dhash bit.
+    img = (255 - np.arange(18)[None, :].repeat(16, axis=0) * 14) \
+        .astype(np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, M.encode_png(img))],
+                     columns=["doc_id", "payload"]))
+    row = M.image_dhash(df).collect()[0]
+    assert row.dhash == -1  # all 64 bits set

@@ -674,6 +674,102 @@ def image_pixel_stats(df: DataFrame, id_col: str = "doc_id",
         op, schema="asset_id long, n_px long, sum_px long")
 
 
+def image_dhash(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """REAL perceptual hashes per image: 64-bit difference hash
+    (dHash) and average hash (aHash) computed from true pixel decode
+    — the standard image near-dup signatures (robust to re-encode,
+    resize, and mild edits, unlike byte digests).
+
+    dHash: grayscale → 9x8 nearest resample → bit(y*8+x) set iff
+    p(x,y) > p(x+1,y). aHash: 8x8 resample → bit set iff the pixel
+    exceeds the image mean (64*p > sum(p) — exact integer compare,
+    no float division). Both ride the pinned stdlib PNG decode /
+    luma / nearest-resample kernels (Pillow only for non-PNG), so
+    hashes are deterministic across worker images and externally
+    replayable from the synthetic-pattern formula. Unsigned 64-bit
+    values wrap to signed longs (two's complement) so downstream
+    XOR/bit_count blocking stays JVM-native.
+
+    Narrow mapInPandas — no shuffle; cost is the pixel decode."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = pil_image()
+
+        def gray(raw: bytes):
+            try:
+                return to_grayscale(decode_png(raw))
+            except NotImplementedError:
+                if Image is None:
+                    raise
+                with Image.open(io.BytesIO(raw)) as im:
+                    return np.asarray(im.convert("L"), dtype=np.uint8)
+
+        def signed(u: int) -> int:
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        for b in batches:
+            dhs, ahs = [], []
+            for p in b[payload_col]:
+                g = gray(bytes(p))
+                d9 = resize_nearest(g[:, :, None], 9, 8)[:, :, 0]
+                bits = (d9[:, :8] > d9[:, 1:]).astype(np.uint64)
+                dh = int((bits.ravel()
+                          << np.arange(64, dtype=np.uint64)).sum())
+                a8 = resize_nearest(g[:, :, None], 8, 8)[:, :, 0]
+                abits = ((a8.astype(np.int64) * 64) >
+                         int(a8.sum())).astype(np.uint64)
+                ah = int((abits.ravel()
+                          << np.arange(64, dtype=np.uint64)).sum())
+                dhs.append(signed(dh))
+                ahs.append(signed(ah))
+            yield pd.DataFrame({
+                "asset_id": b[id_col].astype("int64"),
+                "dhash": dhs, "ahash": ahs})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, schema="asset_id long, dhash long, ahash long")
+
+
+def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = "asset_id",
+                           hash_col: str = "dhash",
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over any 64-bit signature column via pigeonhole
+    bit-chunk blocking (the simhash_near_pairs plan generalized to a
+    precomputed hash — see functions/dedup.py): split the 64 bits
+    into ``max_hamming + 1`` chunks, equi-join on (chunk, value) —
+    any pair within the hamming budget must agree exactly on at
+    least one chunk — then verify true XOR bit_count on candidates
+    only. Linear candidate generation (never all-pairs), one
+    shuffle on uniform chunk keys; everything JVM-side."""
+    n_chunks = min(max_hamming + 1, 16)
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+    fp = hashes.select(F.col(id_col).alias("doc"),
+                       F.col(hash_col).alias("fp"))
+    chunk_keys = []
+    for i in range(n_chunks):
+        start, width = bounds[i], bounds[i + 1] - bounds[i]
+        chunk_keys.append(F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright(F.col("fp"), start)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key")))
+    chunks = fp.select(
+        "doc", "fp", F.explode(F.array(*chunk_keys)).alias("c"),
+    ).select("doc", "fp", "c.chunk", "c.key")
+    a = chunks.select("chunk", "key", F.col("doc").alias("doc_a"),
+                      F.col("fp").alias("fp_a"))
+    b = chunks.select("chunk", "key", F.col("doc").alias("doc_b"),
+                      F.col("fp").alias("fp_b"))
+    cand = (a.join(b, ["chunk", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "fp_a", "fp_b").distinct())
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def make_test_png(width: int, height: int) -> bytes:
     """A minimal VALID 8-bit grayscale PNG of the given dims (stdlib
     zlib only) — deterministic synthetic payloads for exercising the

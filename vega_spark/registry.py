@@ -7918,3 +7918,133 @@ def seq_pairs_events_q(spark, sf_dir):
     from vega_spark.functions.seqmine import sequential_pairs
     ev = _t(spark, sf_dir, "events")
     return sequential_pairs(ev, max_len=30, min_support=5)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash dedup: real pixel decode -> dHash/aHash signatures
+# -> pigeonhole hamming blocking. The multimodal near-dup tier (text has
+# MinHash/SimHash; images get dHash) — reference has no image ops at all;
+# this is the training-pipeline capability layer.
+# ---------------------------------------------------------------------------
+
+@_q("image_dhash_census", """
+WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 6 + doc_id % 17 AS h
+           FROM documents),
+dg AS (SELECT doc_id, x.g AS x, y.g AS y,
+              ((((x.g * w) // 9) * 31 + ((y.g * h) // 8) * 57) % 256) AS p
+       FROM d JOIN generate_series(0, 8) x(g) ON TRUE
+              JOIN generate_series(0, 7) y(g) ON TRUE),
+dbit AS (SELECT a.doc_id, (a.y * 8 + a.x) AS k,
+                CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+         FROM dg a JOIN dg b ON b.doc_id = a.doc_id AND b.y = a.y
+                             AND b.x = a.x + 1
+         WHERE a.x < 8),
+du AS (SELECT doc_id, SUM(bit::HUGEINT << k) AS u FROM dbit GROUP BY doc_id),
+ag AS (SELECT doc_id, x.g AS x, y.g AS y,
+              ((((x.g * w) // 8) * 31 + ((y.g * h) // 8) * 57) % 256) AS p
+       FROM d JOIN generate_series(0, 7) x(g) ON TRUE
+              JOIN generate_series(0, 7) y(g) ON TRUE),
+at AS (SELECT doc_id, SUM(p) AS total FROM ag GROUP BY doc_id),
+abit AS (SELECT ag.doc_id, (ag.y * 8 + ag.x) AS k,
+                CASE WHEN ag.p * 64 > at.total THEN 1 ELSE 0 END AS bit
+         FROM ag JOIN at ON at.doc_id = ag.doc_id),
+au AS (SELECT doc_id, SUM(bit::HUGEINT << k) AS u FROM abit GROUP BY doc_id)
+SELECT du.doc_id AS asset_id,
+       (CASE WHEN du.u >= 9223372036854775808::HUGEINT
+             THEN du.u - 18446744073709551616::HUGEINT
+             ELSE du.u END)::BIGINT AS dhash,
+       (CASE WHEN au.u >= 9223372036854775808::HUGEINT
+             THEN au.u - 18446744073709551616::HUGEINT
+             ELSE au.u END)::BIGINT AS ahash
+FROM du JOIN au ON au.doc_id = du.doc_id
+""")
+def image_dhash_census_q(spark, sf_dir):
+    """REAL perceptual-hash census, oracle-checked bit for bit:
+    deterministic pattern PNGs (pixel = (31x+57y) mod 256, dims from
+    doc_id) are decoded (stdlib inflate + unfilter), luma'd, nearest-
+    resampled to 9x8 / 8x8, and hashed to 64-bit dHash / aHash.
+    DuckDB replays every one of the 128 bits from (w, h) alone via
+    the pinned nearest index map — any deviation in decode, resample,
+    bit order, or the two's-complement wrap fails the hash. Narrow
+    end to end (no shuffle)."""
+    import pandas as pd
+
+    from vega_spark.functions.multimodal import (image_dhash,
+                                                 make_pattern_png)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "payload": [make_pattern_png(8 + int(i) % 25,
+                                             6 + int(i) % 17)
+                            for i in b["doc_id"]],
+            })
+
+    with_png = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return image_dhash(with_png)
+
+
+@_q("image_near_dup_hamming", """
+WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 6 + doc_id % 17 AS h
+           FROM documents),
+c AS (SELECT w, h, COUNT(*) AS n FROM d GROUP BY 1, 2),
+g AS (SELECT w, h, x.g AS x, y.g AS y,
+             ((((x.g * w) // 9) * 31 + ((y.g * h) // 8) * 57) % 256) AS p
+      FROM c JOIN generate_series(0, 8) x(g) ON TRUE
+             JOIN generate_series(0, 7) y(g) ON TRUE),
+bit AS (SELECT a.w, a.h, (a.y * 8 + a.x) AS k,
+               CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+        FROM g a JOIN g b ON b.w = a.w AND b.h = a.h AND b.y = a.y
+                          AND b.x = a.x + 1
+        WHERE a.x < 8),
+hu AS (SELECT w, h, SUM(bit::HUGEINT << k) AS u FROM bit GROUP BY 1, 2),
+hc AS (SELECT hu.w, hu.h,
+              (CASE WHEN u >= 9223372036854775808::HUGEINT
+                    THEN u - 18446744073709551616::HUGEINT
+                    ELSE u END)::BIGINT AS s, n
+       FROM hu JOIN c ON c.w = hu.w AND c.h = hu.h),
+pairs AS (
+  SELECT 0 AS hamming, SUM(n * (n - 1) // 2) AS n_pairs FROM hc
+  UNION ALL
+  SELECT bit_count(xor(a.s, b.s)) AS hamming, SUM(a.n * b.n) AS n_pairs
+  FROM hc a JOIN hc b ON (a.w, a.h) < (b.w, b.h)
+  WHERE bit_count(xor(a.s, b.s)) <= 3
+  GROUP BY 1)
+SELECT hamming, SUM(n_pairs)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1 HAVING SUM(n_pairs) > 0
+""")
+def image_near_dup_hamming_q(spark, sf_dir):
+    """Image near-dup detection at corpus scale, oracle-checked
+    EXHAUSTIVELY: dHash signatures from real pixel decode, then
+    pigeonhole bit-chunk blocking (4 chunks of 16 bits — a pair
+    within hamming <= 3 must agree exactly on >= 1 chunk, so the
+    blocked plan finds exactly the pairs a quadratic scan would)
+    and XOR bit_count verification on candidates only. DuckDB
+    replays the complete all-pairs answer from the per-class
+    signature formula; any candidate the blocking misses or any
+    phantom pair fails the count. Linear candidate generation, one
+    equi-join shuffle — the 100 TB plan, never all-pairs."""
+    import pandas as pd
+
+    from vega_spark.functions.multimodal import (hamming_near_dup_pairs,
+                                                 image_dhash,
+                                                 make_pattern_png)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "payload": [make_pattern_png(8 + int(i) % 25,
+                                             6 + int(i) % 17)
+                            for i in b["doc_id"]],
+            })
+
+    with_png = docs.mapInPandas(gen, "doc_id long, payload binary")
+    hashes = image_dhash(with_png)
+    pairs = hamming_near_dup_pairs(hashes, "asset_id", "dhash",
+                                   max_hamming=3)
+    return (pairs.groupBy("hamming")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
