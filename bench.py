@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "png_resize_roundtrip",        # decode→nearest resize→re-encode→decode
     "image_dhash_census",          # real-decode dHash/aHash signatures
     "image_near_dup_hamming",      # pigeonhole hamming near-dup blocking
+    "mine_repeated_ngrams",        # duplicated 3-gram boilerplate census
 ]
 
 

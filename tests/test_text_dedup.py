@@ -471,3 +471,27 @@ def test_near_dup_incremental_tie_breaks_to_smallest_doc(spark):
                                     num_hashes=32, bands=8,
                                     threshold=0.7).collect()
     assert r.is_near_dup and r.matched_doc == 3
+
+
+def test_mine_repeated_ngrams_exact(spark):
+    from vega_spark.functions.text import mine_repeated_ngrams
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x a b c y"), (3, "z z")],
+        "doc_id long, text string")
+    got = {(r.ngram, r.total, r.n_docs)
+           for r in mine_repeated_ngrams(docs, n=3, min_docs=2,
+                                         top=10).collect()}
+    # 'a b c' appears twice in doc 1 and once in doc 2; no other
+    # 3-gram spans two docs
+    assert got == {("a b c", 3, 2)}
+
+
+def test_mine_repeated_ngrams_no_expand(spark):
+    # the doc-frequency agg must be two mergeable aggregates, not a
+    # countDistinct Expand (which triples the shuffle at scale)
+    from vega_spark.functions.text import mine_repeated_ngrams
+    docs = spark.createDataFrame([(1, "a b c d")],
+                                 "doc_id long, text string")
+    plan = mine_repeated_ngrams(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" not in plan

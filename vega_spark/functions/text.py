@@ -543,3 +543,38 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
     return (j.select("w1", "w2", "nxy",
                      F.round(pmi, round_dp).alias("pmi"))
             .orderBy(F.desc("pmi"), "w1", "w2").limit(top))
+
+
+def mine_repeated_ngrams(docs: DataFrame, text_col: str = "text",
+                         n: int = 3, min_docs: int = 2,
+                         top: int = 50,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide duplicated-n-gram mining: the most repeated token
+    n-grams with total occurrence count and document frequency — the
+    contamination / boilerplate census that drives span-dedup
+    thresholds (cf. dedup.span_dedup) and template detection.
+
+    Plan: in-row n-gram fan-out (transform over a sequence of start
+    offsets — narrow, no Python), then TWO keyed mergeable
+    aggregates — (ngram, doc) counts, then per-ngram totals — instead
+    of countDistinct's expand (each stage keeps map-side partial
+    aggregation at 100 TB), and a TakeOrderedAndProject head. The
+    gram key space is bounded by the corpus, shuffles carry
+    (gram, counts) only, never text."""
+    ts = tokens(text_col)
+    grams = (docs
+             .select(F.col(id_col).alias("doc"), ts.alias("ts"))
+             .filter(F.size("ts") >= n)
+             .select("doc", F.explode(
+                 F.transform(
+                     F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                     lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, n))
+                 )).alias("ngram")))
+    per_doc = grams.groupBy("ngram", "doc").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (per_doc.groupBy("ngram")
+            .agg(F.sum("c").alias("total"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .orderBy(F.desc("total"), F.asc("ngram"))
+            .limit(top))

@@ -8048,3 +8048,33 @@ def image_near_dup_hamming_q(spark, sf_dir):
                                    max_hamming=3)
     return (pairs.groupBy("hamming")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+@_q("mine_repeated_ngrams", """
+WITH base AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+tokix AS (
+  SELECT doc, unnest(ts) AS t, generate_subscripts(ts, 1) AS i
+  FROM base WHERE len(ts) >= 3),
+g AS (
+  SELECT a.doc, a.t || ' ' || b.t || ' ' || c.t AS ngram
+  FROM tokix a
+  JOIN tokix b ON a.doc = b.doc AND b.i = a.i + 1
+  JOIN tokix c ON a.doc = c.doc AND c.i = a.i + 2),
+pd AS (SELECT ngram, doc, COUNT(*) AS c FROM g GROUP BY 1, 2),
+agg AS (SELECT ngram, SUM(c)::BIGINT AS total, COUNT(*) AS n_docs
+        FROM pd GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT ngram, total, n_docs
+FROM agg ORDER BY total DESC, ngram LIMIT 50
+""")
+def mine_repeated_ngrams_q(spark, sf_dir):
+    """Corpus-wide duplicated 3-gram census (doc frequency >= 2, top
+    50 by total count): the boilerplate/contamination screen that
+    feeds span-dedup thresholds. In-row fan-out, two mergeable keyed
+    aggregates (no countDistinct expand), TakeOrdered head."""
+    from vega_spark.functions.text import mine_repeated_ngrams
+    docs = _t(spark, sf_dir, "documents")
+    return mine_repeated_ngrams(docs, n=3, min_docs=2, top=50)
