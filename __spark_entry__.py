@@ -44,7 +44,7 @@ _PRIORITY = [
     # round-2 continuation families (newest first: each is the lone
     # driver-visible representative of a new capability family)
     "image_dhash_census", "image_near_dup_hamming",
-    "mine_repeated_ngrams",
+    "mine_repeated_ngrams", "audio_zcr_fingerprint",
     "png_pixel_decode_stats", "png_resize_roundtrip",
     "bm25_rank_docs", "hybrid_search_rrf",
     "retrieval_mrr_ndcg_trunc", "seq_pairs_events",

@@ -436,3 +436,25 @@ def test_dhash_signed_wrap_bit63(spark):
                      columns=["doc_id", "payload"]))
     row = M.image_dhash(df).collect()[0]
     assert row.dhash == -1  # all 64 bits set
+
+
+def test_audio_zcr_fingerprint_roundtrip(spark):
+    # engine output must equal a direct numpy replay of the formula
+    import numpy as np
+    import pandas as pd
+
+    ids = [0, 7, 130]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids,
+                      "payload": [M.make_test_wav(i) for i in ids]}))
+    got = {(r.asset_id, r.frame_idx): (r.zcr, r.sum_abs)
+           for r in M.audio_zcr_fingerprint(df).collect()}
+    for i in ids:
+        a, n = 3 + i % 5, 256 + i % 128
+        pcm = ((a * np.arange(n) + i) % 4096) - 2048
+        for fi in range(min(4, n // 64)):
+            seg = pcm[fi * 64:(fi + 1) * 64]
+            neg = seg < 0
+            assert got[(i, fi)] == (int((neg[1:] != neg[:-1]).sum()),
+                                    int(np.abs(seg).sum()))
+    assert len(got) == sum(min(4, (256 + i % 128) // 64) for i in ids)

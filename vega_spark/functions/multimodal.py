@@ -785,3 +785,73 @@ def make_test_png(width: int, height: int) -> bytes:
     raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def make_test_wav(doc_id: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic mono 16-bit WAV: sample i =
+    ((a*i + doc_id) mod 4096) - 2048 with a = 3 + doc_id % 5 and
+    n = 256 + doc_id % 128 samples — a real RIFF container (stdlib
+    ``wave``) whose PCM an external engine can replay from doc_id
+    alone (the registry oracle recomputes ZCR / amplitude sums in
+    SQL, like make_pattern_png's pixel formula)."""
+    import struct
+    import wave
+
+    import numpy as np
+
+    a = 3 + doc_id % 5
+    n = 256 + doc_id % 128
+    pcm = (((a * np.arange(n, dtype=np.int64) + doc_id) % 4096)
+           - 2048).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    del struct
+    return buf.getvalue()
+
+
+def audio_zcr_fingerprint(df: DataFrame, frame: int = 64,
+                          max_frames: int = 4,
+                          id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """REAL audio fingerprint features from true WAV decode (stdlib
+    ``wave`` — codec-free on any executor): per non-overlapping
+    frame, the zero-crossing count (sign transitions between the
+    frame's consecutive samples — the classic spectral-content
+    proxy) and the exact integer sum of absolute amplitudes. These
+    per-frame integer pairs are the quantized fingerprint rows that
+    audio dedup / retrieval buckets on (two tracks matching on all
+    frame features are duplicate candidates — same shape as the
+    image dHash path).
+
+    Narrow mapInPandas (1 asset row → ≤ max_frames feature rows, the
+    flat_map shape); all arithmetic exact-integer so the output is
+    engine-replayable."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import wave
+
+        for b in batches:
+            ids, idxs, zcrs, sums = [], [], [], []
+            for aid, p in zip(b[id_col], b[payload_col]):
+                with wave.open(io.BytesIO(bytes(p))) as w:
+                    pcm = np.frombuffer(
+                        w.readframes(w.getnframes()),
+                        dtype="<i2").astype(np.int64)
+                for fi in range(min(max_frames, len(pcm) // frame)):
+                    seg = pcm[fi * frame:(fi + 1) * frame]
+                    neg = seg < 0
+                    ids.append(int(aid))
+                    idxs.append(fi)
+                    zcrs.append(int((neg[1:] != neg[:-1]).sum()))
+                    sums.append(int(np.abs(seg).sum()))
+            yield pd.DataFrame({
+                "asset_id": ids, "frame_idx": idxs,
+                "zcr": zcrs, "sum_abs": sums})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, schema="asset_id long, frame_idx int, zcr int, sum_abs long")

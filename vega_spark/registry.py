@@ -8078,3 +8078,49 @@ def mine_repeated_ngrams_q(spark, sf_dir):
     from vega_spark.functions.text import mine_repeated_ngrams
     docs = _t(spark, sf_dir, "documents")
     return mine_repeated_ngrams(docs, n=3, min_docs=2, top=50)
+
+
+@_q("audio_zcr_fingerprint", """
+WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS a, 256 + doc_id % 128 AS n
+           FROM documents),
+s AS (SELECT doc_id, i.g AS i,
+             (((a * i.g + doc_id) % 4096) - 2048) AS v, n
+      FROM d JOIN generate_series(0, 383) i(g) ON i.g < n),
+f AS (SELECT doc_id, (i // 64)::INTEGER AS frame_idx, i, v
+      FROM s WHERE i // 64 < LEAST(n // 64, 4)),
+amp AS (SELECT doc_id, frame_idx, SUM(ABS(v))::BIGINT AS sum_abs
+        FROM f GROUP BY 1, 2),
+z AS (SELECT c.doc_id, c.frame_idx,
+             SUM(CASE WHEN (c.v < 0) <> (p.v < 0) THEN 1
+                 ELSE 0 END)::INTEGER AS zcr
+      FROM f c JOIN f p ON p.doc_id = c.doc_id AND p.i = c.i - 1
+                        AND p.frame_idx = c.frame_idx
+      GROUP BY 1, 2)
+SELECT amp.doc_id AS asset_id, amp.frame_idx, z.zcr, amp.sum_abs
+FROM amp JOIN z ON z.doc_id = amp.doc_id AND z.frame_idx = amp.frame_idx
+""")
+def audio_zcr_fingerprint_q(spark, sf_dir):
+    """REAL audio fingerprint, oracle-checked sample for sample:
+    deterministic 16-bit PCM ramps (sample = ((a*i + doc_id) mod
+    4096) - 2048) are packed into true RIFF/WAV containers on
+    executors, decoded back with the stdlib wave module, and framed
+    into zero-crossing counts + exact amplitude sums — DuckDB
+    replays both from doc_id alone, so container parse, int16
+    byte order, framing, and sign logic must all be exact. The
+    per-frame integer pairs are the bucket keys audio dedup joins
+    on. Narrow flat-map shape end to end."""
+    import pandas as pd
+
+    from vega_spark.functions.multimodal import (audio_zcr_fingerprint,
+                                                 make_test_wav)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "payload": [make_test_wav(int(i)) for i in b["doc_id"]],
+            })
+
+    with_wav = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return audio_zcr_fingerprint(with_wav)
