@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "image_near_dup_hamming",      # pigeonhole hamming near-dup blocking
     "mine_repeated_ngrams",        # duplicated 3-gram boilerplate census
     "audio_zcr_fingerprint",       # real WAV decode ZCR/amplitude frames
+    "mine_duplicate_spans",        # sliding-window exact-substring dedup
 ]
 
 

@@ -495,3 +495,29 @@ def test_mine_repeated_ngrams_no_expand(spark):
     plan = mine_repeated_ngrams(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_mine_duplicate_spans_maximal_and_aligned(spark):
+    from vega_spark.functions.dedup import mine_duplicate_spans
+    # docs 1 and 2 share an interior 5-token passage at DIFFERENT
+    # offsets; doc 3 is clean. k=3 -> the passage yields 3 duplicated
+    # window starts merged into one maximal span of length 5.
+    docs = spark.createDataFrame(
+        [(1, "u1 u2 p q r s t v1"),
+         (2, "w1 w2 w3 p q r s t"),
+         (3, "x1 x2 x3 x4 x5 x6 x7 x8")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.start_pos, r.span_len)
+           for r in mine_duplicate_spans(docs, "text", "doc_id",
+                                         k=3).collect()}
+    assert got == {(1, 2, 5), (2, 3, 5)}
+
+
+def test_mine_duplicate_spans_whole_doc_dup(spark):
+    from vega_spark.functions.dedup import mine_duplicate_spans
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string")
+    got = {(r.doc_id, r.start_pos, r.span_len)
+           for r in mine_duplicate_spans(docs, "text", "doc_id",
+                                         k=4).collect()}
+    assert got == {(1, 0, 4), (2, 0, 4)}

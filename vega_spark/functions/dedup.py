@@ -619,3 +619,53 @@ def semantic_dedup(df: DataFrame, k: int = 64, eps: float = 0.95,
     flags = semantic_dedup_flags(df, centroids, eps, id_col, vec_col)
     keep = flags.filter(~F.col("is_dup")).select(id_col)
     return df.join(keep, id_col, "semi")
+
+
+def mine_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                         k: int = 8, min_count: int = 2) -> DataFrame:
+    """Exact-substring duplicate-span mining (the distributed
+    approximation of suffix-array dedup from 'Deduplicating Training
+    Data Makes Language Models Better', Lee et al. 2022): slide a
+    k-token window over EVERY offset of every document, find windows
+    whose exact text occurs >= ``min_count`` times corpus-wide, and
+    merge runs of consecutive duplicated offsets into MAXIMAL spans —
+    any duplicated passage of >= k tokens surfaces as one
+    (doc, start, length) row, at any alignment (unlike span_dedup's
+    disjoint fixed blocks).
+
+    Plan shape: the sliding fan-out is in-row (narrow). The
+    duplicate test is a sha2(window)-keyed count — the only
+    corpus-wide shuffle, carrying (digest, doc, pos), never text;
+    digests are uniform so skew is impossible. The island merge is a
+    per-document window (partitioned by doc — bounded by document
+    length, no global window). Returns (doc_id, start_pos 0-based
+    token offset, span_len in tokens)."""
+    from pyspark.sql.window import Window
+
+    from vega_spark.functions.text import tokens
+
+    grams = (df
+             .select(F.col(id_col).alias("doc_id"),
+                     tokens(F.col(text_col)).alias("__toks"))
+             .filter(F.size("__toks") >= k)
+             .select("doc_id", F.explode(
+                 F.transform(
+                     F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+                     lambda i: F.struct(
+                         (i - 1).alias("pos"),
+                         F.sha2(F.concat_ws(
+                             " ", F.slice(F.col("__toks"), i, k)), 256)
+                         .alias("d")))).alias("g"))
+             .select("doc_id", "g.pos", "g.d"))
+    dup = (grams.groupBy("d")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") >= min_count)
+           .select("d"))
+    marked = grams.join(dup, "d").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w))
+    return (islands.groupBy("doc_id", "__grp")
+            .agg(F.min("pos").alias("start_pos"),
+                 (F.count(F.lit(1)) + (k - 1)).alias("span_len"))
+            .select("doc_id", "start_pos", "span_len"))

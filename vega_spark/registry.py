@@ -8124,3 +8124,58 @@ def audio_zcr_fingerprint_q(spark, sf_dir):
 
     with_wav = docs.mapInPandas(gen, "doc_id long, payload binary")
     return audio_zcr_fingerprint(with_wav)
+
+
+@_q("mine_duplicate_spans", """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' alpha beta gamma delta epsilon zeta eta theta'
+              || ' iota kappa lambda mu'
+              || CASE WHEN doc_id % 2 = 0
+                 THEN ' one two three four five six seven eight nine ten'
+                 ELSE '' END AS text
+  FROM documents),
+base AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '') AS ts
+         FROM aug),
+ix AS (SELECT doc_id, ts, generate_subscripts(ts, 1) AS i
+       FROM base WHERE len(ts) >= 8),
+g AS (SELECT doc_id, i, array_to_string(list_slice(ts, i, i + 7), ' ')
+             AS gram
+      FROM ix WHERE i <= len(ts) - 7),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+m AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+isl AS (SELECT doc_id, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+               AS grp
+        FROM m)
+SELECT doc_id, (MIN(i) - 1)::BIGINT AS start_pos,
+       (COUNT(*) + 7)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, grp
+""")
+def mine_duplicate_spans_q(spark, sf_dir):
+    """Exact-substring duplicate-span mining (Lee et al. 2022 shape)
+    over the corpus with a known boilerplate injection: every doc
+    gets a 12-token shared suffix, even docs a further 10-token tail,
+    so maximal duplicated spans land at document-dependent offsets
+    with alignment the fixed-block span_dedup cannot see. DuckDB
+    replays the full sliding-window pipeline; island starts/lengths
+    must match per doc exactly. One digest-keyed corpus shuffle +
+    per-doc bounded windows."""
+    from vega_spark.functions.dedup import mine_duplicate_spans
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" alpha beta gamma delta epsilon zeta eta theta"
+                  " iota kappa lambda mu"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(" one two three four five six seven eight"
+                         " nine ten")).otherwise(F.lit(""))
+        ).alias("text"))
+    out = mine_duplicate_spans(aug, "text", "doc_id", k=8, min_count=2)
+    return out.select("doc_id",
+                      F.col("start_pos").cast("long").alias("start_pos"),
+                      F.col("span_len").cast("long").alias("span_len"))
