@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "mine_repeated_ngrams",        # duplicated 3-gram boilerplate census
     "audio_zcr_fingerprint",       # real WAV decode ZCR/amplitude frames
     "mine_duplicate_spans",        # sliding-window exact-substring dedup
+    "maxsim_late_interaction",     # ColBERT MaxSim token-level retrieval
 ]
 
 

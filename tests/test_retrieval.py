@@ -173,3 +173,45 @@ def test_sequential_pairs_user_counted_once(spark):
            for r in sequential_pairs(ev, min_support=1).collect()}
     assert out[("a", "b")] == 1
     assert out[("b", "a")] == 1  # a@30 after b@20
+
+
+def test_maxsim_matches_python_reference(spark):
+    import hashlib
+
+    from vega_spark.functions.retrieval import maxsim_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta beta"), (3, "zeta")],
+        "doc_id long, text string")
+    qterms = ["beta", "omega"]
+
+    def vec(t):
+        return [(int(hashlib.md5(f"{t}|{j}".encode()).hexdigest()[:4],
+                     16) % 17) - 8 for j in range(4)]
+
+    def score(toks):
+        s = 0
+        for q in qterms:
+            qv = vec(q)
+            s += max(sum(a * b for a, b in zip(vec(t), qv))
+                     for t in set(toks))
+        return s
+
+    want = {1: score("alpha beta gamma".split()),
+            2: score("delta beta".split()),
+            3: score("zeta".split())}
+    got = {r.doc_id: r.score
+           for r in maxsim_search(docs, qterms, dim=4, top=10).collect()}
+    assert got == want
+
+
+def test_maxsim_ranks_covering_doc_first(spark):
+    from vega_spark.functions.retrieval import maxsim_search
+    # doc 1 contains BOTH query terms verbatim -> each term's max dot
+    # is its self-similarity (the vector norm, maximal), so doc 1
+    # must outrank docs containing only one term
+    docs = spark.createDataFrame(
+        [(1, "foo bar"), (2, "foo baz qux"), (3, "nothing here")],
+        "doc_id long, text string")
+    rows = maxsim_search(docs, ["foo", "bar"], top=3).collect()
+    assert rows[0].doc_id == 1 and rows[0].rk == 1

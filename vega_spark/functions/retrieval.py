@@ -263,3 +263,64 @@ def retrieval_metrics(truth: DataFrame, system: DataFrame,
                             .cast("double") * F.lit(1e6)
                             / F.col("idcg_micro").cast("double"), 0)
                     .cast("long").alias("ndcg_ppm")))
+
+
+def _tokvec_component(tok: Column, j: int) -> Column:
+    """Deterministic j-th embedding component of a token: md5-derived
+    int in [-8, 8] — the hash-random projection both engines can
+    replay exactly (the stand-in for a learned token encoder; swap in
+    a model's token embeddings and the plan below is unchanged)."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(tok, F.lit(f"|{j}"))), 1, 4), 16, 10)
+    return (h.cast("long") % 17) - 8
+
+
+def maxsim_search(docs: DataFrame, query_terms: Sequence[str],
+                  dim: int = 4, top: int = 10,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia
+    SIGIR'20 — public formula): score(q, d) = Σ_{t∈q} max_{t'∈d}
+    <vec(t), vec(t')>, computed over token-level embeddings instead
+    of one pooled vector, so multi-aspect queries match documents
+    that cover each aspect with DIFFERENT passages.
+
+    Token embeddings here are deterministic md5-derived integer
+    vectors (exact int64 dot products — engine-replayable); a real
+    deployment substitutes model embeddings and keeps the plan.
+
+    Scale shape: the corpus side explodes to DISTINCT (doc, token)
+    rows — linear in corpus vocabulary-per-doc, narrow. The query
+    side is |q| CONSTANT vectors folded into per-token dot
+    expressions at plan-build time (no join, no broadcast — the
+    query embeddings are literals in codegen). One keyed aggregate
+    per doc (max per query term + sum — a single groupBy), then a
+    TakeOrderedAndProject head. No all-pairs stage anywhere."""
+    import hashlib as _hl
+
+    from vega_spark.functions.text import tokens
+
+    def qvec(term: str) -> list[int]:
+        out = []
+        for j in range(dim):
+            h = int(_hl.md5(f"{term}|{j}".encode()).hexdigest()[:4], 16)
+            out.append((h % 17) - 8)
+        return out
+
+    dt = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(
+                          tokens(text_col))).alias("t")))
+    comps = [ _tokvec_component(F.col("t"), j) for j in range(dim) ]
+    dots = []
+    for qi, term in enumerate(query_terms):
+        qv = qvec(term)
+        dots.append(sum((comps[j] * qv[j] for j in range(dim)),
+                        F.lit(0).cast("long")).alias(f"__dot{qi}"))
+    scored = dt.select("doc_id", *dots)
+    agg = scored.groupBy("doc_id").agg(
+        sum((F.max(f"__dot{qi}") for qi in range(len(query_terms))),
+            F.lit(0).cast("long")).alias("score"))
+    head = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(top)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return head.withColumn("rk", F.row_number().over(w))

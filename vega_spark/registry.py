@@ -8179,3 +8179,38 @@ def mine_duplicate_spans_q(spark, sf_dir):
     return out.select("doc_id",
                       F.col("start_pos").cast("long").alias("start_pos"),
                       F.col("span_len").cast("long").alias("span_len"))
+
+
+@_q("maxsim_late_interaction", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(ts) AS t FROM base),
+q AS (SELECT * FROM (VALUES ('agg'), ('scan'), ('vector')) v(qt)),
+dotj AS (
+  SELECT d.doc_id, d.t, q.qt,
+         SUM(((('0x' || substr(md5(d.t || '|' || j.g::VARCHAR), 1, 4))
+               ::BIGINT % 17) - 8)
+             * ((('0x' || substr(md5(q.qt || '|' || j.g::VARCHAR), 1, 4))
+                 ::BIGINT % 17) - 8)) AS dot
+  FROM dt d CROSS JOIN q JOIN generate_series(0, 3) j(g) ON TRUE
+  GROUP BY 1, 2, 3),
+mx AS (SELECT doc_id, qt, MAX(dot) AS m FROM dotj GROUP BY 1, 2),
+sc AS (SELECT doc_id, SUM(m)::BIGINT AS score FROM mx GROUP BY 1),
+ranked AS (SELECT doc_id, score,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM sc)
+SELECT doc_id, score, rk FROM ranked WHERE rk <= 10
+""")
+def maxsim_late_interaction_q(spark, sf_dir):
+    """ColBERT-style late-interaction (MaxSim) retrieval: per query
+    term, the max token-level dot product within each doc; per doc,
+    the sum over query terms — token embeddings are md5-derived
+    integer vectors so DuckDB replays every dot product exactly.
+    Query vectors fold into codegen as literals (no join); one keyed
+    aggregate + TakeOrdered head."""
+    from vega_spark.functions.retrieval import maxsim_search
+    docs = _t(spark, sf_dir, "documents")
+    return maxsim_search(docs, ["agg", "scan", "vector"], dim=4, top=10)
