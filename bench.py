@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "audio_zcr_fingerprint",       # real WAV decode ZCR/amplitude frames
     "mine_duplicate_spans",        # sliding-window exact-substring dedup
     "maxsim_late_interaction",     # ColBERT MaxSim token-level retrieval
+    "parquet_footer_census",       # metadata-only row-group stats census
 ]
 
 

@@ -78,3 +78,21 @@ def test_read_json_permissive_quarantines(spark, tmp_path):
     good, bad = split_corrupt(df)
     assert sorted((r.a, r.b) for r in good.collect()) == [(1, "x"), (2, "y")]
     assert [r.raw for r in bad.collect()] == ["not json at all"]
+
+
+def test_parquet_footer_census_multi_rowgroup(spark, tmp_path):
+    # write a file with SEVERAL row groups incl. nulls; footer census
+    # must aggregate groups and count nulls exactly
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vega_spark.operators.layout import parquet_footer_census
+
+    vals = list(range(100)) + [None, None] + list(range(200, 250))
+    t = pa.table({"k": pa.array(vals, type=pa.int64())})
+    p = str(tmp_path / "rg.parquet")
+    pq.write_table(t, p, row_group_size=40)
+    assert pq.ParquetFile(p).metadata.num_row_groups > 2
+    row = parquet_footer_census(spark, [p], ["k"]).collect()[0]
+    assert (row.col, row.num_values, row.null_count,
+            row.min_val, row.max_val) == ("k", 152, 2, 0, 249)

@@ -136,3 +136,60 @@ def compact_parquet(spark, path: str, target_file_mb: int = 128,
                  if f.endswith(".parquet") and not f.startswith("_")])
     return {"files_before": len(files), "files_after": after,
             "bytes": total}
+
+
+def parquet_footer_census(spark, paths, columns):
+    """Metadata-ONLY parquet census: per requested column, the
+    footer-declared value count, null count, and min/max aggregated
+    across every row group of every file — parsed from the parquet
+    footers with pyarrow on executors, never scanning data pages.
+    This is the statistics layer that data-skipping planners trust
+    (cf. operators/versioned.plan_pruned_files); the registry oracle
+    cross-checks the footers against a full scan of the same data
+    (COUNT/MIN/MAX must agree), so a writer producing wrong stats
+    fails the census.
+
+    Scale: one row per (file, row group, column) flows into a keyed
+    aggregate — footer parse cost is per-file O(KB), embarrassingly
+    parallel over the file list (mapInPandas over paths, files
+    redistributed across executors)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    cols = list(columns)
+
+    def op(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            names, nvals, nulls, mins, maxs = [], [], [], [], []
+            for path in b["path"]:
+                md = pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        if c.path_in_schema not in cols:
+                            continue
+                        st = c.statistics
+                        names.append(c.path_in_schema)
+                        nvals.append(c.num_values)
+                        nulls.append(st.null_count if st else None)
+                        mins.append(int(st.min) if st else None)
+                        maxs.append(int(st.max) if st else None)
+            yield pd.DataFrame({
+                "col": names, "num_values": nvals, "null_count": nulls,
+                "min_val": pd.array(mins, dtype="Int64"),
+                "max_val": pd.array(maxs, dtype="Int64")})
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(max(1, min(len(paths), 64)))
+    per_group = files.mapInPandas(
+        op, schema=("col string, num_values long, null_count long, "
+                    "min_val long, max_val long"))
+    return (per_group.groupBy("col")
+            .agg(F.sum("num_values").alias("num_values"),
+                 F.sum("null_count").alias("null_count"),
+                 F.min("min_val").alias("min_val"),
+                 F.max("max_val").alias("max_val")))

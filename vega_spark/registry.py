@@ -8214,3 +8214,38 @@ def maxsim_late_interaction_q(spark, sf_dir):
     from vega_spark.functions.retrieval import maxsim_search
     docs = _t(spark, sf_dir, "documents")
     return maxsim_search(docs, ["agg", "scan", "vector"], dim=4, top=10)
+
+
+@_q("parquet_footer_census", """
+SELECT 'l_orderkey' AS col, COUNT(*) AS num_values,
+       COUNT(*) - COUNT(l_orderkey) AS null_count,
+       MIN(l_orderkey) AS min_val, MAX(l_orderkey) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey', COUNT(*), COUNT(*) - COUNT(l_partkey),
+       MIN(l_partkey), MAX(l_partkey) FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+       MIN(l_linenumber)::BIGINT, MAX(l_linenumber)::BIGINT
+FROM lineitem
+""")
+def parquet_footer_census_q(spark, sf_dir):
+    """Metadata-only footer statistics census over lineitem's parquet
+    files: value counts, null counts, min/max per column read from
+    ROW-GROUP FOOTERS (pyarrow, no data pages touched), aggregated
+    across groups/files. The oracle recomputes the same quantities by
+    SCANNING the table — footer stats and data must agree exactly, so
+    a stats-lying writer (the thing that silently breaks data
+    skipping) is caught. SF-independent: aggregation collapses any
+    row-group layout."""
+    import glob
+    import os
+
+    from vega_spark.operators.layout import parquet_footer_census
+    target = os.path.join(sf_dir, "lineitem.parquet")
+    paths = sorted(glob.glob(os.path.join(target, "*.parquet"))) \
+        if os.path.isdir(target) else [target]
+    out = parquet_footer_census(
+        spark, paths, ["l_orderkey", "l_partkey", "l_linenumber"])
+    return out.select("col", "num_values", "null_count",
+                      "min_val", "max_val")
