@@ -46,7 +46,7 @@ _PRIORITY = [
     "image_dhash_census", "image_near_dup_hamming",
     "mine_repeated_ngrams", "audio_zcr_fingerprint",
     "mine_duplicate_spans", "maxsim_late_interaction",
-    "parquet_footer_census",
+    "parquet_footer_census", "mmr_diverse_rerank",
     "png_pixel_decode_stats", "png_resize_roundtrip",
     "bm25_rank_docs", "hybrid_search_rrf",
     "retrieval_mrr_ndcg_trunc", "seq_pairs_events",

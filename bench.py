@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "mine_duplicate_spans",        # sliding-window exact-substring dedup
     "maxsim_late_interaction",     # ColBERT MaxSim token-level retrieval
     "parquet_footer_census",       # metadata-only row-group stats census
+    "mmr_diverse_rerank",          # greedy diversity re-rank of BM25 head
 ]
 
 

@@ -215,3 +215,29 @@ def test_maxsim_ranks_covering_doc_first(spark):
         "doc_id long, text string")
     rows = maxsim_search(docs, ["foo", "bar"], top=3).collect()
     assert rows[0].doc_id == 1 and rows[0].rk == 1
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from vega_spark.functions.retrieval import mmr_rerank
+    # docs 1 and 2 are near-identical high-rel hits; doc 3 is a
+    # lower-rel but DIFFERENT hit. With k=2 MMR must pick 1 then 3,
+    # skipping the redundant 2 (plain BM25 order would be 1, 2).
+    docs = spark.createDataFrame(
+        [(1, "query query query alpha beta gamma"),
+         (2, "query query query alpha beta delta"),
+         (3, "query epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    rows = sorted(mmr_rerank(docs, ["query"], top_n=3, k=2).collect())
+    picked = [r.doc_id for r in sorted(rows, key=lambda r: r.rk)]
+    assert picked[0] in (1, 2)      # highest-rel first
+    assert picked[1] == 3           # then the diverse doc
+
+
+def test_mmr_first_pick_is_top_rel(spark):
+    from vega_spark.functions.retrieval import mmr_rerank
+    docs = spark.createDataFrame(
+        [(i, "term " * (10 - i) + "filler" + str(i)) for i in range(1, 5)],
+        "doc_id long, text string")
+    rows = {r.rk: r.doc_id for r in mmr_rerank(docs, ["term"],
+                                               top_n=4, k=3).collect()}
+    assert rows[1] == 1  # most 'term'-dense doc wins step 1

@@ -324,3 +324,82 @@ def maxsim_search(docs: DataFrame, query_terms: Sequence[str],
     from pyspark.sql.window import Window
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return head.withColumn("rk", F.row_number().over(w))
+
+
+def mmr_rerank(docs: DataFrame, terms: Sequence[str],
+               top_n: int = 20, k: int = 5,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98, λ=1/2 scaled out): greedily pick ``k`` results from the
+    BM25 top-``top_n`` maximizing  rel(d) − max_{s∈S} sim(d, s),
+    so near-duplicate hits don't crowd the head. rel is the exact
+    BM25 micro score; sim is token-overlap Jaccard in micro units
+    via ONE fixed-shape floor(1e6·|∩|/|∪|) per pair — every quantity
+    an integer both engines replay.
+
+    Scale shape: candidate generation is the bounded BM25 head; the
+    pairwise sim matrix is computed DISTRIBUTED via a token equi-join
+    restricted to the ≤ top_n candidates (≤ top_n² bounded pairs,
+    never corpus-wide); the greedy selection itself touches only
+    (top_n rel rows + top_n² sim rows) in a single cogrouped-pandas
+    task — bounded by construction, like a TakeOrdered head."""
+    import pandas as pd
+
+    head = bm25_search(docs, terms, text_col=text_col, id_col=id_col,
+                       top=top_n).select("doc_id",
+                                         F.col("score_micro").alias("rel"))
+    # materialize the ≤ top_n-row head ONCE (a driver-side head like
+    # take_ordered): it feeds three plan branches (size, inter, and
+    # the cogroup), and leaving it lazy would recompute the whole
+    # BM25 pipeline per branch (measured 4x the runtime)
+    spark = docs.sparkSession
+    cand = spark.createDataFrame(head.collect(), "doc_id long, rel long")
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""))
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(toks).alias("t"))
+    ctok = tok.join(F.broadcast(cand.select("doc_id")), "doc_id")
+    sz = ctok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (ctok.select(F.col("doc_id").alias("da"), "t")
+             .join(ctok.select(F.col("doc_id").alias("db"), "t"), "t")
+             .filter(F.col("da") != F.col("db"))
+             .groupBy("da", "db").agg(F.count(F.lit(1)).alias("i")))
+    sim = (inter
+           .join(sz.select(F.col("doc_id").alias("da"),
+                           F.col("n").alias("na")), "da")
+           .join(sz.select(F.col("doc_id").alias("db"),
+                           F.col("n").alias("nb")), "db")
+           .select("da", "db",
+                   F.floor(F.lit(1000000.0) * F.col("i")
+                           / (F.col("na") + F.col("nb") - F.col("i")))
+                   .cast("long").alias("s")))
+
+    kk = k
+
+    def greedy(cand_pdf: pd.DataFrame, sim_pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = dict(zip(cand_pdf["doc_id"], cand_pdf["rel"]))
+        smap = {(int(da), int(db)): int(s)
+                for da, db, s in zip(sim_pdf.get("da", []),
+                                     sim_pdf.get("db", []),
+                                     sim_pdf.get("s", []))}
+        selected: list[int] = []
+        rows = []
+        for step in range(1, min(kk, len(rel)) + 1):
+            best = None
+            for d in sorted(rel):
+                if d in selected:
+                    continue
+                pen = max((smap.get((d, s2), 0) for s2 in selected),
+                          default=0)
+                mmr = int(rel[d]) - pen
+                key = (-mmr, d)
+                if best is None or key < best[0]:
+                    best = (key, d)
+            selected.append(best[1])
+            rows.append((step, best[1], int(rel[best[1]])))
+        return pd.DataFrame(rows, columns=["rk", "doc_id", "rel"])
+
+    return (cand.withColumn("__g", F.lit(1)).groupBy("__g")
+            .cogroup(sim.withColumn("__g", F.lit(1)).groupBy("__g"))
+            .applyInPandas(greedy, "rk int, doc_id long, rel long"))

@@ -8249,3 +8249,65 @@ def parquet_footer_census_q(spark, sf_dir):
         spark, paths, ["l_orderkey", "l_partkey", "l_linenumber"])
     return out.select("col", "num_values", "null_count",
                       "min_val", "max_val")
+
+
+@_q("mmr_diverse_rerank", f"""
+WITH {_BM25_CORE_SQL},
+hits AS (
+  SELECT p.doc_id, {_BM25_SCORE_SQL} AS s_micro
+  FROM post p JOIN idf USING (term) JOIN dlen USING (doc_id), scal
+  WHERE p.term IN ('agg', 'scan', 'vector')),
+sc AS (SELECT doc_id, SUM(s_micro) AS rel FROM hits GROUP BY 1),
+cand AS MATERIALIZED (SELECT doc_id, rel FROM sc ORDER BY rel DESC, doc_id LIMIT 20),
+ct AS MATERIALIZED (SELECT DISTINCT t.doc_id, t.term FROM tok t JOIN cand USING (doc_id)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM ct GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM ct a JOIN ct b ON a.term = b.term AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+sim AS MATERIALIZED (SELECT da, db,
+               CAST(FLOOR(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS s
+        FROM inter JOIN sz na ON na.doc_id = da
+                   JOIN sz nb ON nb.doc_id = db),
+p1 AS (SELECT doc_id, rel FROM cand ORDER BY rel DESC, doc_id LIMIT 1),
+r2 AS (SELECT c.doc_id, c.rel, c.rel - COALESCE(MAX(s.s), 0) AS mmr
+       FROM cand c LEFT JOIN sim s ON s.da = c.doc_id
+            AND s.db IN (SELECT doc_id FROM p1)
+       WHERE c.doc_id NOT IN (SELECT doc_id FROM p1) GROUP BY 1, 2),
+p2 AS (SELECT doc_id, rel FROM r2 ORDER BY mmr DESC, doc_id LIMIT 1),
+s2 AS (SELECT doc_id FROM p1 UNION ALL SELECT doc_id FROM p2),
+r3 AS (SELECT c.doc_id, c.rel, c.rel - COALESCE(MAX(s.s), 0) AS mmr
+       FROM cand c LEFT JOIN sim s ON s.da = c.doc_id
+            AND s.db IN (SELECT doc_id FROM s2)
+       WHERE c.doc_id NOT IN (SELECT doc_id FROM s2) GROUP BY 1, 2),
+p3 AS (SELECT doc_id, rel FROM r3 ORDER BY mmr DESC, doc_id LIMIT 1),
+s3 AS (SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM p3),
+r4 AS (SELECT c.doc_id, c.rel, c.rel - COALESCE(MAX(s.s), 0) AS mmr
+       FROM cand c LEFT JOIN sim s ON s.da = c.doc_id
+            AND s.db IN (SELECT doc_id FROM s3)
+       WHERE c.doc_id NOT IN (SELECT doc_id FROM s3) GROUP BY 1, 2),
+p4 AS (SELECT doc_id, rel FROM r4 ORDER BY mmr DESC, doc_id LIMIT 1),
+s4 AS (SELECT doc_id FROM s3 UNION ALL SELECT doc_id FROM p4),
+r5 AS (SELECT c.doc_id, c.rel, c.rel - COALESCE(MAX(s.s), 0) AS mmr
+       FROM cand c LEFT JOIN sim s ON s.da = c.doc_id
+            AND s.db IN (SELECT doc_id FROM s4)
+       WHERE c.doc_id NOT IN (SELECT doc_id FROM s4) GROUP BY 1, 2),
+p5 AS (SELECT doc_id, rel FROM r5 ORDER BY mmr DESC, doc_id LIMIT 1)
+SELECT 1 AS rk, doc_id, rel FROM p1
+UNION ALL SELECT 2, doc_id, rel FROM p2
+UNION ALL SELECT 3, doc_id, rel FROM p3
+UNION ALL SELECT 4, doc_id, rel FROM p4
+UNION ALL SELECT 5, doc_id, rel FROM p5
+""")
+def mmr_diverse_rerank_q(spark, sf_dir):
+    """MMR diversity re-ranking of the BM25 head: 5 greedy picks from
+    the top-20 maximizing rel − max-sim-to-selected (λ=1/2 scaled,
+    exact micro integers; sim = token-overlap Jaccard via one
+    fixed-shape floor division). The oracle UNROLLS all five greedy
+    steps as chained CTEs — selection order, tie-breaks, and every
+    pairwise penalty must match. Candidate generation + the pairwise
+    sim matrix are distributed and bounded (≤20², token equi-join,
+    never corpus-wide); only the ≤(20 + 20²)-row greedy state enters
+    a single cogrouped-pandas task."""
+    from vega_spark.functions.retrieval import mmr_rerank
+    docs = _t(spark, sf_dir, "documents")
+    return mmr_rerank(docs, ["agg", "scan", "vector"], top_n=20, k=5)
