@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "maxsim_late_interaction",     # ColBERT MaxSim token-level retrieval
     "parquet_footer_census",       # metadata-only row-group stats census
     "mmr_diverse_rerank",          # greedy diversity re-rank of BM25 head
+    "streaming_versioned_rollup",  # per-epoch snapshot commits + time travel
 ]
 
 

@@ -228,3 +228,35 @@ def test_delete_keys_rewrites_only_affected_files(spark):
     res2 = V.delete_keys(spark, tdir, "k", [999999])
     assert res2["deleted_rows"] == 0
     assert V.read_snapshot(spark, tdir).count() == 998
+
+
+def test_stream_to_versioned_epochs_and_parity(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vega_spark.operators.versioned import history, read_snapshot
+    from vega_spark.streaming import sources as SS
+    from vega_spark.streaming.sinks import stream_to_versioned
+
+    arrivals = str(tmp_path / "arrivals")
+    table = str(tmp_path / "table")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("a", 5), ("c", 6)],
+        "k string, v long")
+    df.repartition(3).write.parquet(arrivals)
+
+    q = stream_to_versioned(
+        SS.stream_parquet(spark, arrivals, "k string, v long",
+                          max_files_per_trigger=1),
+        table, ["k"], {"n": F.count(F.lit(1)), "s": F.sum("v")},
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    assert history(spark, table).count() == 3  # one version per epoch
+    got = {(r.k, r.n, r.s) for r in read_snapshot(spark, table).collect()}
+    assert got == {("a", 3, 8), ("b", 2, 7), ("c", 1, 6)}
+    # earlier versions are readable (time travel over the ingest)
+    v1 = read_snapshot(spark, table, version=1)
+    assert 0 < v1.agg(F.sum("n")).collect()[0][0] < 6
+    assert os.path.isfile(os.path.join(table, "_latest"))

@@ -8311,3 +8311,51 @@ def mmr_diverse_rerank_q(spark, sf_dir):
     from vega_spark.functions.retrieval import mmr_rerank
     docs = _t(spark, sf_dir, "documents")
     return mmr_rerank(docs, ["agg", "scan", "vector"], top_n=20, k=5)
+
+
+@_q("streaming_versioned_rollup", """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents,
+       4 AS n_versions
+FROM events GROUP BY 1
+""")
+def streaming_versioned_rollup_q(spark, sf_dir):
+    """Streaming ingest INTO the versioned-table layer: arrivals are
+    staged as 4 files, drained one file per micro-batch, and each
+    epoch's keyed aggregate is additively merged with the previous
+    snapshot and committed as a new immutable version (atomic
+    pointer flip + manifest — operators/versioned). After the drain,
+    the LATEST snapshot must equal the all-at-once batch aggregate
+    (the stream/batch parity contract) and the history must hold
+    exactly one version per micro-batch. Per-epoch cost is
+    metric-table-sized — raw history is never rescanned."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from vega_spark.operators.versioned import history, read_snapshot
+    from vega_spark.streaming import sources as SS
+    from vega_spark.streaming.sinks import stream_to_versioned
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    stage = tempfile.mkdtemp(prefix="vega_stream_ver_")
+    table = os.path.join(stage, "rollup_table")
+    ev.repartition(4).write.mode("overwrite") \
+        .parquet(os.path.join(stage, "arrivals"))
+
+    stream = SS.stream_parquet(
+        spark, os.path.join(stage, "arrivals"),
+        "event_type string, cents long", max_files_per_trigger=1)
+    q = stream_to_versioned(
+        stream, table, ["event_type"],
+        {"n": F.count(F.lit(1)), "sum_cents": F.sum("cents")},
+        checkpoint=os.path.join(stage, "ckpt_" + uuid.uuid4().hex[:8]))
+    q.awaitTermination(300)
+    n_versions = history(spark, table).count()
+    out = (read_snapshot(spark, table)
+           .withColumn("n_versions", F.lit(n_versions).cast("int")))
+    shutil.rmtree(os.path.join(stage, "arrivals"), ignore_errors=True)
+    return out

@@ -63,3 +63,50 @@ def upsert_to_parquet(stream: DataFrame, target_path: str,
     return to_foreach_batch(stream, body, checkpoint,
                             output_mode="update",
                             available_now=available_now)
+
+
+def stream_to_versioned(stream: DataFrame, table_dir: str,
+                        keys: list[str], agg_exprs,
+                        checkpoint: str,
+                        available_now: bool = True) -> StreamingQuery:
+    """Streaming leg of the lakehouse layer: every micro-batch's
+    keyed aggregate is MERGED (additively) with the previous snapshot
+    and committed as a NEW immutable version via
+    operators/versioned.commit_snapshot — so downstream batch readers
+    get atomic pointer flips, time travel over the ingest history,
+    and vacuum/retention, instead of the bare directory swap of
+    upsert_to_parquet.
+
+    ``agg_exprs`` maps metric column name -> aggregate over the raw
+    batch AND over the merge union (must be an associative aggregate
+    — count-as-sum, sum, min, max — so re-merging a re-delivered
+    batch's DELTA is the only non-idempotent hazard; exactly-once
+    relies on foreachBatch's epoch guarantee like every additive
+    rollup). Per micro-batch cost: one keyed aggregate over the batch
+    + one over (snapshot ∪ delta) — the snapshot is metric-table
+    sized (|keys| rows), never raw history."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vega_spark.operators.versioned import (commit_snapshot,
+                                                current_version,
+                                                read_snapshot)
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        delta = batch.groupBy(*keys).agg(
+            *[e.alias(c) for c, e in agg_exprs.items()])
+        if current_version(table_dir):
+            prev = read_snapshot(spark, table_dir)
+            merged = (prev.unionByName(delta)
+                      .groupBy(*keys)
+                      .agg(*[F.sum(c).alias(c) for c in agg_exprs]))
+        else:
+            merged = delta
+        commit_snapshot(merged.coalesce(1), table_dir,
+                        note=f"epoch {epoch_id}")
+
+    return to_foreach_batch(stream, body, checkpoint,
+                            output_mode="update",
+                            available_now=available_now)
