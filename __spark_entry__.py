@@ -47,7 +47,7 @@ _PRIORITY = [
     "mine_repeated_ngrams", "audio_zcr_fingerprint",
     "mine_duplicate_spans", "maxsim_late_interaction",
     "parquet_footer_census", "mmr_diverse_rerank",
-    "streaming_versioned_rollup",
+    "streaming_versioned_rollup", "ppr_part_affinity",
     "png_pixel_decode_stats", "png_resize_roundtrip",
     "bm25_rank_docs", "hybrid_search_rrf",
     "retrieval_mrr_ndcg_trunc", "seq_pairs_events",

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "parquet_footer_census",       # metadata-only row-group stats census
     "mmr_diverse_rerank",          # greedy diversity re-rank of BM25 head
     "streaming_versioned_rollup",  # per-epoch snapshot commits + time travel
+    "ppr_part_affinity",           # seeded-restart personalized PageRank
 ]
 
 

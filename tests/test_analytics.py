@@ -242,3 +242,39 @@ def test_inverted_index_and_or_search(spark):
         [(5, "spark spark spark")], "doc_id long, text string"))
     idx3 = build_inverted_index(docs5, max_df=2)
     assert idx3.filter(F.col("term") == "spark").count() == 0
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from pyspark.sql import functions as F
+
+    from vega_spark.functions.graph import pagerank, personalized_pagerank
+
+    # path graph 1-2-3-4-5-6 with seed {1}: mass decays with hop
+    # distance from the seed, unlike uniform pagerank
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "a long, b long")
+    seeds = spark.createDataFrame([(1,)], "u long")
+    got = {r.node: r.rank
+           for r in personalized_pagerank(edges, "a", "b", seeds,
+                                          iters=4).collect()}
+    # seed holds the largest mass; the near half dominates the far
+    # half (per-hop monotonicity does NOT hold — finite power
+    # iteration oscillates by walk parity on bipartite-ish paths)
+    assert got[1] == max(got.values())
+    assert got[1] + got[2] + got[3] > 3 * (got[4] + got[5] + got[6])
+    # far end gets (almost) nothing; uniform PR gives it real mass
+    upr = {r.node: r.rank for r in pagerank(edges, "a", "b",
+                                            iters=4).collect()}
+    assert got[6] < 0.05 and upr[6] > 0.4
+
+
+def test_personalized_pagerank_seed_restart_mass(spark):
+    from vega_spark.functions.graph import personalized_pagerank
+    # two disconnected components; seeding only component A leaves
+    # component B at exactly zero through every iteration
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    seeds = spark.createDataFrame([(1,)], "u long")
+    got = {r.node: r.rank
+           for r in personalized_pagerank(edges, "a", "b", seeds,
+                                          iters=3).collect()}
+    assert got[3] == 0.0 and got[4] == 0.0 and got[1] > 0 and got[2] > 0

@@ -8359,3 +8359,55 @@ def streaming_versioned_rollup_q(spark, sf_dir):
            .withColumn("n_versions", F.lit(n_versions).cast("int")))
     shutil.rmtree(os.path.join(stage, "arrivals"), ignore_errors=True)
     return out
+
+
+@_q("ppr_part_affinity", """
+WITH baskets AS (
+  SELECT l_orderkey AS b, l_partkey AS i FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT x.i AS u, y.i AS v
+  FROM baskets x JOIN baskets y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING COUNT(*) >= 2
+),
+sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+seeds AS (SELECT u FROM deg ORDER BY u LIMIT 2),
+pvec AS (SELECT d.u, d.deg,
+                CASE WHEN s.u IS NOT NULL THEN 1.0 ELSE 0.0 END AS p
+         FROM deg d LEFT JOIN seeds s ON s.u = d.u),
+r0 AS (SELECT u, deg, p, p AS rank FROM pvec),
+r1 AS (SELECT pv.u, pv.deg, pv.p, 0.15 * pv.p + 0.85 * c.in_sum AS rank
+       FROM (SELECT s.v AS u, SUM(r.rank / r.deg) AS in_sum
+             FROM sym s JOIN r0 r ON s.u = r.u GROUP BY s.v) c
+       JOIN pvec pv ON pv.u = c.u),
+r2 AS (SELECT pv.u, pv.deg, pv.p, 0.15 * pv.p + 0.85 * c.in_sum AS rank
+       FROM (SELECT s.v AS u, SUM(r.rank / r.deg) AS in_sum
+             FROM sym s JOIN r1 r ON s.u = r.u GROUP BY s.v) c
+       JOIN pvec pv ON pv.u = c.u),
+r3 AS (SELECT pv.u, pv.deg, pv.p, 0.15 * pv.p + 0.85 * c.in_sum AS rank
+       FROM (SELECT s.v AS u, SUM(r.rank / r.deg) AS in_sum
+             FROM sym s JOIN r2 r ON s.u = r.u GROUP BY s.v) c
+       JOIN pvec pv ON pv.u = c.u)
+SELECT u AS node, ROUND(rank, 6) AS rank FROM r3 WHERE rank > 0
+""")
+def ppr_part_affinity_q(spark, sf_dir):
+    """Personalized PageRank from the two lowest-id parts of the
+    co-order affinity graph (3 supersteps, d=0.85): proximity scores
+    concentrate around the seeds — the related-item / trust
+    propagation primitive. Oracle unrolls the seeded supersteps as
+    chained CTEs; the zero-mass tail is filtered on both sides so
+    the check pins exactly the reached neighborhood."""
+    from vega_spark.functions.analytics import cooccurrence_pairs
+    from vega_spark.functions.graph import personalized_pagerank
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2,
+                               max_basket=200)
+    sym = (edges.select(F.col("item_a").alias("u"))
+           .union(edges.select(F.col("item_b").alias("u"))))
+    deg_nodes = sym.groupBy("u").agg(F.count(F.lit(1)))
+    seeds = deg_nodes.select("u").orderBy("u").limit(2)
+    out = personalized_pagerank(edges, "item_a", "item_b", seeds,
+                                iters=3, damping=0.85)
+    return (out.filter(F.col("rank") > 0)
+            .select("node", F.round("rank", 6).alias("rank")))
