@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "mmr_diverse_rerank",          # greedy diversity re-rank of BM25 head
     "streaming_versioned_rollup",  # per-epoch snapshot commits + time travel
     "ppr_part_affinity",           # seeded-restart personalized PageRank
+    "theil_sen_event_trend",       # robust median-of-slopes daily trend
 ]
 
 

@@ -278,3 +278,26 @@ def test_personalized_pagerank_seed_restart_mass(spark):
            for r in personalized_pagerank(edges, "a", "b", seeds,
                                           iters=3).collect()}
     assert got[3] == 0.0 and got[4] == 0.0 and got[1] > 0 and got[2] > 0
+
+
+def test_theil_sen_robust_to_outlier_day(spark):
+    import datetime
+
+    from vega_spark.functions.analytics import theil_sen_daily_trend
+
+    # days 0..9 with n = 100 + 10*day, except day 5 spikes to 5000:
+    # OLS would bend hard; the Theil-Sen median slope stays ~10/day
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(10):
+        n = 5000 if d == 5 else 100 + 10 * d
+        ts_ns = int((base + datetime.timedelta(days=d)).timestamp()) \
+            * 1_000_000_000
+        for _ in range(n):
+            rows.append((eid, ts_ns))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts long")
+    r = theil_sen_daily_trend(ev).collect()[0]
+    assert r.n_days == 10 and r.n_pairs == 45
+    assert abs(r.slope_micro - 10_000_000) < 2_000_000  # ~10 events/day

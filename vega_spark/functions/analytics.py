@@ -1394,3 +1394,38 @@ def stl_lite_hourly(events: DataFrame, type_col: str = "event_type",
                            - F.col("seasonal"), round_dp)
                    .alias("residual")))
     return out
+
+
+def theil_sen_daily_trend(events: DataFrame,
+                          ts_col: str = "ts") -> DataFrame:
+    """Theil–Sen robust trend over the daily activity series: the
+    MEDIAN of all pairwise slopes (events/day between every pair of
+    distinct days) — breakdown point 29%, so bursts and outage days
+    don't swing it the way the OLS trend does. Slopes are integerized
+    once (floor(1e6·Δn/Δdays) — one fixed-shape division each) and
+    the median is the exact lower order statistic over those
+    integers, so the result is engine-replayable bit for bit.
+
+    Scale shape: the daily grid is bounded by the time range (days,
+    not rows) — the pair fan-out is grid², bounded and tiny relative
+    to the corpus; the raw table contributes ONE keyed date count.
+    The median is TakeOrdered(k) + a 1-row max — no global sort of
+    anything unbounded. Returns one row: (n_days, n_pairs,
+    slope_micro)."""
+    from vega_spark.tables import ts_date
+    daily = (events.select(ts_date(ts_col).alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).alias("n")))
+    a = daily.select(F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("nb"))
+    slopes = (a.join(b, F.col("da") < F.col("db"))
+              .select(F.floor(F.lit(1000000.0)
+                              * (F.col("nb") - F.col("na"))
+                              / F.datediff("db", "da"))
+                      .cast("long").alias("slope")))
+    counts = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    m = counts.collect()[0][0]
+    k = (m + 1) // 2
+    med = (slopes.orderBy("slope").limit(k)
+           .agg(F.max("slope").alias("slope_micro")))
+    return n_days.crossJoin(counts).crossJoin(med)

@@ -8411,3 +8411,27 @@ def ppr_part_affinity_q(spark, sf_dir):
                                 iters=3, damping=0.85)
     return (out.filter(F.col("rank") > 0)
             .select("node", F.round("rank", 6).alias("rank")))
+
+
+@_q("theil_sen_event_trend", """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1),
+slopes AS (
+  SELECT CAST(FLOOR(1000000.0 * (b.n - a.n) / (b.d - a.d)) AS BIGINT)
+           AS slope
+  FROM daily a JOIN daily b ON a.d < b.d),
+c AS (SELECT COUNT(*) AS n_pairs FROM slopes),
+nd AS (SELECT COUNT(*) AS n_days FROM daily),
+med AS (SELECT slope AS slope_micro FROM slopes, c
+        ORDER BY slope LIMIT 1 OFFSET ((SELECT (n_pairs + 1) // 2 - 1
+                                        FROM c)))
+SELECT nd.n_days, c.n_pairs, med.slope_micro FROM nd, c, med
+""")
+def theil_sen_event_trend_q(spark, sf_dir):
+    """Theil–Sen robust daily-activity trend: exact lower-median of
+    the integerized pairwise slopes. The oracle replays the daily
+    grid, every pairwise floor-division, and the order statistic.
+    Grid-bounded pair fan-out; one keyed count over the raw table."""
+    from vega_spark.functions.analytics import theil_sen_daily_trend
+    ev = _t(spark, sf_dir, "events")
+    return theil_sen_daily_trend(ev)
