@@ -48,7 +48,7 @@ _PRIORITY = [
     "mine_duplicate_spans", "maxsim_late_interaction",
     "parquet_footer_census", "mmr_diverse_rerank",
     "streaming_versioned_rollup", "ppr_part_affinity",
-    "theil_sen_event_trend",
+    "theil_sen_event_trend", "image_curation_pipeline",
     "png_pixel_decode_stats", "png_resize_roundtrip",
     "bm25_rank_docs", "hybrid_search_rrf",
     "retrieval_mrr_ndcg_trunc", "seq_pairs_events",

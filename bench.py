@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "streaming_versioned_rollup",  # per-epoch snapshot commits + time travel
     "ppr_part_affinity",           # seeded-restart personalized PageRank
     "theil_sen_event_trend",       # robust median-of-slopes daily trend
+    "image_curation_pipeline",     # header gate → decode → dedup → census
 ]
 
 

@@ -8435,3 +8435,85 @@ def theil_sen_event_trend_q(spark, sf_dir):
     from vega_spark.functions.analytics import theil_sen_daily_trend
     ev = _t(spark, sf_dir, "events")
     return theil_sen_daily_trend(ev)
+
+
+@_q("image_curation_pipeline", """
+WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 6 + doc_id % 17 AS h
+           FROM documents),
+f AS (SELECT * FROM d WHERE w >= 12),
+cls AS (SELECT w, h, MIN(doc_id) AS mindoc FROM f GROUP BY 1, 2),
+g AS (SELECT c.w, c.h, x.g AS x, y.g AS y,
+             ((((x.g * c.w) // 9) * 31 + ((y.g * c.h) // 8) * 57) % 256)
+               AS p
+      FROM cls c JOIN generate_series(0, 8) x(g) ON TRUE
+                 JOIN generate_series(0, 7) y(g) ON TRUE),
+bit AS (SELECT a.w, a.h, (a.y * 8 + a.x) AS k,
+               CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+        FROM g a JOIN g b ON b.w = a.w AND b.h = a.h AND b.y = a.y
+                          AND b.x = a.x + 1
+        WHERE a.x < 8),
+hu AS (SELECT w, h, SUM(bit::HUGEINT << k) AS u FROM bit GROUP BY 1, 2),
+hc AS (SELECT hu.w, hu.h,
+              (CASE WHEN u >= 9223372036854775808::HUGEINT
+                    THEN u - 18446744073709551616::HUGEINT
+                    ELSE u END)::BIGINT AS s, c.mindoc
+       FROM hu JOIN cls c ON c.w = hu.w AND c.h = hu.h),
+keep AS (SELECT s, MIN(mindoc) AS keeper FROM hc GROUP BY s),
+surv AS (SELECT k.keeper AS doc_id, d.w, d.h
+         FROM keep k JOIN d ON d.doc_id = k.keeper),
+px AS (SELECT sv.doc_id,
+              SUM((x.g * 31 + y.g * 57) % 256) AS spx
+       FROM surv sv
+       JOIN generate_series(0, 32) x(g) ON x.g < sv.w
+       JOIN generate_series(0, 22) y(g) ON y.g < sv.h
+       GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM d) AS n_images,
+       (SELECT COUNT(*) FROM f) AS n_pass_size,
+       (SELECT COUNT(*) FROM keep) AS n_kept,
+       (SELECT SUM(spx) FROM px)::BIGINT AS total_px_kept
+""")
+def image_curation_pipeline_q(spark, sf_dir):
+    """END-TO-END image curation flagship, oracle-exact at every
+    stage: synthetic pattern PNGs → REAL container-header gate
+    (width >= 12, parsed from IHDR bytes) → REAL pixel decode →
+    dHash → exact near-dup collapse (keep-first by signature — note
+    DIFFERENT (w,h) patterns may legitimately collide on dHash, and
+    the oracle models exactly that) → pixel census of the surviving
+    canonical images. DuckDB replays header dims, all 64 hash bits,
+    the keep-first rule, and the survivors' exact luma sums from
+    doc_id alone. Every stage is narrow or digest-keyed; payloads
+    never enter a shuffle wider than the survivor fetch."""
+    import pandas as pd
+
+    from vega_spark.functions.multimodal import (image_dhash,
+                                                 image_header_metadata,
+                                                 image_pixel_stats,
+                                                 make_pattern_png)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "payload": [make_pattern_png(8 + int(i) % 25,
+                                             6 + int(i) % 17)
+                            for i in b["doc_id"]],
+            })
+
+    with_png = docs.mapInPandas(gen, "doc_id long, payload binary")
+    hdr = image_header_metadata(with_png)
+    passing = (hdr.filter(F.col("width") >= 12)
+               .select(F.col("asset_id").alias("doc_id")))
+    sub = with_png.join(passing, "doc_id")
+    hashes = image_dhash(sub)
+    keep = (hashes.groupBy("dhash")
+            .agg(F.min("asset_id").alias("doc_id")))
+    surv = with_png.join(keep.select("doc_id"), "doc_id")
+    stats = image_pixel_stats(surv)
+    n_images = docs.count()
+    n_pass = passing.count()
+    return (stats.agg(F.count(F.lit(1)).alias("n_kept"),
+                      F.sum("sum_px").alias("total_px_kept"))
+            .select(F.lit(n_images).alias("n_images"),
+                    F.lit(n_pass).alias("n_pass_size"),
+                    "n_kept", "total_px_kept"))
