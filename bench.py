@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "ppr_part_affinity",           # seeded-restart personalized PageRank
     "theil_sen_event_trend",       # robust median-of-slopes daily trend
     "image_curation_pipeline",     # header gate → decode → dedup → census
+    "diff_in_diff_purchases",      # 2x2 causal cell means + DiD estimate
 ]
 
 

@@ -301,3 +301,26 @@ def test_theil_sen_robust_to_outlier_day(spark):
     r = theil_sen_daily_trend(ev).collect()[0]
     assert r.n_days == 10 and r.n_pairs == 45
     assert abs(r.slope_micro - 10_000_000) < 2_000_000  # ~10 events/day
+
+
+def test_diff_in_diff_constructed_effect(spark):
+    import datetime
+
+    from vega_spark.functions.analytics import diff_in_diff
+
+    # control means 10 -> 12 (+2); treated 10 -> 15 (+5): DiD = +3.00
+    def ts_ns(day):
+        return int(datetime.datetime(2024, 1, day).timestamp()) \
+            * 1_000_000_000
+
+    rows = []
+    for uid, day, val in [(2, 10, 10.0), (2, 20, 15.0),   # treated (even)
+                          (1, 10, 10.0), (1, 20, 12.0)]:  # control (odd)
+        for i in range(5):
+            rows.append((uid, ts_ns(day) + i, val))
+    ev = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    r = diff_in_diff(ev).collect()[0]
+    # mean_micro = floor(1e4 * cents / n) -> dollars in 1e-6 units
+    assert (r.t_pre, r.t_post, r.c_pre, r.c_post) == (
+        10_000_000, 15_000_000, 10_000_000, 12_000_000)
+    assert r.did_micro == 3_000_000

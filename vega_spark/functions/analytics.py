@@ -1429,3 +1429,45 @@ def theil_sen_daily_trend(events: DataFrame,
     med = (slopes.orderBy("slope").limit(k)
            .agg(F.max("slope").alias("slope_micro")))
     return n_days.crossJoin(counts).crossJoin(med)
+
+
+def diff_in_diff(events: DataFrame, boundary_date: str = "2024-01-16",
+                 ts_col: str = "ts", user_col: str = "user_id",
+                 value_col: str = "value") -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger shape):
+    treatment = even user ids (the deterministic assignment a real
+    experiment replaces with its own flag), post-period = on/after
+    ``boundary_date``. Returns the four cell means (exact-cent sums
+    / counts, each ONE fixed-shape division) and the DiD estimate
+    (T_post − T_pre) − (C_post − C_pre) in micro units.
+
+    One aggregation pass over the raw table (4-cell grid — no
+    shuffle wider than 4 keys after partial aggregation); everything
+    downstream is driver-side constant arithmetic on the 4 cells."""
+    from vega_spark.tables import ts_date
+
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    cells = (events.select(
+        (F.col(user_col) % 2 == 0).cast("int").alias("treated"),
+        (ts_date(ts_col) >= F.lit(boundary_date).cast("date"))
+        .cast("int").alias("post"),
+        cents.alias("c"))
+        .groupBy("treated", "post")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+        .withColumn("mean_micro",
+                    F.floor(F.lit(10000.0) * F.col("s") / F.col("n"))
+                    .cast("long")))
+    # fold the 4 cells via conditional sums (single pass, exact)
+    m = cells.agg(
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                     F.col("mean_micro"))).alias("t_post"),
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                     F.col("mean_micro"))).alias("t_pre"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                     F.col("mean_micro"))).alias("c_post"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                     F.col("mean_micro"))).alias("c_pre"))
+    return m.select(
+        "t_pre", "t_post", "c_pre", "c_post",
+        ((F.col("t_post") - F.col("t_pre"))
+         - (F.col("c_post") - F.col("c_pre"))).alias("did_micro"))

@@ -8517,3 +8517,36 @@ def image_curation_pipeline_q(spark, sf_dir):
             .select(F.lit(n_images).alias("n_images"),
                     F.lit(n_pass).alias("n_pass_size"),
                     "n_kept", "total_px_kept"))
+
+
+@_q("diff_in_diff_purchases", """
+WITH cells AS (
+  SELECT (user_id % 2 = 0)::INTEGER AS treated,
+         (CAST(ts AS DATE) >= DATE '2024-01-16')::INTEGER AS post,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2),
+m AS (SELECT treated, post,
+             CAST(FLOOR(10000.0 * s / n) AS BIGINT) AS mean_micro
+      FROM cells)
+SELECT
+  MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_micro END) AS t_pre,
+  MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_micro END) AS t_post,
+  MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_micro END) AS c_pre,
+  MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_micro END) AS c_post,
+  (MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_micro END)
+   - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_micro END))
+  - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_micro END)
+     - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_micro END))
+    AS did_micro
+FROM m
+""")
+def diff_in_diff_purchases_q(spark, sf_dir):
+    """Difference-in-differences over event values (treatment = even
+    user ids, post = on/after 2024-01-16): the 2x2 cell means in
+    exact micro units and the DiD estimate. One 4-cell aggregation
+    pass; the oracle replays cells, floor-divisions, and the
+    estimate."""
+    from vega_spark.functions.analytics import diff_in_diff
+    ev = _t(spark, sf_dir, "events")
+    return diff_in_diff(ev)
