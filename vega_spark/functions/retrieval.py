@@ -321,9 +321,14 @@ def maxsim_search(docs: DataFrame, query_terms: Sequence[str],
         sum((F.max(f"__dot{qi}") for qi in range(len(query_terms))),
             F.lit(0).cast("long")).alias("score"))
     head = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(top)
-    from pyspark.sql.window import Window
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return head.withColumn("rk", F.row_number().over(w))
+    # window-free post-limit rank (bm25_search pattern): the global
+    # limit lands in one partition, so after an in-partition sort
+    # monotonically_increasing_id IS the 0-based position — no
+    # unpartitioned WindowExec anywhere
+    return (head.coalesce(1)
+            .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+            .withColumn("rk", (F.monotonically_increasing_id() + 1)
+                        .cast("int")))
 
 
 def mmr_rerank(docs: DataFrame, terms: Sequence[str],
