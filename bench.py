@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "theil_sen_event_trend",       # robust median-of-slopes daily trend
     "image_curation_pipeline",     # header gate → decode → dedup → census
     "diff_in_diff_purchases",      # 2x2 causal cell means + DiD estimate
+    "trimmed_mean_event_values",   # exact two-sided trimmed mean per group
+    "cuped_event_values",          # CUPED variance-reduced experiment readout
 ]
 
 

@@ -324,3 +324,26 @@ def test_diff_in_diff_constructed_effect(spark):
     assert (r.t_pre, r.t_post, r.c_pre, r.c_post) == (
         10_000_000, 15_000_000, 10_000_000, 12_000_000)
     assert r.did_micro == 3_000_000
+
+
+def test_cuped_perfect_covariate_collapses_variants(spark):
+    import datetime
+
+    from vega_spark.functions.analytics import cuped_adjusted_means
+
+    # every user's post metric EQUALS their pre covariate -> θ = 1
+    # and both variants' adjusted means collapse to the global mean
+    def ts_ns(day):
+        return int(datetime.datetime(2024, 1, day).timestamp()) \
+            * 1_000_000_000
+
+    rows = []
+    for uid, val in [(1, 5.0), (2, 20.0), (3, 7.0), (4, 40.0)]:
+        rows.append((uid, ts_ns(5), val))    # pre
+        rows.append((uid, ts_ns(25), val))   # post = pre
+    ev = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    got = {r.variant: r for r in cuped_adjusted_means(ev).collect()}
+    assert got[0].theta_micro == 1_000_000
+    assert got[0].adj_mean_y_micro == got[1].adj_mean_y_micro
+    # raw means differ wildly between variants; CUPED removed it all
+    assert got[0].mean_y_micro != got[1].mean_y_micro

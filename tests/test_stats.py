@@ -280,3 +280,15 @@ def test_quality_suite_unknown_check_raises(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):
         check_suite(df, [{"check": "nope"}])
+
+
+def test_trimmed_mean_drops_outliers(spark):
+    from vega_spark.operators.stats import trimmed_mean_by
+    # 10 values: eight 10.00s plus outliers 0.01 and 1000.00 ->
+    # k=1 each side, trimmed mean is exactly 10.00
+    rows = [("a", i, 10.0) for i in range(8)]
+    rows += [("a", 8, 0.01), ("a", 9, 1000.0)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    r = trimmed_mean_by(df, "event_type", "value", "event_id").collect()[0]
+    assert (r.n, r.k_trimmed, r.n_kept) == (10, 1, 8)
+    assert r.trimmed_mean_micro == 10_000_000  # exactly $10

@@ -823,3 +823,34 @@ def corr_by_group(df: DataFrame, group_col: str, x_col: str,
     return (s.select(F.col("grp").alias(group_col), "n",
                      F.round(r, round_dp).alias("corr"))
             .orderBy(group_col))
+
+
+def trimmed_mean_by(df: DataFrame, group_col: str, value_col: str,
+                    id_col: str, trim_frac: float = 0.1) -> DataFrame:
+    """Per-group trimmed mean (exact): drop the ``trim_frac`` lowest
+    and highest values (k = floor(n·frac) each side, deterministic
+    tie-break on the id column) and average the middle in micro
+    units — the robust location estimate a burst of bad telemetry
+    can't drag the way the plain mean moves.
+
+    One per-group rank window (PARTITIONED — bounded by group size,
+    the usual per-key contract) + one keyed aggregate; the division
+    is a single fixed-shape floor(1e4·sum/cnt)."""
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    ranked = (df.select(F.col(group_col).alias("grp"),
+                        cents.alias("c"), F.col(id_col).alias("id"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("grp").orderBy(F.col("c").asc(),
+                                                    F.col("id").asc())))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("grp"))))
+    k = F.floor(F.col("n") * trim_frac).cast("long")
+    mid = ranked.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return (mid.groupBy(F.col("grp").alias(group_col))
+            .agg(F.max("n").alias("n"),
+                 F.max(k).alias("k_trimmed"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 F.floor(F.lit(10000.0) * F.sum("c") / F.count(F.lit(1)))
+                 .cast("long").alias("trimmed_mean_micro")))

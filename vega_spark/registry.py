@@ -8550,3 +8550,77 @@ def diff_in_diff_purchases_q(spark, sf_dir):
     from vega_spark.functions.analytics import diff_in_diff
     ev = _t(spark, sf_dir, "events")
     return diff_in_diff(ev)
+
+
+@_q("trimmed_mean_event_values", """
+WITH r AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ROUND(value * 100, 0) AS BIGINT),
+                                     event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+mid AS (SELECT grp, c, n, (n // 10) AS k FROM r
+        WHERE rn > n // 10 AND rn <= n - n // 10)
+SELECT grp AS event_type, MAX(n) AS n, MAX(k) AS k_trimmed,
+       COUNT(*) AS n_kept,
+       CAST(FLOOR(10000.0 * SUM(c) / COUNT(*)) AS BIGINT)
+         AS trimmed_mean_micro
+FROM mid GROUP BY 1
+""")
+def trimmed_mean_event_values_q(spark, sf_dir):
+    """10% two-sided trimmed mean of event values per type — exact
+    micro-unit robust location. Partitioned rank window + one keyed
+    aggregate; oracle replays ranks, the trim bounds, and the single
+    floor-division."""
+    from vega_spark.operators.stats import trimmed_mean_by
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_mean_by(ev, "event_type", "value", "event_id",
+                           trim_frac=0.1)
+
+
+@_q("cuped_event_values", """
+WITH pu AS (
+  SELECT user_id AS u,
+         SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS sx,
+         COUNT(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+               THEN 1 END) AS nx,
+         SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS sy,
+         COUNT(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+               THEN 1 END) AS ny
+  FROM events GROUP BY 1),
+xy AS (SELECT u, (u % 2 = 0)::INTEGER AS variant,
+              CAST(FLOOR(sx / nx) AS BIGINT) AS x,
+              CAST(FLOOR(sy / ny) AS BIGINT) AS y
+       FROM pu WHERE nx > 0 AND ny > 0),
+tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM xy),
+pv AS (SELECT variant, COUNT(*) AS nv, SUM(x) AS sxv, SUM(y) AS syv
+       FROM xy GROUP BY 1)
+SELECT variant, nv AS n_users,
+       CAST(ROUND((CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)) * 10000, 0)
+            AS BIGINT) AS mean_y_micro,
+       CAST(ROUND((CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * 10000, 0)
+            AS BIGINT) AS adj_mean_y_micro,
+       CAST(ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000, 0)
+            AS BIGINT) AS theta_micro
+FROM pv, tot
+""")
+def cuped_event_values_q(spark, sf_dir):
+    """CUPED variance-reduced experiment readout: pre-period per-user
+    means as the covariate, θ from exact int64 sufficient stats, the
+    adjusted post-period mean per variant. One per-user keyed
+    aggregate; the oracle replays the whole double-step chain
+    operation for operation."""
+    from vega_spark.functions.analytics import cuped_adjusted_means
+    ev = _t(spark, sf_dir, "events")
+    return cuped_adjusted_means(ev)
