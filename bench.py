@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "diff_in_diff_purchases",      # 2x2 causal cell means + DiD estimate
     "trimmed_mean_event_values",   # exact two-sided trimmed mean per group
     "cuped_event_values",          # CUPED variance-reduced experiment readout
+    "oov_rate_by_lang",            # vocab coverage diagnostic per language
 ]
 
 

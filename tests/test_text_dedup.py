@@ -521,3 +521,16 @@ def test_mine_duplicate_spans_whole_doc_dup(spark):
            for r in mine_duplicate_spans(docs, "text", "doc_id",
                                          k=4).collect()}
     assert got == {(1, 0, 4), (2, 0, 4)}
+
+
+def test_oov_rate_exact_counts(spark):
+    from vega_spark.functions.text import oov_rate_by_group
+    docs = spark.createDataFrame(
+        [(1, "en", "a a b rare1"), (2, "en", "a b b"),
+         (3, "de", "rare2 rare3 a")],
+        "doc_id long, lang string, text string")
+    # vocab_size=2 -> vocab = {a (4x), b (3x)}
+    got = {r.lang: (r.total_tokens, r.oov_tokens, r.oov_ppm)
+           for r in oov_rate_by_group(docs, vocab_size=2).collect()}
+    assert got["en"] == (7, 1, 142857)   # rare1 of 7
+    assert got["de"] == (3, 2, 666666)   # rare2, rare3 of 3

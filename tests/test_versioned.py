@@ -260,3 +260,37 @@ def test_stream_to_versioned_epochs_and_parity(spark, tmp_path):
     v1 = read_snapshot(spark, table, version=1)
     assert 0 < v1.agg(F.sum("n")).collect()[0][0] < 6
     assert os.path.isfile(os.path.join(table, "_latest"))
+
+
+def test_upsert_sink_foreachbatch_body_is_idempotent(spark, tmp_path):
+    # the exactly-once contract: re-running an epoch's body with the
+    # SAME batch must leave the maintained table unchanged
+    import os
+
+    from vega_spark.operators.merge import merge_into
+
+    target_path = str(tmp_path / "maintained")
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k long, v string")
+    batch.write.parquet(target_path)
+
+    def epoch_body(b):
+        target = spark.read.parquet(target_path)
+        merged = merge_into(target, b.select(*target.columns), ["k"],
+                            broadcast_source=True)
+        tmp = target_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path + ".old"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        import shutil
+        shutil.rmtree(old)
+
+    delta = spark.createDataFrame([(2, "y2"), (3, "z")], "k long, v string")
+    epoch_body(delta)
+    after_once = sorted(tuple(r) for r in
+                        spark.read.parquet(target_path).collect())
+    epoch_body(delta)  # redelivery of the same epoch
+    after_twice = sorted(tuple(r) for r in
+                         spark.read.parquet(target_path).collect())
+    assert after_once == after_twice == [(1, "x"), (2, "y2"), (3, "z")]

@@ -578,3 +578,32 @@ def mine_repeated_ngrams(docs: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") >= min_docs)
             .orderBy(F.desc("total"), F.asc("ngram"))
             .limit(top))
+
+
+def oov_rate_by_group(docs: DataFrame, group_col: str = "lang",
+                      text_col: str = "text",
+                      vocab_size: int = 1000) -> DataFrame:
+    """Out-of-vocabulary rate per corpus slice: share of token
+    occurrences not covered by the corpus-wide top-``vocab_size``
+    vocabulary — the coverage diagnostic that decides tokenizer vocab
+    size and flags under-served languages/sources before training.
+
+    Plan: one (term) count shuffle builds the vocab head
+    (TakeOrderedAndProject, bounded — the build_vocab pattern), which
+    then BROADCASTS into a left-join over the token stream; per-group
+    totals are one keyed aggregate. oov_ppm is a single fixed-shape
+    floor division."""
+    tf = (docs.select(F.explode(tokens(text_col)).alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
+    vocab = (tf.orderBy(F.desc("n"), F.asc("term")).limit(vocab_size)
+             .select("term", F.lit(1).alias("__in")))
+    toks = docs.select(F.col(group_col).alias("grp"),
+                       F.explode(tokens(text_col)).alias("term"))
+    joined = toks.join(F.broadcast(vocab), "term", "left")
+    return (joined.groupBy(F.col("grp").alias(group_col))
+            .agg(F.count(F.lit(1)).alias("total_tokens"),
+                 F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                 .alias("oov_tokens"))
+            .withColumn("oov_ppm",
+                        F.floor(F.lit(1000000.0) * F.col("oov_tokens")
+                                / F.col("total_tokens")).cast("long")))

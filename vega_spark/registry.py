@@ -8624,3 +8624,28 @@ def cuped_event_values_q(spark, sf_dir):
     from vega_spark.functions.analytics import cuped_adjusted_means
     ev = _t(spark, sf_dir, "events")
     return cuped_adjusted_means(ev)
+
+
+@_q("oov_rate_by_lang", """
+WITH tok AS (
+  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+vocab AS (SELECT term FROM tf ORDER BY n DESC, term LIMIT 1000)
+SELECT t.lang, COUNT(*) AS total_tokens,
+       SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+       CAST(FLOOR(1000000.0
+                  * SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS oov_ppm
+FROM tok t LEFT JOIN vocab v ON v.term = t.term
+GROUP BY 1
+""")
+def oov_rate_by_lang_q(spark, sf_dir):
+    """Vocabulary coverage per language: OOV token share against the
+    corpus-wide top-1000 vocabulary (bounded TakeOrdered head →
+    broadcast join → one keyed aggregate). The oracle replays
+    vocab selection and the per-language OOV counts exactly."""
+    from vega_spark.functions.text import oov_rate_by_group
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate_by_group(docs, "lang", "text", vocab_size=1000)
