@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "trimmed_mean_event_values",   # exact two-sided trimmed mean per group
     "cuped_event_values",          # CUPED variance-reduced experiment readout
     "oov_rate_by_lang",            # vocab coverage diagnostic per language
+    "write_size_targeted_roundtrip",  # block-size-targeted file sizing
 ]
 
 

@@ -96,3 +96,22 @@ def test_parquet_footer_census_multi_rowgroup(spark, tmp_path):
     row = parquet_footer_census(spark, [p], ["k"]).collect()[0]
     assert (row.col, row.num_values, row.null_count,
             row.min_val, row.max_val) == ("k", 152, 2, 0, 249)
+
+
+def test_write_size_targeted_file_count_and_sizes(spark, tmp_path):
+    import os
+
+    from vega_spark.operators.layout import write_size_targeted
+
+    df = spark.range(0, 200_000).selectExpr(
+        "id", "cast(id % 997 as string) as s", "id * 2.5 as v")
+    out = str(tmp_path / "sized")
+    info = write_size_targeted(df, out, target_file_bytes=64 * 1024)
+    files = [os.path.join(out, f) for f in os.listdir(out)
+             if f.endswith(".parquet")]
+    assert info["n_files"] == len(files) > 3
+    sizes = sorted(os.path.getsize(f) for f in files)
+    # uniform round-robin -> files within a reasonable band of target
+    assert sizes[0] > 16 * 1024 and sizes[-1] < 4 * 64 * 1024
+    # data integrity
+    assert spark.read.parquet(out).count() == 200_000

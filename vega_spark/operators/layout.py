@@ -193,3 +193,40 @@ def parquet_footer_census(spark, paths, columns):
                  F.sum("null_count").alias("null_count"),
                  F.min("min_val").alias("min_val"),
                  F.max("max_val").alias("max_val")))
+
+
+def write_size_targeted(df: DataFrame, path: str,
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        sample_rows: int = 2000) -> dict:
+    """Size-targeted parquet write: pick the file count so each
+    output file lands near ``target_file_bytes`` (the HDFS-block /
+    object-store sweet spot — the knob that prevents both the
+    small-files problem and unsplittable monster files at 100 TB).
+
+    Bytes-per-row is estimated by writing a bounded ``sample_rows``
+    head to a scratch dir (real parquet encoding + compression, the
+    only honest estimator); the full write is then one
+    ``repartition(n_files)`` round-robin — uniform file sizes by
+    construction. Returns {n_rows, est_row_bytes, n_files}."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    n_rows = df.count()
+    scratch = tempfile.mkdtemp(prefix="vega_sizer_")
+    try:
+        head = df.limit(min(sample_rows, max(n_rows, 1)))
+        head.coalesce(1).write.mode("overwrite").parquet(scratch)
+        sampled = max(1, min(sample_rows, n_rows))
+        total = sum(os.path.getsize(os.path.join(scratch, f))
+                    for f in os.listdir(scratch)
+                    if f.endswith(".parquet"))
+        bpr = max(1.0, total / sampled)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    rows_per_file = max(1, int(target_file_bytes / bpr))
+    n_files = max(1, math.ceil(n_rows / rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return {"n_rows": n_rows, "est_row_bytes": round(bpr, 1),
+            "n_files": n_files}

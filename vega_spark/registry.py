@@ -8649,3 +8649,26 @@ def oov_rate_by_lang_q(spark, sf_dir):
     from vega_spark.functions.text import oov_rate_by_group
     docs = _t(spark, sf_dir, "documents")
     return oov_rate_by_group(docs, "lang", "text", vocab_size=1000)
+
+
+@_q("write_size_targeted_roundtrip")
+def write_size_targeted_roundtrip_q(spark, sf_dir):
+    """Size-targeted write round trip (rows-only: file layout is
+    engine-specific): lineitem rewritten at a 256 KiB/file target,
+    then re-read — returns the write report plus the re-read row
+    count, which must equal the source. Layout-band assertions live
+    in tests/test_layout_embeddings.py."""
+    import shutil
+    import tempfile
+
+    from vega_spark.operators.layout import write_size_targeted
+    li = _t(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="vega_sized_q_") + "/data"
+    info = write_size_targeted(li, out,
+                               target_file_bytes=256 * 1024)
+    n_back = spark.read.parquet(out).count()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(info["n_rows"], info["n_files"], n_back,
+          int(info["n_rows"] == n_back))],
+        "n_rows long, n_files long, n_reread long, roundtrip_ok int")
