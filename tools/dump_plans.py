@@ -17,6 +17,24 @@ from vega_spark.session import get_session  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 SHOWCASE: list[tuple[str, str]] = [
+    ("image_near_dup_hamming",
+     "Pigeonhole hamming blocking: the 64-bit signature explodes to "
+     "4 bounded chunk keys, ONE equi-join generates candidates, XOR "
+     "bit_count verifies — exact near-dup pairs with no all-pairs "
+     "stage anywhere."),
+    ("maxsim_late_interaction",
+     "Late-interaction MaxSim with query vectors folded into codegen "
+     "as literals: the corpus side is one narrow explode + ONE keyed "
+     "aggregate; no join against a query table at all."),
+    ("mine_duplicate_spans",
+     "Sliding k-gram digests (narrow in-row fan-out) → one uniform "
+     "digest-keyed count shuffle → per-document bounded island "
+     "windows. Text never enters the wide stage."),
+    ("mmr_diverse_rerank",
+     "Bounded BM25 head materialized once; the pairwise sim matrix "
+     "is a token equi-join restricted to ≤top_n candidates; the "
+     "greedy loop touches only the bounded state in one cogrouped "
+     "task."),
     ("weblog_agg",
      "One scan → partial HashAggregate → single Exchange → final "
      "HashAggregate. The reference's de-facto benchmark query is "
