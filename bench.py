@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "cuped_event_values",          # CUPED variance-reduced experiment readout
     "oov_rate_by_lang",            # vocab coverage diagnostic per language
     "write_size_targeted_roundtrip",  # block-size-targeted file sizing
+    "approx_accuracy_contract",    # sketch error bounds enforced by oracle
+    "optimize_table_orders",       # OPTIMIZE: recluster + stats + skip contract
 ]
 
 

@@ -294,3 +294,24 @@ def test_upsert_sink_foreachbatch_body_is_idempotent(spark, tmp_path):
     after_twice = sorted(tuple(r) for r in
                          spark.read.parquet(target_path).collect())
     assert after_once == after_twice == [(1, "x"), (2, "y2"), (3, "z")]
+
+
+def test_optimize_table_disjoint_ranges_and_content(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vega_spark.operators.versioned import (commit_snapshot,
+                                                optimize_table,
+                                                plan_pruned_files,
+                                                read_snapshot)
+    table = str(tmp_path / "t")
+    df = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS v")
+    commit_snapshot(df.repartition(12), table, stats_cols=["k"])
+    before_kept, before_total = plan_pruned_files(table, {"k": (0, 100)})
+    assert len(before_kept) == before_total  # hash layout: no skipping
+    v = optimize_table(spark, table, ["k"], n_files=6)
+    assert v == 2
+    after_kept, after_total = plan_pruned_files(table, {"k": (0, 100)})
+    assert after_total == 6 and len(after_kept) <= 2  # clustered: skips
+    a = read_snapshot(spark, table, 1).agg(F.sum("k"), F.sum("v")).collect()
+    b = read_snapshot(spark, table, 2).agg(F.sum("k"), F.sum("v")).collect()
+    assert a == b

@@ -524,3 +524,29 @@ def delete_keys(spark: SparkSession, table_dir: str, col: str,
     os.replace(tmp, _latest_path(table_dir))
     return {"version": new_v, "rewritten": len(rewritten_names),
             "linked": len(linked), "deleted_rows": int(deleted)}
+
+
+def optimize_table(spark: SparkSession, table_dir: str,
+                   cluster_by: list[str],
+                   n_files: int = 8,
+                   bloom_col: str | None = None) -> int:
+    """OPTIMIZE for the versioned layer (the Delta/Iceberg compaction
+    verb): read the latest snapshot, re-cluster it with
+    ``repartitionByRange(cluster_by)`` into ``n_files`` files so
+    per-file [min,max] ranges on the cluster keys become DISJOINT
+    (small files collapse, data skipping on those keys goes from
+    useless to near-perfect), commit the result as a new version
+    with fresh file stats, and optionally rebuild the per-file Bloom
+    index. Content is untouched — only layout and metadata change.
+
+    One distributed range-shuffle write; manifest/stat work is
+    O(file count) driver-side metadata. Returns the new version."""
+    df = read_snapshot(spark, table_dir)
+    clustered = df.repartitionByRange(n_files, *[F.col(c)
+                                                 for c in cluster_by])
+    v = commit_snapshot(clustered, table_dir,
+                        note=f"optimize cluster_by={cluster_by}",
+                        stats_cols=list(cluster_by))
+    if bloom_col is not None:
+        add_bloom_index(spark, table_dir, bloom_col)
+    return v

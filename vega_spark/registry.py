@@ -8672,3 +8672,82 @@ def write_size_targeted_roundtrip_q(spark, sf_dir):
         [(info["n_rows"], info["n_files"], n_back,
           int(info["n_rows"] == n_back))],
         "n_rows long, n_files long, n_reread long, roundtrip_ok int")
+
+
+@_q("approx_accuracy_contract", """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv,
+       1 AS ndv_within_2pct, 1 AS p50_within_1pct
+FROM events GROUP BY 1
+""")
+def approx_accuracy_contract_q(spark, sf_dir):
+    """Accuracy CONTRACT for the approximate surface: per group,
+    HyperLogLog++ distinct (rsd=0.01) must land within 2% of the
+    exact count, and percentile_approx(0.5, acc=10k) within 1% of
+    the exact median — the flags are computed ENGINE-side from both
+    the sketch and the exact value, and the oracle pins them to 1:
+    a sketch drifting out of its advertised band fails the hash, so
+    the driver check enforces the error bound itself (the
+    count_approx/BoundedDouble family's contract, ref
+    src/partial/count_evaluator.rs, made driver-visible)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_ndv"),
+        F.expr("approx_count_distinct(user_id, 0.01)").alias("__andv"),
+        F.expr("percentile(value, 0.5)").alias("__p50"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("__p50a"))
+    return out.select(
+        "event_type", "exact_ndv",
+        (F.abs(F.col("__andv") - F.col("exact_ndv"))
+         <= 0.02 * F.col("exact_ndv")).cast("int")
+        .alias("ndv_within_2pct"),
+        (F.abs(F.col("__p50a") - F.col("__p50"))
+         <= 0.01 * F.abs(F.col("__p50"))).cast("int")
+        .alias("p50_within_1pct"))
+
+
+@_q("optimize_table_orders", """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents,
+       1 AS content_unchanged, 1 AS pruning_improved
+FROM orders GROUP BY 1
+""")
+def optimize_table_orders_q(spark, sf_dir):
+    """OPTIMIZE on a versioned table, contract-checked: orders is
+    committed as v1 in a fragmented random layout (16 hash-split
+    files — per-file o_custkey ranges all overlap, so a point-range
+    predicate prunes nothing), then optimize_table re-clusters by
+    o_custkey into v2. The query returns the per-priority aggregate
+    of the OPTIMIZED snapshot (content must equal the raw table —
+    pinned by the oracle), an engine-computed flag that v1 and v2
+    aggregates agree, and a flag that metadata-only pruning for a
+    custkey range now skips MOST files (both pinned to 1). Layout
+    changes; content provably doesn't."""
+    import tempfile
+
+    from vega_spark.operators.versioned import (commit_snapshot,
+                                                optimize_table,
+                                                plan_pruned_files,
+                                                read_snapshot)
+    orders = _t(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="vega_opt_") + "/orders_t"
+    commit_snapshot(orders.repartition(16), table,
+                    stats_cols=["o_custkey"])
+    kept_before, total_before = plan_pruned_files(
+        table, {"o_custkey": (0, 50)})
+    optimize_table(spark, table, ["o_custkey"], n_files=8)
+    kept_after, total_after = plan_pruned_files(
+        table, {"o_custkey": (0, 50)})
+    agg = lambda df: (df.groupBy("o_orderpriority")  # noqa: E731
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                                 .cast("long")).alias("sum_cents")))
+    v1 = {tuple(r) for r in agg(read_snapshot(spark, table, 1)).collect()}
+    v2rows = agg(read_snapshot(spark, table, 2))
+    v2 = {tuple(r) for r in v2rows.collect()}
+    unchanged = int(v1 == v2)
+    improved = int(len(kept_before) == total_before
+                   and len(kept_after) <= total_after // 2)
+    return (v2rows
+            .withColumn("content_unchanged", F.lit(unchanged))
+            .withColumn("pruning_improved", F.lit(improved)))
