@@ -52,7 +52,7 @@ _PRIORITY = [
     "diff_in_diff_purchases", "trimmed_mean_event_values",
     "cuped_event_values", "oov_rate_by_lang",
     "write_size_targeted_roundtrip", "approx_accuracy_contract",
-    "optimize_table_orders",
+    "optimize_table_orders", "incremental_join_view_orders",
     "png_pixel_decode_stats", "png_resize_roundtrip",
     "bm25_rank_docs", "hybrid_search_rrf",
     "retrieval_mrr_ndcg_trunc", "seq_pairs_events",

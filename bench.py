@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "write_size_targeted_roundtrip",  # block-size-targeted file sizing
     "approx_accuracy_contract",    # sketch error bounds enforced by oracle
     "optimize_table_orders",       # OPTIMIZE: recluster + stats + skip contract
+    "incremental_join_view_orders",  # delta-algebra join-view refresh
 ]
 
 

@@ -157,3 +157,21 @@ def test_mv_refresh_matches_recompute_and_drops_empty_groups(spark):
     got = {r.k: (r.v, r.n) for r in refresh_aggregate_view(
         view, delta, ["k"], ["v"], sign_col="sign").collect()}
     assert got == {"a": (17.0, 3), "c": (9.0, 1)}   # b vanished (n=0)
+
+
+def test_refresh_join_view_equals_full_rejoin(spark):
+    from vega_spark.operators.incremental import (join_view,
+                                                  refresh_join_view)
+    L = spark.createDataFrame(
+        [(k, f"l{i}") for i, k in enumerate([1, 1, 2, 3, 4, 4, 4])],
+        "k long, lv string")
+    R = spark.createDataFrame(
+        [(k, f"r{i}") for i, k in enumerate([1, 2, 2, 4, 5])],
+        "k long, rv string")
+    l_old, l_new = L.filter("k % 2 = 0"), L.filter("k % 2 = 1")
+    r_old, r_new = R.filter("k % 3 = 0"), R.filter("k % 3 != 0")
+    v = refresh_join_view(join_view(l_old, r_old, ["k"]),
+                          l_old, l_new, r_old, r_new, ["k"])
+    got = sorted(tuple(r) for r in v.collect())
+    want = sorted(tuple(r) for r in L.join(R, "k").collect())
+    assert got == want  # incl. multi-match fan-out multiplicities

@@ -58,3 +58,36 @@ def refresh_aggregate_view(view: DataFrame, delta: DataFrame,
              + F.coalesce(F.col(f"d.{count_col}"), F.lit(0))).alias(count_col)
     return (merged.select(*keys, *out_sums, out_n)
             .filter(F.col(count_col) > 0))
+
+
+def join_view(left: DataFrame, right: DataFrame,
+              on: Sequence[str]) -> DataFrame:
+    """Build the maintainable JOIN view (inner equi-join)."""
+    return left.join(right, on=list(on))
+
+
+def refresh_join_view(view: DataFrame,
+                      left_old: DataFrame, delta_left: DataFrame,
+                      right_old: DataFrame, delta_right: DataFrame,
+                      on: Sequence[str]) -> DataFrame:
+    """Incremental maintenance of an inner-join view under
+    INSERT-ONLY deltas — the classic delta algebra
+    (Blakeley/Larson/Tompa '86; the DBSP/differential-dataflow
+    bilinear rule):
+
+        V' = V ∪ (ΔL ⋈ R) ∪ (L ⋈ ΔR) ∪ (ΔL ⋈ ΔR)
+
+    so the refresh cost is |Δ|·join-selectivity, never a rescan of
+    L ⋈ R. Retractions need signed multiplicities (see
+    refresh_aggregate_view's sign_col) — refused here rather than
+    silently double-counted: insert-only is the append-log case the
+    streaming legs produce.
+
+    Scale: the three delta joins are delta-sized on one side, so
+    under AQE they broadcast; the old-side tables are scanned once
+    each, not joined against each other."""
+    keys = list(on)
+    return (view
+            .unionByName(delta_left.join(right_old, on=keys))
+            .unionByName(left_old.join(delta_right, on=keys))
+            .unionByName(delta_left.join(delta_right, on=keys)))

@@ -8751,3 +8751,45 @@ def optimize_table_orders_q(spark, sf_dir):
     return (v2rows
             .withColumn("content_unchanged", F.lit(unchanged))
             .withColumn("pruning_improved", F.lit(improved)))
+
+
+@_q("incremental_join_view_orders", """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""")
+def incremental_join_view_orders_q(spark, sf_dir):
+    """Incremental JOIN-view maintenance, parity-checked: the
+    orders⋈customer view is built on 80% of each table, then
+    refreshed with the remaining 20% via the delta algebra
+    V ∪ ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — no rescan of the old join. The
+    maintained view's per-segment aggregate must equal the
+    from-scratch join over the FULL tables (the oracle), so a
+    missing or double-counted delta term fails the hash. Splits are
+    deterministic (modulo on the keys)."""
+    from vega_spark.operators.incremental import (join_view,
+                                                  refresh_join_view)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    o_old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    o_new = orders.filter(F.col("o_orderkey") % 5 == 0)
+    c_old = cust.filter(F.col("c_custkey") % 5 != 0)
+    c_new = cust.filter(F.col("c_custkey") % 5 == 0)
+    keys = ["ck"]
+    v0 = join_view(o_old.withColumnRenamed("o_custkey", "ck"),
+                   c_old.withColumnRenamed("c_custkey", "ck"), keys)
+    v1 = refresh_join_view(
+        v0,
+        o_old.withColumnRenamed("o_custkey", "ck"),
+        o_new.withColumnRenamed("o_custkey", "ck"),
+        c_old.withColumnRenamed("c_custkey", "ck"),
+        c_new.withColumnRenamed("c_custkey", "ck"),
+        keys)
+    return (v1.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                       .cast("long")).alias("sum_cents")))
