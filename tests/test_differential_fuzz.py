@@ -1,0 +1,31 @@
+"""Seeded random differential fuzzing: random aggregation shapes run
+from the SAME SQL string on Spark and DuckDB must agree exactly
+(tools/fuzz_differential.py is the CLI twin; 200 cases swept there —
+the pytest leg keeps a fast deterministic sample in CI)."""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.fuzz_differential import gen_query, run_case  # noqa: E402
+
+
+def test_random_query_shapes_agree_with_duckdb(spark, sf_dir):
+    import duckdb
+
+    from vega_spark.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem") \
+        .createOrReplaceTempView("lineitem")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, 'lineitem.parquet')}'")
+    rng = random.Random(1234)
+    for _ in range(20):
+        sql = gen_query(rng)
+        ok, why = run_case(spark, con, sql)
+        assert ok, f"{sql}: {why}"

@@ -1,0 +1,109 @@
+"""Random differential query fuzzer: generate random (but
+deterministic, seeded) aggregation query shapes over lineitem, run
+each on Spark AND DuckDB from the SAME generated ANSI-SQL string, and
+compare results exactly. Complements the fixed registry oracle: the
+registry pins curated operator semantics; the fuzzer sweeps the
+combinatorial space of filter x group x aggregate x order shapes
+where translation bugs (null ordering, type coercion, overflow
+casts) hide.
+
+Exactness by construction: only integer-valued expressions —
+quantities cast to int, prices to BIGINT cents — and only exact
+aggregates (COUNT/SUM/MIN/MAX), so both engines must agree bit for
+bit with no float tolerance.
+
+Usage: python tools/fuzz_differential.py [sf_dir] [n_cases] [seed]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+INT_EXPRS = {
+    "qty": "CAST(l_quantity AS BIGINT)",
+    "cents": "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)",
+    "disc_pct": "CAST(ROUND(l_discount * 100, 0) AS BIGINT)",
+    "okey": "l_orderkey",
+}
+AGG_FNS = ["COUNT", "SUM", "MIN", "MAX"]
+CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+def gen_query(rng: random.Random) -> str:
+    filters = []
+    for _ in range(rng.randrange(0, 3)):
+        name, expr = rng.choice(list(INT_EXPRS.items()))
+        op = rng.choice(CMP_OPS)
+        if name == "qty":
+            lit = rng.randrange(1, 50)
+        elif name == "cents":
+            lit = rng.randrange(100, 10_000_000)
+        elif name == "disc_pct":
+            lit = rng.randrange(0, 11)
+        else:
+            lit = rng.randrange(0, 15000)
+        filters.append(f"{expr} {op} {lit}")
+    keys = rng.sample(GROUP_COLS, rng.randrange(0, 3))
+    aggs = []
+    for i in range(rng.randrange(1, 4)):
+        fn = rng.choice(AGG_FNS)
+        arg = "*" if fn == "COUNT" else rng.choice(list(INT_EXPRS.values()))
+        aggs.append(f"{fn}({arg}) AS a{i}")
+    select = ", ".join(keys + aggs)
+    sql = f"SELECT {select} FROM lineitem"
+    if filters:
+        sql += " WHERE " + " AND ".join(filters)
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+        if rng.random() < 0.5:
+            sql += f" HAVING COUNT(*) > {rng.randrange(0, 5)}"
+    return sql
+
+
+def run_case(spark, con, sql: str) -> tuple[bool, str]:
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = [tuple(r) for r in con.sql(sql).fetchall()]
+    norm = lambda rows: sorted(  # noqa: E731
+        tuple("NULL" if v is None else int(v) if isinstance(v, bool)
+              else v for v in r) for r in rows)
+    if norm(srows) != norm(drows):
+        return False, f"rows differ: spark={len(srows)} duck={len(drows)}"
+    return True, ""
+
+
+def main() -> int:
+    import duckdb
+
+    from vega_spark.session import get_session
+    from vega_spark.tables import load_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+
+    spark = get_session("vega-fuzz")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, 'lineitem.parquet')}'")
+
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n):
+        sql = gen_query(rng)
+        ok, why = run_case(spark, con, sql)
+        if not ok:
+            failures.append((sql, why))
+            print(f"FAIL [{i}] {sql}\n  {why}")
+    print(f"{n - len(failures)}/{n} generated queries agree "
+          f"(seed={seed}, sf={sf_dir})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
