@@ -11,7 +11,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.fuzz_differential import gen_query, run_case  # noqa: E402
+from tools.fuzz_differential import (gen_join_query,  # noqa: E402
+                                     gen_query, run_case)
 
 
 def test_random_query_shapes_agree_with_duckdb(spark, sf_dir):
@@ -21,11 +22,14 @@ def test_random_query_shapes_agree_with_duckdb(spark, sf_dir):
 
     load_table(spark, sf_dir, "lineitem") \
         .createOrReplaceTempView("lineitem")
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     con = duckdb.connect()
-    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
-            f"'{os.path.join(sf_dir, 'lineitem.parquet')}'")
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, t + '.parquet')}'")
     rng = random.Random(1234)
-    for _ in range(20):
-        sql = gen_query(rng)
+    for i in range(20):
+        sql = gen_query(rng) if i % 2 == 0 else gen_join_query(rng)
         ok, why = run_case(spark, con, sql)
         assert ok, f"{sql}: {why}"

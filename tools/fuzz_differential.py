@@ -65,6 +65,38 @@ def gen_query(rng: random.Random) -> str:
     return sql
 
 
+def gen_join_query(rng: random.Random) -> str:
+    """Random join shapes: orders x customer on custkey, inner or
+    left, with filters on either side and exact aggregates — the
+    null-introducing LEFT branch exercises COUNT(col) vs COUNT(*)
+    and null group keys, the classic translation traps."""
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    filters = []
+    if rng.random() < 0.7:
+        filters.append(
+            f"CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+            f"{rng.choice(CMP_OPS)} {rng.randrange(10_000, 40_000_000)}")
+    if rng.random() < 0.4:
+        filters.append(f"o_orderkey {rng.choice(CMP_OPS)} "
+                       f"{rng.randrange(0, 15000)}")
+    keys = rng.sample(["o_orderpriority", "c_mktsegment"],
+                      rng.randrange(0, 3))
+    aggs = ["COUNT(*) AS a0", "COUNT(c_custkey) AS a1"]
+    if rng.random() < 0.7:
+        aggs.append("SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+                    "AS a2")
+    if rng.random() < 0.5:
+        aggs.append(f"{rng.choice(['MIN', 'MAX'])}(c_custkey) AS a3")
+    select = ", ".join(keys + aggs)
+    sql = (f"SELECT {select} FROM orders {how} customer "
+           f"ON o_custkey = c_custkey")
+    if filters:
+        sql += " WHERE " + " AND ".join(filters)
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    return sql
+
+
 def run_case(spark, con, sql: str) -> tuple[bool, str]:
     srows = [tuple(r) for r in spark.sql(sql).collect()]
     drows = [tuple(r) for r in con.sql(sql).fetchall()]
@@ -92,10 +124,17 @@ def main() -> int:
     con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
             f"'{os.path.join(sf_dir, 'lineitem.parquet')}'")
 
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer") \
+        .createOrReplaceTempView("customer")
+    for t in ("orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, t + '.parquet')}'")
+
     rng = random.Random(seed)
     failures = []
     for i in range(n):
-        sql = gen_query(rng)
+        sql = gen_query(rng) if i % 2 == 0 else gen_join_query(rng)
         ok, why = run_case(spark, con, sql)
         if not ok:
             failures.append((sql, why))
