@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "approx_accuracy_contract",    # sketch error bounds enforced by oracle
     "optimize_table_orders",       # OPTIMIZE: recluster + stats + skip contract
     "incremental_join_view_orders",  # delta-algebra join-view refresh
+    "join_view_signed_retractions",  # bilinear delete propagation
 ]
 
 

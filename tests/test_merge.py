@@ -175,3 +175,31 @@ def test_refresh_join_view_equals_full_rejoin(spark):
     got = sorted(tuple(r) for r in v.collect())
     want = sorted(tuple(r) for r in L.join(R, "k").collect())
     assert got == want  # incl. multi-match fan-out multiplicities
+
+
+def test_refresh_join_view_signed_handles_deletes(spark):
+    from vega_spark.operators.incremental import (refresh_join_view_signed,
+                                                  to_multiset)
+    L0 = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c")], "k long, lv string")
+    R0 = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y"), (4, "z")], "k long, rv string")
+    # delta: delete ONE copy of (1,'a') and the (2,'b') row;
+    # insert (4,'d') left and delete one (2,'y') right
+    from pyspark.sql import functions as F
+    dl = spark.createDataFrame(
+        [(1, "a", -1), (2, "b", -1), (4, "d", 1)],
+        "k long, lv string, __mult long")
+    dr = spark.createDataFrame(
+        [(2, "y", -1)], "k long, rv string, __mult long")
+    v0 = to_multiset(L0.join(R0, "k"))
+    v1 = refresh_join_view_signed(v0, to_multiset(L0), dl,
+                                  to_multiset(R0), dr, ["k"])
+    # final ground truth: apply deltas to base tables, re-join
+    L1 = spark.createDataFrame(
+        [(1, "a"), (3, "c"), (4, "d")], "k long, lv string")
+    R1 = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (4, "z")], "k long, rv string")
+    want = sorted(tuple(r) for r in to_multiset(L1.join(R1, "k")).collect())
+    got = sorted(tuple(r) for r in v1.collect())
+    assert got == want

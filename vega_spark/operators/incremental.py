@@ -91,3 +91,50 @@ def refresh_join_view(view: DataFrame,
             .unionByName(delta_left.join(right_old, on=keys))
             .unionByName(left_old.join(delta_right, on=keys))
             .unionByName(delta_left.join(delta_right, on=keys)))
+
+
+def to_multiset(df: DataFrame, mult_col: str = "__mult") -> DataFrame:
+    """Collapse a bag to (distinct row, multiplicity) — the signed
+    representation the retraction-capable view algebra works over."""
+    return df.groupBy(*df.columns).agg(
+        F.count(F.lit(1)).cast("long").alias(mult_col))
+
+
+def refresh_join_view_signed(view: DataFrame,
+                             left_old: DataFrame, delta_left: DataFrame,
+                             right_old: DataFrame, delta_right: DataFrame,
+                             on: Sequence[str],
+                             mult_col: str = "__mult") -> DataFrame:
+    """Join-view maintenance WITH retractions (signed multiplicities —
+    the full bilinear rule of differential dataflow / DBSP): every
+    frame is a multiset (distinct row + ``mult_col``; deltas carry
+    NEGATIVE multiplicities for deletes), and
+
+        ΔV = ΔL⋈R₀ + L₀⋈ΔR + ΔL⋈ΔR,  mult(v) = mult(l)·mult(r)
+
+    V' collapses (V ∪ ΔV) by summing multiplicities and dropping
+    zeros — so a delete propagates as exactly the negative of the
+    join rows it once produced, with NO rescan of the old join.
+
+    Cost: three delta-sized joins (broadcast under AQE) + one
+    collapse keyed on the view row. The collapse key is the full row;
+    at scale, pre-project the view to the columns consumers need."""
+    keys = list(on)
+
+    def prod_join(a: DataFrame, b: DataFrame) -> DataFrame:
+        am = a.withColumnRenamed(mult_col, "__ml")
+        bm = b.withColumnRenamed(mult_col, "__mr")
+        out_cols = [c for c in am.columns if c != "__ml"] \
+            + [c for c in bm.columns if c not in keys + ["__mr"]]
+        return (am.join(bm, on=keys)
+                .select(*out_cols,
+                        (F.col("__ml") * F.col("__mr")).alias(mult_col)))
+
+    delta_v = (prod_join(delta_left, right_old)
+               .unionByName(prod_join(left_old, delta_right))
+               .unionByName(prod_join(delta_left, delta_right)))
+    group_cols = [c for c in view.columns if c != mult_col]
+    return (view.unionByName(delta_v)
+            .groupBy(*group_cols)
+            .agg(F.sum(mult_col).alias(mult_col))
+            .filter(F.col(mult_col) != 0))

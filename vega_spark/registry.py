@@ -8793,3 +8793,40 @@ def incremental_join_view_orders_q(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.round(F.col("o_totalprice") * 100, 0)
                        .cast("long")).alias("sum_cents")))
+
+
+@_q("join_view_signed_retractions", """
+WITH l1 AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+  WHERE o_orderkey % 7 <> 0),
+r1 AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey % 9 <> 0)
+SELECT l1.o_orderpriority, r1.c_mktsegment, COUNT(*) AS n
+FROM l1 JOIN r1 ON l1.o_custkey = r1.c_custkey
+GROUP BY 1, 2
+""")
+def join_view_signed_retractions_q(spark, sf_dir):
+    """Retraction-capable join-view maintenance, parity-checked: the
+    orders⋈customer view is built on the FULL tables, then a signed
+    delta DELETES orders with orderkey%7=0 and customers with
+    custkey%9=0 (negative multiplicities) — the maintained view must
+    equal the from-scratch join over the surviving rows (the
+    oracle). A delete propagating wrong multiplicities (the classic
+    fan-out bug) breaks the count."""
+    from vega_spark.operators.incremental import (
+        refresh_join_view_signed, to_multiset)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("ck"),
+        F.col("o_orderpriority"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment"))
+    v0 = to_multiset(orders.join(cust, "ck"))
+    dl = (orders.filter(F.col("o_orderkey") % 7 == 0)
+          .withColumn("__mult", F.lit(-1).cast("long")))
+    dr = (cust.filter(F.col("ck") % 9 == 0)
+          .withColumn("__mult", F.lit(-1).cast("long")))
+    v1 = refresh_join_view_signed(v0, to_multiset(orders), dl,
+                                  to_multiset(cust), dr, ["ck"])
+    return (v1.groupBy("o_orderpriority", "c_mktsegment")
+            .agg(F.sum("__mult").alias("n")))
