@@ -53,7 +53,7 @@ _PRIORITY = [
     "cuped_event_values", "oov_rate_by_lang",
     "write_size_targeted_roundtrip", "approx_accuracy_contract",
     "optimize_table_orders", "incremental_join_view_orders",
-    "join_view_signed_retractions",
+    "join_view_signed_retractions", "secure_view_customers",
     "png_pixel_decode_stats", "png_resize_roundtrip",
     "bm25_rank_docs", "hybrid_search_rrf",
     "retrieval_mrr_ndcg_trunc", "seq_pairs_events",

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "optimize_table_orders",       # OPTIMIZE: recluster + stats + skip contract
     "incremental_join_view_orders",  # delta-algebra join-view refresh
     "join_view_signed_retractions",  # bilinear delete propagation
+    "secure_view_customers",       # RLS/CLS masked-view aggregate
 ]
 
 

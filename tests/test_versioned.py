@@ -315,3 +315,22 @@ def test_optimize_table_disjoint_ranges_and_content(spark, tmp_path):
     a = read_snapshot(spark, table, 1).agg(F.sum("k"), F.sum("v")).collect()
     b = read_snapshot(spark, table, 2).agg(F.sum("k"), F.sum("v")).collect()
     assert a == b
+
+
+def test_tag_version_pins_snapshot_by_name(spark, tmp_path):
+    import pytest
+
+    from vega_spark.operators.versioned import (commit_snapshot, read_tag,
+                                                tag_version)
+    table = str(tmp_path / "t")
+    commit_snapshot(spark.range(0, 10), table)
+    tag_version(table, "audit-2024")          # tags v1
+    commit_snapshot(spark.range(0, 99), table)
+    # the tag still reads v1 even though _latest moved to v2
+    assert read_tag(spark, table, "audit-2024").count() == 10
+    assert tag_version(table, "latest-now") == 2
+    assert read_tag(spark, table, "latest-now").count() == 99
+    with pytest.raises(ValueError):
+        read_tag(spark, table, "nope")
+    with pytest.raises(ValueError):
+        tag_version(table, "bad", version=7)

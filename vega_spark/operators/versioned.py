@@ -550,3 +550,34 @@ def optimize_table(spark: SparkSession, table_dir: str,
     if bloom_col is not None:
         add_bloom_index(spark, table_dir, bloom_col)
     return v
+
+
+def tag_version(table_dir: str, tag: str,
+                version: int | None = None) -> int:
+    """Name a snapshot (Iceberg-style tag): an immutable ref under
+    ``_tags/`` pointing at a version — 'v2024-audit', 'prod-baseline'
+    — so readers pin datasets by meaning instead of by number.
+    Driver-side metadata only; atomic via the same write-then-rename
+    discipline as the ``_latest`` pointer. Returns the tagged
+    version."""
+    v = version if version is not None else current_version(table_dir)
+    if v is None or not os.path.isfile(
+            os.path.join(_manifest_dir(table_dir), f"{v:05d}.json")):
+        raise ValueError(f"no version {v!r} to tag in {table_dir}")
+    tdir = os.path.join(table_dir, "_tags")
+    os.makedirs(tdir, exist_ok=True)
+    safe = tag.replace("/", "_")
+    tmp = os.path.join(tdir, safe + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(tdir, safe))
+    return v
+
+
+def read_tag(spark: SparkSession, table_dir: str, tag: str) -> DataFrame:
+    """Time travel by NAME: the snapshot a tag points at."""
+    path = os.path.join(table_dir, "_tags", tag.replace("/", "_"))
+    if not os.path.isfile(path):
+        raise ValueError(f"unknown tag {tag!r} in {table_dir}")
+    with open(path) as f:
+        return read_snapshot(spark, table_dir, int(f.read().strip()))

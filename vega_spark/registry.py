@@ -8830,3 +8830,44 @@ def join_view_signed_retractions_q(spark, sf_dir):
                                   to_multiset(cust), dr, ["ck"])
     return (v1.groupBy("o_orderpriority", "c_mktsegment")
             .agg(F.sum("__mult").alias("n")))
+
+
+@_q("secure_view_customers", """
+WITH v AS (
+  SELECT sha256('pepper' || CAST(c_custkey AS VARCHAR)) AS c_custkey,
+         CASE WHEN LENGTH(c_name) <= 2 THEN c_name
+              ELSE REPEAT('*', LENGTH(c_name) - 2)
+                   || SUBSTR(c_name, LENGTH(c_name) - 1, 2) END AS c_name,
+         (FLOOR(c_acctbal / 1000) * 1000)::BIGINT AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_nationkey < 10)
+SELECT c_mktsegment, COUNT(*) AS n,
+       COUNT(DISTINCT c_custkey) AS n_tokens,
+       SUM(c_acctbal) AS sum_bucketed,
+       MIN(c_name) AS first_masked_name
+FROM v GROUP BY 1
+""")
+def secure_view_customers_q(spark, sf_dir):
+    """Row/column-level security view: analysts see nation<10 rows
+    only, custkeys as salted sha256 tokens (still countable-distinct
+    and joinable), names star-masked to the last 2 chars, balances
+    generalized to $1000 buckets, nationkey dropped entirely. The
+    oracle replays every mask byte for byte; the aggregate proves
+    masked data stays analytically useful."""
+    from vega_spark.operators.security import (mask_bucket, mask_hash,
+                                               mask_last, secure_view)
+    cust = _t(spark, sf_dir, "customer")
+    v = secure_view(
+        cust,
+        row_filter=F.col("c_nationkey") < 10,
+        column_masks={
+            "c_custkey": mask_hash(F.col("c_custkey"), salt="pepper"),
+            "c_name": mask_last(F.col("c_name"), keep=2),
+            "c_acctbal": mask_bucket(F.col("c_acctbal"), 1000),
+        },
+        drop_columns=("c_nationkey",))
+    return (v.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct("c_custkey").alias("n_tokens"),
+                 F.sum("c_acctbal").alias("sum_bucketed"),
+                 F.min("c_name").alias("first_masked_name")))
