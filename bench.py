@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "incremental_join_view_orders",  # delta-algebra join-view refresh
     "join_view_signed_retractions",  # bilinear delete propagation
     "secure_view_customers",       # RLS/CLS masked-view aggregate
+    "stl_residual_anomalies",      # seasonality-aware MAD burst screen
 ]
 
 

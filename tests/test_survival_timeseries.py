@@ -167,3 +167,34 @@ def test_stl_lite_zero_fills_gaps(spark):
     assert len(out) == 6          # dense hours 0..5
     ys = [r.y for r in out.values()]
     assert sorted(ys) == [0, 0, 0, 0, 1, 1]
+
+
+def test_stl_residual_anomalies_flags_injected_burst(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from vega_spark.functions.analytics import stl_residual_anomalies
+
+    # 6 days of a clean daily pattern (10 + hour-of-day) with ONE
+    # injected 500-event burst: only that hour may be flagged
+    base = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(24 * 6):
+        n = 10 + (h % 24) + (500 if h == 77 else 0)
+        ts = int((base + datetime.timedelta(hours=h)).timestamp())
+        for _ in range(n):
+            rows.append((eid, "a", ts * 1_000_000))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts long") \
+        .withColumn("ts", F.timestamp_micros("ts"))
+    got = stl_residual_anomalies(ev, k_mad=6).collect()
+    assert len(got) >= 1
+    flagged_hours = {r.xh for r in got}
+    burst_xh = int((base + datetime.timedelta(hours=77)).timestamp()) // 3600
+    assert burst_xh in flagged_hours
+    # every flag traces back to the burst: inside its ±12h trend
+    # shadow, or sharing its hour-of-day slot (the burst pulls that
+    # slot's seasonal mean up, making clean days read negative there)
+    assert all(abs(x - burst_xh) <= 12 or x % 24 == burst_xh % 24
+               for x in flagged_hours)

@@ -1535,3 +1535,70 @@ def cuped_adjusted_means(events: DataFrame,
         F.round(mean_y * 10000, 0).cast("long").alias("mean_y_micro"),
         F.round(adj * 10000, 0).cast("long").alias("adj_mean_y_micro"),
         F.round(theta * 1000000, 0).cast("long").alias("theta_micro"))
+
+
+def stl_residual_anomalies(events: DataFrame,
+                           type_col: str = "event_type",
+                           ts_col: str = "ts",
+                           half_window: int = 12,
+                           k_mad: int = 6) -> DataFrame:
+    """Seasonality-aware anomaly screen: hours whose STL residual
+    exceeds ``k_mad`` x the series' MAD — bursts that a plain
+    z-score would mistake for (or hide inside) daily seasonality.
+    Same dense-grid / integer-requantized decomposition as
+    stl_lite_hourly, but the seasonal mean is integerized too, so
+    the residual is an EXACT long (micro-events) and the MAD is an
+    exact lower-median order statistic — fully engine-replayable.
+
+    Per-key bounded windows only (grid length); output rows are the
+    flagged anomalies, never the grid."""
+    from pyspark.sql.window import Window
+
+    hourly = (events.groupBy(
+        F.col(type_col).alias("event_type"),
+        (F.unix_timestamp(F.col(ts_col)).cast("long") / 3600)
+        .cast("long").alias("xh"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    span = hourly.groupBy("event_type").agg(
+        F.min("xh").alias("lo"), F.max("xh").alias("hi"))
+    dense = (span.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("xh"))
+        .join(hourly, ["event_type", "xh"], "left_outer")
+        .select("event_type", "xh",
+                F.coalesce(F.col("n"), F.lit(0)).alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("xh")
+         .rowsBetween(-half_window, half_window))
+    t = (dense
+         .withColumn("trend", F.sum("y").over(w).cast("double")
+                     / F.count(F.lit(1)).over(w).cast("double"))
+         .withColumn("det",
+                     F.round((F.col("y") - F.col("trend")) * 1000000, 0)
+                     .cast("long")))
+    seas = (t.groupBy(F.col("event_type").alias("__se"),
+                      F.pmod(F.col("xh"), F.lit(24)).alias("hod"))
+            .agg(F.round(F.sum("det").cast("double")
+                         / F.count(F.lit(1)).cast("double"), 0)
+                 .cast("long").alias("seas_micro")))
+    res = (t.join(F.broadcast(seas),
+                  (F.col("event_type") == F.col("__se"))
+                  & (F.pmod(F.col("xh"), F.lit(24)) == F.col("hod")))
+           .select("event_type", "xh", "y",
+                   (F.col("det") - F.col("seas_micro"))
+                   .alias("res_micro")))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("res_micro")).asc(), F.col("xh").asc())
+    wc = Window.partitionBy("event_type")
+    ranked = (res.withColumn("__r", F.row_number().over(wr))
+              .withColumn("__cnt", F.count(F.lit(1)).over(wc)))
+    med = (ranked.filter(F.col("__r") == F.floor((F.col("__cnt") + 1) / 2))
+           .select(F.col("event_type").alias("__me"),
+                   F.abs(F.col("res_micro")).alias("mad_micro")))
+    med = med.select("__me",
+                     F.greatest(F.col("mad_micro"),
+                                F.lit(1000).cast("long"))
+                     .alias("mad_micro"))
+    return (res.join(F.broadcast(med),
+                     F.col("event_type") == F.col("__me"))
+            .filter(F.abs(F.col("res_micro"))
+                    > k_mad * F.col("mad_micro"))
+            .select("event_type", "xh", "y", "res_micro", "mad_micro"))

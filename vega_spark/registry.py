@@ -8871,3 +8871,62 @@ def secure_view_customers_q(spark, sf_dir):
                  F.count_distinct("c_custkey").alias("n_tokens"),
                  F.sum("c_acctbal").alias("sum_bucketed"),
                  F.min("c_name").alias("first_masked_name")))
+
+
+@_q("stl_residual_anomalies", """
+WITH hourly AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS xh,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(xh) AS lo, MAX(xh) AS hi
+         FROM hourly GROUP BY 1),
+dense0 AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi)) AS xh FROM span),
+dense AS (
+  SELECT d.event_type, d.xh, COALESCE(h.n, 0) AS y
+  FROM dense0 d LEFT JOIN hourly h
+    ON h.event_type = d.event_type AND h.xh = d.xh),
+t AS (
+  SELECT event_type, xh, y,
+         CAST(SUM(y) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY xh
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+t2 AS (SELECT *, CAST(ROUND((y - trend) * 1000000, 0) AS BIGINT) AS det
+       FROM t),
+seas AS (
+  SELECT event_type, xh % 24 AS hod,
+         CAST(ROUND(CAST(SUM(det) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+           AS seas_micro
+  FROM t2 GROUP BY 1, 2),
+res AS (
+  SELECT t2.event_type, t2.xh, t2.y,
+         t2.det - seas.seas_micro AS res_micro
+  FROM t2 JOIN seas
+    ON t2.event_type = seas.event_type AND t2.xh % 24 = seas.hod),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(res_micro), xh) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM res),
+mad AS (
+  SELECT event_type,
+         GREATEST(ABS(res_micro), 1000) AS mad_micro
+  FROM rk WHERE r = (cnt + 1) // 2)
+SELECT res.event_type, res.xh, res.y, res.res_micro, mad.mad_micro
+FROM res JOIN mad ON mad.event_type = res.event_type
+WHERE ABS(res.res_micro) > 4 * mad.mad_micro
+""")
+def stl_residual_anomalies_q(spark, sf_dir):
+    """Seasonality-aware burst detection: hours whose STL residual
+    exceeds 4x the series MAD (exact micro-integers; lower-median
+    order statistic with a 0.001-event floor) — bursts a plain
+    z-score hides inside daily seasonality. Bounded per-key windows;
+    the oracle replays the full decomposition, the median rank, and
+    the flags."""
+    from vega_spark.functions.analytics import stl_residual_anomalies
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stl_residual_anomalies(ev, k_mad=4)
