@@ -27,8 +27,40 @@ from vega_spark import registry  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``vega_spark`` importable on EXECUTOR python workers.
+
+    The sys.path insert above fixes the driver process only: worker
+    processes unpickle UDF closures (mapInPandas kernels reference
+    vega_spark functions) with their own interpreter, which knows
+    nothing about this file's location when the driver was launched
+    from a different cwd. Shipping a zip of the package via
+    ``addPyFile`` covers every deployment mode (local worker
+    subprocesses AND real clusters) without touching PYTHONPATH.
+    Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_vega_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(_REPO_ROOT, "vega_spark")
+    zpath = os.path.join(tempfile.mkdtemp(prefix="vega_pkg_"),
+                         "vega_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                z.write(full, os.path.relpath(full, _REPO_ROOT))
+    sc.addPyFile(zpath)
+    sc._vega_pkg_shipped = True
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     return registry.QUERIES["weblog_agg"](spark, SF0001)
 
 
@@ -141,7 +173,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered
     so the driver's per-round verification window covers the
     not-yet-verified queries first (see _PRIORITY)."""
-    q = dict(registry.QUERIES)
+    def shipped(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    q = {k: shipped(fn) for k, fn in registry.QUERIES.items()}
     seen = _driver_verified()
     head = [k for k in _PRIORITY if k in q and k not in seen]
     head += [k for k in q if k not in seen and k not in head]

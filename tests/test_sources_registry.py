@@ -194,3 +194,22 @@ def test_custom_jsonl_sink_two_phase_commit(spark, tmp_path):
     back = spark.read.schema("id long, v long").json(out)
     assert back.count() == 100
     assert back.agg({"v": "sum"}).collect()[0][0] == 9900
+
+
+def test_entry_module_ships_package_to_executors(spark, tmp_path):
+    # the driver may exec __spark_entry__ from ANY cwd: UDF closures
+    # referencing vega_spark must unpickle on executor workers, which
+    # requires the shipped package zip, not the driver's sys.path
+    import importlib.util
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry___shiptest", os.path.join(root, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    # a mapInPandas-backed query (real executor-side vega_spark import)
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST",
+                        "/root/testdata/sf0.001")
+    assert qs["image_dhash_census"](spark, sf).count() > 0
+    assert getattr(spark.sparkContext, "_vega_pkg_shipped", False)
