@@ -86,7 +86,7 @@ _PRIORITY = [
     "write_size_targeted_roundtrip", "approx_accuracy_contract",
     "optimize_table_orders", "incremental_join_view_orders",
     "join_view_signed_retractions", "secure_view_customers",
-    "stl_residual_anomalies",
+    "stl_residual_anomalies", "winsorized_mean_event_values",
     "png_pixel_decode_stats", "png_resize_roundtrip",
     "bm25_rank_docs", "hybrid_search_rrf",
     "retrieval_mrr_ndcg_trunc", "seq_pairs_events",

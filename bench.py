@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "join_view_signed_retractions",  # bilinear delete propagation
     "secure_view_customers",       # RLS/CLS masked-view aggregate
     "stl_residual_anomalies",      # seasonality-aware MAD burst screen
+    "winsorized_mean_event_values",  # clamp-to-order-statistic robust mean
 ]
 
 

@@ -292,3 +292,16 @@ def test_trimmed_mean_drops_outliers(spark):
     r = trimmed_mean_by(df, "event_type", "value", "event_id").collect()[0]
     assert (r.n, r.k_trimmed, r.n_kept) == (10, 1, 8)
     assert r.trimmed_mean_micro == 10_000_000  # exactly $10
+
+
+def test_winsorized_mean_clamps_outliers(spark):
+    from vega_spark.operators.stats import winsorized_mean_by
+    # eight 10.00s + outliers 0.01 and 1000.00: k=1 each side, the
+    # extremes clamp to 10.00 -> winsorized mean is exactly $10
+    rows = [("a", i, 10.0) for i in range(8)]
+    rows += [("a", 8, 0.01), ("a", 9, 1000.0)]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, value double")
+    r = winsorized_mean_by(df, "event_type", "value",
+                           "event_id").collect()[0]
+    assert (r.n, r.winsorized_mean_micro) == (10, 10_000_000)

@@ -854,3 +854,37 @@ def trimmed_mean_by(df: DataFrame, group_col: str, value_col: str,
                  F.count(F.lit(1)).alias("n_kept"),
                  F.floor(F.lit(10000.0) * F.sum("c") / F.count(F.lit(1)))
                  .cast("long").alias("trimmed_mean_micro")))
+
+
+def winsorized_mean_by(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str, trim_frac: float = 0.1) -> DataFrame:
+    """Per-group winsorized mean: instead of DROPPING the k extreme
+    values (trimmed_mean_by), CLAMP them to the k+1-th order
+    statistic on each side — keeps n constant, which matters when
+    groups are small and every observation carries weight. Exact:
+    ranks with deterministic id tie-break, clamp bounds are order
+    statistics, one fixed-shape floor division at the end."""
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    ranked = (df.select(F.col(group_col).alias("grp"),
+                        cents.alias("c"), F.col(id_col).alias("id"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("grp").orderBy(F.col("c").asc(),
+                                                    F.col("id").asc())))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("grp"))))
+    k = F.floor(F.col("n") * trim_frac).cast("long")
+    bounds = (ranked
+              .filter((F.col("rn") == k + 1)
+                      | (F.col("rn") == F.col("n") - k))
+              .groupBy("grp")
+              .agg(F.min("c").alias("lo"), F.max("c").alias("hi")))
+    clamped = (ranked.join(bounds, "grp")
+               .select("grp", "n",
+                       F.least(F.greatest(F.col("c"), F.col("lo")),
+                               F.col("hi")).alias("cw")))
+    return (clamped.groupBy(F.col("grp").alias(group_col))
+            .agg(F.max("n").alias("n"),
+                 F.floor(F.lit(10000.0) * F.sum("cw") / F.count(F.lit(1)))
+                 .cast("long").alias("winsorized_mean_micro")))

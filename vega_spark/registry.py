@@ -8930,3 +8930,32 @@ def stl_residual_anomalies_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stl_residual_anomalies(ev, k_mad=4)
+
+
+@_q("winsorized_mean_event_values", """
+WITH r AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ROUND(value * 100, 0) AS BIGINT),
+                                     event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+b AS (SELECT grp, MIN(c) AS lo, MAX(c) AS hi
+      FROM r WHERE rn = n // 10 + 1 OR rn = n - n // 10
+      GROUP BY 1)
+SELECT r.grp AS event_type, MAX(r.n) AS n,
+       CAST(FLOOR(10000.0 * SUM(LEAST(GREATEST(r.c, b.lo), b.hi))
+                  / COUNT(*)) AS BIGINT) AS winsorized_mean_micro
+FROM r JOIN b ON b.grp = r.grp
+GROUP BY 1
+""")
+def winsorized_mean_event_values_q(spark, sf_dir):
+    """10% two-sided winsorized mean per event type: extremes clamped
+    to the boundary order statistics instead of dropped. Partitioned
+    rank windows + one keyed aggregate; the oracle replays ranks,
+    clamp bounds, and the floor division."""
+    from vega_spark.operators.stats import winsorized_mean_by
+    ev = _t(spark, sf_dir, "events")
+    return winsorized_mean_by(ev, "event_type", "value", "event_id",
+                              trim_frac=0.1)
