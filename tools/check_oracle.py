@@ -1,7 +1,21 @@
 """Local differential checker — replicates the driver's t2 gate:
 run every registry query on Spark AND its DuckDB oracle on the same
-parquet tables, compare row count, column names, and (order-
-insensitive) exact values.
+parquet tables, compare row count, column names, column TYPES, and
+row-sorted EXACT values (bit-exact floats — no rounding forgiveness).
+
+Strictness contract (calibrated against the round-2 driver rows):
+- values: Python repr, full precision.  The driver hashes exact
+  values, and every hash-green query was bit-identical locally; the
+  old 12-significant-digit forgiveness is gone so this checker fails
+  anything the driver would fail.
+- types: DuckDB widened types (HUGEINT/DECIMAL/unsigned) fail
+  outright — they take an Arrow detour (decimal128/float64) in the
+  driver even when fetchall() values match; this was the root cause
+  of all 14 round-2 hash_match:false rows.  Cross-family mismatches
+  (int column vs double column) fail too.  Integer WIDTH differences
+  (Spark int vs DuckDB BIGINT) are allowed — driver-green evidence.
+- row order: ignored (rows sorted before compare).  Driver-green
+  queries exist whose engines return different orders.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -21,20 +35,66 @@ from vega_spark import registry  # noqa: E402
 from vega_spark.session import get_session  # noqa: E402
 from vega_spark.tables import TABLE_NAMES  # noqa: E402
 
+WIDENED = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+           "USMALLINT", "UTINYINT", "DECIMAL")
+
+_SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float32", "double": "float64",
+    "string": "string", "boolean": "bool", "date": "date",
+    "binary": "binary",
+}
+_DUCK_FAMILY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "FLOAT": "float32", "DOUBLE": "float64",
+    "VARCHAR": "string", "BOOLEAN": "bool", "DATE": "date",
+    "BLOB": "binary",
+}
+
+
+def _spark_family(t: str) -> str:
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith(("array", "map", "struct")):
+        return "nested"
+    return _SPARK_FAMILY.get(t, t)
+
+
+def _duck_family(t: str) -> str:
+    u = t.upper()
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if "[]" in u or u.startswith(("STRUCT", "MAP", "LIST")):
+        return "nested"
+    return _DUCK_FAMILY.get(u, u)
+
+
+def type_problems(spark_types: dict[str, str],
+                  duck_types: dict[str, str]) -> list[str]:
+    """Type-level failures the driver's hash would surface."""
+    probs = []
+    for c, dt in duck_types.items():
+        if any(k in dt.upper() for k in WIDENED):
+            probs.append(f"widened duckdb type {c}:{dt} "
+                         "(run tools/gen_oracle_casts.py)")
+    for c, st in spark_types.items():
+        if c in duck_types:
+            sf, df = _spark_family(st), _duck_family(duck_types[c])
+            if sf != df and not any(k in duck_types[c].upper()
+                                    for k in WIDENED):
+                probs.append(f"type family {c}: spark {st} ({sf}) "
+                             f"vs duckdb {duck_types[c]} ({df})")
+    return probs
+
 
 def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, then rows; exact values (the driver
-    hashes — any mismatch we see here would break its hash)."""
+    """Sort columns by name, then rows; EXACT values (the driver
+    hashes — any difference here breaks its hash)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm_cell(v):
         if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            # 12 significant digits: catches real mismatches, forgives
-            # sub-rounding float repr noise that the rounded queries
-            # should have eliminated anyway
-            return f"{v:.12g}"
+            return "NaN" if math.isnan(v) else repr(v)
         if isinstance(v, bool):
             return str(v)
         return repr(v)
@@ -64,6 +124,8 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {f.name: f.dataType.simpleString()
+                      for f in sdf.schema.fields}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
@@ -74,9 +136,10 @@ def main() -> int:
                   f"{time.time()-t0:5.1f}s")
             continue
         try:
-            res = con.execute(registry.ORACLES[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(registry.ORACLES[name])
+            dcols = list(rel.columns)
+            dtypes = dict(zip(dcols, (str(t) for t in rel.types)))
+            drows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name:28s} duckdb error: {e}")
@@ -87,6 +150,8 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        else:
+            problems.extend(type_problems(stypes, dtypes))
         if not problems:
             ns, nd = normalize(srows, scols), normalize(drows, dcols)
             if ns != nd:
