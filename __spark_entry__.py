@@ -64,42 +64,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["weblog_agg"](spark, SF0001)
 
 
-# Driver-window rotation (VERDICT r01 next-round #1): the driver
-# verifies roughly the first 50 entries of queries() per round, so the
-# ordering below puts queries WITHOUT a CORRECTNESS_r*.json row yet
-# first — each round the window slides over the still-unverified tail
-# automatically, and every query eventually gets a hard driver row.
-# Within the unverified set, §2-critical operators come first, then
-# the TPC-H sweep, then the LLM-pipeline flagships (the judge's
-# priority order), then everything else in registry order.
+# Driver-window rotation (VERDICT r02 next-round #2): the driver
+# verifies roughly the first 50 entries of queries() per round.  The
+# ordering below puts (1) queries whose LATEST driver row FAILED
+# (hash/rows/schema mismatch, or a no_oracle row for a query that now
+# has an oracle) at the very front — a fix must be re-checked, never
+# buried; (2) never-checked queries in _PRIORITY order (§2 stragglers
+# -> TPC-H judge-named shapes -> LLM flagships -> the rest); (3)
+# fully-green queries at the tail.  Round 2 counted ANY row as
+# verified, which rotated the 14 hash-failing queries out of the
+# window permanently — that is the bug this ordering fixes.
 _PRIORITY = [
-    # round-2 continuation families (newest first: each is the lone
-    # driver-visible representative of a new capability family)
-    "image_dhash_census", "image_near_dup_hamming",
-    "mine_repeated_ngrams", "audio_zcr_fingerprint",
-    "mine_duplicate_spans", "maxsim_late_interaction",
-    "parquet_footer_census", "mmr_diverse_rerank",
-    "streaming_versioned_rollup", "ppr_part_affinity",
-    "theil_sen_event_trend", "image_curation_pipeline",
-    "diff_in_diff_purchases", "trimmed_mean_event_values",
-    "cuped_event_values", "oov_rate_by_lang",
-    "write_size_targeted_roundtrip", "approx_accuracy_contract",
-    "optimize_table_orders", "incremental_join_view_orders",
-    "join_view_signed_retractions", "secure_view_customers",
-    "stl_residual_anomalies", "winsorized_mean_event_values",
-    "png_pixel_decode_stats", "png_resize_roundtrip",
-    "bm25_rank_docs", "hybrid_search_rrf",
-    "retrieval_mrr_ndcg_trunc", "seq_pairs_events",
-    "acf_hourly_events", "cusum_changepoint_hours",
-    "kaplan_meier_conversion", "logreg_purchase_value",
-    "l_diversity_docs", "clustering_coeff_parts",
-    "geo_cell_density_customers", "geo_neighbor_pairs_customers",
-    "geo_nearest_hub_nations", "streaming_session_windows",
-    "pmi_collocations_docs", "gini_event_values",
-    "woe_iv_purchase_value", "user_growth_daily",
-    "scd2_temporal_purchases", "rfm_user_segments",
-    "active_time_per_user", "join_full_outer",
-    "embedding_truncation_recall", "sparse_cosine_doc_pairs",
+    # remaining §2 operators — the r1 AND r2 verdicts' explicit ask;
+    # they lead every never-checked query this round
+    "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
+    "sum_approx", "is_empty_flags", "save_text_roundtrip",
+    "save_parquet_partitioned_roundtrip", "take_sample_contract",
+    "for_each_observe_metrics", "read_whole_files_dir",
+    # ex-no_oracle rows converted to driver-hashable contracts (r2
+    # verdict #5); their old rows were err/no_oracle so they re-enter
+    # through the failed-row front as soon as the oracle exists
+    "write_size_targeted_roundtrip", "approx_count_distinct",
+    "percentile_approx", "sample_seeded", "random_split_sizes",
+    # TPC-H sweep (judge-named shapes first)
+    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
+    "tpch_q9_profit_by_nation", "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
+    # LLM-pipeline flagships named by the r2 verdict (#6) — inside the
+    # expected ~50-query window alongside the above
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "semantic_dedup_flags", "ann_pq_topk", "pipeline_clean_corpus",
+    # rest of the TPC-H sweep
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q10_returned_items", "tpch_q11_important_parts",
+    "tpch_q12_late_shipments", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_count", "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_suppliers", "tpch_q22_global_sales_opportunity",
+    # remaining LLM flagship families
+    "kmv_distinct_jaccard", "web_url_dedup_pipeline", "web_line_filter",
+    "bpe_encode_docs", "triangle_count_parts", "label_propagation_parts",
+    "fuzzy_match_suppliers", "ewma_user_values",
+    "attribution_first_last_touch", "cdc_apply_changes_orders",
+    "streaming_kmv_rollup", "mv_incremental_refresh",
+    "bitmap_distinct_rollup", "hist_quantile_rollup",
+    "audio_frame_energy_vad", "inverted_index_search",
+    "dedup_ngram_jaccard", "dedup_components", "dedup_keep_representatives",
+    "dedup_spans", "dedup_incremental", "dedup_incremental_bloom",
+    "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
+    "ann_ivf_topk", "embedding_near_dup", "text_features",
+    "encode_docs_vocab1k", "pipeline_corpus_stats",
+    "decontaminate_against_eval", "split_assign_counts",
+    "temperature_resample_langs", "pack_sequences_manifest",
+    "training_shard_manifest", "pagerank_part_affinity", "kmeans_clusters",
+    "streaming_windowed_counts", "streaming_stream_static_join",
+    "streaming_dedup_exact", "asof_join", "range_join",
+    "table_diff_orders", "multimodal_metadata", "multimodal_frames",
+    "custom_source_events", "bucketed_join_priority_revenue",
+    "partitioned_scan_prune", "sessionize_gap",
+    # round-2 family queries that missed the r2 window
     "streaming_interval_join_pairs", "read_merge_schema_evolution",
     "geo_trajectory_users", "geo_copresence_users",
     "funnel_time_boxed_1h_24h", "dau_wau_stickiness",
@@ -116,63 +140,42 @@ _PRIORITY = [
     "versioned_bloom_point_lookup", "versioned_change_feed_orders",
     "streaming_left_outer_interval_join", "versioned_zorder_2d_skipping",
     "contrastive_negatives_docs", "versioned_delete_keys_orders",
-    # remaining §2 operators
-    "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
-    "sum_approx",
-    # newly driver-visible §2 actions/sources
-    "is_empty_flags", "save_text_roundtrip",
-    "save_parquet_partitioned_roundtrip", "take_sample_contract",
-    "for_each_observe_metrics", "read_whole_files_dir",
-    # TPC-H sweep (judge-named shapes first)
-    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
-    "tpch_q9_profit_by_nation", "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_suppliers",
-    # LLM-pipeline flagships (round-2 capability families first: each
-    # is the lone driver-visible representative of a new family)
-    "semantic_dedup_flags", "ann_pq_topk", "kmv_distinct_jaccard",
-    "web_url_dedup_pipeline", "web_line_filter", "bpe_encode_docs",
-    "triangle_count_parts", "label_propagation_parts",
-    "fuzzy_match_suppliers", "ewma_user_values",
-    "attribution_first_last_touch", "cdc_apply_changes_orders",
-    "streaming_kmv_rollup", "mv_incremental_refresh",
-    "bitmap_distinct_rollup", "hist_quantile_rollup",
-    "audio_frame_energy_vad", "inverted_index_search",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_components", "dedup_keep_representatives",
-    "dedup_spans", "dedup_incremental", "dedup_incremental_bloom",
-    "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
-    "ann_ivf_topk", "embedding_near_dup", "text_features",
-    "encode_docs_vocab1k", "pipeline_clean_corpus", "pipeline_corpus_stats",
-    "decontaminate_against_eval", "split_assign_counts",
-    "temperature_resample_langs", "pack_sequences_manifest",
-    "training_shard_manifest", "pagerank_part_affinity", "kmeans_clusters",
-    "streaming_windowed_counts", "streaming_stream_static_join",
-    "streaming_dedup_exact", "asof_join", "range_join",
-    "table_diff_orders", "multimodal_metadata", "multimodal_frames",
-    "custom_source_events", "bucketed_join_priority_revenue",
-    "partitioned_scan_prune", "sessionize_gap",
 ]
 
 
-def _driver_verified() -> set[str]:
-    """Queries already carrying a row in any round's CORRECTNESS file."""
+def _driver_rows() -> dict[str, dict]:
+    """Latest driver CORRECTNESS row per query (later rounds win)."""
     import glob
     import json
 
-    seen: set[str] = set()
-    for p in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+    rows: dict[str, dict] = {}
+    for p in sorted(glob.glob(os.path.join(_REPO_ROOT,
+                                           "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:
-                seen |= set(json.load(f))
+                data = json.load(f)
         except Exception:
             continue
-    return seen
+        for name, row in data.items():
+            if isinstance(row, dict):
+                rows[name] = row
+    return rows
+
+
+def _is_green(name: str, row: dict) -> bool:
+    """A row counts as verified ONLY when every driver check passed.
+    A no_oracle row is terminal (counts) only while the query still
+    has no oracle — the weaker rows-only check is all it can get."""
+    if row.get("rows_match") and row.get("schema_match") \
+            and row.get("hash_match"):
+        return True
+    return row.get("err") == "no_oracle" and name not in registry.ORACLES
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered
-    so the driver's per-round verification window covers the
-    not-yet-verified queries first (see _PRIORITY)."""
+    so the driver's per-round window re-checks repaired failures
+    first, then never-verified queries (see _PRIORITY)."""
     def shipped(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ship_package(spark)
@@ -180,11 +183,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     q = {k: shipped(fn) for k, fn in registry.QUERIES.items()}
-    seen = _driver_verified()
-    head = [k for k in _PRIORITY if k in q and k not in seen]
-    head += [k for k in q if k not in seen and k not in head]
-    tail = [k for k in q if k in seen]
-    return {k: q[k] for k in head + tail}
+    rows = _driver_rows()
+    green = {k for k, r in rows.items() if _is_green(k, r)}
+
+    def rank(k: str) -> int:
+        return _PRIORITY.index(k) if k in _PRIORITY else len(_PRIORITY)
+
+    failed = sorted((k for k in q if k in rows and k not in green), key=rank)
+    fresh = sorted((k for k in q if k not in rows), key=rank)
+    tail = [k for k in q if k in green]
+    return {k: q[k] for k in failed + fresh + tail}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -213,3 +213,68 @@ def test_entry_module_ships_package_to_executors(spark, tmp_path):
                         "/root/testdata/sf0.001")
     assert qs["image_dhash_census"](spark, sf).count() > 0
     assert getattr(spark.sparkContext, "_vega_pkg_shipped", False)
+
+
+def test_entry_rotation_fronts_failed_driver_rows(tmp_path, monkeypatch):
+    # VERDICT r02 #2: a failed driver row (hash_match false, or a
+    # no_oracle row for a query that now HAS an oracle) must re-enter
+    # at the FRONT of the window; only fully-green rows rotate to the
+    # tail.  Exercised against a synthetic CORRECTNESS file.
+    import importlib.util
+    import json
+    import os
+    import shutil
+
+    from vega_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fake_root = tmp_path / "repo"
+    fake_root.mkdir()
+    shutil.copy(os.path.join(root, "__spark_entry__.py"),
+                fake_root / "__spark_entry__.py")
+    names = list(registry.QUERIES)
+    green_q = names[0]
+    failed_q = names[1]
+    oracled = [n for n in names if n in registry.ORACLES]
+    stale_no_oracle_q = oracled[2]          # has an oracle NOW
+    rows = {
+        green_q: {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None},
+        failed_q: {"rows_match": True, "schema_match": True,
+                   "hash_match": False, "err": None},
+        stale_no_oracle_q: {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "err": "no_oracle"},
+    }
+    (fake_root / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry___rotation", fake_root / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    order = list(mod.queries())
+    n = len(order)
+    assert order.index(failed_q) < 5
+    assert order.index(stale_no_oracle_q) < 5
+    assert order.index(green_q) == n - 1        # only green row -> tail
+    # a later green row supersedes an earlier failure
+    rows2 = {failed_q: {"rows_match": True, "schema_match": True,
+                        "hash_match": True, "err": None}}
+    (fake_root / "CORRECTNESS_r02.json").write_text(json.dumps(rows2))
+    mod2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod2)
+    order2 = list(mod2.queries())
+    assert order2.index(failed_q) > n - 5
+
+
+def test_entry_priority_names_exist():
+    import importlib.util
+    import os
+
+    from vega_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry___prio", os.path.join(root, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    unknown = [k for k in mod._PRIORITY if k not in registry.QUERIES]
+    assert not unknown, f"_PRIORITY names missing from registry: {unknown}"
