@@ -602,37 +602,108 @@ def coalesce_agg(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"))
 
 
-# --- §2.8 sampling (no oracle — seeded RNG is engine-specific) -----------------
+# --- §2.8 sampling — seeded RNG is engine-specific, so the driver-
+# hashable surface is the sample's INVARIANTS (size band, membership,
+# no duplicates), computed engine-side as 0/1 flags the oracle pins to
+# 1 (the approx_accuracy_contract pattern, driver-green r02) ------------------
 
-@_q("sample_seeded")
+@_q("sample_seeded", """
+SELECT COUNT(*) AS n_source, 1 AS size_in_band,
+       1 AS all_members, 1 AS no_dupes
+FROM documents
+""")
 def sample_seeded(spark, sf_dir):
+    """Bernoulli sample contract (ref src/rdd/rdd.rs sample): the
+    sampled size must sit within 5 sigma of fraction*n, every sampled
+    id must exist in the source, and without-replacement must yield no
+    duplicate ids. All three checked engine-side; the oracle pins the
+    flags — a broken sampler fails the driver hash."""
     from vega_spark.operators.sampling import sample
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    return sample(d, with_replacement=False, fraction=0.1, seed=42)
+    s = sample(d, with_replacement=False, fraction=0.1, seed=42)
+    stats = s.agg(F.count(F.lit(1)).alias("k"),
+                  F.count_distinct("doc_id").alias("k_distinct"))
+    inside = (s.join(d, "doc_id", "left_semi")
+              .agg(F.count(F.lit(1)).alias("k_inside")))
+    n = d.agg(F.count(F.lit(1)).alias("n_source"))
+    sigma = "sqrt(0.1 * 0.9 * n_source)"
+    return (n.crossJoin(stats).crossJoin(inside).select(
+        "n_source",
+        F.expr(f"cast(abs(k - 0.1 * n_source) <= 5 * {sigma} + 1 as int)")
+        .alias("size_in_band"),
+        (F.col("k_inside") == F.col("k")).cast("int").alias("all_members"),
+        (F.col("k_distinct") == F.col("k")).cast("int").alias("no_dupes")))
 
 
-@_q("random_split_sizes")
+@_q("random_split_sizes", """
+SELECT COUNT(*) AS n_source, 1 AS covers_all,
+       1 AS disjoint, 1 AS left_in_band
+FROM documents
+""")
 def random_split_sizes(spark, sf_dir):
+    """random_split contract: the two halves must partition the source
+    exactly (sizes sum to n, no id in both) and the left share must
+    sit within 5 sigma of its 0.7 weight. Flags computed engine-side,
+    pinned by the oracle (sample_seeded's pattern)."""
     from vega_spark.operators.sampling import random_split
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    parts = random_split(d, [0.7, 0.3], seed=42)
-    return parts[0].agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
-        parts[1].agg(F.count(F.lit(1)).alias("n_right")))
+    left, right = random_split(d, [0.7, 0.3], seed=42)
+    nl = left.agg(F.count(F.lit(1)).alias("n_left"))
+    nr = right.agg(F.count(F.lit(1)).alias("n_right"))
+    both = (left.join(right, "doc_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_both")))
+    n = d.agg(F.count(F.lit(1)).alias("n_source"))
+    sigma = "sqrt(0.7 * 0.3 * n_source)"
+    return (n.crossJoin(nl).crossJoin(nr).crossJoin(both).select(
+        "n_source",
+        (F.col("n_left") + F.col("n_right") == F.col("n_source"))
+        .cast("int").alias("covers_all"),
+        (F.col("n_both") == 0).cast("int").alias("disjoint"),
+        F.expr(f"cast(abs(n_left - 0.7 * n_source) <= 5 * {sigma} + 1 as int)")
+        .alias("left_in_band")))
 
 
-# --- §2.9 approximate ----------------------------------------------------------
+# --- §2.9 approximate — same contract surface: the sketch estimate
+# must land inside its advertised error band around the exact value ----------
 
-@_q("approx_count_distinct")
+@_q("approx_count_distinct", """
+SELECT COUNT(DISTINCT l_partkey) AS exact_ndv, 1 AS ndv_within_band
+FROM lineitem
+""")
 def approx_count_distinct_q(spark, sf_dir):
+    """HLL++ accuracy contract (ref src/partial/count_evaluator.rs):
+    the rsd=0.02 estimate must land within 3*rsd of the exact distinct
+    count; the flag is engine-computed and oracle-pinned."""
     from vega_spark.operators.approx import approx_count_distinct
-    return approx_count_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    approx = approx_count_distinct(li, "l_partkey", rsd=0.02)
+    exact = li.agg(F.count_distinct("l_partkey").alias("exact_ndv"))
+    return exact.crossJoin(approx).select(
+        "exact_ndv",
+        (F.abs(F.col("approx_distinct") - F.col("exact_ndv"))
+         <= 0.06 * F.col("exact_ndv")).cast("int").alias("ndv_within_band"))
 
 
-@_q("percentile_approx")
+@_q("percentile_approx", """
+SELECT COUNT(*) AS n, 1 AS p25_ok, 1 AS p50_ok, 1 AS p75_ok
+FROM lineitem
+""")
 def percentile_approx_q(spark, sf_dir):
-    from vega_spark.operators.approx import percentile_approx
-    return percentile_approx(_t(spark, sf_dir, "lineitem"),
-                             "l_extendedprice", [0.25, 0.5, 0.75])
+    """GK-sketch quantile contract: each approximate quartile of
+    l_extendedprice (accuracy 10000) must land within 1% of the exact
+    percentile; flags engine-computed, oracle-pinned."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+        .alias("__ex"),
+        F.expr("percentile_approx(l_extendedprice,"
+               " array(0.25, 0.5, 0.75), 10000)").alias("__ap"))
+    flags = [
+        (F.abs(F.col("__ap")[i] - F.col("__ex")[i])
+         <= 0.01 * F.abs(F.col("__ex")[i])).cast("int").alias(name)
+        for i, name in enumerate(["p25_ok", "p50_ok", "p75_ok"])]
+    return agg.select("n", *flags)
 
 
 # --- windows (capability superset; reference gap §2.11) ------------------------
@@ -8651,27 +8722,42 @@ def oov_rate_by_lang_q(spark, sf_dir):
     return oov_rate_by_group(docs, "lang", "text", vocab_size=1000)
 
 
-@_q("write_size_targeted_roundtrip")
+@_q("write_size_targeted_roundtrip", """
+SELECT COUNT(*) AS n_rows, COUNT(*) AS n_reread,
+       1 AS roundtrip_ok, 1 AS sizing_in_band
+FROM lineitem
+""")
 def write_size_targeted_roundtrip_q(spark, sf_dir):
-    """Size-targeted write round trip (rows-only: file layout is
-    engine-specific): lineitem rewritten at a 256 KiB/file target,
-    then re-read — returns the write report plus the re-read row
-    count, which must equal the source. Layout-band assertions live
-    in tests/test_layout_embeddings.py."""
+    """Size-targeted write contract: lineitem rewritten at a
+    256 KiB/file target must re-read to the exact source row count,
+    and the MEAN written file size must land within a 4x band of the
+    target (the sizer estimates bytes-per-row from a sampled head, so
+    exact hits are impossible but a 4x miss means the sizer is
+    broken). Counts are SQL-pinned; the layout flag is engine-computed
+    and oracle-pinned to 1 (approx_accuracy_contract pattern).
+    Tighter layout bands live in tests/test_layout_embeddings.py."""
+    import os
     import shutil
     import tempfile
 
     from vega_spark.operators.layout import write_size_targeted
+    target = 256 * 1024
     li = _t(spark, sf_dir, "lineitem")
     out = tempfile.mkdtemp(prefix="vega_sized_q_") + "/data"
-    info = write_size_targeted(li, out,
-                               target_file_bytes=256 * 1024)
+    info = write_size_targeted(li, out, target_file_bytes=target)
     n_back = spark.read.parquet(out).count()
+    sizes = [os.path.getsize(os.path.join(out, f))
+             for f in os.listdir(out) if f.endswith(".parquet")]
     shutil.rmtree(out, ignore_errors=True)
+    mean_size = sum(sizes) / max(1, len(sizes))
+    in_band = int(len(sizes) == info["n_files"]
+                  and (target / 4 <= mean_size <= target * 4
+                       # a table smaller than one target file is a
+                       # single correctly-sized file regardless
+                       or info["n_files"] == 1))
     return spark.createDataFrame(
-        [(info["n_rows"], info["n_files"], n_back,
-          int(info["n_rows"] == n_back))],
-        "n_rows long, n_files long, n_reread long, roundtrip_ok int")
+        [(info["n_rows"], n_back, int(info["n_rows"] == n_back), in_band)],
+        "n_rows long, n_reread long, roundtrip_ok int, sizing_in_band int")
 
 
 @_q("approx_accuracy_contract", """
