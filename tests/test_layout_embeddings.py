@@ -115,3 +115,25 @@ def test_write_size_targeted_file_count_and_sizes(spark, tmp_path):
     assert sizes[0] > 16 * 1024 and sizes[-1] < 4 * 64 * 1024
     # data integrity
     assert spark.read.parquet(out).count() == 200_000
+
+
+def test_parquet_footer_census_non_integer_columns(spark, tmp_path):
+    # ADVICE r2: string/double columns must yield NULL min/max stats,
+    # not an int() crash inside the executor UDF
+    from pyspark.sql import functions as F
+
+    from vega_spark.operators.layout import parquet_footer_census
+
+    p = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [(1, "abc", 1.5), (2, "xyz", -2.5)],
+        "id long, name string, score double").write.parquet(p)
+    import os
+    paths = [os.path.join(p, f) for f in os.listdir(p)
+             if f.endswith(".parquet")]
+    out = parquet_footer_census(spark, paths, ["id", "name", "score"])
+    rows = {r.col: r for r in out.collect()}
+    assert rows["id"].min_val == 1 and rows["id"].max_val == 2
+    assert rows["name"].min_val is None and rows["name"].max_val is None
+    assert rows["score"].min_val is None
+    assert rows["name"].num_values == 2

@@ -458,3 +458,18 @@ def test_audio_zcr_fingerprint_roundtrip(spark):
             assert got[(i, fi)] == (int((neg[1:] != neg[:-1]).sum()),
                                     int(np.abs(seg).sum()))
     assert len(got) == sum(min(4, (256 + i % 128) // 64) for i in ids)
+
+
+def test_hamming_near_dup_rejects_unblockable_budget(spark):
+    # ADVICE r2: max_hamming >= 16 breaks the pigeonhole guarantee on
+    # 64-bit signatures — must raise, never silently miss pairs
+    import pytest as _pytest
+
+    from vega_spark.functions.multimodal import hamming_near_dup_pairs
+
+    hashes = spark.createDataFrame([(1, 5), (2, 7)],
+                                   "asset_id long, dhash long")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        hamming_near_dup_pairs(hashes, max_hamming=16)
+    # boundary budget still works
+    assert hamming_near_dup_pairs(hashes, max_hamming=15).count() == 1

@@ -334,3 +334,41 @@ def test_tag_version_pins_snapshot_by_name(spark, tmp_path):
         read_tag(spark, table, "nope")
     with pytest.raises(ValueError):
         tag_version(table, "bad", version=7)
+
+
+def test_stream_to_versioned_min_max_merge_fns(spark, tmp_path):
+    # ADVICE r2: a min/max metric must merge with min/max across
+    # epochs, not F.sum — and an undeclared merge fn must not corrupt
+    from pyspark.sql import functions as F
+
+    from vega_spark.operators.versioned import read_snapshot
+    from vega_spark.streaming import sources as SS
+    from vega_spark.streaming.sinks import stream_to_versioned
+
+    arrivals = str(tmp_path / "arrivals")
+    table = str(tmp_path / "table")
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 2), ("b", 30), ("b", 4), ("a", 50), ("c", 6)],
+        "k string, v long")
+    df.repartition(3).write.parquet(arrivals)
+
+    q = stream_to_versioned(
+        SS.stream_parquet(spark, arrivals, "k string, v long",
+                          max_files_per_trigger=1),
+        table, ["k"],
+        {"n": F.count(F.lit(1)), "lo": F.min("v"), "hi": F.max("v")},
+        checkpoint=str(tmp_path / "ckpt"),
+        merge_fns={"lo": "min", "hi": "max"})
+    q.awaitTermination(180)
+
+    got = {(r.k, r.n, r.lo, r.hi)
+           for r in read_snapshot(spark, table).collect()}
+    assert got == {("a", 3, 2, 50), ("b", 2, 4, 30), ("c", 1, 6, 6)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="merge_fns"):
+        stream_to_versioned(
+            SS.stream_parquet(spark, arrivals, "k string, v long"),
+            table, ["k"], {"lo": F.min("v")},
+            checkpoint=str(tmp_path / "ckpt2"),
+            merge_fns={"lo": "avg"})

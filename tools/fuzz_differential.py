@@ -100,11 +100,25 @@ def gen_join_query(rng: random.Random) -> str:
 def run_case(spark, con, sql: str) -> tuple[bool, str]:
     srows = [tuple(r) for r in spark.sql(sql).collect()]
     drows = [tuple(r) for r in con.sql(sql).fetchall()]
-    norm = lambda rows: sorted(  # noqa: E731
-        tuple("NULL" if v is None else int(v) if isinstance(v, bool)
-              else v for v in r) for r in rows)
-    if norm(srows) != norm(drows):
-        return False, f"rows differ: spark={len(srows)} duck={len(drows)}"
+
+    def key(v):
+        # uniformly comparable sort key: mixed NULL/int/str cells must
+        # never make sorted() raise TypeError instead of reporting the
+        # actual mismatch
+        if v is None:
+            return (0, "", "")
+        if isinstance(v, bool):
+            return (1, "int", str(int(v)))
+        return (1, type(v).__name__, str(v))
+
+    norm = lambda rows: sorted(tuple(key(v) for v in r)  # noqa: E731
+                               for r in rows)
+    ns, nd = norm(srows), norm(drows)
+    if ns != nd:
+        first = next(((a, b) for a, b in zip(ns, nd) if a != b),
+                     (ns[len(nd):len(nd) + 1], nd[len(ns):len(ns) + 1]))
+        return False, (f"rows differ: spark={len(srows)} duck={len(drows)}"
+                       f" first_diff={first}")
     return True, ""
 
 

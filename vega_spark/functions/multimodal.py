@@ -742,8 +742,18 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = "asset_id",
     any pair within the hamming budget must agree exactly on at
     least one chunk — then verify true XOR bit_count on candidates
     only. Linear candidate generation (never all-pairs), one
-    shuffle on uniform chunk keys; everything JVM-side."""
-    n_chunks = min(max_hamming + 1, 16)
+    shuffle on uniform chunk keys; everything JVM-side.
+
+    The pigeonhole guarantee needs ``max_hamming + 1`` chunks of a
+    64-bit signature; beyond 15 differing bits a capped chunk count
+    would silently MISS pairs, so that budget is rejected instead."""
+    if max_hamming + 1 > 16:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {max_hamming + 1} chunks; "
+            "pigeonhole blocking over 64-bit signatures supports at most "
+            "16 (max_hamming <= 15) — larger radii need a different "
+            "blocking scheme (e.g. multi-index recursion)")
+    n_chunks = max_hamming + 1
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     fp = hashes.select(F.col(id_col).alias("doc"),
                        F.col(hash_col).alias("fp"))

@@ -176,8 +176,14 @@ def parquet_footer_census(spark, paths, columns):
                         names.append(c.path_in_schema)
                         nvals.append(c.num_values)
                         nulls.append(st.null_count if st else None)
-                        mins.append(int(st.min) if st else None)
-                        maxs.append(int(st.max) if st else None)
+                        # min/max are surfaced as int64 — only
+                        # integer-typed stats fit; strings/floats/
+                        # dates get NULL stats instead of a UDF crash
+                        ok = (st is not None and st.has_min_max
+                              and isinstance(st.min, int)
+                              and not isinstance(st.min, bool))
+                        mins.append(int(st.min) if ok else None)
+                        maxs.append(int(st.max) if ok else None)
             yield pd.DataFrame({
                 "col": names, "num_values": nvals, "null_count": nulls,
                 "min_val": pd.array(mins, dtype="Int64"),

@@ -68,29 +68,39 @@ def upsert_to_parquet(stream: DataFrame, target_path: str,
 def stream_to_versioned(stream: DataFrame, table_dir: str,
                         keys: list[str], agg_exprs,
                         checkpoint: str,
-                        available_now: bool = True) -> StreamingQuery:
+                        available_now: bool = True,
+                        merge_fns: dict | None = None) -> StreamingQuery:
     """Streaming leg of the lakehouse layer: every micro-batch's
-    keyed aggregate is MERGED (additively) with the previous snapshot
-    and committed as a NEW immutable version via
-    operators/versioned.commit_snapshot — so downstream batch readers
-    get atomic pointer flips, time travel over the ingest history,
-    and vacuum/retention, instead of the bare directory swap of
-    upsert_to_parquet.
+    keyed aggregate is MERGED with the previous snapshot and committed
+    as a NEW immutable version via operators/versioned.commit_snapshot
+    — so downstream batch readers get atomic pointer flips, time
+    travel over the ingest history, and vacuum/retention, instead of
+    the bare directory swap of upsert_to_parquet.
 
     ``agg_exprs`` maps metric column name -> aggregate over the raw
-    batch AND over the merge union (must be an associative aggregate
-    — count-as-sum, sum, min, max — so re-merging a re-delivered
-    batch's DELTA is the only non-idempotent hazard; exactly-once
-    relies on foreachBatch's epoch guarantee like every additive
-    rollup). Per micro-batch cost: one keyed aggregate over the batch
-    + one over (snapshot ∪ delta) — the snapshot is metric-table
-    sized (|keys| rows), never raw history."""
+    batch.  ``merge_fns`` maps each metric column to the re-aggregate
+    applied over (snapshot ∪ delta) — one of "sum", "min", "max" —
+    and defaults to "sum" (correct for sum and count-as-sum metrics).
+    A min/max batch aggregate MUST declare its merge function here:
+    re-summing a min across epochs silently corrupts the snapshot.
+    Re-merging a re-delivered batch's DELTA is the only
+    non-idempotent hazard; exactly-once relies on foreachBatch's
+    epoch guarantee like every additive rollup. Per micro-batch cost:
+    one keyed aggregate over the batch + one over (snapshot ∪ delta)
+    — the snapshot is metric-table sized (|keys| rows), never raw
+    history."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from vega_spark.operators.versioned import (commit_snapshot,
                                                 current_version,
                                                 read_snapshot)
     spark = stream.sparkSession
+    _MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
+    merge_fns = dict(merge_fns or {})
+    unknown = {c: f for c, f in merge_fns.items() if f not in _MERGE}
+    if unknown:
+        raise ValueError(f"merge_fns values must be one of {set(_MERGE)}; "
+                         f"got {unknown}")
 
     def body(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
@@ -101,7 +111,8 @@ def stream_to_versioned(stream: DataFrame, table_dir: str,
             prev = read_snapshot(spark, table_dir)
             merged = (prev.unionByName(delta)
                       .groupBy(*keys)
-                      .agg(*[F.sum(c).alias(c) for c in agg_exprs]))
+                      .agg(*[_MERGE[merge_fns.get(c, "sum")](c).alias(c)
+                             for c in agg_exprs]))
         else:
             merged = delta
         commit_snapshot(merged.coalesce(1), table_dir,
