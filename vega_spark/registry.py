@@ -823,20 +823,50 @@ def zip_with_index_q(spark, sf_dir):
     return J.zip_with_index(c, ["c_custkey"], "idx")
 
 
-@_q("glom_sizes")
+@_q("glom_sizes", """
+SELECT COUNT(*) AS total_rows, 1 AS glom_covers, 1 AS pids_distinct
+FROM nation
+""")
 def glom_sizes_q(spark, sf_dir):
+    """glom contract (ref src/rdd/rdd.rs glom): partition layout is
+    engine-internal, but the glommed arrays must jointly cover the
+    source exactly — sizes sum to an independently-computed row count
+    — with one array per partition id. Flags engine-side, pinned by
+    the oracle."""
     from vega_spark.operators.core import glom
     d = _t(spark, sf_dir, "nation")
-    return glom(d).select("partition_id", F.size("items").alias("n_items"))
+    g = glom(d).select("partition_id", F.size("items").alias("n_items"))
+    gagg = g.agg(F.sum("n_items").alias("__covered"),
+                 F.count(F.lit(1)).alias("__parts"),
+                 F.count_distinct("partition_id").alias("__pids"))
+    src = d.agg(F.count(F.lit(1)).alias("total_rows"))
+    return src.crossJoin(gagg).select(
+        "total_rows",
+        (F.col("__covered") == F.col("total_rows")).cast("int")
+        .alias("glom_covers"),
+        (F.col("__pids") == F.col("__parts")).cast("int")
+        .alias("pids_distinct"))
 
 
-@_q("count_approx")
+@_q("count_approx", """
+SELECT COUNT(*) AS exact_n, 1 AS completed_exact, 1 AS ci_contains
+FROM lineitem
+""")
 def count_approx_q(spark, sf_dir):
+    """count_approx contract (ref src/partial/count_evaluator.rs +
+    rdd.rs:1018-1056): with a generous deadline every partition
+    finishes, so the BoundedDouble must collapse to the exact count
+    with confidence 1.0 and a degenerate CI containing it. The
+    deadline path stays exercised; the flags pin its convergence."""
     from vega_spark.operators.approx import count_approx
-    r = count_approx(_t(spark, sf_dir, "lineitem"), timeout_ms=60_000)
+    li = _t(spark, sf_dir, "lineitem")
+    r = count_approx(li, timeout_ms=60_000)
+    exact = li.count()
     return spark.createDataFrame(
-        [(r.mean, r.confidence, r.low, r.high)],
-        "mean double, confidence double, low double, high double")
+        [(exact,
+          int(r.confidence == 1.0 and r.mean == float(exact)),
+          int(r.low <= exact <= r.high))],
+        "exact_n long, completed_exact int, ci_contains int")
 
 
 # --- north-star: dedup ----------------------------------------------------------
@@ -1232,12 +1262,31 @@ def multimodal_metadata_q(spark, sf_dir):
     return X_mm.image_metadata(with_bin, id_col="doc_id")
 
 
-@_q("multimodal_frames")
+@_q("multimodal_frames", """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+f AS (
+  SELECT doc_id, L,
+         unnest(generate_series(0, least(8, greatest(1, L // 64)) - 1))
+           AS frame_idx
+  FROM d)
+SELECT doc_id AS asset_id, frame_idx,
+       CASE WHEN L >= 64 THEN 64 ELSE L END AS frame_len
+FROM f
+""")
 def multimodal_frames_q(spark, sf_dir):
+    """Frame-sampling plumbing (1 binary row -> up to 8 frame rows,
+    the flat_map shape over payloads): the fake decoder slices the
+    byte stream at fixed 64-byte strides, so frame fan-out and frame
+    lengths are pure functions of payload length — the oracle replays
+    min(8, max(1, L//64)) frames of 64 bytes (or one short frame)
+    from the UTF-8 byte length. Frame BYTES stay engine-side; the
+    real-codec path is exercised by png_resize_roundtrip."""
     d = _t(spark, sf_dir, "documents")
     with_bin = X_mm.attach_binary(d, "text")
     frames = X_mm.sample_frames(with_bin, id_col="doc_id")
-    return frames.select("asset_id", "frame_idx", F.length("frame").alias("frame_len"))
+    return frames.select("asset_id", "frame_idx",
+                         F.length("frame").alias("frame_len"))
 
 
 # --- streaming (capability superset: reference has none, SURVEY §2.11) ---------
@@ -1640,24 +1689,39 @@ def triangle_count_parts_q(spark, sf_dir):
     return triangle_count(pairs, "u", "v")
 
 
-@_q("bpe_encode_docs")
+@_q("bpe_encode_docs", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       1 AS tokens_ge_words, 1 AS tokens_le_chars
+FROM t
+""")
 def bpe_encode_docs_q(spark, sf_dir):
-    """BPE tokenizer end-to-end: train 200 merges from the corpus
+    """BPE tokenizer contract: train 200 merges from the corpus
     word-count table (one keyed shuffle + bounded TakeOrdered head —
     the merge loop never sees the corpus), then subword-encode every
-    document in a narrow memoized Arrow pass. Rows-only (iterative
-    merge learning is not SQL-expressible); merge order, encode
-    roundtrip and id mapping are pinned by tests/test_bpe.py."""
+    document in a narrow memoized Arrow pass. The merge loop is not
+    SQL-expressible, but the encoding obeys hard per-doc bounds the
+    oracle pins: every word is >= 1 subword (token count >= word
+    count) and merging never splits below characters (token count <=
+    non-space character count). Merge order, encode roundtrip and id
+    mapping stay pinned by tests/test_bpe.py."""
     from vega_spark.functions import bpe as B
     docs = _t(spark, sf_dir, "documents")
     merges = B.bpe_train(docs, num_merges=200, max_words=20_000)
     enc = B.bpe_encode_ids(docs, merges)
+    n_words = X_text.token_count(F.col("text"))
+    n_chars = F.length(F.regexp_replace(F.lower(F.col("text")),
+                                        r"\s+", ""))
     return enc.select(
-        "doc_id", F.size("token_ids").alias("n_bpe_tokens"),
-        X_text.token_count(F.col("text")).alias("n_words"),
-        F.round(F.size("token_ids")
-                / F.greatest(X_text.token_count(F.col("text")), F.lit(1)),
-                4).alias("tokens_per_word"))
+        "doc_id", n_words.cast("long").alias("n_words"),
+        (F.size("token_ids") >= n_words).cast("int")
+        .alias("tokens_ge_words"),
+        (F.size("token_ids") <= n_chars).cast("int")
+        .alias("tokens_le_chars"))
 
 
 @_q("ewma_user_values", """
@@ -1896,13 +1960,17 @@ def label_propagation_parts_q(spark, sf_dir):
     return label_propagation(pairs, "u", "v", iters=2)
 
 
-@_q("compact_small_files")
+@_q("compact_small_files", """
+SELECT 32 AS files_before, 1 AS files_reduced,
+       COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+""")
 def compact_small_files_q(spark, sf_dir):
-    """Small-file compaction (lakehouse OPTIMIZE primitive): write a
-    deliberately fragmented copy of orders (32 tiny files), compact
-    to target size with an atomic directory swap, and report file
-    counts + row preservation. Rows-only: file layout is
-    engine-internal; row/sum preservation is the assertable part."""
+    """Small-file compaction contract (lakehouse OPTIMIZE primitive):
+    a deliberately fragmented copy of orders (exactly 32 tiny files —
+    pinned) must compact to FEWER files with rows and revenue
+    bit-preserved; the content columns are SQL-pinned against the
+    source table, the layout flag is engine-computed."""
     import hashlib
     import os
     import shutil
@@ -1913,13 +1981,15 @@ def compact_small_files_q(spark, sf_dir):
     p = os.path.join(tempfile.gettempdir(), f"vega_compact_{tag}")
     shutil.rmtree(p, ignore_errors=True)
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    o.repartition(32).write.parquet(p)
+    o.repartition(32).write.mode("overwrite").parquet(p)
     stats = compact_parquet(spark, p, target_file_mb=128)
     back = spark.read.parquet(p)
     return (back.agg(F.count(F.lit(1)).alias("n_rows"),
                      F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
             .select(F.lit(stats["files_before"]).alias("files_before"),
-                    F.lit(stats["files_after"]).alias("files_after"),
+                    F.lit(int(stats["files_after"]
+                              < stats["files_before"])).cast("int")
+                    .alias("files_reduced"),
                     "n_rows", "sum_price"))
 
 
@@ -2717,36 +2787,66 @@ def heavy_hitters_q(spark, sf_dir):
     return ST.heavy_hitters_exact(li, "l_partkey", 40)
 
 
-@_q("kmeans_clusters")
+@_q("kmeans_clusters", """
+SELECT COUNT(*) AS n_points, 1 AS coverage, 1 AS k_bounded
+FROM embeddings
+""")
 def kmeans_clusters_q(spark, sf_dir):
-    """Iterative Lloyd's k-means (functions/clustering.py) — the
-    broadcast-iterate loop SQL can't express; rows-only check (cluster
-    geometry is init-dependent), semantics pinned in test_clustering."""
+    """Iterative Lloyd's k-means contract (functions/clustering.py):
+    the broadcast-iterate loop SQL can't express and cluster geometry
+    is init-dependent, but the ASSIGNMENT must partition the corpus —
+    cluster sizes sum to the point count, with 1..k clusters. Flags
+    engine-side, pinned by the oracle; geometry semantics stay pinned
+    in test_clustering."""
     from vega_spark.functions.clustering import cluster_sizes, kmeans
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
     try:
         assigned, _ = kmeans(emb, "embedding", k=10, max_iter=8)
-        return cluster_sizes(assigned)
+        sizes = cluster_sizes(assigned)
+        sagg = sizes.agg(F.sum("n").alias("__covered"),
+                         F.count(F.lit(1)).alias("__k"))
+        src = emb.agg(F.count(F.lit(1)).alias("n_points"))
+        return src.crossJoin(sagg).select(
+            "n_points",
+            (F.col("__covered") == F.col("n_points")).cast("int")
+            .alias("coverage"),
+            ((F.col("__k") >= 1) & (F.col("__k") <= 10)).cast("int")
+            .alias("k_bounded"))
     finally:
         emb.unpersist()
 
 
-@_q("kmeans_silhouette")
+@_q("kmeans_silhouette", """
+SELECT COUNT(*) AS n_points, 1 AS coverage, 1 AS sil_in_range
+FROM embeddings
+""")
 def kmeans_silhouette_q(spark, sf_dir):
-    """Cluster-quality evaluation for the k-means family: rank-k
-    clustering of the embedding corpus followed by the simplified
-    (centroid-based) silhouette — the O(k)-per-point evaluator that
-    replaces the O(n²) exact silhouette at scale. Rows-only like
-    kmeans_clusters (geometry is float-iterative); the [-1,1] range,
-    separation ordering, and exact-vs-simplified agreement are pinned
-    in test_clustering."""
+    """Cluster-quality contract for the k-means family: rank-k
+    clustering followed by the simplified (centroid-based) silhouette
+    — the O(k)-per-point evaluator that replaces the O(n²) exact
+    silhouette at scale. Geometry is float-iterative, so the pinned
+    surface is the invariants: per-cluster counts cover the corpus
+    and every mean silhouette lies in [-1, 1]. Separation ordering
+    and exact-vs-simplified agreement stay pinned in
+    test_clustering."""
     from vega_spark.functions.clustering import (
         kmeans, silhouette_simplified)
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding").cache()
     try:
         assigned, cents = kmeans(emb, "embedding", k=5, max_iter=8)
-        return silhouette_simplified(assigned, "embedding", cents)
+        sil = silhouette_simplified(assigned, "embedding", cents)
+        sagg = sil.agg(
+            F.sum("n").alias("__covered"),
+            F.count(F.when((F.col("mean_silhouette") < -1)
+                           | (F.col("mean_silhouette") > 1), 1))
+            .alias("__oob"))
+        src = emb.agg(F.count(F.lit(1)).alias("n_points"))
+        return src.crossJoin(sagg).select(
+            "n_points",
+            (F.col("__covered") == F.col("n_points")).cast("int")
+            .alias("coverage"),
+            (F.col("__oob") == 0).cast("int").alias("sil_in_range"))
     finally:
         emb.unpersist()
 
@@ -2840,16 +2940,37 @@ def chunk_documents_q(spark, sf_dir):
                                chunk_size=32, overlap=8)
 
 
-@_q("sample_stratified")
+@_q("sample_stratified", """
+SELECT event_type, COUNT(*) AS n_stratum, 1 AS in_band
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+GROUP BY 1
+""")
 def sample_stratified_q(spark, sf_dir):
-    """Per-stratum Bernoulli sample (seeded) — deterministic within
-    the engine, engine-specific RNG, so rows-only like sample_seeded."""
+    """Per-stratum Bernoulli sample contract (sample_seeded's
+    pattern): each stratum's sampled size must sit within 5 sigma of
+    fraction * |stratum| — and the 1.0-fraction stratum (purchase)
+    must be taken WHOLE, which the zero-variance band enforces
+    exactly. Stratum totals are SQL-pinned; the band flag is
+    engine-computed."""
     from vega_spark.operators.sampling import sample_stratified
+    fracs = {"click": 0.5, "view": 0.1, "purchase": 1.0}
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
-    out = sample_stratified(ev, "event_type",
-                            {"click": 0.5, "view": 0.1, "purchase": 1.0},
-                            seed=7)
-    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    base = ev.filter(F.col("event_type").isin(*fracs))
+    out = sample_stratified(ev, "event_type", fracs, seed=7)
+    sampled = out.groupBy("event_type").agg(F.count(F.lit(1)).alias("__k"))
+    totals = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_stratum"))
+    frac = F.when(F.col("event_type") == "click", 0.5) \
+        .when(F.col("event_type") == "view", 0.1).otherwise(1.0)
+    sigma = F.sqrt(frac * (1 - frac) * F.col("n_stratum"))
+    # zero-variance strata (fraction 1.0) get a zero-width band: the
+    # whole stratum or a failed hash
+    band = F.when(sigma > 0, 5 * sigma + 1).otherwise(F.lit(0.0))
+    return (totals.join(sampled, "event_type", "left").select(
+        "event_type", "n_stratum",
+        (F.abs(F.coalesce("__k", F.lit(0)) - frac * F.col("n_stratum"))
+         <= band).cast("int").alias("in_band")))
 
 
 # --- bag-semantics set ops + keyed subtract (§2.6 superset) ----------------
@@ -3167,20 +3288,42 @@ def user_event_gaps_q(spark, sf_dir):
     return user_event_gaps(_t(spark, sf_dir, "events"), ts_div=1000)
 
 
-@_q("cms_heavy_hitters")
+@_q("cms_heavy_hitters", """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 20)
+SELECT term, CAST(c AS BIGINT) AS exact_cnt,
+       1 AS est_ge_exact, 1 AS est_within_bound
+FROM top
+""")
 def cms_heavy_hitters_q(spark, sf_dir):
-    """Count-min-sketch frequency estimates for the 20 most frequent
-    terms (rows-only: bucket assignment is xxhash64, engine-internal;
-    the CMS upper-bound and merge properties are unit-tested). The
-    sketch is ≤ depth*width rows — broadcast probe join, constant
-    exchange at any SF."""
+    """Count-min-sketch accuracy contract for the 20 most frequent
+    terms: the CMS estimate NEVER under-counts (min-of-rows
+    guarantee) and over-counts only by collision mass — bounded here
+    at 8·N/width, four times the expected single-row collision mass,
+    far above what a min over depth=4 rows can reach. Exact counts
+    are SQL-replayed (same tokenizer convention as text_features);
+    the flags are engine-computed from sketch vs exact. The sketch
+    is ≤ depth*width rows — broadcast probe join, constant exchange
+    at any SF; merge algebra stays unit-tested."""
     from vega_spark.operators.sketches import cms_build, cms_estimate
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(X_text.tokens(F.col("text"))).alias("term"))
     sketch = cms_build(toks, "term")
-    top = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-           .orderBy(F.desc("cnt"), F.asc("term")).limit(20).select("term"))
-    return cms_estimate(sketch, top, "term")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = (counts.orderBy(F.desc("c"), F.asc("term")).limit(20))
+    est = cms_estimate(sketch, top.select("term"), "term")
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    return (top.join(est, "term").crossJoin(total).select(
+        "term", F.col("c").alias("exact_cnt"),
+        (F.col("est_count") >= F.col("c")).cast("int")
+        .alias("est_ge_exact"),
+        (F.col("est_count") - F.col("c")
+         <= 8.0 * F.col("__n") / 2048).cast("int")
+        .alias("est_within_bound")))
 
 
 @_q("kmv_distinct_jaccard", """
@@ -3914,7 +4057,14 @@ def dedup_incremental_bloom_q(spark, sf_dir):
 
 # --- custom Python DataSource (reference read_source mapping) --------------
 
-@_q("near_dup_incremental_lsh")
+@_q("near_dup_incremental_lsh", """
+SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 4 = 0)
+       + (SELECT COUNT(*) FROM documents WHERE doc_id % 8 = 1)
+         AS n_batch,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 8 = 1)
+         AS n_recrawled,
+       1 AS batch_covered, 1 AS recrawled_matched
+""")
 def near_dup_incremental_lsh_q(spark, sf_dir):
     """Incremental NEAR-dup against a persisted MinHash-LSH index —
     the continuous-crawl companion to dedup_incremental (which is
@@ -3924,9 +4074,17 @@ def near_dup_incremental_lsh_q(spark, sf_dir):
     candidates against stored signatures. Corpus text is never
     rescanned. Re-crawled copies (identical text under fresh ids,
     the dominant real-world dup class) match on all lanes and are
-    flagged; fresh text passes. Rows-only check (MinHash is not
-    SQL-expressible); flag correctness for exact re-crawls and
-    determinism are pinned by unit tests."""
+    flagged; fresh text passes.
+
+    Contract surface (MinHash lanes are not SQL-expressible, but
+    their guarantees are): every re-crawled doc — an exact text copy
+    — must be flagged with an ALL-LANE match (identical text gives
+    identical signatures, est_jaccard 1.0; the matched doc may be any
+    signature-identical cluster member, e.g. a word-reordered planted
+    near-dup whose distinct-shingle set coincides — observed at
+    sf0.001), and every batch row must appear exactly once. Batch
+    composition counts are SQL-pinned; the flags are engine-computed.
+    Per-lane determinism stays pinned by unit tests."""
     from vega_spark.functions.dedup import (lsh_index,
                                             near_dup_against_index)
 
@@ -3938,8 +4096,22 @@ def near_dup_incremental_lsh_q(spark, sf_dir):
     sigs, buckets = lsh_index(corpus, "text", "doc_id")
     flags = near_dup_against_index(batch, sigs, buckets, "text", "doc_id",
                                    threshold=0.7)
-    return flags.select(F.col("doc").alias("batch_doc"), "is_near_dup",
-                        "matched_doc", "matched_lanes", "est_jaccard")
+    rec = flags.filter(F.col("doc") >= 10_000_000)
+    rec_agg = rec.agg(
+        F.count(F.lit(1)).alias("n_recrawled"),
+        (F.count(F.lit(1)) ==
+         F.count(F.when(F.col("is_near_dup")
+                        & (F.col("est_jaccard") >= 1.0), 1)))
+        .cast("int").alias("recrawled_matched"))
+    cover = (flags.agg(F.count(F.lit(1)).alias("__rows"),
+                       F.count_distinct("doc").alias("__docs"))
+             .crossJoin(batch.agg(F.count(F.lit(1)).alias("n_batch"))))
+    return (cover.crossJoin(rec_agg).select(
+        "n_batch", "n_recrawled",
+        ((F.col("__rows") == F.col("n_batch"))
+         & (F.col("__docs") == F.col("n_batch"))).cast("int")
+        .alias("batch_covered"),
+        "recrawled_matched"))
 
 
 @_q("custom_source_events", """
@@ -5750,14 +5922,19 @@ def bigram_lm_docs_q(spark, sf_dir):
     return bigram_lm_score(docs, vocab_size=200, alpha=1.0, lam=0.75)
 
 
-@_q("image_header_decode")
+@_q("image_header_decode", """
+SELECT doc_id AS asset_id, 'png' AS format,
+       1 + doc_id % 16 AS width, 1 + doc_id % 9 AS height
+FROM documents
+""")
 def image_header_decode_q(spark, sf_dir):
     """REAL codec-free image header decode: deterministic synthetic
     PNG payloads (dims derived from doc_id) built and parsed
     entirely on executors — exercises the binary-column plumbing end
-    to end with a real container format. Rows-only check (binary
-    synthesis is not SQL-expressible); dims are pinned by unit tests
-    against the generator."""
+    to end with a real container format. The parsed dimensions must
+    round-trip the generator's formula, which the oracle replays in
+    SQL — a header parser reading the wrong IHDR offsets fails the
+    hash."""
     import pandas as pd
 
     from vega_spark.functions.multimodal import (
@@ -6348,18 +6525,36 @@ def conformal_orders_price_q(spark, sf_dir):
         "o_orderpriority", alpha=0.1, bins=512)
 
 
-@_q("als_recommend_parts")
+@_q("als_recommend_parts", """
+WITH r AS (
+  SELECT o_custkey AS u, l_partkey AS itm
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey < 25
+  GROUP BY 1, 2)
+SELECT COUNT(DISTINCT u) AS n_users,
+       CAST(COUNT(DISTINCT u) * 3 AS BIGINT) AS n_rec_rows,
+       1 AS users_covered, 1 AS unseen_only,
+       1 AS ranked_desc, 1 AS rmse_learned
+FROM r
+""")
 def als_recommend_parts_q(spark, sf_dir):
     """ALS collaborative filtering end to end: implicit
     (customer, part, quantity) interactions from orders ⋈ lineitem,
     rank-4 factorization (2 alternations — each ONE join + ONE
     keyed r²-stat aggregate + a vectorized Arrow solve), then top-3
     unseen-part recommendations for the bounded custkey<25 user set.
-    Float least squares isn't SQL-expressible, so this is rows-only
-    (like kmeans_clusters); test_recommender pins the math —
-    monotone RMSE descent and low-rank recovery."""
+
+    Contract surface (float least squares isn't SQL-expressible, but
+    the recommendation guarantees are): every target user with any
+    interaction gets EXACTLY k=3 recommendations (item universe >>
+    k), none of them already-seen pairs, per-user scores
+    non-increasing in rank, and the trained factorization beats the
+    global-mean predictor on training RMSE (md5-seeded init makes
+    the descent deterministic). User counts are SQL-pinned; the
+    flags are engine-computed.  Monotone per-iteration descent and
+    low-rank recovery stay pinned in test_recommender."""
     from vega_spark.functions.recommender import (
-        als_explicit, recommend_top_k)
+        als_explicit, als_rmse, recommend_top_k)
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     ratings = (orders.select("o_orderkey", "o_custkey")
@@ -6372,7 +6567,32 @@ def als_recommend_parts_q(spark, sf_dir):
     xu, yi = als_explicit(ratings, "user", "item", "r",
                           rank=4, iters=2, reg=0.1)
     users = ratings.select("user").distinct().filter(F.col("user") < 25)
-    return recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
+    recs = recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
+
+    rmse = als_rmse(ratings, "user", "item", "r", xu, yi)
+    base = ratings.agg(F.stddev_pop("r").alias("sd")).collect()[0]["sd"]
+
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user").orderBy("rk")
+    viol = (recs.withColumn("__prev", F.lag("score").over(w))
+            .filter(F.col("__prev").isNotNull()
+                    & (F.col("score") > F.col("__prev"))))
+    seen = ratings.select("user", "item")
+    ragg = recs.agg(F.count(F.lit(1)).alias("n_rec_rows"),
+                    F.count_distinct("user").alias("__rusers"))
+    uagg = users.agg(F.count(F.lit(1)).alias("n_users"))
+    return (uagg.crossJoin(ragg)
+            .crossJoin(viol.agg(F.count(F.lit(1)).alias("__viol")))
+            .crossJoin(recs.join(seen, ["user", "item"], "semi")
+                       .agg(F.count(F.lit(1)).alias("__seen")))
+            .select(
+                "n_users", "n_rec_rows",
+                (F.col("__rusers") == F.col("n_users")).cast("int")
+                .alias("users_covered"),
+                (F.col("__seen") == 0).cast("int").alias("unseen_only"),
+                (F.col("__viol") == 0).cast("int").alias("ranked_desc"),
+                F.lit(int(rmse < float(base))).cast("int")
+                .alias("rmse_learned")))
 
 
 @_q("versioned_bloom_point_lookup", """
@@ -7850,29 +8070,31 @@ def fulfillment_lag_by_priority_q(spark, sf_dir):
             .orderBy("o_orderpriority"))
 
 
-@_q("file_layout_skew_report")
+@_q("file_layout_skew_report", """
+SELECT COUNT(*) AS total_rows, 1 AS files_positive,
+       1 AS bounds_consistent
+FROM lineitem
+""")
 def file_layout_skew_report_q(spark, sf_dir):
     """Storage-layout diagnostic: rows and bytes per underlying
     parquet file via the hidden ``_metadata`` scan column, plus the
     skew ratio (max/avg rows per file) — the report that decides
     whether compact_small_files (operators/layout.py) is worth a
-    run. Engine-specific (file split is a layout property, not a
-    query result) — rows-only check by design; the shape contract is
-    unit-tested."""
+    run. File split is a layout property, so the pinned surface is
+    the census INVARIANTS: per-file rows must sum to the true table
+    row count (SQL-pinned), file count positive, and min <= max <=
+    total. Ratio details stay engine-side in
+    tests/test_layout_embeddings.py."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     per_file = (li.select(F.col("_metadata.file_path").alias("f"),
                           F.col("_metadata.file_size").alias("sz"))
                 .groupBy("f", "sz").agg(F.count(F.lit(1)).alias("rows")))
     return per_file.agg(
-        F.count(F.lit(1)).alias("n_files"),
         F.sum("rows").alias("total_rows"),
-        F.min("rows").alias("min_rows"),
-        F.max("rows").alias("max_rows"),
-        F.round(F.max("rows").cast("double")
-                / (F.sum("rows") / F.count(F.lit(1))), 4)
-        .alias("skew_ratio"),
-        F.round(F.sum("sz").cast("double") / F.count(F.lit(1)) / 1e6,
-                4).alias("avg_file_mb"))
+        (F.count(F.lit(1)) >= 1).cast("int").alias("files_positive"),
+        ((F.min("rows") <= F.max("rows"))
+         & (F.max("rows") <= F.sum("rows"))).cast("int")
+        .alias("bounds_consistent"))
 
 
 @_q("user_feature_mart", """
