@@ -12,7 +12,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.fuzz_differential import (gen_join_query,  # noqa: E402
-                                     gen_query, run_case)
+                                     gen_query, gen_setop_query,
+                                     gen_window_query, run_case)
 
 
 def test_random_query_shapes_agree_with_duckdb(spark, sf_dir):
@@ -29,7 +30,9 @@ def test_random_query_shapes_agree_with_duckdb(spark, sf_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"'{os.path.join(sf_dir, t + '.parquet')}'")
     rng = random.Random(1234)
-    for i in range(20):
-        sql = gen_query(rng) if i % 2 == 0 else gen_join_query(rng)
+    gens = [gen_query, gen_join_query, gen_window_query,
+            gen_setop_query]
+    for i in range(24):
+        sql = gens[i % len(gens)](rng)
         ok, why = run_case(spark, con, sql)
         assert ok, f"{sql}: {why}"

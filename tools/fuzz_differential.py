@@ -34,9 +34,9 @@ AGG_FNS = ["COUNT", "SUM", "MIN", "MAX"]
 CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
 
 
-def gen_query(rng: random.Random) -> str:
+def _gen_filters(rng: random.Random, max_n: int = 3) -> list[str]:
     filters = []
-    for _ in range(rng.randrange(0, 3)):
+    for _ in range(rng.randrange(0, max_n)):
         name, expr = rng.choice(list(INT_EXPRS.items()))
         op = rng.choice(CMP_OPS)
         if name == "qty":
@@ -48,20 +48,42 @@ def gen_query(rng: random.Random) -> str:
         else:
             lit = rng.randrange(0, 15000)
         filters.append(f"{expr} {op} {lit}")
+    return filters
+
+
+def gen_query(rng: random.Random) -> str:
+    filters = _gen_filters(rng)
     keys = rng.sample(GROUP_COLS, rng.randrange(0, 3))
     aggs = []
     for i in range(rng.randrange(1, 4)):
         fn = rng.choice(AGG_FNS)
-        arg = "*" if fn == "COUNT" else rng.choice(list(INT_EXPRS.values()))
+        if fn == "COUNT":
+            arg = "*"
+        elif rng.random() < 0.25:
+            # conditional aggregate: CASE WHEN translation trap
+            # (pre-agg projection vs agg-internal branch)
+            cond = _gen_filters(rng, 2) or ["l_linenumber >= 1"]
+            arg = (f"CASE WHEN {' AND '.join(cond)} THEN "
+                   f"{rng.choice(list(INT_EXPRS.values()))} ELSE 0 END")
+        else:
+            arg = rng.choice(list(INT_EXPRS.values()))
         aggs.append(f"{fn}({arg}) AS a{i}")
     select = ", ".join(keys + aggs)
     sql = f"SELECT {select} FROM lineitem"
     if filters:
         sql += " WHERE " + " AND ".join(filters)
     if keys:
-        sql += " GROUP BY " + ", ".join(keys)
-        if rng.random() < 0.5:
-            sql += f" HAVING COUNT(*) > {rng.randrange(0, 5)}"
+        if rng.random() < 0.2:
+            # ROLLUP: super-aggregate rows with NULL group keys plus a
+            # GROUPING() indicator — null-key canonicalization trap
+            sql = sql.replace(
+                "SELECT ",
+                f"SELECT GROUPING({keys[0]}) AS g0, ", 1)
+            sql += " GROUP BY ROLLUP (" + ", ".join(keys) + ")"
+        else:
+            sql += " GROUP BY " + ", ".join(keys)
+            if rng.random() < 0.5:
+                sql += f" HAVING COUNT(*) > {rng.randrange(0, 5)}"
     return sql
 
 
@@ -97,9 +119,87 @@ def gen_join_query(rng: random.Random) -> str:
     return sql
 
 
+def gen_window_query(rng: random.Random) -> str:
+    """Random window shapes: ranking / navigation / framed aggregates
+    over a deterministic order key, so both engines must emit
+    identical per-row values — frame semantics, tie handling, and
+    partition-boundary bugs surface as exact diffs.
+
+    Determinism note: the synthetic lineitem has DUPLICATE
+    (l_orderkey, l_linenumber) pairs, so the order key is the full
+    closure of every expression a window can observe (all INT_EXPRS):
+    rows still tied after that are indistinguishable to every
+    generated window AND to the projected output columns, making the
+    result multiset order-invariant."""
+    part = rng.choice(GROUP_COLS)
+    order = ("l_orderkey, l_linenumber, "
+             + ", ".join(v for k, v in INT_EXPRS.items() if k != "okey"))
+    wins = []
+    for i in range(rng.randrange(1, 4)):
+        kind = rng.choice(["row_number", "rank", "lag", "lead", "frame"])
+        if kind == "row_number":
+            wins.append(f"ROW_NUMBER() OVER (PARTITION BY {part} "
+                        f"ORDER BY {order}) AS w{i}")
+        elif kind == "rank":
+            fn = rng.choice(["RANK", "DENSE_RANK"])
+            key = rng.choice(list(INT_EXPRS.values()))
+            wins.append(f"{fn}() OVER (PARTITION BY {part} "
+                        f"ORDER BY {key}, {order}) AS w{i}")
+        elif kind in ("lag", "lead"):
+            off = rng.randrange(1, 4)
+            expr = rng.choice(list(INT_EXPRS.values()))
+            wins.append(f"{kind.upper()}({expr}, {off}) OVER "
+                        f"(PARTITION BY {part} ORDER BY {order}) AS w{i}")
+        else:
+            fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+            expr = "*" if fn == "COUNT" \
+                else rng.choice(list(INT_EXPRS.values()))
+            lo = rng.randrange(0, 5)
+            hi = rng.choice(["CURRENT ROW",
+                             f"{rng.randrange(0, 3)} FOLLOWING"])
+            wins.append(f"{fn}({expr}) OVER (PARTITION BY {part} "
+                        f"ORDER BY {order} ROWS BETWEEN {lo} PRECEDING "
+                        f"AND {hi}) AS w{i}")
+    sql = (f"SELECT l_orderkey, l_linenumber, {', '.join(wins)} "
+           f"FROM lineitem")
+    filters = _gen_filters(rng, 2)
+    if filters:
+        sql += " WHERE " + " AND ".join(filters)
+    return sql
+
+
+def gen_setop_query(rng: random.Random) -> str:
+    """Random set-operation shapes between lineitem and orders key
+    projections: UNION [ALL] / INTERSECT / EXCEPT distinct-vs-bag
+    semantics and type unification, aggregated down so UNION ALL
+    multiplicities are pinned exactly."""
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    lf = _gen_filters(rng, 2)
+    left = "SELECT l_orderkey AS k FROM lineitem"
+    if lf:
+        left += " WHERE " + " AND ".join(lf)
+    right = (f"SELECT o_orderkey AS k FROM orders "
+             f"WHERE o_orderkey {rng.choice(CMP_OPS)} "
+             f"{rng.randrange(0, 15000)}")
+    if rng.random() < 0.5:
+        left, right = right, left
+    return (f"SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS d, "
+            f"MIN(k) AS lo, MAX(k) AS hi, SUM(k) AS s "
+            f"FROM ({left} {op} {right}) t")
+
+
 def run_case(spark, con, sql: str) -> tuple[bool, str]:
     srows = [tuple(r) for r in spark.sql(sql).collect()]
     drows = [tuple(r) for r in con.sql(sql).fetchall()]
+
+    if not srows and len(drows) == 1 and "ROLLUP" in sql:
+        # Documented upstream divergence, not a translation bug:
+        # over an EMPTY input Spark emits no rows for grouping sets,
+        # while DuckDB (and Postgres / the standard) emit the ()
+        # grand-total row — GROUPING()=1, NULL keys, COUNT(*)=0,
+        # NULL min/max/sum. Accept exactly that row shape.
+        if all(v is None or v in (0, 1) for v in drows[0]):
+            return True, ""
 
     def key(v):
         # uniformly comparable sort key: mixed NULL/int/str cells must
@@ -146,9 +246,10 @@ def main() -> int:
                 f"'{os.path.join(sf_dir, t + '.parquet')}'")
 
     rng = random.Random(seed)
+    gens = [gen_query, gen_join_query, gen_window_query, gen_setop_query]
     failures = []
     for i in range(n):
-        sql = gen_query(rng) if i % 2 == 0 else gen_join_query(rng)
+        sql = gens[i % len(gens)](rng)
         ok, why = run_case(spark, con, sql)
         if not ok:
             failures.append((sql, why))
