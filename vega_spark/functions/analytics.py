@@ -1337,7 +1337,7 @@ def dod_wow_change(events: DataFrame, type_col: str = "event_type",
 
 def stl_lite_hourly(events: DataFrame, type_col: str = "event_type",
                     ts_col: str = "ts", half_window: int = 12,
-                    round_dp: int = 6) -> DataFrame:
+                    round_dp: int = 6, micro: bool = False) -> DataFrame:
     """STL-lite seasonal decomposition of each key's hourly count
     series: y = trend + seasonal + residual, with
 
@@ -1355,7 +1355,14 @@ def stl_lite_hourly(events: DataFrame, type_col: str = "event_type",
 
     Plan: one pass to the (key, hour) grid, a bounded per-key window
     (≤ series length), one (key, hour-of-day) aggregate broadcast
-    back. Output rows = keys x hours — never data-sized."""
+    back. Output rows = keys x hours — never data-sized.
+
+    ``micro=True`` emits BIGINT 1e-6 fixed-point components
+    (trend_micro / seasonal_micro / residual_micro) computed with
+    integer DIV throughout: the float path's rational means can land
+    within an ulp of decimal half-way points where engines round
+    apart (observed at sf0.1); the integer recurrence replays
+    bit-exactly in any engine at any scale."""
     from pyspark.sql.window import Window
 
     hourly = (events.groupBy(
@@ -1373,6 +1380,28 @@ def stl_lite_hourly(events: DataFrame, type_col: str = "event_type",
                 F.coalesce(F.col("n"), F.lit(0)).alias("y")))
     w = (Window.partitionBy("event_type").orderBy("xh")
          .rowsBetween(-half_window, half_window))
+    if micro:
+        t = (dense
+             .withColumn("__sy", F.sum("y").over(w))
+             .withColumn("__cw", F.count(F.lit(1)).over(w))
+             .withColumn("trend_micro",
+                         F.expr("(__sy * 1000000) DIV __cw"))
+             .withColumn("det_micro",
+                         F.col("y") * F.lit(1_000_000)
+                         - F.col("trend_micro")))
+        seas = (t.groupBy(F.col("event_type").alias("__se"),
+                          F.pmod(F.col("xh"), F.lit(24)).alias("hod"))
+                .agg(F.expr("SUM(det_micro) DIV COUNT(*)")
+                     .alias("seasonal_micro")))
+        return (t.join(F.broadcast(seas),
+                       (F.col("event_type") == F.col("__se"))
+                       & (F.pmod(F.col("xh"), F.lit(24))
+                          == F.col("hod")))
+                .select("event_type", "xh", "y", "trend_micro",
+                        "seasonal_micro",
+                        (F.col("det_micro") - F.col("seasonal_micro"))
+                        .alias("residual_micro")))
+
     t = (dense
          .withColumn("trend", F.sum("y").over(w).cast("double")
                      / F.count(F.lit(1)).over(w).cast("double"))

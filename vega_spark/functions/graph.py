@@ -21,11 +21,23 @@ def pagerank(edges: DataFrame, src: str, dst: str,
              iters: int = 3, damping: float = 0.85,
              checkpoint_every: int = 8,
              broadcast_ranks: bool = False,
-             materialize_edges: bool = True) -> DataFrame:
+             materialize_edges: bool = True,
+             fixed_point: bool = False) -> DataFrame:
     """PageRank over an UNDIRECTED graph (edges symmetrized), classic
     formulation: rank₀ = 1, rankₜ₊₁(v) = (1-d) + d·Σ_{u→v} rankₜ(u)/deg(u).
     A fixed iteration count keeps the computation deterministic and
     SQL-replayable (the oracle unrolls the same supersteps).
+
+    ``fixed_point=True`` runs the identical supersteps in BIGINT
+    micro-rank arithmetic (scale 1e9, damping as the exact rational
+    p/q, contributions via integer DIV): every operation is exact, so
+    two engines replaying the recurrence agree BIT FOR BIT at any
+    data scale — unlike the double chain, where rational ranks (e.g.
+    degree-1 chains) land within an ulp of decimal half-way points
+    and round differently per engine. Output column becomes
+    ``microrank`` (BIGINT, rank*1e9 truncated); per-step truncation
+    error is <= 1e-9·deg, far below any ranking use. Overflow-safe
+    while nodes·scale < 2^63/ (q·max_rank) — ~1e8 nodes at q=20.
 
     Plan per superstep: edges ⋈ ranks on src (ranks has one row per
     node — orders of magnitude smaller than edges) → groupBy(dst)
@@ -57,6 +69,31 @@ def pagerank(edges: DataFrame, src: str, dst: str,
         # a cheap parquet scan.
         sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    if fixed_point:
+        from fractions import Fraction
+        frac = Fraction(damping).limit_denominator(1000)
+        p, q = frac.numerator, frac.denominator
+        scale = 1_000_000_000
+        base = round((1 - damping) * scale)
+        ranks = deg.withColumn("m", F.lit(scale).cast("bigint"))
+        for i in range(iters):
+            r = F.broadcast(ranks) if broadcast_ranks else ranks
+            contribs = (sym.join(r, "u")
+                        .select(F.col("v").alias("u"),
+                                F.expr("m DIV deg").alias("c")))
+            new = (contribs.groupBy("u")
+                   .agg(F.sum("c").alias("in_sum"))
+                   .select("u", F.expr(f"CAST({base} AS BIGINT) "
+                                       f"+ ({p} * in_sum) DIV {q}")
+                           .alias("m")))
+            ranks = deg.join(
+                F.broadcast(new) if broadcast_ranks else new, "u")
+            if (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.select(F.col("u").alias("node"),
+                            F.col("m").alias("microrank"))
+
     ranks = deg.withColumn("rank", F.lit(1.0))
     for i in range(iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks

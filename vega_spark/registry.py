@@ -2727,22 +2727,34 @@ def tpch_q9_profit_by_nation_q(spark, sf_dir):
 
 
 @_q("hll_rollup_distinct_users", """
-SELECT event_type, COUNT(DISTINCT user_id) AS approx_distinct
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+       1 AS hll_in_band
 FROM events GROUP BY event_type
 """)
 def hll_rollup_distinct_users_q(spark, sf_dir):
     """Mergeable-sketch rollup (operators/sketches.py): daily per-type
     HLL partials, then union-merged to per-type distinct users — the
-    merge never rescans the base table. Oracle is EXACT count-distinct:
-    valid at the sf0.01 gate because 150 distinct users sit in the
-    sketch's sparse (coupon-list) mode, where HLL is exact; the >=2%
-    error bound at large cardinality is pinned in test_approx."""
+    merge never rescans the base table. Accuracy-band contract (SF-
+    robust): the oracle pins the exact distinct per type plus a 2%-
+    band flag on the merged HLL estimate — exact in the sketch's
+    sparse (coupon-list) regime at the sf0.01 gate, and still pinned
+    (0.8% measured at sf0.1) once the estimator leaves it; the error
+    bound at large cardinality is additionally pinned in test_approx."""
     from vega_spark.operators import sketches as SK
     from vega_spark.tables import ts_date
     ev = _t(spark, sf_dir, "events").select(
         "event_type", "user_id", ts_date("ts").alias("day"))
     partials = SK.hll_partial(ev, ["event_type", "day"], "user_id")
-    return SK.hll_merge(partials, ["event_type"])
+    est = SK.hll_merge(partials, ["event_type"])
+    exact = (_t(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_distinct",
+                    (F.abs(F.col("approx_distinct")
+                           - F.col("exact_distinct"))
+                     <= 0.02 * F.col("exact_distinct"))
+                    .cast("int").alias("hll_in_band")))
 
 
 @_q("corr_matrix", """
@@ -3918,24 +3930,34 @@ pairs AS (
 ),
 sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
 deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
-r0 AS (SELECT u, CAST(1.0 AS DOUBLE) AS rank FROM deg),
-r1 AS (SELECT s.v AS u, 0.15 + 0.85 * SUM(r.rank / d.deg) AS rank
+r0 AS (SELECT u, CAST(1000000000 AS BIGINT) AS m FROM deg),
+r1 AS (SELECT s.v AS u,
+              CAST(150000000 + (17 * SUM(r.m // d.deg)) // 20 AS BIGINT) AS m
        FROM sym s JOIN r0 r ON s.u = r.u JOIN deg d ON s.u = d.u
        GROUP BY s.v),
-r2 AS (SELECT s.v AS u, 0.15 + 0.85 * SUM(r.rank / d.deg) AS rank
+r2 AS (SELECT s.v AS u,
+              CAST(150000000 + (17 * SUM(r.m // d.deg)) // 20 AS BIGINT) AS m
        FROM sym s JOIN r1 r ON s.u = r.u JOIN deg d ON s.u = d.u
        GROUP BY s.v),
-r3 AS (SELECT s.v AS u, 0.15 + 0.85 * SUM(r.rank / d.deg) AS rank
+r3 AS (SELECT s.v AS u,
+              CAST(150000000 + (17 * SUM(r.m // d.deg)) // 20 AS BIGINT) AS m
        FROM sym s JOIN r2 r ON s.u = r.u JOIN deg d ON s.u = d.u
        GROUP BY s.v)
-SELECT u AS node, ROUND(rank, 6) AS rank FROM r3
+SELECT u AS node, m AS microrank FROM r3
 """)
 def pagerank_part_affinity_q(spark, sf_dir):
     """PageRank (3 supersteps, d=0.85) over the part-co-order affinity
     graph — an ITERATIVE algorithm whose oracle unrolls the identical
     supersteps as chained CTEs (k-means is rows-only; this one is
     value-checked). Each superstep: edges ⋈ ranks keyed shuffle +
-    one aggregate."""
+    one aggregate.
+
+    Fixed-point BIGINT micro-ranks (scale 1e9, damping 17/20 via
+    integer DIV — graph.pagerank(fixed_point=True)): the double
+    chain's rational ranks (degree-1/2 chains) land within an ulp of
+    decimal half-way points where the engines round apart (observed
+    at sf0.1: 1.3708125 rounded 1370813 vs 1370812); integer
+    recurrence replays bit-exactly in ANY engine at ANY scale."""
     from vega_spark.functions.analytics import cooccurrence_pairs
     from vega_spark.functions.graph import pagerank
     li = _t(spark, sf_dir, "lineitem")
@@ -3945,8 +3967,9 @@ def pagerank_part_affinity_q(spark, sf_dir):
     # node-sized side from runtime stats at any SF where it fits (the
     # measured hint variant was ~equal-or-slower — it only pays off
     # when AQE is off or stats mislead at extreme edge:node ratios)
-    out = pagerank(edges, "item_a", "item_b", iters=3, damping=0.85)
-    return out.select("node", F.round("rank", 6).alias("rank"))
+    out = pagerank(edges, "item_a", "item_b", iters=3, damping=0.85,
+                   fixed_point=True)
+    return out.select("node", "microrank")
 
 
 @_q("window_rank_stats", """
@@ -6847,37 +6870,36 @@ dense AS (
     ON h.event_type = d.event_type AND h.xh = d.xh),
 t AS (
   SELECT event_type, xh, y,
-         CAST(SUM(y) OVER w AS DOUBLE)
-           / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+         CAST((SUM(y) OVER w * 1000000) // (COUNT(*) OVER w) AS BIGINT)
+           AS trend_micro
   FROM dense
   WINDOW w AS (PARTITION BY event_type ORDER BY xh
                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-t2 AS (SELECT *, CAST(ROUND((y - trend) * 1000000, 0) AS BIGINT) AS det
-       FROM t),
+t2 AS (SELECT *, y * 1000000 - trend_micro AS det_micro FROM t),
 seas AS (
   SELECT event_type, xh % 24 AS hod,
-         CAST(SUM(det) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-           / 1000000.0 AS seasonal
+         CAST(SUM(det_micro) // COUNT(*) AS BIGINT) AS seasonal_micro
   FROM t2 GROUP BY 1, 2)
 SELECT t2.event_type, t2.xh, t2.y,
-       ROUND(t2.trend, 6) AS trend,
-       ROUND(seas.seasonal, 6) AS seasonal,
-       ROUND(CAST(t2.det AS DOUBLE) / 1000000.0 - seas.seasonal, 6)
-         AS residual
+       t2.trend_micro, seas.seasonal_micro,
+       t2.det_micro - seas.seasonal_micro AS residual_micro
 FROM t2 JOIN seas
   ON t2.event_type = seas.event_type AND t2.xh % 24 = seas.hod
 """)
 def stl_decompose_hourly_q(spark, sf_dir):
     """STL-lite decomposition of hourly event counts into trend
     (±12h centered moving average on a ZERO-FILLED dense grid),
-    hour-of-day seasonal means of the 1e-6-requantized detrended
-    series, and residuals — the decomposition behind seasonality-
-    aware anomaly screens and forecast baselines. All sums exact
-    integers; the oracle replays every component bit-for-bit."""
+    hour-of-day seasonal means of the detrended series, and
+    residuals — the decomposition behind seasonality-aware anomaly
+    screens and forecast baselines. 1e-6 fixed-point BIGINT
+    components via integer DIV (micro=True): the float path's
+    rational means land within an ulp of decimal half-way points
+    where engines round apart (observed at sf0.1); the integer
+    recurrence replays bit-for-bit at any scale."""
     from vega_spark.functions.analytics import stl_lite_hourly
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stl_lite_hourly(ev)
+    return stl_lite_hourly(ev, micro=True)
 
 
 @_q("cusum_changepoint_hours", """
