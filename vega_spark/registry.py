@@ -1194,6 +1194,7 @@ def ann_lsh_topk_q(spark, sf_dir):
 
 @_q("embedding_near_dup", """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 500),
 s AS (
   SELECT a.vec_id AS qa, b.vec_id AS qb,
          list_dot_product(a.v, b.v)
@@ -1203,7 +1204,7 @@ s AS (
            list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rk
-  FROM e a JOIN e b ON a.vec_id != b.vec_id),
+  FROM q a JOIN e b ON a.vec_id != b.vec_id),
 wit AS (SELECT qa, qb FROM s
         WHERE rk <= 2 AND cos >= 0.9 AND qa < qb)
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wit) AS n_witness_pairs,
@@ -1213,9 +1214,13 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wit) AS n_witness_pairs,
 def embedding_near_dup_q(spark, sf_dir):
     """Embedding near-dup contract. Recall is pinned against a
     WITNESS set the oracle can replay without trusting the blocking:
-    pairs where one member ranks in the other's exact top-2 with
-    cosine >= 0.9 (a subset of the truth; at this threshold LSH
-    blocking collides with prob ~1, so every witness must be found).
+    pairs where a witness query's exact top-2 neighbor has cosine
+    >= 0.9 (a subset of the truth; at this threshold LSH blocking
+    collides with prob ~1, so every witness must be found). The
+    witness query set is the FIRST 500 vec_ids — a fixed bound, so
+    the brute-force witness scan is |Q|·n (linear in the corpus),
+    honoring cosine_topk_bruteforce's bounded-query-set design; the
+    corpus-as-queries variant was |n|² and took 150 s at sf0.1.
     Precision is pinned as a flag: the finder verifies true cosine on
     candidates, so any pair it reports below threshold is a bug. On
     the isotropic synthetic embeddings the witness set is EMPTY (max
@@ -1231,10 +1236,11 @@ def embedding_near_dup_q(spark, sf_dir):
     # k=3 because the corpus-as-queries ranking includes SELF at rank
     # 1 (cos=1); dropping it leaves the top-2 real neighbors, matching
     # the oracle's self-excluded rk <= 2 window
-    witness = X_sim.cosine_topk_bruteforce(
-        emb, emb.select(F.col("vec_id").alias("query_id"), "embedding"),
-        k=3).filter((F.col("cos") >= 0.9)
-                    & (F.col("query_id") != F.col("neighbor_id"))) \
+    qset = (emb.orderBy("vec_id").limit(500)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    witness = X_sim.cosine_topk_bruteforce(emb, qset, k=3) \
+        .filter((F.col("cos") >= 0.9)
+                & (F.col("query_id") != F.col("neighbor_id"))) \
         .filter(F.col("query_id") < F.col("neighbor_id")) \
         .select(F.col("query_id").alias("doc_a"),
                 F.col("neighbor_id").alias("doc_b"))
@@ -1447,21 +1453,34 @@ def skew_salted_agg_q(spark, sf_dir):
 
 
 @_q("percentile_exact", """
+WITH c AS (SELECT l_returnflag,
+                  CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+           FROM lineitem)
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-       ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75
-FROM lineitem GROUP BY l_returnflag
+       CAST(ROUND(quantile_cont(cents, 0.25) * 4, 0) AS BIGINT) AS p25_qc,
+       CAST(ROUND(quantile_cont(cents, 0.50) * 4, 0) AS BIGINT) AS p50_qc,
+       CAST(ROUND(quantile_cont(cents, 0.75) * 4, 0) AS BIGINT) AS p75_qc
+FROM c GROUP BY l_returnflag
 """)
 def percentile_exact_q(spark, sf_dir):
     """Exact interpolated percentiles (Spark SQL `percentile`) — the
-    exact counterpart of percentile_approx; both engines use linear
-    interpolation so values match to the cent."""
+    exact counterpart of percentile_approx; both engines use the same
+    linear interpolation (position q·(n-1)). Computed over INTEGER
+    cents and emitted as quarter-cent BIGINTs: the interpolation
+    fractions for q ∈ {.25, .5, .75} are {0, .25, .5, .75} — exact
+    binary — so cents-quantile × 4 is an exact integer in BOTH
+    engines; rounding the raw double to 2 decimals instead lands on
+    half-cent boundaries where the engines round apart (observed at
+    sf0.001)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
-                 F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
-                 F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75")))
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("cents"))
+    return (c.groupBy("l_returnflag")
+            .agg(*[F.round(F.percentile("cents", F.lit(q)) * 4, 0)
+                   .cast("long").alias(f"p{int(q*100)}_qc")
+                   for q in (0.25, 0.50, 0.75)]))
 
 
 @_q("ann_ivf_topk", """
