@@ -509,6 +509,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     doesn't grow unboundedly."""
     e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
+    # every round's join re-reads the edge frame; materialize it once
+    # or the (possibly expensive) pair derivation — e.g. the
+    # ngram-Jaccard candidate join — re-runs once per superstep
+    # (same rationale as graph.pagerank's materialize_edges)
+    e = e.localCheckpoint(eager=True)
     labels = (e.select("u").distinct()
               .select(F.col("u").alias("node"), F.col("u").alias("comp")))
     for _ in range(max_iter):

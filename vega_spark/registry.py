@@ -3268,31 +3268,50 @@ GROUP BY o.o_orderkey
 """)
 def cogroup_reconcile_orders_q(spark, sf_dir):
     """Black-box cogroup (groupby().cogroup().applyInPandas): orders
-    and their lineitems materialized per key as pandas frames, the
+    and their lineitems materialized as pandas frames, the
     reference's cogroup-then-compute pattern with arbitrary logic.
     The %7 filter keeps both scans pruned (predicate pushdown on the
-    key survives the cogroup)."""
+    key survives the cogroup).
+
+    Cogrouped on a BOUNDED bucket key (orderkey % 128), with the
+    per-order reconcile done by a vectorized pandas groupby inside
+    each bucket frame — the scale shape for per-key Python logic:
+    cogrouping directly on the natural key costs one interpreter
+    call + frame construction PER KEY (measured 45 s at sf0.1 for
+    ~8.6k keys, and growing linearly with keys); 128 bucket calls
+    amortize that to milliseconds regardless of key count."""
     import pandas as pd
 
     def reconcile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if lpdf.empty:          # lineitems whose order is filtered out
+        if lpdf.empty:          # bucket whose orders are all filtered
             return pd.DataFrame(
                 {"o_orderkey": pd.Series(dtype="int64"),
                  "n_lines": pd.Series(dtype="int64"),
                  "sum_qty": pd.Series(dtype="float64")})
+        out = lpdf[["o_orderkey"]].drop_duplicates()
+        if len(rpdf):
+            per = (rpdf.groupby("l_orderkey")["l_quantity"]
+                   .agg(n_lines="size", sum_qty="sum").reset_index())
+            out = out.merge(per, left_on="o_orderkey",
+                            right_on="l_orderkey", how="left")
+        else:
+            out = out.assign(n_lines=pd.NA, sum_qty=pd.NA)
         return pd.DataFrame({
-            "o_orderkey": [int(lpdf["o_orderkey"].iloc[0])],
-            "n_lines": [len(rpdf)],
-            "sum_qty": [float(rpdf["l_quantity"].sum()) if len(rpdf) else 0.0],
+            "o_orderkey": out["o_orderkey"].astype("int64"),
+            "n_lines": out["n_lines"].fillna(0).astype("int64"),
+            "sum_qty": out["sum_qty"].fillna(0.0).astype("float64"),
         })
 
     od = (_t(spark, sf_dir, "orders")
-          .filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+          .filter(F.col("o_orderkey") % 7 == 0)
+          .select("o_orderkey",
+                  (F.col("o_orderkey") % 128).alias("bucket")))
     li = (_t(spark, sf_dir, "lineitem")
           .filter(F.col("l_orderkey") % 7 == 0)
-          .select("l_orderkey", "l_quantity"))
+          .select("l_orderkey", "l_quantity",
+                  (F.col("l_orderkey") % 128).alias("bucket")))
     return J.cogroup_apply(
-        od, li, "o_orderkey", "l_orderkey", reconcile,
+        od, li, "bucket", "bucket", reconcile,
         "o_orderkey long, n_lines long, sum_qty double")
 
 
