@@ -306,3 +306,51 @@ def test_sample_negatives_deterministic_and_anchor_free(spark):
     out3 = sorted((r.anchor, r.slot, r.negative) for r in
                   sample_negatives(docs, k=3, seed="other").collect())
     assert out3 != out1
+
+
+def test_pagerank_fixed_point_matches_float_path(spark):
+    from vega_spark.functions.graph import pagerank
+    # star + path mix so degrees (and ranks) genuinely differ
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(4, 5), (5, 6)],
+        "a long, b long")
+    fl = {r["node"]: r["rank"]
+          for r in pagerank(edges, "a", "b", iters=3).collect()}
+    fx = {r["node"]: r["microrank"]
+          for r in pagerank(edges, "a", "b", iters=3,
+                            fixed_point=True).collect()}
+    assert set(fl) == set(fx)
+    for n in fl:
+        # 1e-9 fixed-point truncation per superstep; 3 supersteps with
+        # damping/deg amplification stay far under 1e-6 absolute
+        assert abs(fx[n] / 1e9 - fl[n]) < 1e-6, (n, fx[n], fl[n])
+    # fixed-point output must be exact integers (bigint column)
+    assert all(isinstance(v, int) for v in fx.values())
+
+
+def test_stl_micro_matches_float_components(spark):
+    import datetime
+
+    from vega_spark.functions.analytics import stl_lite_hourly
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(72):             # 3 days, daily seasonality
+        n = 3 + (2 if (h % 24) in (9, 10) else 0) + (h // 24)
+        for _ in range(n):
+            rows.append(("click", base + datetime.timedelta(hours=h,
+                                                            minutes=eid % 60)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    fl = {r["xh"]: r for r in stl_lite_hourly(df).collect()}
+    fx = {r["xh"]: r for r in stl_lite_hourly(df, micro=True).collect()}
+    assert set(fl) == set(fx)
+    for xh, r in fx.items():
+        f = fl[xh]
+        assert r["y"] == f["y"]
+        # micro components are 1e-6 fixed-point versions of the float
+        # path (trend DIV-truncated, so within 1 micro-unit + rounding)
+        assert abs(r["trend_micro"] / 1e6 - f["trend"]) < 2e-6
+        assert abs(r["seasonal_micro"] / 1e6 - f["seasonal"]) < 2e-6
+        assert abs(r["residual_micro"] / 1e6 - f["residual"]) < 4e-6
+        assert isinstance(r["trend_micro"], int)
