@@ -227,3 +227,24 @@ def test_jl_projection_preserves_distances(spark):
     # deterministic across seeds only when the seed matches
     assert jl_sign_matrix(8, 2, "a") != jl_sign_matrix(8, 2, "b")
     assert jl_sign_matrix(8, 2, "a") == jl_sign_matrix(8, 2, "a")
+
+
+def test_cosine_topk_exclude_self_and_raw_cos(spark):
+    """ADVICE r3 (embedding_near_dup): with >= 3 identical vectors,
+    a self-including window can evict a true neighbor; exclude_self
+    must rank only real neighbors, and round_dp=None must return the
+    raw cosine (no 6-dp coarsening before threshold filters)."""
+    v = [1.0, 2.0, 3.0]
+    other = [-3.0, 1.0, 0.5]
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, v), (3, other)],
+        "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    got = {(r.neighbor_id, r.rk): r.cos
+           for r in S.cosine_topk_bruteforce(
+               df, q, k=2, exclude_self=True, round_dp=None).collect()}
+    # self (id 0) excluded; both identical mates fill the top-2
+    assert set(got) == {(1, 1), (2, 2)}
+    assert all(abs(c - 1.0) < 1e-12 for c in got.values())

@@ -534,3 +534,57 @@ def test_oov_rate_exact_counts(spark):
            for r in oov_rate_by_group(docs, vocab_size=2).collect()}
     assert got["en"] == (7, 1, 142857)   # rare1 of 7
     assert got["de"] == (3, 2, 666666)   # rare2, rare3 of 3
+
+
+def test_ngram_jaccard_hot_shingle_guard_kills_quadratic_bucket(spark):
+    """r3 verdict #2: a boilerplate shingle shared by M otherwise-
+    distinct docs must not force an M^2 candidate self-join when the
+    max_doc_freq guard is on — and genuinely similar docs (sharing
+    many NON-hot shingles) must still pair."""
+    # 30 docs that share one boilerplate trigram but nothing else
+    boiler = [f"click here now u{i} v{i} w{i} x{i} y{i}" for i in range(30)]
+    # a planted near-dup pair sharing a long unique passage
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " extra"
+    df = docs(spark, boiler + [a, b])
+
+    unguarded = D.ngram_jaccard_pairs(df, "text", "doc_id",
+                                      n=3, threshold=0.01)
+    guarded = D.ngram_jaccard_pairs(df, "text", "doc_id",
+                                    n=3, threshold=0.01, max_doc_freq=10)
+    # without the guard the hot shingle yields 30*29/2 boiler pairs
+    assert unguarded.count() >= 435
+    got = {(r.doc_a, r.doc_b) for r in guarded.collect()}
+    assert got == {(30, 31)}  # only the true near-dup pair survives
+
+
+def test_minhash_lsh_max_bucket_none_keeps_every_collision(spark):
+    """ADVICE r3: the 100%-recall contract needs max_bucket=None —
+    a capped hot bucket silently drops true pairs."""
+    df = docs(spark, ["identical text for every doc here"] * 6)
+    capped = D.minhash_lsh_pairs(df, "text", "doc_id",
+                                 num_hashes=16, bands=4, max_bucket=3)
+    full = D.minhash_lsh_pairs(df, "text", "doc_id",
+                               num_hashes=16, bands=4, max_bucket=None)
+    assert capped.count() == 3   # 3 docs survive the cap -> 3 pairs
+    assert full.count() == 15    # all C(6,2) pairs
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    """r3 verdict #3: a degenerate clustering (every row in one
+    cluster) must fail fast instead of running the O(n^2)
+    within-cluster stage; None opts back in."""
+    import pytest
+
+    from vega_spark.functions.dedup import semantic_dedup_flags
+
+    rows = [(i, [1.0, 0.0, float(i % 3)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one_centroid = [[1.0, 0.0, 1.0]]
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup_flags(df, one_centroid, eps=0.99,
+                             max_cluster=10)
+    # opting out (or a big enough bound) still works end to end
+    out = semantic_dedup_flags(df, one_centroid, eps=0.99,
+                               max_cluster=None)
+    assert out.count() == 50

@@ -372,3 +372,24 @@ def test_stream_to_versioned_min_max_merge_fns(spark, tmp_path):
             table, ["k"], {"lo": F.min("v")},
             checkpoint=str(tmp_path / "ckpt2"),
             merge_fns={"lo": "avg"})
+
+
+def test_stream_to_versioned_rejects_stray_merge_fn_key(spark, tmp_path):
+    # ADVICE r3: a typo'd merge_fns key must raise, not silently
+    # fall back to F.sum for the intended metric
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vega_spark.streaming import sources as SS
+    from vega_spark.streaming.sinks import stream_to_versioned
+
+    arrivals = str(tmp_path / "arrivals")
+    spark.createDataFrame([("a", 1)], "k string, v long") \
+        .write.parquet(arrivals)
+    with pytest.raises(ValueError, match="unknown.*high"):
+        stream_to_versioned(
+            SS.stream_parquet(spark, arrivals, "k string, v long"),
+            str(tmp_path / "table"), ["k"],
+            {"hi": F.max("v")},
+            checkpoint=str(tmp_path / "ckpt"),
+            merge_fns={"high": "max"})

@@ -403,20 +403,25 @@ def near_dup_against_index(batch: DataFrame, signatures: DataFrame,
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_n: int = 3, seed: int = 42,
-                      max_bucket: int = 1000, impl: str = "pandas") -> DataFrame:
+                      max_bucket: int | None = 1000,
+                      impl: str = "pandas") -> DataFrame:
     """Banded LSH over MinHash signatures → candidate pairs (a < b).
 
     bands x rows = num_hashes; a pair lands in a bucket iff one band
     of the signatures matches exactly. Candidate generation is one
     explode (doc → bands) + one groupBy — linear in docs. ``max_bucket``
-    truncates pathological buckets (hot-key guard)."""
+    truncates pathological buckets (hot-key guard); it trades recall
+    for skew safety, so pass None when a contract needs EVERY true
+    collision (e.g. a 100%-recall pin on a bounded corpus)."""
     assert num_hashes % bands == 0
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
                              seed, impl=impl)
     banded = _banded_buckets(sig, num_hashes, bands)
+    docs_agg = F.sort_array(F.collect_list("doc"))
+    if max_bucket is not None:
+        docs_agg = F.slice(docs_agg, 1, max_bucket)
     grouped = (banded.groupBy("band", "bucket")
-               .agg(F.slice(F.sort_array(F.collect_list("doc")), 1, max_bucket)
-                    .alias("docs"))
+               .agg(docs_agg.alias("docs"))
                .filter(F.size("docs") > 1))
     pairs = grouped.select(
         F.explode(F.expr(
@@ -549,7 +554,8 @@ def keep_representatives(docs: DataFrame, components: DataFrame,
 def semantic_dedup_flags(df: DataFrame, centroids: list[list[float]],
                          eps: float = 0.95,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         max_cluster: int | None = 100_000) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster rank examples by
     similarity to their centroid (ascending — the paper keeps the
@@ -592,6 +598,22 @@ def semantic_dedup_flags(df: DataFrame, centroids: list[list[float]],
     a = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
          .select("id", "__v", best["cluster"].alias("cluster"),
                  best["csim"].alias("csim")))
+    if max_cluster is not None:
+        # the within-cluster self-join below is quadratic in cluster
+        # size BY DESIGN (paper semantics) — refuse to run it when a
+        # degenerate clustering (k too small for n, or collapsed
+        # centroids) would make that stage explode instead of letting
+        # it silently dominate the job. One bounded scan, k-row agg.
+        biggest = (a.groupBy("cluster")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .agg(F.max("n").alias("mx")).first()["mx"])
+        if biggest is not None and biggest > max_cluster:
+            raise ValueError(
+                f"semantic_dedup_flags: largest cluster has {biggest} "
+                f"rows > max_cluster={max_cluster}; the within-cluster "
+                f"pair stage is O(cluster_size^2) — raise k (more "
+                f"centroids), pre-split the corpus, or pass a larger/"
+                f"None max_cluster to accept the quadratic cost")
     w = Window.partitionBy("cluster").orderBy(F.col("csim").asc(),
                                               F.col("id").asc())
     r = a.withColumn("rk", F.row_number().over(w))
@@ -613,15 +635,22 @@ def semantic_dedup_flags(df: DataFrame, centroids: list[list[float]],
 def semantic_dedup(df: DataFrame, k: int = 64, eps: float = 0.95,
                    kmeans_iters: int = 10,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_cluster: int | None = 100_000) -> DataFrame:
     """End-to-end SemDeDup: train k-means centroids (deterministic
     lowest-id init, `clustering.kmeans`), then flag duplicates with
-    `semantic_dedup_flags`. Returns the KEPT rows of ``df``."""
+    `semantic_dedup_flags`. Returns the KEPT rows of ``df``.
+
+    Size ``k`` with the corpus: the per-cluster stage is quadratic in
+    cluster size, so k must grow ~n/50k to keep clusters bounded at
+    100 TB scale; the ``max_cluster`` guard (see semantic_dedup_flags)
+    fails fast instead of letting an under-sized k go quadratic."""
     from vega_spark.functions.clustering import kmeans
 
     _, centroids = kmeans(df.select(id_col, vec_col), vec_col, k,
                           max_iter=kmeans_iters, id_col=id_col)
-    flags = semantic_dedup_flags(df, centroids, eps, id_col, vec_col)
+    flags = semantic_dedup_flags(df, centroids, eps, id_col, vec_col,
+                                 max_cluster=max_cluster)
     keep = flags.filter(~F.col("is_dup")).select(id_col)
     return df.join(keep, id_col, "semi")
 

@@ -78,11 +78,19 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame,
                            k: int = 10,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           query_id_col: str = "query_id") -> DataFrame:
+                           query_id_col: str = "query_id",
+                           exclude_self: bool = False,
+                           round_dp: int | None = 6) -> DataFrame:
     """Exact cosine top-k of ``corpus`` rows per ``queries`` row.
 
     queries must be small (it is broadcast). Ties broken by corpus id
-    so the result set is deterministic."""
+    so the result set is deterministic. ``exclude_self`` drops
+    neighbor_id == query_id BEFORE ranking (corpus-as-queries callers:
+    with it off, >= k identical vectors tying at cos 1.0 can push a
+    real neighbor out of the window — r3 ADVICE). ``round_dp=None``
+    returns the raw cosine so downstream threshold filters are not
+    applied to a rounded value (a true cos in [t-5e-7, t) must not
+    flip sides of a >= t cut)."""
     q = F.broadcast(queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
@@ -92,11 +100,15 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame,
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col(vec_col), F.col("__qvec")).alias("cos"),
     )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
+    cos_out = (F.col("cos") if round_dp is None
+               else F.round("cos", round_dp))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
-            .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk"))
+            .select("query_id", "neighbor_id", cos_out.alias("cos"), "rk"))
 
 
 def _random_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:

@@ -77,7 +77,14 @@ def partial_aggregate(rdd, partition_fn, merge_fn, init, evaluator,
     Scale note: each runJob chunk is a real distributed job over only
     those partitions — the driver never pulls rows, only the per-
     partition partials (the same contract as the reference's
-    evaluator merge)."""
+    evaluator merge).
+
+    Deadline granularity: the timeout is checked BETWEEN chunks, so
+    the effective deadline is coarse — it can overshoot by up to one
+    chunk's wall time (job-submission overhead included), which on a
+    busy cluster may be seconds. This matches the reference's
+    listener semantics (results keep arriving until the timer fires);
+    size ``chunk`` down if tighter deadline adherence matters."""
     sc = rdd.context
     n_parts = rdd.getNumPartitions()
     deadline = time.monotonic() + timeout_ms / 1000.0

@@ -849,24 +849,24 @@ def glom_sizes_q(spark, sf_dir):
 
 
 @_q("count_approx", """
-SELECT COUNT(*) AS exact_n, 1 AS completed_exact, 1 AS ci_contains
+SELECT COUNT(*) AS exact_n, 1 AS ci_contains
 FROM lineitem
 """)
 def count_approx_q(spark, sf_dir):
     """count_approx contract (ref src/partial/count_evaluator.rs +
-    rdd.rs:1018-1056): with a generous deadline every partition
-    finishes, so the BoundedDouble must collapse to the exact count
-    with confidence 1.0 and a degenerate CI containing it. The
-    deadline path stays exercised; the flags pin its convergence."""
+    rdd.rs:1018-1056): the BoundedDouble's CI must contain the exact
+    count — an invariant that holds BOTH when every partition finishes
+    inside the deadline (CI degenerates to the exact value) and on the
+    partial-estimate path. The old `completed_exact` pin required
+    all-partitions-inside-60s, i.e. it hashed wall-clock on a loaded
+    host (r3 ADVICE) — dropped from the hashed surface."""
     from vega_spark.operators.approx import count_approx
     li = _t(spark, sf_dir, "lineitem")
     r = count_approx(li, timeout_ms=60_000)
     exact = li.count()
     return spark.createDataFrame(
-        [(exact,
-          int(r.confidence == 1.0 and r.mean == float(exact)),
-          int(r.low <= exact <= r.high))],
-        "exact_n long, completed_exact int, ci_contains int")
+        [(exact, int(r.low <= exact <= r.high))],
+        "exact_n long, ci_contains int")
 
 
 # --- north-star: dedup ----------------------------------------------------------
@@ -891,8 +891,12 @@ WITH toks AS (
                                         i -> array_to_string(t[i:i+2], ' ')))
          ELSE [array_to_string(t, ' ')] END AS shingles
   FROM toks
-), idx AS (
+), idx0 AS (
   SELECT DISTINCT doc_id AS doc, unnest(shingles) AS shingle FROM sh
+), hot AS (
+  SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) > 1000
+), idx AS (
+  SELECT doc, shingle FROM idx0 ANTI JOIN hot USING (shingle)
 ), sizes AS (
   SELECT doc, COUNT(*) AS n FROM idx GROUP BY doc
 ), common AS (
@@ -911,8 +915,13 @@ WHERE common / (sa.n + sb.n - common) >= 0.5
 
 @_q("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard_q(spark, sf_dir):
+    """max_doc_freq=1000 keeps the hot-shingle skew guard ON in the
+    flagship (r3 verdict: a boilerplate shingle shared by M docs makes
+    the index self-join produce M^2 rows); the oracle's `hot` CTE
+    mirrors the cap exactly."""
     return X_dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                       "text", "doc_id", n=3, threshold=0.5)
+                                       "text", "doc_id", n=3, threshold=0.5,
+                                       max_doc_freq=1000)
 
 
 @_q("dedup_components", f"""
@@ -930,9 +939,12 @@ FROM reach GROUP BY u
 def dedup_components_q(spark, sf_dir):
     """Near-dup clusters: deterministic jaccard pairs -> min-label
     connected components (dedup.connected_components). The oracle
-    computes the same closure with a recursive CTE."""
+    computes the same closure with a recursive CTE. Hot-shingle cap on
+    (mirrored in the oracle's `hot` CTE) — the pairs feed a closure, so
+    an unguarded M^2 bucket would cascade."""
     pairs = X_dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                        "text", "doc_id", n=3, threshold=0.5)
+                                        "text", "doc_id", n=3, threshold=0.5,
+                                        max_doc_freq=1000)
     return X_dedup.connected_components(pairs)
 
 
@@ -953,10 +965,11 @@ WHERE c.component IS NULL OR c.component = d.doc_id
 """)
 def dedup_keep_representatives_q(spark, sf_dir):
     """Full near-dedup: collapse each cluster to its lowest-id doc,
-    pass singletons through."""
+    pass singletons through. Hot-shingle cap on (oracle `hot` CTE)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = X_dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                        n=3, threshold=0.5)
+                                        n=3, threshold=0.5,
+                                        max_doc_freq=1000)
     comp = X_dedup.connected_components(pairs)
     return X_dedup.keep_representatives(docs, comp).select("doc_id")
 
@@ -1003,10 +1016,16 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     SQL-computed truth count (the exact shingle-Jaccard replay that
     dedup_ngram_jaccard hashes in full). pairs_valid pins the a < b /
     no-self-pair invariant. Candidate-set size itself is
-    hash-function-specific and stays out of the hashed surface."""
+    hash-function-specific and stays out of the hashed surface.
+    max_bucket=None because this contract PINS 100% recall: the
+    default hot-bucket cap (1000) could truncate a near-dup-heavy
+    bucket at larger SFs and drop a true pair — behaving as designed
+    yet failing the pin (r3 ADVICE). The corpus is bounded here, so
+    uncapped collect_list is safe; production callers keep the cap."""
     docs = _t(spark, sf_dir, "documents")
     lsh = X_dedup.minhash_lsh_pairs(docs, "text", "doc_id",
-                                    num_hashes=64, bands=16)
+                                    num_hashes=64, bands=16,
+                                    max_bucket=None)
     true = X_dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                        n=3, threshold=0.9) \
         .select("doc_a", "doc_b")
@@ -1233,14 +1252,17 @@ def embedding_near_dup_q(spark, sf_dir):
                                            num_planes=8) \
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
                 "cos")
-    # k=3 because the corpus-as-queries ranking includes SELF at rank
-    # 1 (cos=1); dropping it leaves the top-2 real neighbors, matching
-    # the oracle's self-excluded rk <= 2 window
+    # exclude_self BEFORE ranking + unrounded cos (r3 ADVICE): with
+    # self ranked, >= 3 identical vectors tying at cos 1.0 could push
+    # a true neighbor out of a k=3 window the oracle's self-excluded
+    # rk <= 2 keeps; and the >= 0.9 cut must see the raw cosine the
+    # oracle compares, not a 6-dp rounding of it
     qset = (emb.orderBy("vec_id").limit(500)
             .select(F.col("vec_id").alias("query_id"), "embedding"))
-    witness = X_sim.cosine_topk_bruteforce(emb, qset, k=3) \
-        .filter((F.col("cos") >= 0.9)
-                & (F.col("query_id") != F.col("neighbor_id"))) \
+    witness = X_sim.cosine_topk_bruteforce(emb, qset, k=2,
+                                           exclude_self=True,
+                                           round_dp=None) \
+        .filter(F.col("cos") >= 0.9) \
         .filter(F.col("query_id") < F.col("neighbor_id")) \
         .select(F.col("query_id").alias("doc_a"),
                 F.col("neighbor_id").alias("doc_b"))
@@ -2585,6 +2607,30 @@ def sum_approx_q(spark, sf_dir):
     r = sum_approx(_t(spark, sf_dir, "events").select("value"), "value",
                    timeout_ms=120_000, chunk=32)
     return spark.createDataFrame([(round(r.mean, 2),)], "total double")
+
+
+@_q("mean_approx", """
+SELECT CAST(COUNT(value) AS BIGINT) AS n_vals, 1 AS ci_contains
+FROM events
+""")
+def mean_approx_q(spark, sf_dir):
+    """mean_approx contract — the NEW action written against the
+    reference's generic evaluator framework (context.rs:508-524;
+    operators/approx.py:226). Pins only deadline-independent facts
+    (count_approx r3 ADVICE lesson): the non-null count, and that the
+    BoundedDouble CI contains the exact mean — true on BOTH the
+    converged path (CI degenerates to the mean, compared with a
+    float-summation-order tolerance) and the partial path (interval
+    widens around the seen-rows mean)."""
+    from vega_spark.operators.approx import mean_approx
+    ev = _t(spark, sf_dir, "events")
+    r = mean_approx(ev, "value", timeout_ms=120_000, chunk=32)
+    exact = ev.agg(F.avg("value").alias("m")).first()["m"]
+    n = ev.filter(F.col("value").isNotNull()).count()
+    tol = 1e-9 * max(1.0, abs(exact))
+    return spark.createDataFrame(
+        [(n, int(r.low - tol <= exact <= r.high + tol))],
+        "n_vals long, ci_contains int")
 
 
 @_q("window_lead_lag", """

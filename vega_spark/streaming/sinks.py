@@ -101,6 +101,14 @@ def stream_to_versioned(stream: DataFrame, table_dir: str,
     if unknown:
         raise ValueError(f"merge_fns values must be one of {set(_MERGE)}; "
                          f"got {unknown}")
+    stray = set(merge_fns) - set(agg_exprs)
+    if stray:
+        # a typo'd metric name would otherwise be silently ignored and
+        # that metric re-summed across epochs — the exact min/max
+        # snapshot corruption merge_fns exists to prevent
+        raise ValueError(f"merge_fns keys must name agg_exprs metrics; "
+                         f"unknown: {sorted(stray)} "
+                         f"(metrics: {sorted(agg_exprs)})")
 
     def body(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
