@@ -75,72 +75,111 @@ def entry(spark: SparkSession) -> DataFrame:
 # verified, which rotated the 14 hash-failing queries out of the
 # window permanently — that is the bug this ordering fixes.
 _PRIORITY = [
-    # remaining §2 operators — the r1 AND r2 verdicts' explicit ask;
-    # they lead every never-checked query this round
-    "zip_with_index", "glom_sizes", "count_approx", "count_by_value_approx",
-    "sum_approx", "is_empty_flags", "save_text_roundtrip",
-    "save_parquet_partitioned_roundtrip", "take_sample_contract",
-    "for_each_observe_metrics", "read_whole_files_dir",
-    # ex-no_oracle rows converted to driver-hashable contracts (r2
-    # verdict #5); their old rows were err/no_oracle so they re-enter
-    # through the failed-row front as soon as the oracle exists
-    "write_size_targeted_roundtrip", "approx_count_distinct",
-    "percentile_approx", "sample_seeded", "random_split_sizes",
-    # TPC-H sweep (judge-named shapes first)
-    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
-    "tpch_q9_profit_by_nation", "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_suppliers",
-    # LLM-pipeline flagships named by the r2 verdict (#6) — inside the
-    # expected ~50-query window alongside the above
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "semantic_dedup_flags", "ann_pq_topk", "pipeline_clean_corpus",
-    # rest of the TPC-H sweep
-    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q10_returned_items", "tpch_q11_important_parts",
-    "tpch_q12_late_shipments", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_count", "tpch_q19_discounted_revenue",
-    "tpch_q20_promo_suppliers", "tpch_q22_global_sales_opportunity",
-    # remaining LLM flagship families
-    "kmv_distinct_jaccard", "web_url_dedup_pipeline", "web_line_filter",
-    "bpe_encode_docs", "triangle_count_parts", "label_propagation_parts",
-    "fuzzy_match_suppliers", "ewma_user_values",
-    "attribution_first_last_touch", "cdc_apply_changes_orders",
-    "streaming_kmv_rollup", "mv_incremental_refresh",
-    "bitmap_distinct_rollup", "hist_quantile_rollup",
-    "audio_frame_energy_vad", "inverted_index_search",
+    # r4 window (r3 verdict #1: fill it with never-checked families —
+    # graph, text stats, mlprep, geo, versioned, streaming — plus the
+    # two §2-surface stragglers and this round's contract changes).
+    # --- §2 stragglers (r3 verdict #4) + new/changed contracts
+    "sample_stratified", "custom_source_events", "mean_approx",
+    "count_approx", "dedup_minhash_lsh",   # contracts changed r4 (_RECHECK)
     "dedup_ngram_jaccard", "dedup_components", "dedup_keep_representatives",
+    "embedding_near_dup",
+    # --- graph family (zero driver rows before r4)
+    "pagerank_part_affinity", "triangle_count_parts", "bfs_parts_distance",
+    "sssp_parts_weighted", "kcore_parts", "label_propagation_parts",
+    # --- text statistics family
+    "tfidf_top_terms", "vocab_stats", "zipf_rank_frequency",
+    "readability_docs", "text_features", "keyness_terms_by_lang",
+    # --- mlprep family
+    "kmeans_clusters", "kmeans_silhouette", "als_recommend_parts",
+    "roc_auc_purchase_value", "target_encode_orders_priority",
+    "naive_bayes_lang_confusion", "ols_price_qty_discount",
+    "pca_covariance_lineitem",
+    # --- geo family
+    "geo_trajectory_users", "geo_copresence_users",
+    # --- versioned/lakehouse family
+    "versioned_time_travel_orders", "versioned_data_skipping_orders",
+    "versioned_bloom_point_lookup", "versioned_change_feed_orders",
+    "versioned_zorder_2d_skipping", "versioned_delete_keys_orders",
+    "merge_upsert_orders", "cdc_apply_changes_orders",
+    # --- streaming family
+    "streaming_windowed_counts", "streaming_stream_static_join",
+    "streaming_dedup_exact", "streaming_kmv_rollup",
+    "streaming_watermark_drops", "streaming_anomaly_flags",
+    "streaming_interval_join_pairs", "streaming_left_outer_interval_join",
+    "mv_incremental_refresh",
+    # --- TPC-H stragglers
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_count",
+    "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_suppliers", "tpch_q22_global_sales_opportunity",
+    # ~r5 window candidates: remaining dedup/ann/pipeline flagships
     "dedup_spans", "dedup_incremental", "dedup_incremental_bloom",
-    "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_lsh_topk",
-    "ann_ivf_topk", "embedding_near_dup", "text_features",
+    "near_dup_incremental_lsh", "ann_cosine_topk", "ann_cosine_topk_arrow",
+    "ann_lsh_topk", "ann_ivf_topk", "bpe_encode_docs",
     "encode_docs_vocab1k", "pipeline_corpus_stats",
     "decontaminate_against_eval", "split_assign_counts",
     "temperature_resample_langs", "pack_sequences_manifest",
-    "training_shard_manifest", "pagerank_part_affinity", "kmeans_clusters",
-    "streaming_windowed_counts", "streaming_stream_static_join",
-    "streaming_dedup_exact", "asof_join", "range_join",
-    "table_diff_orders", "multimodal_metadata", "multimodal_frames",
-    "custom_source_events", "bucketed_join_priority_revenue",
-    "partitioned_scan_prune", "sessionize_gap",
-    # round-2 family queries that missed the r2 window
-    "streaming_interval_join_pairs", "read_merge_schema_evolution",
-    "geo_trajectory_users", "geo_copresence_users",
-    "funnel_time_boxed_1h_24h", "dau_wau_stickiness",
-    "corr_qty_discount_by_flag", "activity_heatmap_dow_hour",
-    "session_depth_bounce", "attribution_time_decay",
+    "training_shard_manifest", "contrastive_negatives_docs", "dsir_select_en",
+    "web_url_dedup_pipeline", "web_line_filter", "html_extract_docs",
+    "inverted_index_search", "fuzzy_match_suppliers",
+    "resolve_supplier_entities",
+    # sketches/rollups
+    "kmv_distinct_jaccard", "hll_rollup_distinct_users",
+    "bitmap_distinct_rollup", "hist_quantile_rollup", "cms_heavy_hitters",
+    "heavy_hitters",
+    # joins/layout corners
+    "asof_join", "asof_join_forward_tolerance", "range_join",
+    "null_safe_join_custkeys", "skew_salted_join", "skew_salted_agg",
+    "bucketed_join_priority_revenue", "partitioned_scan_prune",
+    "compact_small_files", "file_layout_skew_report",
+    "read_merge_schema_evolution", "custom_sink_jsonl_roundtrip",
+    "table_diff_orders", "scd2_user_state",
+    # multimodal + audio
+    "multimodal_metadata", "multimodal_frames", "image_header_decode",
+    "audio_frame_energy_vad",
+    # analytics backlog (event/behavioral)
+    "sessionize_gap", "ewma_user_values", "attribution_first_last_touch",
+    "attribution_time_decay", "funnel_time_boxed_1h_24h",
+    "funnel_view_click_purchase", "dau_wau_stickiness",
+    "retention_cohorts_daily", "top_event_paths", "user_event_gaps",
+    "session_depth_bounce", "activity_heatmap_dow_hour",
     "dod_wow_event_changes", "fulfillment_lag_by_priority",
-    "file_layout_skew_report", "user_feature_mart",
-    "custom_sink_jsonl_roundtrip", "versioned_data_skipping_orders",
-    "pareto_customer_frontier", "pca_covariance_lineitem",
-    "cv_stump_orders_priority", "streaming_watermark_drops",
-    "quality_suite_orders", "jl_projection_embeddings",
-    "conformal_orders_price", "als_recommend_parts",
-    "stl_decompose_hourly", "kmeans_silhouette",
-    "versioned_bloom_point_lookup", "versioned_change_feed_orders",
-    "streaming_left_outer_interval_join", "versioned_zorder_2d_skipping",
-    "contrastive_negatives_docs", "versioned_delete_keys_orders",
+    "rolling_hour_value", "hopping_window_counts",
+    # stats/ml backlog
+    "corr_qty_discount_by_flag", "corr_matrix", "crosstab_counts",
+    "histogram_price", "percentile_by_group", "percentile_exact",
+    "quality_suite_orders", "dq_expectations_lineitem", "profile_orders",
+    "fk_integrity_audit", "drift_psi_event_values", "ks_drift_purchase_view",
+    "ab_test_event_values", "jackknife_event_means", "benford_event_values",
+    "chi2_event_type_value", "mi_event_type_value",
+    "anomalies_event_values", "spikes_event_hours", "trend_event_hours",
+    "forecast_backtest_events", "holt_forecast_hourly",
+    "stl_decompose_hourly", "markov_next_event",
+    "calibration_value_purchase", "decile_lift_purchase",
+    "stump_return_price", "cv_stump_orders_priority",
+    "conformal_orders_price", "jl_projection_embeddings",
+    "embed_l2_normalize", "embed_quantize_int8", "embed_label_centroids",
+    "embed_centroid_outliers", "feature_vector_events", "user_feature_mart",
+    "pareto_customer_frontier", "cooccurrence_parts", "item_neighbors_parts",
+    "assoc_rules_parts", "weighted_sample_docs", "weighted_sample_docs_by_lang",
+    "sample_per_source_capped", "stratified_sample_langs",
+    "diversity_by_source", "curriculum_length_deciles",
+    "dp_noisy_event_counts", "k_anonymity_docs",
+    # text backlog
+    "text_normalize_mask", "chunk_documents", "doc_fingerprint",
+    "unigram_lm_score", "bigram_lm_docs", "repetition_stats",
+    "unpivot_lineitem_measures", "json_props_agg", "udtf_sentences",
+    # sql-surface corners
+    "sql_exists_subquery", "window_lead_lag", "window_rank_stats",
+    "window_function_sweep", "pivot_event_values", "pivot_unpivot_roundtrip",
+    "array_hof_sweep", "modern_aggregates", "except_all_keys",
+    "intersect_all_keys", "subtract_by_key", "forward_fill_values",
+    "resample_hourly_grid", "union_by_name_missing", "key_skew_report_parts",
+    "cogroup_reconcile_orders", "cogroup_three_way",
 ]
+
+# Contract-changed-this-round queries: their past driver rows are
+# green but hashed the OLD surface; force a re-check ahead of the tail.
+_RECHECK = {"count_approx", "dedup_minhash_lsh"}
 
 
 def _driver_rows() -> dict[str, dict]:
@@ -190,8 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _PRIORITY.index(k) if k in _PRIORITY else len(_PRIORITY)
 
     failed = sorted((k for k in q if k in rows and k not in green), key=rank)
-    fresh = sorted((k for k in q if k not in rows), key=rank)
-    tail = [k for k in q if k in green]
+    fresh = sorted((k for k in q if k not in rows
+                    or (k in _RECHECK and k in green)), key=rank)
+    tail = [k for k in q if k in green and k not in _RECHECK]
     return {k: q[k] for k in failed + fresh + tail}
 
 

@@ -274,11 +274,13 @@ def main() -> None:
     # within ~1.3x of single-pass.
     RETIME_S = 1.2
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}   # un-retimed first measurements
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         t1 = round(time.perf_counter() - t0, 3)
+        first_run[name] = t1
         if t1 > RETIME_S:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
@@ -324,8 +326,16 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
     with open(detail_path, "w") as f:
+        # first_run = the raw initial measurement per query, BEFORE
+        # min-of-2 retiming and the end-of-run stall re-measure — kept
+        # alongside so host drift and real regressions are
+        # distinguishable across rounds (r3 verdict #7): a genuine
+        # regression moves both numbers; a noisy-VM stall moves only
+        # first_run.
         json.dump({"metric": "headline_queries_total_wall", "value": total,
                    "unit": "sec", "queries": timings,
+                   "first_run": first_run,
+                   "first_run_total": round(sum(first_run.values()), 3),
                    "sf": float(sf) if sf else None}, f, indent=1)
     worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     line = json.dumps({

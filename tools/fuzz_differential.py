@@ -168,6 +168,111 @@ def gen_window_query(rng: random.Random) -> str:
     return sql
 
 
+def gen_three_way_join_query(rng: random.Random) -> str:
+    """lineitem x orders x customer 3-way joins (r3 verdict #5): each
+    hop independently INNER or LEFT, so null propagation composes —
+    COUNT(col) over a doubly-null-extended chain, null group keys
+    from the far side, and join-order/reorder planning all get
+    exercised from one SQL string on both engines."""
+    how1 = rng.choice(["JOIN", "LEFT JOIN"])
+    how2 = rng.choice(["JOIN", "LEFT JOIN"])
+    filters = _gen_filters(rng, 2)
+    if rng.random() < 0.4:
+        filters.append(f"o_orderkey {rng.choice(CMP_OPS)} "
+                       f"{rng.randrange(0, 15000)}")
+    keys = rng.sample(["l_returnflag", "o_orderpriority", "c_mktsegment"],
+                      rng.randrange(0, 3))
+    aggs = ["COUNT(*) AS a0", "COUNT(o_orderkey) AS a1",
+            "COUNT(c_custkey) AS a2"]
+    if rng.random() < 0.7:
+        aggs.append("SUM(CAST(l_quantity AS BIGINT)) AS a3")
+    if rng.random() < 0.5:
+        aggs.append(f"{rng.choice(['MIN', 'MAX'])}(c_custkey) AS a4")
+    select = ", ".join(keys + aggs)
+    sql = (f"SELECT {select} FROM lineitem "
+           f"{how1} orders ON l_orderkey = o_orderkey "
+           f"{how2} customer ON o_custkey = c_custkey")
+    if filters:
+        sql += " WHERE " + " AND ".join(filters)
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+        if rng.random() < 0.3:
+            sql += f" HAVING COUNT(*) > {rng.randrange(0, 5)}"
+    return sql
+
+
+def gen_tied_rank_query(rng: random.Random) -> str:
+    """Rank functions ordered by a LOW-cardinality key only, so ties
+    are massive and deliberate (r3 verdict #5): RANK/DENSE_RANK/
+    PERCENT_RANK/CUME_DIST/NTILE assign tied rows identical (or
+    tie-invariant) values, so the result is deterministic WITHOUT a
+    total order — precisely the tie-semantics surface the closured
+    gen_window_query can never reach. ROW_NUMBER/LAG stay out: under
+    ties they are nondeterministic by definition."""
+    part = rng.choice(["l_returnflag", "l_linestatus"])
+    tie_key = rng.choice(["CAST(l_quantity AS BIGINT)",
+                          "CAST(ROUND(l_discount * 100, 0) AS BIGINT)",
+                          "l_linenumber"])
+    direction = rng.choice(["ASC", "DESC"])
+    wins = []
+    for i in range(rng.randrange(1, 4)):
+        fn = rng.choice(["RANK()", "DENSE_RANK()", "PERCENT_RANK()",
+                         "CUME_DIST()", f"NTILE({rng.randrange(2, 7)})"])
+        if fn.startswith("NTILE"):
+            # NTILE splits ties across adjacent tiles in input order —
+            # nondeterministic under ties; pin it with the full closure
+            order = ("l_orderkey, l_linenumber, " +
+                     ", ".join(v for k, v in INT_EXPRS.items()
+                               if k != "okey"))
+        else:
+            order = f"{tie_key} {direction}"
+        wins.append(f"{fn} OVER (PARTITION BY {part} "
+                    f"ORDER BY {order}) AS w{i}")
+    # project only tie-invariant columns: the tie key and partition,
+    # NOT row identity — tied rows must be output-indistinguishable
+    sql = (f"SELECT {part} AS p, {tie_key} AS tk, {', '.join(wins)} "
+           f"FROM lineitem")
+    filters = _gen_filters(rng, 2)
+    if filters:
+        sql += " WHERE " + " AND ".join(filters)
+    return sql
+
+
+def gen_decimal_query(rng: random.Random) -> str:
+    """DECIMAL-typed aggregates and edge-literal comparisons (r3
+    verdict #5): 2-decimal columns cast to DECIMAL(18,2) — exact in
+    both engines (the source data has no 3rd decimal, so the
+    double->decimal rounding can never land on a half-way boundary) —
+    then summed/compared against 3-decimal literals straddling values
+    (x.xx5 literals force DECIMAL widening in the comparison).
+    Deliberately NO double multiplication before the cast: rational
+    4-decimal products DO hit .5 boundaries where Spark's HALF_UP and
+    DuckDB's binary rounding legitimately diverge (r2 lesson)."""
+    dec_cols = {"price": "CAST(l_extendedprice AS DECIMAL(18,2))",
+                "disc": "CAST(l_discount AS DECIMAL(18,2))",
+                "tax": "CAST(l_tax AS DECIMAL(18,2))"}
+    keys = rng.sample(GROUP_COLS, rng.randrange(0, 2))
+    aggs = []
+    for i in range(rng.randrange(1, 4)):
+        fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+        expr = "*" if fn == "COUNT" else rng.choice(list(dec_cols.values()))
+        aggs.append(f"{fn}({expr}) AS a{i}")
+    sql = f"SELECT {', '.join(keys + aggs)} FROM lineitem"
+    filters = []
+    if rng.random() < 0.8:
+        edge = f"{rng.randrange(100, 99_999)}.{rng.randrange(0, 10)}05"
+        filters.append(f"{dec_cols['price']} {rng.choice(CMP_OPS)} {edge}")
+    if rng.random() < 0.4:
+        filters.append(f"{dec_cols['disc']} "
+                       f"{rng.choice(['<=', '>=', '='])} "
+                       f"0.0{rng.randrange(0, 10)}")
+    if filters:
+        sql += " WHERE " + " AND ".join(filters)
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    return sql
+
+
 def gen_setop_query(rng: random.Random) -> str:
     """Random set-operation shapes between lineitem and orders key
     projections: UNION [ALL] / INTERSECT / EXCEPT distinct-vs-bag
@@ -246,7 +351,9 @@ def main() -> int:
                 f"'{os.path.join(sf_dir, t + '.parquet')}'")
 
     rng = random.Random(seed)
-    gens = [gen_query, gen_join_query, gen_window_query, gen_setop_query]
+    gens = [gen_query, gen_join_query, gen_window_query, gen_setop_query,
+            gen_three_way_join_query, gen_tied_rank_query,
+            gen_decimal_query]
     failures = []
     for i in range(n):
         sql = gens[i % len(gens)](rng)

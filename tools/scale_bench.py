@@ -1,0 +1,156 @@
+"""sf1 scaling smoke (r3 verdict #6): the 2x perf gate at sf0.1 can't
+see O(n^2)-in-disguise; one order of magnitude can. This tool
+
+1. materializes a 10x replica of the sf0.1 fact tables (key-offset
+   copies so FK structure, dup-group sizes, and join fan-outs scale
+   LINEARLY — document text is replica-salted and embeddings replica-
+   perturbed so cross-replica rows never collide into quadratic
+   dup groups), and
+2. times the N most expensive bench queries (per bench_detail.json)
+   at sf0.1 AND at the scaled dir, reporting the wall ratio.
+
+Linear-ish scaling evidence = ratio within ~10x (+ fixed overhead).
+A query at >> 10x is a super-linear stage hiding under the sf0.1 gate.
+
+The scaled data derives mechanically from the DRIVER-PROVIDED
+/root/testdata parquet (no new synthetic distributions) and lives
+outside the repo tree (/tmp) — it is a perf instrument, not a
+correctness fixture; all correctness runs stay on the driver's data.
+
+Usage: python tools/scale_bench.py [factor] [top_n]
+Writes BENCH_sf1.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+DIMS = ("nation", "region")
+# fact table -> {key column -> stride-domain table owning that key}
+FACT_KEYS = {
+    "customer": {"c_custkey": "customer"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {"l_orderkey": "orders", "l_partkey": "part",
+                 "l_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supplier"},
+    "events": {"event_id": "events", "user_id": "__user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+OWN_KEY = {"customer": "c_custkey", "orders": "o_orderkey",
+           "part": "p_partkey", "supplier": "s_suppkey",
+           "events": "event_id", "documents": "doc_id",
+           "embeddings": "vec_id"}
+
+
+def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    from vega_spark.tables import load_table
+
+    strides: dict[str, int] = {}
+    for t, key in OWN_KEY.items():
+        strides[t] = (load_table(spark, src_dir, t)
+                      .agg(F.max(key)).first()[0] or 0) + 1
+    strides["__user"] = (load_table(spark, src_dir, "events")
+                         .agg(F.max("user_id")).first()[0] or 0) + 1
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIMS:
+        load_table(spark, src_dir, t).write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, t + ".parquet"))
+    for t, keymap in FACT_KEYS.items():
+        base = load_table(spark, src_dir, t)
+        parts = []
+        for i in range(factor):
+            rep = base
+            for col, domain in keymap.items():
+                rep = rep.withColumn(
+                    col, (F.col(col) + F.lit(i * strides[domain]))
+                    .cast(dict(base.dtypes)[col]))
+            if t == "documents" and i > 0:
+                # replica-salt the text: within-replica (near-)dup
+                # structure repeats linearly; cross-replica texts never
+                # collide into factor^2-sized dup groups
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" rep{i}")))
+            if t == "embeddings" and i > 0:
+                # deterministic per-replica perturbation: keeps norms
+                # realistic, breaks exact cross-replica duplicates
+                rep = rep.withColumn(
+                    "embedding", F.transform(
+                        "embedding",
+                        lambda x, j: (x + 0.1 * F.lit(float(i))
+                                      * F.cos(j.cast("double")
+                                              + F.lit(float(i))))
+                        .cast("float")))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, t + ".parquet"))
+
+
+def main() -> int:
+    from vega_spark import registry
+    from vega_spark.session import get_session
+
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    out_dir = f"/tmp/vega_scale_sf{factor}x"
+
+    with open(os.path.join(REPO, "bench_detail.json")) as f:
+        detail = json.load(f)["queries"]
+    names = [k for k, _ in sorted(detail.items(), key=lambda kv: -kv[1])
+             [:top_n]]
+
+    spark = get_session("vega-scale-bench",
+                        cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if not os.path.isdir(os.path.join(out_dir, "lineitem.parquet")):
+        t0 = time.perf_counter()
+        build_scaled(spark, SF01, out_dir, factor)
+        print(f"# built {out_dir} in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        fn(spark, "/root/testdata/sf0.01").count()   # warm/JIT
+        t0 = time.perf_counter()
+        fn(spark, SF01).count()
+        base = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n = fn(spark, out_dir).count()
+        big = round(time.perf_counter() - t0, 3)
+        ratio = round(big / base, 2) if base > 0 else None
+        results[name] = {"sf0.1_sec": base, f"sf0.1x{factor}_sec": big,
+                         "ratio": ratio, "rows": n}
+        print(f"# {name}: {base:.2f}s -> {big:.2f}s ({ratio}x)",
+              file=sys.stderr)
+
+    out = {"metric": "scale_smoke", "factor": factor,
+           "queries": results,
+           "note": ("ratio ~<= factor (+ fixed overhead) = linear-ish; "
+                    ">> factor flags a super-linear stage invisible "
+                    "at the sf0.1 gate")}
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"metric": "scale_smoke", "factor": factor,
+                      "worst_ratio": max((r["ratio"] or 0)
+                                         for r in results.values()),
+                      "detail": "BENCH_sf1.json"}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
