@@ -14,6 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.fuzz_differential import (gen_decimal_query,  # noqa: E402
                                      gen_join_query, gen_query,
                                      gen_setop_query,
+                                     gen_string_date_query,
+                                     gen_subquery_query,
                                      gen_three_way_join_query,
                                      gen_tied_rank_query,
                                      gen_window_query, run_case)
@@ -35,8 +37,9 @@ def test_random_query_shapes_agree_with_duckdb(spark, sf_dir):
     rng = random.Random(1234)
     gens = [gen_query, gen_join_query, gen_window_query,
             gen_setop_query, gen_three_way_join_query,
-            gen_tied_rank_query, gen_decimal_query]
-    for i in range(28):
+            gen_tied_rank_query, gen_decimal_query,
+            gen_string_date_query, gen_subquery_query]
+    for i in range(36):
         sql = gens[i % len(gens)](rng)
         ok, why = run_case(spark, con, sql)
         assert ok, f"{sql}: {why}"

@@ -293,6 +293,97 @@ def gen_setop_query(rng: random.Random) -> str:
             f"FROM ({left} {op} {right}) t")
 
 
+def gen_string_date_query(rng: random.Random) -> str:
+    """String-expression and date-extraction shapes (r4 widening):
+    SUBSTR/UPPER/LOWER/LENGTH/||/REPLACE as group keys and DISTINCT
+    aggregate arguments, plus EXTRACT(YEAR/MONTH/DAY) from the
+    timestamp column — string collation (binary on this ASCII data),
+    concat null semantics (|| is null-propagating in both engines;
+    CONCAT is NOT in DuckDB, so it stays out), and int-width
+    normalization are the translation surfaces. All exact by
+    construction."""
+    str_exprs = {
+        "pr2": "SUBSTR(o_orderpriority, 1, 2)",
+        "ust": "UPPER(o_orderstatus)",
+        "lpr": "LOWER(o_orderpriority)",
+        "cat": "o_orderstatus || '-' || o_orderpriority",
+        "rep": "REPLACE(o_orderpriority, '-', '_')",
+    }
+    int_exprs = {
+        "ln": "LENGTH(o_orderpriority)",
+        "yr": "EXTRACT(YEAR FROM o_orderdate)",
+        "mo": "EXTRACT(MONTH FROM o_orderdate)",
+        "dy": "EXTRACT(DAY FROM o_orderdate)",
+    }
+    keys = [f"{e} AS {n}" for n, e in
+            rng.sample(sorted(str_exprs.items()), rng.randrange(0, 2))
+            + rng.sample(sorted(int_exprs.items()), rng.randrange(0, 2))]
+    aggs = ["COUNT(*) AS a0"]
+    for i in range(1, rng.randrange(2, 4)):
+        kind = rng.choice(["cd", "sd", "mm"])
+        if kind == "cd":
+            aggs.append(f"COUNT(DISTINCT "
+                        f"{rng.choice(list(str_exprs.values()))}) AS a{i}")
+        elif kind == "sd":
+            aggs.append(f"SUM(DISTINCT "
+                        f"{rng.choice(list(int_exprs.values()))}) AS a{i}")
+        else:
+            aggs.append(f"{rng.choice(['MIN', 'MAX'])}"
+                        f"({rng.choice(list(str_exprs.values()))}) AS a{i}")
+    sql = f"SELECT {', '.join(keys + aggs)} FROM orders"
+    filters = []
+    if rng.random() < 0.6:
+        filters.append(f"{int_exprs['yr']} {rng.choice(CMP_OPS)} "
+                       f"{rng.randrange(2019, 2027)}")
+    if rng.random() < 0.4:
+        filters.append(f"{str_exprs['pr2']} {rng.choice(['=', '<>'])} "
+                       f"'{rng.randrange(1, 6)}-'")
+    if filters:
+        sql += " WHERE " + " AND ".join(filters)
+    if keys:
+        sql += " GROUP BY " + ", ".join(k.split(" AS ")[1] for k in keys)
+    return sql
+
+
+def gen_subquery_query(rng: random.Random) -> str:
+    """[NOT] IN / correlated [NOT] EXISTS / uncorrelated scalar
+    subqueries over orders with customer/lineitem inner queries (r4
+    widening): decorrelation planning, null-safe IN over provably
+    non-null keys, and semi/anti-join rewrites — all from one SQL
+    string. Exact aggregates only; AVG and integer division stay out
+    (both engines type them differently)."""
+    kind = rng.choice(["in", "not_in", "exists", "not_exists", "scalar"])
+    if kind in ("in", "not_in"):
+        inner = (f"SELECT c_custkey FROM customer WHERE c_nationkey "
+                 f"{rng.choice(CMP_OPS)} {rng.randrange(0, 25)}")
+        pred = (f"o_custkey {'NOT ' if kind == 'not_in' else ''}IN "
+                f"({inner})")
+    elif kind in ("exists", "not_exists"):
+        inner = (f"SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+                 f"AND CAST(l_quantity AS BIGINT) "
+                 f"{rng.choice(CMP_OPS)} {rng.randrange(1, 50)}")
+        pred = (f"{'NOT ' if kind == 'not_exists' else ''}EXISTS "
+                f"({inner})")
+    else:
+        inner = (f"SELECT MAX(c_custkey) FROM customer WHERE c_nationkey "
+                 f"<= {rng.randrange(0, 25)}")
+        pred = f"o_custkey <= ({inner})"
+    keys = rng.sample(["o_orderpriority", "o_orderstatus"],
+                      rng.randrange(0, 2))
+    aggs = ["COUNT(*) AS a0", "COUNT(DISTINCT o_custkey) AS a1",
+            "MIN(o_orderkey) AS a2", "MAX(o_orderkey) AS a3"]
+    if rng.random() < 0.6:
+        aggs.append("SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+                    "AS a4")
+    sql = (f"SELECT {', '.join(keys + aggs)} FROM orders WHERE {pred}")
+    if rng.random() < 0.5:
+        sql += (f" AND o_orderkey {rng.choice(CMP_OPS)} "
+                f"{rng.randrange(0, 15000)}")
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    return sql
+
+
 def run_case(spark, con, sql: str) -> tuple[bool, str]:
     srows = [tuple(r) for r in spark.sql(sql).collect()]
     drows = [tuple(r) for r in con.sql(sql).fetchall()]
@@ -353,7 +444,7 @@ def main() -> int:
     rng = random.Random(seed)
     gens = [gen_query, gen_join_query, gen_window_query, gen_setop_query,
             gen_three_way_join_query, gen_tied_rank_query,
-            gen_decimal_query]
+            gen_decimal_query, gen_string_date_query, gen_subquery_query]
     failures = []
     for i in range(n):
         sql = gens[i % len(gens)](rng)
