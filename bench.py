@@ -240,6 +240,25 @@ BENCH_QUERIES = [
     "secure_view_customers",       # RLS/CLS masked-view aggregate
     "stl_residual_anomalies",      # seasonality-aware MAD burst screen
     "winsorized_mean_event_values",  # clamp-to-order-statistic robust mean
+    # round-4 widening: the remaining NONTRIVIAL queries that had no
+    # bench row — several cost 8-14s at sf0.1 (exact-truth-set dedup
+    # contracts, the embedding near-dup witness), and hiding them
+    # outside the benched set would misstate the engine's real cost
+    # profile. Totals rise accordingly; per-query rows are the signal.
+    "embedding_near_dup",          # LSH-blocked cosine near-dup + witness
+    "dedup_simhash",               # simhash + exact-truth recall contract
+    "dedup_ngram_jaccard",         # exact shingle-Jaccard pairs (guarded)
+    "dedup_components",            # connected components over near-dup pairs
+    "dedup_keep_representatives",  # components -> canonical survivors
+    "ann_lsh_topk",                # LSH-bucketed ANN top-k
+    "ann_ivf_topk",                # IVF-partitioned ANN top-k
+    "near_dup_incremental_lsh",    # persistable LSH index + batch probe
+    "pipeline_corpus_stats",       # corpus gate->dedup->stats composite
+    "unpivot_lineitem_measures",   # wide->long melt
+    "corr_matrix",                 # pairwise Pearson via single agg pass
+    "custom_source_events",        # Spark-4 Python DataSource scan
+    "tpch_q18_large_orders",       # large-order semi-join aggregate
+    "sql_exists_subquery",         # correlated EXISTS decorrelation
 ]
 
 
