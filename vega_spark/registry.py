@@ -1259,9 +1259,14 @@ def embedding_near_dup_q(spark, sf_dir):
     # oracle compares, not a 6-dp rounding of it
     qset = (emb.orderBy("vec_id").limit(500)
             .select(F.col("vec_id").alias("query_id"), "embedding"))
-    witness = X_sim.cosine_topk_bruteforce(emb, qset, k=2,
-                                           exclude_self=True,
-                                           round_dp=None) \
+    # Arrow kernel, not the Column-expression bruteforce: the witness
+    # scan is |Q|x|n| cosines and interpreted higher-order-function
+    # lambdas made it 17s at sf0.1 where one numpy matmul per batch is
+    # <1s — same float64 math and tie-break (ann_cosine_topk_arrow
+    # hash-matches ann_cosine_topk's oracle on this data)
+    witness = X_sim.cosine_topk_arrow(emb, qset, k=2,
+                                      exclude_self=True,
+                                      round_dp=None) \
         .filter(F.col("cos") >= 0.9) \
         .filter(F.col("query_id") < F.col("neighbor_id")) \
         .select(F.col("query_id").alias("doc_a"),
