@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -432,31 +434,51 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                         F.col("p.b").alias("doc_b")).distinct()
 
 
+_SIMHASH_PACK = None
+
+
+def _simhash_pack_udf():
+    """Vectorized SimHash bit-voting: token xxhash64 array -> packed
+    64-bit fingerprint. One numpy pass per row replaces 64 interpreted
+    F.aggregate lambdas over the hash array (~tokens x 64 lambda
+    evaluations per document — measured as the dominant cost of the
+    simhash family at sf0.1). Semantics identical to the expression
+    form it replaced: bit b set iff strictly more token hashes have
+    bit b set than unset; ties and empty token arrays -> 0; uint64
+    packing viewed as int64 reproduces the Long.MIN_VALUE mask for
+    bit 63. Created lazily (pandas_udf parses its DDL type against the
+    active session) and cached."""
+    global _SIMHASH_PACK
+    if _SIMHASH_PACK is not None:
+        return _SIMHASH_PACK
+
+    @F.pandas_udf("long")
+    def _pack(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
+        out = np.zeros(len(hs), dtype=np.uint64)
+        for i, h in enumerate(hs):
+            if h is None or len(h) == 0:
+                continue
+            H = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = ((H[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = ((votes > 0).astype(np.uint64) * weights).sum(
+                dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
+
+    _SIMHASH_PACK = _pack
+    return _pack
+
+
 def simhash(col: Column | str, text_col_tokens: Column | None = None) -> Column:
-    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, the
-    sign of each bit-sum forms the fingerprint. Pure expressions: the
-    token array is hashed once, then each of the 64 bit positions is
-    an aggregate over the hash array (bit index is a Python literal —
-    shiftright requires one)."""
+    """64-bit SimHash: per-token xxhash64 (JVM-side — the hash must
+    match Spark's), each bit votes +1/-1, the sign of each bit-sum
+    forms the fingerprint. The voting/packing runs as one Arrow batch
+    per partition (_simhash_pack)."""
     toks = text_col_tokens if text_col_tokens is not None else tokens(col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _vote_merge(m: int):
-        # closure factory: PySpark HOF lambdas must take exactly the
-        # declared params (a default arg would be counted as a third)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
-
-    fp = F.lit(0).cast("long")
-    for b in range(64):
-        # bit test via AND-mask (shiftright rejects lambda-variable
-        # Columns in PySpark 4); bit 63's mask is Long.MIN_VALUE
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        vote = F.aggregate(hashes, F.lit(0), _vote_merge(mask))
-        fp = fp.bitwiseOR(
-            F.when(vote > 0, F.lit(mask).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    return fp
+    return _simhash_pack_udf()(hashes)
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
