@@ -110,6 +110,26 @@ def test_simhash_identical_and_near(spark):
     assert near_found >= 7
 
 
+def test_simhash_hot_chunk_cap(spark):
+    # 40 identical docs: every (chunk, key) bucket holds all 40 ids.
+    # With max_bucket=5 each bucket keeps ids 0..4 only, so candidate
+    # pairs are exactly the C(5,2)=10 pairs among the first 5 docs —
+    # the cap truncates by sorted id, mirroring minhash_lsh_pairs.
+    texts = ["the quick brown fox jumps over the lazy dog again"] * 40
+    df = docs(spark, texts)
+    capped = D.simhash_near_pairs(df, "text", "doc_id",
+                                  max_hamming=3, max_bucket=5)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    # uncapped finds all C(40,2) pairs; default cap (1000) never
+    # binds on a small corpus and must agree with uncapped
+    full = D.simhash_near_pairs(df, "text", "doc_id", max_hamming=3,
+                                max_bucket=None)
+    dflt = D.simhash_near_pairs(df, "text", "doc_id", max_hamming=3)
+    assert full.count() == 40 * 39 // 2
+    assert dflt.count() == full.count()
+
+
 def test_shingle_hot_key_guard(spark):
     texts = ["common common common"] * 30
     df = docs(spark, texts)

@@ -17,8 +17,13 @@ The scaled data derives mechanically from the DRIVER-PROVIDED
 outside the repo tree (/tmp) — it is a perf instrument, not a
 correctness fixture; all correctness runs stay on the driver's data.
 
-Usage: python tools/scale_bench.py [factor] [top_n]
-Writes BENCH_sf1.json at the repo root.
+Usage: python tools/scale_bench.py [factor] [selector]
+  selector: an integer N (top-N most expensive bench queries, default
+  10), "min:SECS" (every query whose bench_detail steady-state is
+  >= SECS — the r4 verdict's "every query > 2s" widening is min:2),
+  or a comma-separated explicit query-name list.
+Writes BENCH_sf1.json at the repo root (factor 10); other factors get
+BENCH_scale_{f}x.json.
 """
 
 from __future__ import annotations
@@ -76,7 +81,7 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
                 rep = rep.withColumn(
                     col, (F.col(col) + F.lit(i * strides[domain]))
                     .cast(dict(base.dtypes)[col]))
-            if t == "documents" and i > 0:
+            if t == "documents":
                 # replica-salt the text: within-replica (near-)dup
                 # structure repeats linearly; cross-replica texts never
                 # collide into factor^2-sized dup groups. The salt must
@@ -91,6 +96,10 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
                 # 0.9 truth threshold but below any LSH band-collision
                 # odds (16 bands x J^4), keeping BOTH the true-pair set
                 # and the candidate set linear in factor, as intended.
+                # Replica 0 gets a "rep0" token too (r4 ADVICE): all
+                # replicas then share IDENTICAL internal structure, so
+                # per-replica dup-group sizes and Jaccard values match
+                # exactly and the linearity ratio is noise-free.
                 rep = rep.withColumn(
                     "text", F.regexp_replace(
                         "text", r"((?:\S+\s+){2})", f"$1rep{i} "))
@@ -120,13 +129,19 @@ def main() -> int:
     from vega_spark.session import get_session
 
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    selector = sys.argv[2] if len(sys.argv) > 2 else "10"
     out_dir = f"/tmp/vega_scale_sf{factor}x"
 
     with open(os.path.join(REPO, "bench_detail.json")) as f:
         detail = json.load(f)["queries"]
-    names = [k for k, _ in sorted(detail.items(), key=lambda kv: -kv[1])
-             [:top_n]]
+    ranked = [k for k, _ in sorted(detail.items(), key=lambda kv: -kv[1])]
+    if selector.startswith("min:"):
+        floor = float(selector.split(":", 1)[1])
+        names = [k for k in ranked if detail[k] >= floor]
+    elif selector.isdigit():
+        names = ranked[:int(selector)]
+    else:
+        names = selector.split(",")
 
     spark = get_session("vega-scale-bench",
                         cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))

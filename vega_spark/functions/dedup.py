@@ -26,7 +26,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vega_spark.functions.text import tokens
@@ -434,9 +434,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                         F.col("p.b").alias("doc_b")).distinct()
 
 
-_SIMHASH_PACK = None
-
-
 def _simhash_pack_udf():
     """Vectorized SimHash bit-voting: token xxhash64 array -> packed
     64-bit fingerprint. One numpy pass per row replaces 64 interpreted
@@ -446,11 +443,10 @@ def _simhash_pack_udf():
     form it replaced: bit b set iff strictly more token hashes have
     bit b set than unset; ties and empty token arrays -> 0; uint64
     packing viewed as int64 reproduces the Long.MIN_VALUE mask for
-    bit 63. Created lazily (pandas_udf parses its DDL type against the
-    active session) and cached."""
-    global _SIMHASH_PACK
-    if _SIMHASH_PACK is not None:
-        return _SIMHASH_PACK
+    bit 63. Rebuilt per call rather than cached at module scope: the
+    pandas_udf handle binds to the active SparkSession, so a cached
+    object would go stale across session restarts (r4 ADVICE);
+    creation is a few ms next to execution."""
 
     @F.pandas_udf("long")
     def _pack(hs: pd.Series) -> pd.Series:
@@ -467,7 +463,6 @@ def _simhash_pack_udf():
                 dtype=np.uint64)
         return pd.Series(out.view(np.int64))
 
-    _SIMHASH_PACK = _pack
     return _pack
 
 
@@ -482,13 +477,25 @@ def simhash(col: Column | str, text_col_tokens: Column | None = None) -> Column:
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket: int | None = 1000) -> DataFrame:
     """SimHash near-dup candidates: block on ``max_hamming + 1`` bit
     chunks — by pigeonhole, a pair within the hamming budget must
     agree exactly on at least one chunk — then verify the true
     hamming distance on candidates only. Linear candidate generation,
     like LSH; more chunks = more candidates but a larger guaranteed
-    radius."""
+    radius.
+
+    ``max_bucket`` caps hot (chunk, key) buckets the way
+    minhash_lsh_pairs' cap does: each bucket keeps only its first
+    ``max_bucket`` docs (ordered by id) before the pair self-join.
+    SimHash chunk keys are only ~16 bits wide and natural-language
+    bit distributions are far from uniform, so on boilerplate-heavy
+    corpora buckets grow super-linearly with corpus size (measured:
+    16x wall at 10x data uncapped, r4 scale smoke) — the cap restores
+    linear candidate generation. It trades recall for skew safety
+    (a pair can lose its pigeonhole chunk to truncation); pass None
+    when a bounded-corpus contract needs every candidate."""
     n_chunks = min(max_hamming + 1, 16)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     fp = df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("fp"))
@@ -502,6 +509,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     chunks = fp.select(
         "doc", "fp", F.explode(F.array(*chunk_keys)).alias("c"),
     ).select("doc", "fp", "c.chunk", "c.key")
+    if max_bucket is not None:
+        # keep the first max_bucket docs per bucket — columnar
+        # row_number + filter, no per-bucket array materialization,
+        # so even a degenerate hot bucket costs one sort, not O(n^2)
+        w = Window.partitionBy("chunk", "key").orderBy("doc")
+        chunks = (chunks.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= max_bucket).drop("__rn"))
     a = chunks.select("chunk", "key", F.col("doc").alias("doc_a"),
                       F.col("fp").alias("fp_a"))
     b = chunks.select("chunk", "key", F.col("doc").alias("doc_b"),

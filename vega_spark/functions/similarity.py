@@ -130,21 +130,36 @@ def _buckets_udf(tables: list[list[list[float]]]):
     constant matrix is the sanctioned pandas-UDF case — same doctrine
     as _nearest_cells_udf below. Sign flips vs the sequential-sum
     expression are possible only at |dot| ~ float ulp (measure-zero;
-    recall contracts pin floors, not candidate identity)."""
+    recall contracts pin floors, not candidate identity).
+
+    Null-safety (r4 ADVICE): rows whose vector is NULL or has the
+    wrong length get a NULL bucket array instead of crashing the
+    Arrow worker in np.vstack — posexplode then simply skips them,
+    matching the old expression form's degrade-gracefully behavior
+    (a null vector can't be near anything)."""
     from pyspark.sql.functions import pandas_udf
 
     mats = [np.asarray(t, dtype="float64") for t in tables]
     weights = [(1 << np.arange(m.shape[0], dtype="int64")) for m in mats]
+    dim = mats[0].shape[1] if mats else 0
 
     @pandas_udf("array<long>")
     def buckets(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        M = np.vstack(vs.to_numpy())               # batch x dim
-        cols = [((M @ m.T) > 0) @ w                # batch, per table
-                for m, w in zip(mats, weights)]
-        B = np.stack(cols, axis=1).astype("int64")  # batch x n_tables
-        return pd.Series([row.tolist() for row in B])
+        arrs = vs.to_numpy()
+        ok = np.fromiter((a is not None and len(a) == dim for a in arrs),
+                         dtype=bool, count=len(arrs))
+        out: list = [None] * len(arrs)
+        idx = np.nonzero(ok)[0]
+        if len(idx):
+            M = np.vstack([arrs[i] for i in idx])       # good x dim
+            cols = [((M @ m.T) > 0) @ w                 # good, per table
+                    for m, w in zip(mats, weights)]
+            B = np.stack(cols, axis=1).astype("int64")  # good x n_tables
+            for j, i in enumerate(idx):
+                out[i] = B[j].tolist()
+        return pd.Series(out, dtype=object)
 
     return buckets
 

@@ -1049,10 +1049,19 @@ def dedup_simhash_q(spark, sf_dir):
     cosine, not Jaccard, so unlike MinHash (see dedup_minhash_lsh) a
     hard 100% recall pin would be dishonest — measured recall on the
     corpus's >= 0.9-Jaccard pairs is 78-84%. The contract pins the
-    SQL truth count, a >= 50% recall floor, and pair validity."""
+    SQL truth count, a >= 50% recall floor, and pair validity.
+
+    Unlike dedup_minhash_lsh (which pins 100% recall and therefore
+    must run uncapped), this contract's 50% floor tolerates the
+    production hot-chunk guard, so the operator leg runs with the
+    DEFAULT max_bucket=1000 — the contract gates the exact
+    configuration that ships (the r4 scale smoke measured the
+    uncapped form at 16x wall for 10x data; the cap restores linear
+    candidate generation). The truth leg stays the exact
+    shingle-Jaccard replay."""
     docs = _t(spark, sf_dir, "documents")
     sim = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
-                                     max_hamming=3)
+                                     max_hamming=3, max_bucket=1000)
     true = X_dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                        n=3, threshold=0.9) \
         .select("doc_a", "doc_b")
@@ -1225,7 +1234,7 @@ s AS (
                 * sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rk
   FROM q a JOIN e b ON a.vec_id != b.vec_id),
 wit AS (SELECT qa, qb FROM s
-        WHERE rk <= 2 AND cos >= 0.9 AND qa < qb)
+        WHERE rk <= 2 AND cos >= 0.9 + 1e-9 AND qa < qb)
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wit) AS n_witness_pairs,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM wit) AS n_witness_found,
        1 AS no_false_positives
@@ -1262,12 +1271,16 @@ def embedding_near_dup_q(spark, sf_dir):
     # Arrow kernel, not the Column-expression bruteforce: the witness
     # scan is |Q|x|n| cosines and interpreted higher-order-function
     # lambdas made it 17s at sf0.1 where one numpy matmul per batch is
-    # <1s — same float64 math and tie-break (ann_cosine_topk_arrow
-    # hash-matches ann_cosine_topk's oracle on this data)
+    # <1s. Both are float64 but SUMMATION ORDER differs (numpy pairwise
+    # vs the expression's left fold), so a cosine at the 0.9 boundary
+    # could land on different sides in witness vs finder — the witness
+    # cut is therefore tightened by 1e-9 (mirrored in the oracle's wit
+    # CTE), keeping witness ⊆ found immune to ulp disagreement while
+    # only ever shrinking the witness set (r4 ADVICE)
     witness = X_sim.cosine_topk_arrow(emb, qset, k=2,
                                       exclude_self=True,
                                       round_dp=None) \
-        .filter(F.col("cos") >= 0.9) \
+        .filter(F.col("cos") >= 0.9 + 1e-9) \
         .filter(F.col("query_id") < F.col("neighbor_id")) \
         .select(F.col("query_id").alias("doc_a"),
                 F.col("neighbor_id").alias("doc_b"))
