@@ -80,7 +80,8 @@ _PRIORITY = [
     # two §2-surface stragglers and this round's contract changes).
     # --- §2 stragglers (r3 verdict #4) + new/changed contracts
     "sample_stratified", "custom_source_events", "mean_approx",
-    "count_approx", "dedup_minhash_lsh",   # contracts changed r4 (_RECHECK)
+    "count_approx", "dedup_minhash_lsh",
+    "dedup_simhash",          # r5 _RECHECK: operator leg now capped
     "dedup_ngram_jaccard", "dedup_components", "dedup_keep_representatives",
     "embedding_near_dup",
     # --- graph family (zero driver rows before r4)
@@ -179,7 +180,11 @@ _PRIORITY = [
 
 # Contract-changed-this-round queries: their past driver rows are
 # green but hashed the OLD surface; force a re-check ahead of the tail.
-_RECHECK = {"count_approx", "dedup_minhash_lsh"}
+# Contracts whose Spark leg or oracle changed THIS round — force a
+# driver re-check even though their last row is green: dedup_simhash
+# now runs the operator leg with the production hot-chunk cap;
+# embedding_near_dup's witness cut gained a 1e-9 epsilon (both legs).
+_RECHECK = {"dedup_simhash", "embedding_near_dup"}
 
 
 def _driver_rows() -> dict[str, dict]:

@@ -333,6 +333,29 @@ def main() -> None:
                       file=sys.stderr)
                 timings[name] = t2
 
+    # Operator-only timings (r4 verdict #3): contract-wrapped
+    # flagships spend most of their wall on the exact truth/witness
+    # replay, not the shipped operator. Time the registered operator
+    # sub-plans separately so the 2x gate can be read against the
+    # operator cost without hand-adjudicating contract overhead.
+    # Recorded alongside, NOT added to the headline total (the
+    # contract runs already include the operator work).
+    operator_only: dict[str, float] = {}
+    for name, fn in sorted(registry.OPERATOR_ONLY.items()):
+        if name not in BENCH_QUERIES:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        t1 = round(time.perf_counter() - t0, 3)
+        if t1 > RETIME_S:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            t1 = min(t1, round(time.perf_counter() - t0, 3))
+        operator_only[name] = t1
+        print(f"# operator-only {name}: {t1:.3f}s "
+              f"(contract: {timings.get(name, float('nan')):.3f}s)",
+              file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
@@ -355,6 +378,11 @@ def main() -> None:
                    "unit": "sec", "queries": timings,
                    "first_run": first_run,
                    "first_run_total": round(sum(first_run.values()), 3),
+                   # operator sub-plan timings for contract-wrapped
+                   # queries (registry.OPERATOR_ONLY) — the shipped
+                   # operator's cost with the verification truth leg
+                   # stripped; not part of the headline total
+                   "operator_only": operator_only,
                    "sf": float(sf) if sf else None}, f, indent=1)
     worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     line = json.dumps({

@@ -166,6 +166,24 @@ def main() -> int:
                          "ratio": ratio, "rows": n}
         print(f"# {name}: {base:.2f}s -> {big:.2f}s ({ratio}x)",
               file=sys.stderr)
+        # contract-wrapped queries: also ratio the operator sub-plan
+        # alone — the contract's exact truth leg is unguarded by
+        # design, so only the operator ratio answers the 100 TB
+        # question (r4 verdict #3)
+        op = registry.OPERATOR_ONLY.get(name)
+        if op is not None:
+            t0 = time.perf_counter()
+            op(spark, SF01).count()
+            ob = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            op(spark, out_dir).count()
+            og = round(time.perf_counter() - t0, 3)
+            oratio = round(og / ob, 2) if ob > 0 else None
+            results[name]["operator_only"] = {
+                "sf0.1_sec": ob, f"sf0.1x{factor}_sec": og,
+                "ratio": oratio}
+            print(f"#   operator-only {name}: {ob:.2f}s -> {og:.2f}s "
+                  f"({oratio}x)", file=sys.stderr)
 
     out = {"metric": "scale_smoke", "factor": factor,
            "queries": results,

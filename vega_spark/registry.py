@@ -51,12 +51,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Operator sub-plans for contract-wrapped flagships (r4 verdict #3):
+# several registry queries wrap the production operator in a
+# verification CONTRACT whose truth/witness leg (an exact replay the
+# oracle can also compute) dominates the bench timing — e.g. the
+# minhash contract costs ~5.5s at sf0.1 where the operator alone is
+# ~1.2s. Entries here run JUST the shipped operator configuration so
+# bench_detail.json and the scale smoke can grade operator cost
+# against the 2x gate without hand-adjudicating contract overhead.
+# Keys match QUERIES keys; correctness still flows through the
+# contract query — these are perf instruments only.
+OPERATOR_ONLY: dict[str, QueryFn] = {}
+
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _op(name: str):
+    """Register the operator-only sub-plan of a contract query."""
+    def deco(fn: QueryFn) -> QueryFn:
+        OPERATOR_ONLY[name] = fn
         return fn
     return deco
 
@@ -1039,6 +1059,18 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     return n_true.crossJoin(n_found).crossJoin(valid)
 
 
+@_op("dedup_minhash_lsh")
+def dedup_minhash_lsh_op(spark, sf_dir):
+    """Operator sub-plan: banded-LSH candidate pairs in the SHIPPED
+    configuration (hot-bucket cap on). The contract above runs
+    uncapped because it pins 100% recall; this entry is what a
+    production pipeline actually executes, timed separately so the
+    bench separates operator cost from exact-truth-replay cost."""
+    return X_dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=64, bands=16, max_bucket=1000)
+
+
 @_q("dedup_simhash", f"""
 {_TRUE_PAIRS_090_SQL}
 SELECT n_true AS n_true_pairs, 1 AS recall_ge_half, 1 AS pairs_valid
@@ -1078,6 +1110,16 @@ def dedup_simhash_q(spark, sf_dir):
         (2 * F.col("__found") >= F.col("n_true_pairs")).cast("int")
         .alias("recall_ge_half"),
         "pairs_valid"))
+
+
+@_op("dedup_simhash")
+def dedup_simhash_op(spark, sf_dir):
+    """Operator sub-plan: pigeonhole-blocked SimHash pairs with the
+    shipped hot-chunk cap — the contract's other leg is the exact
+    shingle-Jaccard truth replay, which dominates its wall time."""
+    return X_dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_hamming=3, max_bucket=1000)
 
 
 # --- north-star: text analysis ---------------------------------------------------
@@ -1220,6 +1262,19 @@ def ann_lsh_topk_q(spark, sf_dir):
     return _ann_recall_contract(ann, exact, nq, floor=0.6)
 
 
+@_op("ann_lsh_topk")
+def ann_lsh_topk_op(spark, sf_dir):
+    """Operator sub-plan: the LSH ANN search alone — the contract
+    adds an exact brute-force baseline scan for the recall check."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return X_sim.lsh_ann_topk(emb, queries, dim=dim, k=5, num_planes=6,
+                              probes=10, num_tables=8)
+
+
 @_q("embedding_near_dup", """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 500),
@@ -1291,6 +1346,17 @@ def embedding_near_dup_q(spark, sf_dir):
         (F.count(F.when(F.col("cos") < 0.9, 1)) == 0).cast("int")
         .alias("no_false_positives"))
     return n_wit.crossJoin(n_found).crossJoin(fp)
+
+
+@_op("embedding_near_dup")
+def embedding_near_dup_op(spark, sf_dir):
+    """Operator sub-plan: the LSH-blocked near-dup finder alone —
+    the contract adds a |Q|x|n| brute-force witness scan."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    return X_sim.embedding_near_dup_pairs(emb, dim=dim, threshold=0.9,
+                                          num_planes=8)
 
 
 # --- north-star: multimodal --------------------------------------------------------
@@ -1548,6 +1614,19 @@ def ann_ivf_topk_q(spark, sf_dir):
     return _ann_recall_contract(ann, exact, nq, floor=0.6)
 
 
+@_op("ann_ivf_topk")
+def ann_ivf_topk_op(spark, sf_dir):
+    """Operator sub-plan: IVF cell-probe search alone (no exact
+    brute-force recall baseline)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return X_sim.ivf_ann_topk(emb, queries, dim=dim, k=3,
+                              n_cells=16, n_probe=6)
+
+
 @_q("ann_pq_topk", """
 SELECT COUNT(*) AS n_queries, 1 AS recall_ok
 FROM embeddings WHERE vec_id < 5
@@ -1574,6 +1653,21 @@ def ann_pq_topk_q(spark, sf_dir):
         .select("query_id", "neighbor_id")
     nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
     return _ann_recall_contract(ann, exact, nq, floor=0.6)
+
+
+@_op("ann_pq_topk")
+def ann_pq_topk_op(spark, sf_dir):
+    """Operator sub-plan: PQ train + encode + ADC scan + rerank (no
+    exact brute-force recall baseline)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cbs = X_sim.train_pq_codebooks(emb, dim=dim, m=8, nbits=5, iters=2,
+                                   n_train=4000)
+    enc = X_sim.pq_encode(emb, cbs)
+    return X_sim.pq_adc_topk(enc, queries, cbs, k=5, refine=15)
 
 
 @_q("semantic_dedup_flags", """
@@ -6718,6 +6812,28 @@ def als_recommend_parts_q(spark, sf_dir):
                 (F.col("__viol") == 0).cast("int").alias("ranked_desc"),
                 F.lit(int(rmse < float(base))).cast("int")
                 .alias("rmse_learned")))
+
+
+@_op("als_recommend_parts")
+def als_recommend_parts_op(spark, sf_dir):
+    """Operator sub-plan: ALS train + top-k recommend alone — the
+    contract adds a full-ratings RMSE replay and three validity
+    sweeps over the recommendation set."""
+    from vega_spark.functions.recommender import (
+        als_explicit, recommend_top_k)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ratings = (orders.select("o_orderkey", "o_custkey")
+               .join(li.select("l_orderkey", "l_partkey", "l_quantity"),
+                     F.col("o_orderkey") == F.col("l_orderkey"))
+               .groupBy(F.col("o_custkey").alias("user"),
+                        F.col("l_partkey").alias("item"))
+               .agg(F.sum("l_quantity").alias("r"))
+               .localCheckpoint())
+    xu, yi = als_explicit(ratings, "user", "item", "r",
+                          rank=4, iters=2, reg=0.1)
+    users = ratings.select("user").distinct().filter(F.col("user") < 25)
+    return recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
 
 
 @_q("versioned_bloom_point_lookup", """
