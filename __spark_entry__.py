@@ -82,6 +82,7 @@ _PRIORITY = [
     "sample_stratified", "custom_source_events", "mean_approx",
     "count_approx", "dedup_minhash_lsh",
     "dedup_simhash",          # r5 _RECHECK: operator leg now capped
+    "cache_reuse_scan_count",  # new r5: last §2 row (cache/persist win)
     "dedup_ngram_jaccard", "dedup_components", "dedup_keep_representatives",
     "embedding_near_dup",
     # --- graph family (zero driver rows before r4)

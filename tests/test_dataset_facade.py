@@ -121,3 +121,15 @@ def test_local_checkpoint_truncates_lineage(spark):
     assert cp.count() == chained.count() == 95
     # lineage is cut: the checkpointed plan no longer contains the scan
     assert "LogicalRDD" in cp.df._jdf.queryExecution().analyzed().toString()
+
+
+def test_cache_reuse_measured_scan_multiples(spark):
+    """The cache contract's mechanism, end to end at sf0.001: the
+    accumulator-fed probe must observe exactly 2 source evaluations
+    uncached and exactly 1 after VegaDataset.cache() (the second
+    action serves from the InMemoryRelation)."""
+    from vega_spark import registry
+    row = registry.QUERIES["cache_reuse_scan_count"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert (row.uncached_scans, row.cached_scans,
+            row.exact_multiples) == (2, 1, 1)

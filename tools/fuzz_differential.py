@@ -12,7 +12,9 @@ quantities cast to int, prices to BIGINT cents — and only exact
 aggregates (COUNT/SUM/MIN/MAX), so both engines must agree bit for
 bit with no float tolerance.
 
-Usage: python tools/fuzz_differential.py [sf_dir] [n_cases] [seed]
+Usage: python tools/fuzz_differential.py [sf_dir] [n_cases] [seed] [gen]
+  gen: optional generator-name substring (e.g. "nested") — run ONLY
+  matching generators instead of round-robin over all of them.
 """
 
 from __future__ import annotations
@@ -384,9 +386,152 @@ def gen_subquery_query(rng: random.Random) -> str:
     return sql
 
 
-def run_case(spark, con, sql: str) -> tuple[bool, str]:
-    srows = [tuple(r) for r in spark.sql(sql).collect()]
-    drows = [tuple(r) for r in con.sql(sql).fetchall()]
+def gen_nested_query(rng: random.Random):
+    """ARRAY/STRUCT + explode + higher-order-function shapes (r4
+    verdict #5): the LLM tier leans on tokens/shingles/embeddings —
+    arrays built by split, reduced by transform/filter/aggregate,
+    flattened by explode, grouped through struct fields. Spark and
+    DuckDB spell these differently (explode vs unnest, size vs len,
+    aggregate vs list_sum∘list_transform, try_element_at vs 1-based
+    [] with NULL OOB), so this generator emits a (spark_sql, duck_sql)
+    PAIR derived from one random shape — same semantics, two
+    dialects, still compared exactly.
+
+    Exactness: token metrics are pure-integer; embedding math casts
+    float32 elements to DOUBLE (bit-exact widening) and FLOORs scaled
+    values into BIGINTs before any aggregation, so no float compare
+    anywhere."""
+    # token-array expression, per dialect
+    TS, TD = "split(lower(text), ' ')", "string_split(lower(text), ' ')"
+    k = rng.randrange(3, 7)
+    word = rng.choice(["the", "data", "query", "spark", "row"])
+    metrics = {
+        "n_toks": (f"size({TS})", f"len({TD})"),
+        "n_long": (f"size(filter({TS}, x -> length(x) >= {k}))",
+                   f"len(list_filter({TD}, x -> length(x) >= {k}))"),
+        "sum_len": (f"aggregate({TS}, 0L, (a, x) -> a + length(x))",
+                    f"CAST(list_sum(list_transform({TD}, "
+                    f"x -> length(x))) AS BIGINT)"),
+        "n_dist": (f"size(array_distinct({TS}))",
+                   f"len(list_distinct({TD}))"),
+        "has_w": (f"CAST(array_contains({TS}, '{word}') AS INT)",
+                  f"CAST(list_contains({TD}, '{word}') AS INT)"),
+        "tok_n_len": (f"length(try_element_at({TS}, {k}))",
+                      f"length({TD}[{k}])"),
+        "pos_w": (f"array_position({TS}, '{word}')",
+                  f"CAST(COALESCE(list_position({TD}, '{word}'), 0) "
+                  f"AS BIGINT)"),
+    }
+    kind = rng.choice(["doc_rows", "doc_agg", "struct_group",
+                       "explode", "array_out", "embedding"])
+    if kind == "doc_rows":
+        # per-doc nested metrics, bounded row count
+        names = rng.sample(sorted(metrics), rng.randrange(2, 5))
+        lim = rng.randrange(20, 60)
+        sel_s = ", ".join(f"{metrics[n][0]} AS {n}" for n in names)
+        sel_d = ", ".join(f"{metrics[n][1]} AS {n}" for n in names)
+        where = f"text IS NOT NULL AND doc_id < {lim}"
+        return (f"SELECT doc_id, {sel_s} FROM documents WHERE {where}",
+                f"SELECT doc_id, {sel_d} FROM documents WHERE {where}")
+    if kind == "doc_agg":
+        # corpus-level aggregates of nested metrics, grouped or not
+        names = rng.sample(sorted(metrics), rng.randrange(1, 4))
+        keys = rng.sample(["lang", "source"], rng.randrange(0, 3))
+        fns = [rng.choice(["SUM", "MIN", "MAX"]) for _ in names]
+        sel_s = ", ".join(f"{f}({metrics[n][0]}) AS a{i}"
+                          for i, (f, n) in enumerate(zip(fns, names)))
+        sel_d = ", ".join(f"{f}({metrics[n][1]}) AS a{i}"
+                          for i, (f, n) in enumerate(zip(fns, names)))
+        head = ", ".join(keys + ["COUNT(*) AS n"])
+        tail = f" GROUP BY {', '.join(keys)}" if keys else ""
+        where = "text IS NOT NULL"
+        if rng.random() < 0.5:
+            where += f" AND {metrics['n_toks'][0]} > {rng.randrange(5, 30)}"
+            dwhere = where.replace(metrics["n_toks"][0],
+                                   metrics["n_toks"][1])
+        else:
+            dwhere = where
+        return (f"SELECT {head}, {sel_s} FROM documents "
+                f"WHERE {where}{tail}",
+                f"SELECT {head}, {sel_d} FROM documents "
+                f"WHERE {dwhere}{tail}")
+    if kind == "struct_group":
+        # build a struct of two nested metrics, group by an extracted
+        # field — struct construction + field access both dialects
+        n1, n2 = rng.sample(sorted(metrics), 2)
+        bucket = rng.randrange(3, 8)
+        s_inner = (f"SELECT named_struct('a', ({metrics[n1][0]}) % "
+                   f"{bucket}, 'b', {metrics[n2][0]}) AS s "
+                   f"FROM documents WHERE text IS NOT NULL")
+        d_inner = (f"SELECT {{'a': ({metrics[n1][1]}) % {bucket}, "
+                   f"'b': {metrics[n2][1]}}} AS s "
+                   f"FROM documents WHERE text IS NOT NULL")
+        return (f"SELECT s.a AS g, COUNT(*) AS n, SUM(s.b) AS t, "
+                f"MIN(s.b) AS lo FROM ({s_inner}) q GROUP BY s.a",
+                f"SELECT struct_extract(s, 'a') AS g, COUNT(*) AS n, "
+                f"SUM(struct_extract(s, 'b')) AS t, "
+                f"MIN(struct_extract(s, 'b')) AS lo "
+                f"FROM ({d_inner}) q GROUP BY struct_extract(s, 'a')")
+    if kind == "explode":
+        # token flatten -> frequency: Spark explode vs DuckDB unnest
+        lim = rng.randrange(50, 200)
+        minc = rng.randrange(1, 15)
+        agg = rng.choice(["COUNT(*)", "COUNT(DISTINCT doc_id)",
+                          "SUM(doc_id)"])
+        inner_s = (f"SELECT doc_id, explode({TS}) AS tok "
+                   f"FROM documents WHERE text IS NOT NULL "
+                   f"AND doc_id < {lim}")
+        inner_d = (f"SELECT doc_id, unnest({TD}) AS tok "
+                   f"FROM documents WHERE text IS NOT NULL "
+                   f"AND doc_id < {lim}")
+        outer = (f"SELECT tok, {agg} AS c, MIN(length(tok)) AS l "
+                 f"FROM (%s) q WHERE length(tok) >= {rng.randrange(1, 4)} "
+                 f"GROUP BY tok HAVING COUNT(*) > {minc}")
+        return (outer % inner_s, outer % inner_d)
+    if kind == "array_out":
+        # array-valued OUTPUT columns: sorted int / string arrays are
+        # compared as Python lists — slice+sort+distinct composition
+        lim = rng.randrange(10, 40)
+        w = rng.randrange(2, 6)
+        s = (f"SELECT doc_id, "
+             f"slice(sort_array(transform({TS}, x -> length(x))), 1, {w}) "
+             f"AS la, "
+             f"slice(sort_array(array_distinct(filter({TS}, "
+             f"x -> length(x) >= {k}))), 1, {w}) AS sa "
+             f"FROM documents WHERE text IS NOT NULL AND doc_id < {lim}")
+        d = (f"SELECT doc_id, "
+             f"list_slice(list_sort(list_transform({TD}, "
+             f"x -> length(x))), 1, {w}) AS la, "
+             f"list_slice(list_sort(list_distinct(list_filter({TD}, "
+             f"x -> length(x) >= {k}))), 1, {w}) AS sa "
+             f"FROM documents WHERE text IS NOT NULL AND doc_id < {lim}")
+        return (s, d)
+    # embedding: float32 list -> exact ints via CAST(.. AS DOUBLE) then
+    # FLOOR (both engines widen float32->float64 bit-exactly)
+    scale = rng.choice([10, 100])
+    mod = rng.randrange(3, 9)
+    qsum_s = (f"aggregate(embedding, 0L, (a, x) -> a + "
+              f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+    qsum_d = (f"CAST(list_sum(list_transform(embedding, x -> "
+              f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))) "
+              f"AS BIGINT)")
+    e1_s = (f"CAST(FLOOR(CAST(try_element_at(embedding, 1) AS DOUBLE) "
+            f"* {scale}) AS BIGINT)")
+    e1_d = (f"CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {scale}) "
+            f"AS BIGINT)")
+    head = f"vec_id % {mod} AS g, COUNT(*) AS n, SUM(size(embedding))"
+    head_d = f"vec_id % {mod} AS g, COUNT(*) AS n, SUM(len(embedding))"
+    return (f"SELECT {head} AS d, SUM({qsum_s}) AS q, MIN({e1_s}) AS e "
+            f"FROM embeddings GROUP BY vec_id % {mod}",
+            f"SELECT {head_d} AS d, CAST(SUM({qsum_d}) AS BIGINT) AS q, "
+            f"MIN({e1_d}) AS e FROM embeddings GROUP BY vec_id % {mod}")
+
+
+def run_case(spark, con, sql) -> tuple[bool, str]:
+    spark_sql, duck_sql = sql if isinstance(sql, tuple) else (sql, sql)
+    srows = [tuple(r) for r in spark.sql(spark_sql).collect()]
+    drows = [tuple(r) for r in con.sql(duck_sql).fetchall()]
+    sql = spark_sql  # for the ROLLUP empty-input carve-out below
 
     if not srows and len(drows) == 1 and "ROLLUP" in sql:
         # Documented upstream divergence, not a translation bug:
@@ -437,14 +582,22 @@ def main() -> int:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "customer") \
         .createOrReplaceTempView("customer")
-    for t in ("orders", "customer"):
+    load_table(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("documents")
+    load_table(spark, sf_dir, "embeddings") \
+        .createOrReplaceTempView("embeddings")
+    for t in ("orders", "customer", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"'{os.path.join(sf_dir, t + '.parquet')}'")
 
     rng = random.Random(seed)
     gens = [gen_query, gen_join_query, gen_window_query, gen_setop_query,
             gen_three_way_join_query, gen_tied_rank_query,
-            gen_decimal_query, gen_string_date_query, gen_subquery_query]
+            gen_decimal_query, gen_string_date_query, gen_subquery_query,
+            gen_nested_query]
+    if len(sys.argv) > 4:
+        gens = [g for g in gens if sys.argv[4] in g.__name__]
+        assert gens, f"no generator matches {sys.argv[4]!r}"
     failures = []
     for i in range(n):
         sql = gens[i % len(gens)](rng)

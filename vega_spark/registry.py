@@ -4814,6 +4814,57 @@ def for_each_observe_metrics_q(spark, sf_dir):
         "n_rows bigint, qty_sum double, n_discounted bigint")
 
 
+@_q("cache_reuse_scan_count", """
+SELECT CAST(2 AS BIGINT) AS uncached_scans,
+       CAST(1 AS BIGINT) AS cached_scans,
+       1 AS exact_multiples
+""")
+def cache_reuse_scan_count_q(spark, sf_dir):
+    """Cache/persist re-use contract (reference rdd.rs:57,72-76 —
+    `should_cache` exists there but is never wired into execution;
+    the VegaDataset.cache facade finishes it on Spark's storage
+    layer). The win is MEASURED, not asserted: an Arrow-batched
+    row-counting UDF feeds a task accumulator, so the number of
+    source evaluations is observable exactly. Two actions over the
+    uncached frame re-execute the scan+UDF both times (counter =
+    2n); two actions over the .cache()d frame execute it once — the
+    first action materializes the InMemoryRelation, the second is
+    served from it (counter = n). The contract pins the scan
+    multiples (2, 1), which is precisely the §2 cache row's
+    observable behavior a driver can hash."""
+    from vega_spark.dataset import VegaDataset
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    n = li.count()
+    sc = spark.sparkContext
+
+    def counting_probe():
+        acc = sc.accumulator(0)
+
+        @F.pandas_udf("long")
+        def seen(s: pd.Series) -> pd.Series:
+            acc.add(len(s))
+            return s
+
+        return acc, li.select(seen("l_orderkey").alias("k"))
+
+    acc_u, probe_u = counting_probe()
+    probe_u.agg(F.sum("k")).collect()
+    probe_u.agg(F.count("k")).collect()
+
+    acc_c, probe_c = counting_probe()
+    cached = VegaDataset(probe_c).cache()
+    try:
+        cached.df.agg(F.sum("k")).collect()
+        cached.df.agg(F.count("k")).collect()
+    finally:
+        cached.df.unpersist()
+
+    return spark.createDataFrame(
+        [(acc_u.value // n, acc_c.value // n,
+          int(acc_u.value == 2 * n and acc_c.value == n))],
+        "uncached_scans bigint, cached_scans bigint, exact_multiples int")
+
+
 @_q("read_whole_files_dir", """
 SELECT * FROM (VALUES ('alpha.txt', CAST(14 AS BIGINT), 'alpha-contents'),
                       ('beta.txt',  CAST(13 AS BIGINT), 'beta-contents')
