@@ -12,8 +12,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.fuzz_differential import (gen_decimal_query,  # noqa: E402
-                                     gen_join_query, gen_query,
-                                     gen_setop_query,
+                                     gen_join_query, gen_nested_query,
+                                     gen_query, gen_setop_query,
                                      gen_string_date_query,
                                      gen_subquery_query,
                                      gen_three_way_join_query,
@@ -28,18 +28,20 @@ def test_random_query_shapes_agree_with_duckdb(spark, sf_dir):
 
     load_table(spark, sf_dir, "lineitem") \
         .createOrReplaceTempView("lineitem")
-    for t in ("orders", "customer"):
+    for t in ("orders", "customer", "documents", "embeddings"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer"):
+    for t in ("lineitem", "orders", "customer", "documents",
+              "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"'{os.path.join(sf_dir, t + '.parquet')}'")
     rng = random.Random(1234)
     gens = [gen_query, gen_join_query, gen_window_query,
             gen_setop_query, gen_three_way_join_query,
             gen_tied_rank_query, gen_decimal_query,
-            gen_string_date_query, gen_subquery_query]
-    for i in range(36):
+            gen_string_date_query, gen_subquery_query,
+            gen_nested_query]
+    for i in range(40):
         sql = gens[i % len(gens)](rng)
         ok, why = run_case(spark, con, sql)
         assert ok, f"{sql}: {why}"
