@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "save_parquet_partitioned_roundtrip",  # partitioned writer round-trip
     "take_sample_contract",        # seeded driver-side sample invariants
     "for_each_observe_metrics",    # observe() accumulator side channel
+    "cache_reuse_scan_count",      # r5: measured cache re-use multiples
     "read_whole_files_dir",        # binaryFile whole-file source
     "zip",                         # scalable positional zip (r02 plan fix)
     "streaming_stream_static_join",  # broadcast enrich + drain
