@@ -130,6 +130,37 @@ def test_simhash_hot_chunk_cap(spark):
     assert dflt.count() == full.count()
 
 
+def test_word_shingles_udf_matches_expression(spark):
+    # the Arrow-batched shingle generator must reproduce the Column
+    # expression EXACTLY (same sets, same first-occurrence order,
+    # same <n/empty/null fallbacks) — the oracle replays string
+    # shingles, so any drift here breaks exactness
+    rows = [(0, "the cat sat on the mat on the mat"),
+            (1, "one two"),            # < n tokens -> whole-doc shingle
+            (2, "single"),
+            (3, ""),                   # empty -> [""]
+            (4, None),                 # null -> [""] (concat_ws(null))
+            (5, "a  b\tc\nd   e f a b c d e f"),  # mixed whitespace, dups
+            (6, "UPPER Case MiXeD lower case mixed")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 4):
+        expr = {r.doc_id: r.s for r in df.select(
+            "doc_id", D.word_shingles("text", n).alias("s")).collect()}
+        udf = {r.doc_id: r.s for r in df.select(
+            "doc_id", D._word_shingles_udf(n)("text").alias("s")).collect()}
+        assert expr == udf, f"n={n}: {expr} != {udf}"
+
+
+def test_ngram_jaccard_impls_agree(spark):
+    texts = _corpus()
+    df = docs(spark, texts)
+    p1 = sorted(map(tuple, D.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, impl="pandas").collect()))
+    p2 = sorted(map(tuple, D.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, impl="expr").collect()))
+    assert p1 == p2 and len(p1) >= 8
+
+
 def test_shingle_hot_key_guard(spark):
     texts = ["common common common"] * 30
     df = docs(spark, texts)

@@ -143,7 +143,11 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct)."""
+    """Word n-gram shingles (distinct). Column-expression form — keep
+    for Column-level composition; the interpreted HOF chain
+    (sequence/slice/concat_ws/array_distinct per doc) costs ~3s at
+    sf0.1 where the Arrow-batched _word_shingles_udf is ~0.14s, so
+    the DataFrame-level entry points default to the UDF."""
     toks = tokens(col)
     return F.array_distinct(F.when(F.size(toks) >= n, F.transform(
         F.sequence(F.lit(1), F.size(toks) - n + 1),
@@ -151,13 +155,58 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
+def _word_shingles_udf(n: int):
+    """Arrow-batched word-shingle generator, semantics IDENTICAL to
+    word_shingles (unit-pinned in test_text_dedup): lowercase,
+    whitespace-split with empties dropped, n-gram join by single
+    space, per-doc distinct preserving first occurrence, <n tokens
+    (incl. null/empty text) collapse to the whole-doc join — null
+    text yields [""] exactly like concat_ws over a null array.
+    Rebuilt per call (the pandas_udf handle binds to the active
+    session; creation is ms next to execution — see
+    _simhash_pack_udf)."""
+
+    @F.pandas_udf("array<string>")
+    def shingles(texts: pd.Series) -> pd.Series:
+        import re
+        ws = re.compile(r"\s+")
+        out = []
+        for t in texts:
+            toks = [w for w in ws.split(t.lower()) if w] \
+                if t is not None else []
+            if len(toks) >= n:
+                out.append(list(dict.fromkeys(
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1))))
+            else:
+                out.append([" ".join(toks)])
+        return pd.Series(out)
+
+    return shingles
+
+
 def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3,
-                  max_doc_freq: int | None = None) -> DataFrame:
+                  max_doc_freq: int | None = None,
+                  impl: str = "pandas") -> DataFrame:
     """Inverted index: (shingle, doc id), distinct. ``max_doc_freq``
-    drops stop-shingles (hot keys) — the skew guard at scale."""
+    drops stop-shingles (hot keys) — the skew guard at scale.
+
+    The ``.distinct()`` doubles as the plan's SHARED MATERIALIZATION
+    POINT: every consumer (doc-freq guard, per-doc sizes, both self-
+    join sides) re-reads the one distinct exchange via ReuseExchange
+    instead of recomputing the shingle generation — shuffle files
+    spill to disk, so unlike a localCheckpoint nothing is pinned in
+    executor storage (measured: removing the distinct made the full
+    pairs query 70% SLOWER from 4x shingle recomputation).
+
+    impl='pandas' (default) batches shingle generation through
+    _word_shingles_udf (7.2s -> 2.0s on the full pairs query at
+    sf0.1); impl='expr' keeps the pure Column form."""
+    sh = (word_shingles(text_col, n) if impl == "expr"
+          else _word_shingles_udf(n)(text_col))
     idx = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+        F.explode(sh).alias("shingle"),
     ).distinct()
     if max_doc_freq:
         hot = (idx.groupBy("shingle").count()
@@ -168,14 +217,16 @@ def shingle_index(df: DataFrame, text_col: str, id_col: str, n: int = 3,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        impl: str = "pandas") -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
 
     Plan shape: inverted-index self-join on shingle (equi-join → only
     docs sharing a shingle are compared), count common shingles,
     join per-doc sizes, jaccard = common / (|A| + |B| - common).
-    Candidate count is bounded by the index join, not |docs|^2."""
-    idx = shingle_index(df, text_col, id_col, n, max_doc_freq)
+    Candidate count is bounded by the index join, not |docs|^2.
+    ``impl`` selects the shingle generator (see shingle_index)."""
+    idx = shingle_index(df, text_col, id_col, n, max_doc_freq, impl=impl)
     sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = idx.select(F.col("shingle"), F.col("doc").alias("doc_a"))
     b = idx.select(F.col("shingle"), F.col("doc").alias("doc_b"))
