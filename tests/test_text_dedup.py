@@ -141,7 +141,21 @@ def test_word_shingles_udf_matches_expression(spark):
             (3, ""),                   # empty -> [""]
             (4, None),                 # null -> [""] (concat_ws(null))
             (5, "a  b\tc\nd   e f a b c d e f"),  # mixed whitespace, dups
-            (6, "UPPER Case MiXeD lower case mixed")]
+            (6, "UPPER Case MiXeD lower case mixed"),
+            # unicode hazards: Java \s (what F.split compiles) is
+            # ASCII-only, so NBSP/ideographic space are TOKEN CHARS,
+            # not separators — the UDF must agree (re.ASCII)
+            (7, "nbsp\xa0joined stays one token with more words here"),
+            (8, "ideo　space also joins tokens in both engines ok"),
+            (9, "vtab\x0bis a separator in both so this splits fine"),
+            (10, "ümlauts Straße ÉTÉ çedilla ümlauts Straße ÉTÉ again x")]
+    # plus a seeded random corpus over a nasty alphabet
+    import random
+    rnd = random.Random(77)
+    alphabet = list("ab YZ\t\n\xa0　\x0b.,éÉßÜ")
+    rows += [(100 + i, "".join(rnd.choice(alphabet)
+                               for _ in range(rnd.randrange(0, 60))))
+             for i in range(200)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for n in (2, 3, 4):
         expr = {r.doc_id: r.s for r in df.select(

@@ -185,16 +185,27 @@ def main() -> int:
             print(f"#   operator-only {name}: {ob:.2f}s -> {og:.2f}s "
                   f"({oratio}x)", file=sys.stderr)
 
-    out = {"metric": "scale_smoke", "factor": factor,
-           "queries": results,
-           "note": ("ratio ~<= factor (+ fixed overhead) = linear-ish; "
-                    ">> factor flags a super-linear stage invisible "
-                    "at the sf0.1 gate")}
     # factor 10 keeps the judge-facing BENCH_sf1.json name (sf0.1 x 10
     # = sf1); other factors get their own artifact so runs never clobber
     out_name = ("BENCH_sf1.json" if factor == 10
                 else f"BENCH_scale_{factor}x.json")
-    with open(os.path.join(REPO, out_name), "w") as f:
+    out_path = os.path.join(REPO, out_name)
+    # MERGE into an existing artifact: a targeted re-run (name-list
+    # selector) must refresh only its rows, not clobber the widened
+    # sweep's coverage
+    merged = dict(results)
+    try:
+        with open(out_path) as f:
+            prior = json.load(f).get("queries", {})
+        merged = {**prior, **results}
+    except Exception:
+        pass
+    out = {"metric": "scale_smoke", "factor": factor,
+           "queries": merged,
+           "note": ("ratio ~<= factor (+ fixed overhead) = linear-ish; "
+                    ">> factor flags a super-linear stage invisible "
+                    "at the sf0.1 gate")}
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"metric": "scale_smoke", "factor": factor,
                       "worst_ratio": max((r["ratio"] or 0)

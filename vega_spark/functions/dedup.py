@@ -169,7 +169,13 @@ def _word_shingles_udf(n: int):
     @F.pandas_udf("array<string>")
     def shingles(texts: pd.Series) -> pd.Series:
         import re
-        ws = re.compile(r"\s+")
+        # re.ASCII: Python's \s is Unicode-aware ([\xa0], ideographic
+        # spaces, ...) while Java's \s — what F.split in tokens()
+        # compiles to — is ASCII-only [ \t\n\x0B\f\r]. The flag
+        # restricts Python to the SAME class, so a corpus carrying
+        # NBSP or CJK spaces tokenizes identically under impl='pandas'
+        # and impl='expr'.
+        ws = re.compile(r"\s+", re.ASCII)
         out = []
         for t in texts:
             toks = [w for w in ws.split(t.lower()) if w] \
