@@ -299,3 +299,21 @@ def test_buckets_udf_matches_sequential_fold(spark):
                     b |= 1 << i
             expect.append(b)
         assert got[vid] == expect, f"bucket mismatch for vec {vid}"
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    # 40 identical vectors: one bucket holds all 40 ids. With
+    # max_bucket=5 only pairs among the first 5 ids survive; the
+    # default cap (1000) never binds on a small corpus and must agree
+    # with uncapped (same guard semantics as simhash_near_pairs).
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = S.embedding_near_dup_pairs(df, dim=4, threshold=0.99,
+                                        num_planes=4, max_bucket=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    full = S.embedding_near_dup_pairs(df, dim=4, threshold=0.99,
+                                      num_planes=4, max_bucket=None)
+    dflt = S.embedding_near_dup_pairs(df, dim=4, threshold=0.99,
+                                      num_planes=4)
+    assert full.count() == 40 * 39 // 2 == dflt.count()

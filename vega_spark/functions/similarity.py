@@ -217,15 +217,32 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int,
                              num_planes: int = 14,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             seed: int = 42) -> DataFrame:
+                             seed: int = 42,
+                             max_bucket: int | None = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b): LSH-bucket the
     corpus against itself, exact-cosine verify within buckets. The
     corpus-vs-corpus analogue of lsh_ann_topk — candidate join is on
-    the bucket key, never all-pairs."""
+    the bucket key, never all-pairs.
+
+    Scale shape: the bucket count is FIXED at 2^num_planes while
+    occupancy grows linearly with the corpus, so within-bucket pairs
+    grow QUADRATICALLY once buckets saturate (measured 47x wall at
+    10x data with 8 planes uncapped, r5 scale smoke). Two knobs:
+    - num_planes should scale ~log2(n / target_occupancy) with the
+      corpus — each extra plane halves expected occupancy;
+    - ``max_bucket`` (same guard as minhash_lsh_pairs /
+      simhash_near_pairs) keeps the first ``max_bucket`` ids per
+      bucket regardless, restoring linear candidate generation on
+      skewed/underplaned corpora at a recall cost. Pass None when a
+      bounded-corpus contract pins 100% recall."""
     planes = _random_planes(dim, num_planes, seed)
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   _buckets_udf([planes])(F.col(vec_col))
                   .getItem(0).alias("bucket"))
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket").orderBy("id")
+        b = (b.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= max_bucket).drop("__rn"))
     lhs = b.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     rhs = b.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (lhs.join(rhs, "bucket")

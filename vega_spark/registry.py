@@ -1312,8 +1312,13 @@ def embedding_near_dup_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     dim = len(emb.select("embedding").first()["embedding"])
+    # max_bucket=None: this contract pins 100% recall over the witness
+    # set, so the finder leg runs UNCAPPED (exactly dedup_minhash_lsh's
+    # reasoning) — the shipped capped configuration is what
+    # OPERATOR_ONLY times and the scale smoke grades
     found = X_sim.embedding_near_dup_pairs(emb, dim=dim, threshold=0.9,
-                                           num_planes=8) \
+                                           num_planes=8,
+                                           max_bucket=None) \
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
                 "cos")
     # exclude_self BEFORE ranking + unrounded cos (r3 ADVICE): with
