@@ -103,3 +103,19 @@ def test_copresence_counts_shared_buckets(spark):
     from vega_spark.functions.geo import copresence_pairs
     got = copresence_pairs(df, "user_id", "ts", cell_deg=1.0).collect()
     assert [(r.k1, r.k2, r.n_shared) for r in got] == [(1, 2, 2)]
+
+
+def test_copresence_hot_bucket_cap(spark):
+    # 30 users in ONE (hour, cell) bucket: with max_bucket=4 only
+    # pairs among the 4 lowest keys survive; the default cap never
+    # binds on small data and matches uncapped.
+    from vega_spark.functions.geo import copresence_pairs
+    rows = [(u, "2026-01-01 10:00:00", 10.5, 20.5) for u in range(30)]
+    df = spark.createDataFrame(rows, "user_id long, ts string, lat double, lon double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    capped = copresence_pairs(df, "user_id", "ts", top=100, max_bucket=4)
+    got = {(r.k1, r.k2) for r in capped.collect()}
+    assert got == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    full = copresence_pairs(df, "user_id", "ts", top=1000, max_bucket=None)
+    dflt = copresence_pairs(df, "user_id", "ts", top=1000)
+    assert full.count() == 30 * 29 // 2 == dflt.count()

@@ -162,24 +162,36 @@ def trajectory_length(points: DataFrame, key_col: str, ts_col: str,
 
 def copresence_pairs(points: DataFrame, key_col: str, ts_col: str,
                      lat_col: str = "lat", lon_col: str = "lon",
-                     cell_deg: float = 1.0, top: int = 20
-                     ) -> DataFrame:
+                     cell_deg: float = 1.0, top: int = 20,
+                     max_bucket: int | None = 1000) -> DataFrame:
     """Co-presence: pairs of entities observed in the SAME grid cell
     during the SAME hour, ranked by number of shared (hour, cell)
     buckets — the contact-graph / companion-detection primitive.
 
     Scale shape: presence collapses to DISTINCT (key, hour, cell)
-    first (one keyed exchange, bounded by active buckets), the pair
-    join is an equi-join ON (hour, cell) — candidates are generated
-    per bucket, never across the whole population — and a hot bucket
-    is a salting problem, not a quadratic one. Head is
-    TakeOrderedAndProject."""
+    first (one keyed exchange, bounded by active buckets), and the
+    pair join is an equi-join ON (hour, cell) — candidates are
+    generated per bucket, never across the whole population. But
+    within-bucket pairing is QUADRATIC in bucket occupancy (a
+    stadium cell-hour with 100k entities is 5e9 pairs — salting
+    cannot help: pairs must meet), the same failure shape as the
+    minhash/simhash/embedding blockers, and the 10× smoke measured
+    it at 4.6×. ``max_bucket`` keeps the first ``max_bucket``
+    entities per (hour, cell) by key order — densely shared buckets
+    carry little companion signal anyway (everyone co-occurs with
+    everyone at the stadium). Pass None for exact exhaustive pairs
+    on bounded data."""
     hour = (F.unix_timestamp(F.col(ts_col)).cast("long") / 3600) \
         .cast("long")
     cx, cy = cell_id(F.col(lat_col), F.col(lon_col), cell_deg)
     pres = (points.select(F.col(key_col).alias("k"), hour.alias("h"),
                           cx.alias("cx"), cy.alias("cy"))
             .distinct())
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("h", "cx", "cy").orderBy("k")
+        pres = (pres.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= max_bucket).drop("__rn"))
     a = pres.select(F.col("k").alias("k1"), "h", "cx", "cy")
     b = pres.select(F.col("k").alias("k2"), "h", "cx", "cy")
     return (a.join(b, ["h", "cx", "cy"])
