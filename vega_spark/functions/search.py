@@ -62,15 +62,29 @@ def search_terms(index: DataFrame, terms: Sequence[str],
 def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         max_df_frac: float = 0.1,
+                        max_df: int | None = 1000,
                         top: int = 20, idf_scale: int = 1_000,
                         round_dp: int = 6) -> DataFrame:
     """Most-similar document pairs by sparse TF-IDF cosine via the
     POSTINGS TERM-JOIN — the no-embedding similarity workhorse: the
     self-join runs on the inverted index keyed by term, so a pair is
-    scored only if it shares a term, and dropping high-document-
-    frequency terms (``max_df``) bounds each term's fan-out at
-    max_df² — the stop-term guard that keeps the join linear-ish at
-    100 TB instead of quadratic on 'the'.
+    scored only if it shares a term, and high-document-frequency
+    terms are dropped before the join.
+
+    TWO df guards, and the distinction is the whole scale story
+    (measured: the fraction-only form ran 85x wall for 10x data in
+    the r5 smoke):
+    - ``max_df_frac`` is RELATIVE (df <= frac·N) — it drops
+      stop-words but permits QUADRATIC growth, because a term at a
+      constant corpus fraction has occupancy growing linearly with N
+      and per-term pairs growing as N².
+    - ``max_df`` is ABSOLUTE (df <= max_df docs) — it bounds every
+      term's fan-out at C(max_df, 2) regardless of corpus size,
+      making the join linear in the number of surviving terms. IDF
+      already says such terms carry ~no signal, so the cosine TOP
+      pairs are unaffected on natural corpora. Pass None to disable
+      (bounded-corpus exact replays).
+    The effective threshold is min(ceil(frac·N), max_df).
 
     Determinism: idf is integerized once per term
     (round(ln(N/df)·idf_scale)), so every weight, dot product and
@@ -82,10 +96,12 @@ def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
                       F.explode(tokens(text_col)).alias("t"))
           .groupBy("doc", "t").agg(F.count(F.lit(1)).alias("tf")))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    cut = F.ceil(F.col("n") * max_df_frac).cast("long")
+    if max_df is not None:
+        cut = F.least(cut, F.lit(max_df).cast("long"))
     df_t = (tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
             .crossJoin(F.broadcast(n_docs))
-            .filter(F.col("df")
-                    <= F.ceil(F.col("n") * max_df_frac).cast("long"))
+            .filter(F.col("df") <= cut)
             .select("t", F.round(F.log(F.col("n").cast("double")
                                        / F.col("df")) * idf_scale, 0)
                     .cast("long").alias("idf_q")))

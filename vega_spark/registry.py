@@ -7860,7 +7860,8 @@ dft AS (
   SELECT t, CAST(ROUND(LN(CAST(n AS DOUBLE) / df) * 1000, 0) AS BIGINT)
          AS idf_q
   FROM (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1) d
-  CROSS JOIN nd WHERE df <= CAST(CEIL(n * 0.1) AS BIGINT)),
+  CROSS JOIN nd
+  WHERE df <= LEAST(CAST(CEIL(n * 0.1) AS BIGINT), 1000)),
 w AS (
   SELECT doc, tf.t, tf.tf * idf_q AS w
   FROM tf JOIN dft ON tf.t = dft.t),
@@ -7880,12 +7881,16 @@ ORDER BY cos DESC, d1, d2 LIMIT 20
 """)
 def sparse_cosine_doc_pairs_q(spark, sf_dir):
     """Most-similar document pairs by sparse TF-IDF cosine through
-    the postings term-join with a max-df stop-term guard — exact
-    integerized weights so the oracle replays every dot product
-    bit-for-bit."""
+    the postings term-join with BOTH df guards on (relative 10% +
+    absolute 1000 — the r5 smoke measured the fraction-only form at
+    85x wall for 10x data; the absolute cap is what keeps the term
+    join linear, see sparse_cosine_pairs). Exact integerized weights
+    so the oracle replays every dot product bit-for-bit; the oracle's
+    dft CTE mirrors the LEAST(ceil(0.1n), 1000) threshold."""
     from vega_spark.functions.search import sparse_cosine_pairs
     docs = _t(spark, sf_dir, "documents")
-    return sparse_cosine_pairs(docs, "text", max_df_frac=0.1, top=20)
+    return sparse_cosine_pairs(docs, "text", max_df_frac=0.1,
+                               max_df=1000, top=20)
 
 
 @_q("streaming_interval_join_pairs", """
