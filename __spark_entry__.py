@@ -83,6 +83,7 @@ _PRIORITY = [
     "count_approx", "dedup_minhash_lsh",
     "dedup_simhash",          # r5 _RECHECK: operator leg now capped
     "cache_reuse_scan_count",  # new r5: last §2 row (cache/persist win)
+    "sparse_cosine_doc_pairs",  # r5 _RECHECK: absolute df cap added
     "dedup_ngram_jaccard", "dedup_components", "dedup_keep_representatives",
     "embedding_near_dup",
     # --- graph family (zero driver rows before r4)
@@ -184,8 +185,11 @@ _PRIORITY = [
 # Contracts whose Spark leg or oracle changed THIS round — force a
 # driver re-check even though their last row is green: dedup_simhash
 # now runs the operator leg with the production hot-chunk cap;
-# embedding_near_dup's witness cut gained a 1e-9 epsilon (both legs).
-_RECHECK = {"dedup_simhash", "embedding_near_dup"}
+# embedding_near_dup's witness cut gained a 1e-9 epsilon (both legs);
+# sparse_cosine_doc_pairs gained the absolute df cap (mirrored in its
+# oracle CTE); geo_copresence_users gained the cell-hour bucket cap.
+_RECHECK = {"dedup_simhash", "embedding_near_dup",
+            "sparse_cosine_doc_pairs", "geo_copresence_users"}
 
 
 def _driver_rows() -> dict[str, dict]:
