@@ -75,6 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # verified, which rotated the 14 hash-failing queries out of the
 # window permanently — that is the bug this ordering fixes.
 _PRIORITY = [
+    # r6 head: the repaired array-shape contract must land a green row
+    # this round (r5 verdict #2) — encode_docs_vocab1k re-enters at the
+    # very front automatically via its red r5 row.
+    "cogroup_three_way",
     # r4 window (r3 verdict #1: fill it with never-checked families —
     # graph, text stats, mlprep, geo, versioned, streaming — plus the
     # two §2-surface stragglers and this round's contract changes).
@@ -182,14 +186,17 @@ _PRIORITY = [
 
 # Contract-changed-this-round queries: their past driver rows are
 # green but hashed the OLD surface; force a re-check ahead of the tail.
-# Contracts whose Spark leg or oracle changed THIS round — force a
-# driver re-check even though their last row is green: dedup_simhash
-# now runs the operator leg with the production hot-chunk cap;
-# embedding_near_dup's witness cut gained a 1e-9 epsilon (both legs);
-# sparse_cosine_doc_pairs gained the absolute df cap (mirrored in its
-# oracle CTE); geo_copresence_users gained the cell-hour bucket cap.
-_RECHECK = {"dedup_simhash", "embedding_near_dup",
-            "sparse_cosine_doc_pairs", "geo_copresence_users"}
+# Contracts whose Spark leg or oracle changed THIS round (r6):
+# geo_copresence_users' oracle now mirrors the operator's
+# max_bucket=1000 cap in its pres CTE (r5 ADVICE — the uncapped
+# oracle silently diverges on denser data); cache_reuse_scan_count
+# now pins retry-robust inequalities instead of exact accumulator
+# multiples (r5 ADVICE — transformation-stage accumulators are not
+# exactly-once). encode_docs_vocab1k (array output stringified) sits
+# at the very front already via its red r5 row; cogroup_three_way
+# (same fix) has never been checked, so both re-enter the window
+# without needing an entry here.
+_RECHECK = {"geo_copresence_users", "cache_reuse_scan_count"}
 
 
 def _driver_rows() -> dict[str, dict]:

@@ -107,8 +107,9 @@ def test_copresence_counts_shared_buckets(spark):
 
 def test_copresence_hot_bucket_cap(spark):
     # 30 users in ONE (hour, cell) bucket: with max_bucket=4 only
-    # pairs among the 4 lowest keys survive; the default cap never
-    # binds on small data and matches uncapped.
+    # pairs among the 4 lowest keys survive; the library default is
+    # exhaustive (max_bucket=None — r5 ADVICE: no silent truncation
+    # in library calls; the registry entry point opts into 1000).
     from vega_spark.functions.geo import copresence_pairs
     rows = [(u, "2026-01-01 10:00:00", 10.5, 20.5) for u in range(30)]
     df = spark.createDataFrame(rows, "user_id long, ts string, lat double, lon double") \

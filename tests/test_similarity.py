@@ -196,6 +196,30 @@ def test_sparse_cosine_pairs_identical_docs_top(spark):
     assert all(r.cos <= 1.0 for r in got)
 
 
+def test_sparse_cosine_term_guard_report(spark):
+    # guard observability (r5 verdict #4): the report must account
+    # for every distinct term as surviving XOR capped against the
+    # effective cut min(ceil(frac*n), max_df), and a corpus whose
+    # terms ALL exceed the cut must show surviving_terms=0 — the
+    # visible explanation for a bounded-but-empty pair output.
+    from vega_spark.functions.search import sparse_cosine_term_guard
+    rows = [(1, "zeta omega kappa common"), (2, "zeta omega kappa common"),
+            (3, "unrelated words here common"),
+            (4, "more unrelated stuff common")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = sparse_cosine_term_guard(df, "text", max_df_frac=0.5,
+                                 max_df=1000).first()
+    assert r.n_docs == 4 and r.effective_cut == 2
+    assert r.total_terms == r.surviving_terms + r.capped_terms
+    assert r.capped_terms == 1  # only 'common' (df=4) exceeds the cut
+    # every-term-capped corpus: 4 identical docs, cut = 1
+    same = spark.createDataFrame([(i, "aaa bbb") for i in range(4)],
+                                 "doc_id long, text string")
+    r2 = sparse_cosine_term_guard(same, "text", max_df_frac=0.25,
+                                  max_df=1000).first()
+    assert r2.surviving_terms == 0 and r2.capped_terms == r2.total_terms
+
+
 def test_jl_projection_preserves_distances(spark):
     import numpy as np
 
@@ -304,8 +328,9 @@ def test_buckets_udf_matches_sequential_fold(spark):
 def test_embedding_near_dup_hot_bucket_cap(spark):
     # 40 identical vectors: one bucket holds all 40 ids. With
     # max_bucket=5 only pairs among the first 5 ids survive; the
-    # default cap (1000) never binds on a small corpus and must agree
-    # with uncapped (same guard semantics as simhash_near_pairs).
+    # library default is exhaustive (max_bucket=None — r5 ADVICE: no
+    # silent truncation in library calls; the registry entry points
+    # opt into 1000; same guard semantics as simhash_near_pairs).
     rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     capped = S.embedding_near_dup_pairs(df, dim=4, threshold=0.99,
@@ -317,3 +342,14 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
     dflt = S.embedding_near_dup_pairs(df, dim=4, threshold=0.99,
                                       num_planes=4)
     assert full.count() == 40 * 39 // 2 == dflt.count()
+
+
+def test_embedding_near_dup_adaptive_planes(spark):
+    # num_planes=None auto-sizes from a count: identical vectors all
+    # land in one bucket whatever the plane count, so every pair
+    # survives; the knob pick (ceil(log2(n/32)) clamped to [4, 24])
+    # must still yield the full pair set on a bounded corpus.
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = S.embedding_near_dup_pairs(df, dim=4, threshold=0.99)
+    assert auto.count() == 40 * 39 // 2

@@ -121,8 +121,9 @@ def test_simhash_hot_chunk_cap(spark):
                                   max_hamming=3, max_bucket=5)
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert got == {(a, b) for a in range(5) for b in range(a + 1, 5)}
-    # uncapped finds all C(40,2) pairs; default cap (1000) never
-    # binds on a small corpus and must agree with uncapped
+    # uncapped finds all C(40,2) pairs; the library default is
+    # exhaustive (max_bucket=None — r5 ADVICE: no silent truncation
+    # in library calls; the registry entry points opt into 1000)
     full = D.simhash_near_pairs(df, "text", "doc_id", max_hamming=3,
                                 max_bucket=None)
     dflt = D.simhash_near_pairs(df, "text", "doc_id", max_hamming=3)

@@ -131,6 +131,19 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL  {name:28s} spark error: {e}")
             continue
+        # driver-parity guard (r5's encode_docs_vocab1k lesson): the
+        # DRIVER canonicalizes with pandas sort_values, which crashes
+        # on list/map/struct cells even when values are oracle-exact;
+        # this checker reprs cells, so without this guard local-green
+        # does NOT imply driver-checkable. Nested outputs must be
+        # stringified (see the cogroup contract).
+        nested = [c for c, t in stypes.items()
+                  if _spark_family(t) == "nested"]
+        if nested:
+            failures.append((name, f"nested output columns {nested} — "
+                             "driver canonicalizer crashes on these"))
+            print(f"FAIL  {name:28s} nested output columns {nested}")
+            continue
         if name not in registry.ORACLES:
             print(f"ok*   {name:28s} rows={len(srows):7d} (no oracle, rows-only) "
                   f"{time.time()-t0:5.1f}s")

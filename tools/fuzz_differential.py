@@ -512,8 +512,11 @@ def gen_nested_query(rng: random.Random):
     mod = rng.randrange(3, 9)
     qsum_s = (f"aggregate(embedding, 0L, (a, x) -> a + "
               f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
-    qsum_d = (f"CAST(list_sum(list_transform(embedding, x -> "
-              f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))) "
+    # COALESCE guard (r5 ADVICE): DuckDB list_sum over an EMPTY list
+    # returns NULL while Spark's aggregate(.., 0L, ..) returns 0 —
+    # any empty embedding array would diverge the engines spuriously.
+    qsum_d = (f"CAST(COALESCE(list_sum(list_transform(embedding, x -> "
+              f"CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT))), 0) "
               f"AS BIGINT)")
     e1_s = (f"CAST(FLOOR(CAST(try_element_at(embedding, 1) AS DOUBLE) "
             f"* {scale}) AS BIGINT)")
@@ -525,6 +528,78 @@ def gen_nested_query(rng: random.Random):
             f"FROM embeddings GROUP BY vec_id % {mod}",
             f"SELECT {head_d} AS d, CAST(SUM({qsum_d}) AS BIGINT) AS q, "
             f"MIN({e1_d}) AS e FROM embeddings GROUP BY vec_id % {mod}")
+
+
+def gen_map_null_query(rng: random.Random):
+    """MAP-typed columns + null-heavy aggregate shapes (r5 verdict #7
+    — the remaining untouched dialect corners). Two sub-families:
+
+    * map shapes emit a (spark_sql, duck_sql) PAIR: Spark builds with
+      map(...) and reads with try_element_at (NULL on missing key)
+      and size(); DuckDB 1.0 builds with MAP {...} and its subscript
+      returns a LIST — empty on missing key — so m['k'][1] is the
+      scalar-or-NULL equivalent, and cardinality() is size(). A CASE
+      picks between two differently-keyed maps per row, so every key
+      probe exercises the missing-key NULL path on real data.
+    * null-heavy shapes are engine-shared SQL: NULLIF-seeded NULLs
+      through COUNT(*) vs COUNT(col), CASE-to-NULL sums (an all-NULL
+      group must SUM to NULL on both engines), nullable group keys
+      (NULL groups with NULL, per the standard), FILTER aggregates.
+
+    Exactness: every value is an integer (qty/orderkey/linenumber
+    casts), so agreement is bit-for-bit."""
+    q = "CAST(l_quantity AS BIGINT)"
+    ln = "CAST(l_linenumber AS BIGINT)"
+    filters = _gen_filters(rng)
+    where = (" WHERE " + " AND ".join(filters)) if filters else ""
+    kind = rng.choice(["map_rows", "map_agg", "null_heavy"])
+    if kind in ("map_rows", "map_agg"):
+        par = rng.randrange(2, 5)
+        # per-row map whose KEY SET depends on the row: even rows
+        # carry {'q', 'o'}, odd rows {'q', 'ln'} — probing 'o'/'ln'
+        # hits the missing-key path on ~half the rows
+        m_s = (f"CASE WHEN l_linenumber % 2 = 0 "
+               f"THEN map('q', {q}, 'o', l_orderkey) "
+               f"ELSE map('q', {q}, 'ln', {ln}) END")
+        m_d = (f"CASE WHEN l_linenumber % 2 = 0 "
+               f"THEN MAP {{'q': {q}, 'o': l_orderkey}} "
+               f"ELSE MAP {{'q': {q}, 'ln': {ln}}} END")
+        key = rng.choice(["q", "o", "ln", "zz"])
+        inner_s = (f"SELECT l_orderkey AS okey, l_linenumber AS lno, "
+                   f"{m_s} AS m FROM lineitem{where}")
+        inner_d = (f"SELECT l_orderkey AS okey, l_linenumber AS lno, "
+                   f"{m_d} AS m FROM lineitem{where}")
+        if kind == "map_rows":
+            lim = rng.randrange(50, 200)
+            return ((f"SELECT okey, lno, try_element_at(m, '{key}') AS v, "
+                     f"size(m) AS nk FROM ({inner_s}) t "
+                     f"WHERE okey < {lim}"),
+                    (f"SELECT okey, lno, m['{key}'][1] AS v, "
+                     f"CAST(cardinality(m) AS INTEGER) AS nk "
+                     f"FROM ({inner_d}) t WHERE okey < {lim}"))
+        agg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+        return ((f"SELECT okey % {par} AS g, "
+                 f"{agg}(try_element_at(m, '{key}')) AS a, "
+                 f"COUNT(*) AS n FROM ({inner_s}) t GROUP BY 1"),
+                (f"SELECT okey % {par} AS g, "
+                 f"CAST({agg}(m['{key}'][1]) AS BIGINT) AS a, "
+                 f"COUNT(*) AS n FROM ({inner_d}) t GROUP BY 1"))
+    # null_heavy: identical SQL both engines, NULLs seeded everywhere
+    gmod = rng.randrange(2, 6)
+    gnull = rng.randrange(0, gmod)
+    pmod = rng.randrange(2, 7)
+    qnull = rng.randrange(1, 50)
+    sql = (f"SELECT NULLIF(l_linenumber % {gmod}, {gnull}) AS g, "
+           f"COUNT(*) AS n_all, "
+           f"COUNT(NULLIF({q}, {qnull})) AS n_nn, "
+           f"SUM(CASE WHEN l_orderkey % {pmod} = 0 THEN NULL "
+           f"ELSE {q} END) AS s_some, "
+           f"SUM(CASE WHEN l_orderkey % {pmod} >= 0 THEN NULL "
+           f"ELSE {q} END) AS s_allnull, "
+           f"MIN(NULLIF(l_orderkey % {pmod}, 0)) AS mn, "
+           f"COUNT(*) FILTER (WHERE {q} > {qnull}) AS n_f "
+           f"FROM lineitem{where} GROUP BY 1")
+    return sql
 
 
 def run_case(spark, con, sql) -> tuple[bool, str]:
@@ -594,7 +669,7 @@ def main() -> int:
     gens = [gen_query, gen_join_query, gen_window_query, gen_setop_query,
             gen_three_way_join_query, gen_tied_rank_query,
             gen_decimal_query, gen_string_date_query, gen_subquery_query,
-            gen_nested_query]
+            gen_nested_query, gen_map_null_query]
     if len(sys.argv) > 4:
         gens = [g for g in gens if sys.argv[4] in g.__name__]
         assert gens, f"no generator matches {sys.argv[4]!r}"

@@ -166,6 +166,22 @@ def main() -> int:
                          "ratio": ratio, "rows": n}
         print(f"# {name}: {base:.2f}s -> {big:.2f}s ({ratio}x)",
               file=sys.stderr)
+        note = registry.SCALE_NOTES.get(name)
+        if note is not None:
+            results[name]["note"] = note
+            print(f"#   note {name}: {note}", file=sys.stderr)
+        # bounded != empty must be VISIBLE (r5 verdict #4): a guard
+        # that truncates all the way to zero output is correct but a
+        # debugging trap if the smoke doesn't say so
+        if n == 0:
+            print(f"# WARN {name}: 0 rows at {factor}x — bounded-but-"
+                  f"EMPTY output; read its guard diagnostic below",
+                  file=sys.stderr)
+        diag = registry.SCALE_DIAGNOSTICS.get(name)
+        if diag is not None:
+            drow = diag(spark, out_dir).first().asDict()
+            results[name]["diagnostic"] = drow
+            print(f"#   guard {name}: {drow}", file=sys.stderr)
         # contract-wrapped queries: also ratio the operator sub-plan
         # alone — the contract's exact truth leg is unguarded by
         # design, so only the operator ratio answers the 100 TB

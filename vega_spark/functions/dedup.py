@@ -535,7 +535,7 @@ def simhash(col: Column | str, text_col_tokens: Column | None = None) -> Column:
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3,
-                       max_bucket: int | None = 1000) -> DataFrame:
+                       max_bucket: int | None = None) -> DataFrame:
     """SimHash near-dup candidates: block on ``max_hamming + 1`` bit
     chunks — by pigeonhole, a pair within the hamming budget must
     agree exactly on at least one chunk — then verify the true
@@ -551,8 +551,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     corpora buckets grow super-linearly with corpus size (measured:
     16x wall at 10x data uncapped, r4 scale smoke) — the cap restores
     linear candidate generation. It trades recall for skew safety
-    (a pair can lose its pigeonhole chunk to truncation); pass None
-    when a bounded-corpus contract needs every candidate."""
+    (a pair can lose its pigeonhole chunk to truncation). The
+    LIBRARY default is ``None`` (exhaustive — a library call must
+    not silently drop candidates); production entry points opt in
+    explicitly (the registry ships ``max_bucket=1000``). Set it on
+    any unbounded corpus."""
     n_chunks = min(max_hamming + 1, 16)
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     fp = df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("fp"))

@@ -163,7 +163,7 @@ def trajectory_length(points: DataFrame, key_col: str, ts_col: str,
 def copresence_pairs(points: DataFrame, key_col: str, ts_col: str,
                      lat_col: str = "lat", lon_col: str = "lon",
                      cell_deg: float = 1.0, top: int = 20,
-                     max_bucket: int | None = 1000) -> DataFrame:
+                     max_bucket: int | None = None) -> DataFrame:
     """Co-presence: pairs of entities observed in the SAME grid cell
     during the SAME hour, ranked by number of shared (hour, cell)
     buckets — the contact-graph / companion-detection primitive.
@@ -179,8 +179,13 @@ def copresence_pairs(points: DataFrame, key_col: str, ts_col: str,
     it at 4.6×. ``max_bucket`` keeps the first ``max_bucket``
     entities per (hour, cell) by key order — densely shared buckets
     carry little companion signal anyway (everyone co-occurs with
-    everyone at the stadium). Pass None for exact exhaustive pairs
-    on bounded data."""
+    everyone at the stadium).
+
+    The LIBRARY default is ``None`` (exact exhaustive pairs — a
+    library call must not silently truncate results); production
+    entry points opt into the cap explicitly (the registry passes
+    ``max_bucket=1000``, mirrored in its oracle). Set it on any
+    unbounded corpus."""
     hour = (F.unix_timestamp(F.col(ts_col)).cast("long") / 3600) \
         .cast("long")
     cx, cy = cell_id(F.col(lat_col), F.col(lon_col), cell_deg)

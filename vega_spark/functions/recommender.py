@@ -74,18 +74,25 @@ def _infer_rank(factors: DataFrame) -> int:
 
 def _solve_side(ratings: DataFrame, solve_key: str, fixed_key: str,
                 rating_col: str, fixed_factors: DataFrame,
-                rank: int, reg: float) -> DataFrame:
+                rank: int, reg: float,
+                broadcast_fixed: bool | None = None) -> DataFrame:
     """One ALS half-step: normal-equation sums per ``solve_key``
     entity, then a batched r x r solve.
 
-    The fixed-factor side is broadcast when small (adaptive count
-    check — the frame is localCheckpointed by the caller, so the
-    count is a metadata-cheap job): mapInPandas output carries no
-    stats, so AQE cannot see that the factor frame is tiny and
-    otherwise plans 4 shuffle joins of the full ratings frame per
-    training run (measured 7.5s -> 4.1s at sf0.1)."""
+    The fixed-factor side is broadcast when small: mapInPandas
+    output carries no stats, so AQE cannot see that the factor frame
+    is tiny and otherwise plans 4 shuffle joins of the full ratings
+    frame per training run (measured 7.5s -> 4.1s at sf0.1).
+    ``broadcast_fixed`` is decided ONCE per training run by
+    als_explicit (factor-frame row count == entity count, already
+    known there — r5 ADVICE: a count() per half-step is 2·iters
+    extra jobs, and on a non-localCheckpointed frame it re-executes
+    the full lineage). None (direct library callers) falls back to
+    the adaptive count check."""
     ff = fixed_factors.withColumnRenamed("id", fixed_key)
-    if fixed_factors.count() <= _BCAST_FACTOR_ROWS:
+    if broadcast_fixed is None:
+        broadcast_fixed = fixed_factors.count() <= _BCAST_FACTOR_ROWS
+    if broadcast_fixed:
         ff = F.broadcast(ff)
     joined = ratings.join(ff, fixed_key)
     # flattened y yᵀ (r² cols) and r·y (r cols) per interaction —
@@ -128,13 +135,20 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
     localCheckpointed each alternation to cut the growing lineage
     (the k-means/PageRank iteration discipline)."""
     items = ratings.select(F.col(item_col)).distinct()
+    # broadcast eligibility decided ONCE per run: each factor frame's
+    # row count IS its entity count, fixed for the whole training run
+    bc_items = items.count() <= _BCAST_FACTOR_ROWS
+    bc_users = (ratings.select(F.col(user_col)).distinct().count()
+                <= _BCAST_FACTOR_ROWS)
     yi = _init_factors(items, item_col, rank, seed).localCheckpoint()
     xu = None
     for _ in range(iters):
         xu = _solve_side(ratings, user_col, item_col, rating_col,
-                         yi, rank, reg).localCheckpoint()
+                         yi, rank, reg,
+                         broadcast_fixed=bc_items).localCheckpoint()
         yi = _solve_side(ratings, item_col, user_col, rating_col,
-                         xu, rank, reg).localCheckpoint()
+                         xu, rank, reg,
+                         broadcast_fixed=bc_users).localCheckpoint()
     return xu, yi
 
 

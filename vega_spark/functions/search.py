@@ -59,10 +59,41 @@ def search_terms(index: DataFrame, terms: Sequence[str],
     return matched
 
 
+def sparse_cosine_term_guard(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             max_df_frac: float = 0.1,
+                             max_df: int | None = 1000) -> DataFrame:
+    """Observability companion for ``sparse_cosine_pairs``'s df
+    guards (r5 verdict #4): one row of (n_docs, total_terms,
+    surviving_terms, capped_terms, effective_cut). The caps are
+    scale-safety, but a corpus homogeneous enough to push EVERY term
+    over the cut returns silently-empty pairs (the 30x smoke corpus
+    did exactly that) — a debugging trap unless the guard's effect is
+    visible. Run this next to the operator whenever its output looks
+    thin; the scale smoke prints it automatically. Same one
+    term-keyed shuffle as the operator's df leg, nothing quadratic."""
+    tf = (docs.select(F.col(id_col).alias("doc"),
+                      F.explode(tokens(text_col)).alias("t"))
+          .groupBy("doc", "t").agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    cut = F.ceil(F.col("n") * max_df_frac).cast("long")
+    if max_df is not None:
+        cut = F.least(cut, F.lit(max_df).cast("long"))
+    return (tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .agg(F.max("n").alias("n_docs"),
+                 F.count(F.lit(1)).alias("total_terms"),
+                 F.sum((F.col("df") <= cut).cast("long"))
+                 .alias("surviving_terms"),
+                 F.sum((F.col("df") > cut).cast("long"))
+                 .alias("capped_terms"),
+                 F.max(cut).alias("effective_cut")))
+
+
 def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         max_df_frac: float = 0.1,
-                        max_df: int | None = 1000,
+                        max_df: int | None = None,
                         top: int = 20, idf_scale: int = 1_000,
                         round_dp: int = 6) -> DataFrame:
     """Most-similar document pairs by sparse TF-IDF cosine via the
@@ -82,8 +113,11 @@ def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
       term's fan-out at C(max_df, 2) regardless of corpus size,
       making the join linear in the number of surviving terms. IDF
       already says such terms carry ~no signal, so the cosine TOP
-      pairs are unaffected on natural corpora. Pass None to disable
-      (bounded-corpus exact replays).
+      pairs are unaffected on natural corpora. The LIBRARY default
+      is ``None`` (relative guard only — a library call must not
+      silently drop terms); production entry points opt in
+      explicitly (the registry ships ``max_df=1000``, mirrored in
+      its oracle). Set it on any unbounded corpus.
     The effective threshold is min(ceil(frac·N), max_df).
 
     Determinism: idf is integerized once per term

@@ -214,11 +214,12 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int,
 
 def embedding_near_dup_pairs(df: DataFrame, dim: int,
                              threshold: float = 0.95,
-                             num_planes: int = 14,
+                             num_planes: int | None = None,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              seed: int = 42,
-                             max_bucket: int | None = 1000) -> DataFrame:
+                             max_bucket: int | None = None,
+                             target_occupancy: int = 32) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b): LSH-bucket the
     corpus against itself, exact-cosine verify within buckets. The
     corpus-vs-corpus analogue of lsh_ann_topk — candidate join is on
@@ -229,12 +230,24 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int,
     grow QUADRATICALLY once buckets saturate (measured 47x wall at
     10x data with 8 planes uncapped, r5 scale smoke). Two knobs:
     - num_planes should scale ~log2(n / target_occupancy) with the
-      corpus — each extra plane halves expected occupancy;
+      corpus — each extra plane halves expected occupancy. The
+      default (None) AUTO-SIZES it from one cheap count():
+      ceil(log2(n / target_occupancy)), clamped to [4, 24] — so the
+      bucket count tracks the corpus and the cap below stops being
+      the only defense at scale (r5 verdict #6). Pass an int to pin
+      it (contracts do, so their oracle replay is stable).
     - ``max_bucket`` (same guard as minhash_lsh_pairs /
       simhash_near_pairs) keeps the first ``max_bucket`` ids per
       bucket regardless, restoring linear candidate generation on
-      skewed/underplaned corpora at a recall cost. Pass None when a
-      bounded-corpus contract pins 100% recall."""
+      skewed/underplaned corpora at a recall cost. The LIBRARY
+      default is ``None`` (100% within-bucket recall — a library
+      call must not silently truncate); production entry points opt
+      in explicitly (the registry ships ``max_bucket=1000``)."""
+    if num_planes is None:
+        n = df.count()
+        num_planes = max(4, min(24, math.ceil(
+            math.log2(max(n, 1) / target_occupancy))
+            if n > target_occupancy else 4))
     planes = _random_planes(dim, num_planes, seed)
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   _buckets_udf([planes])(F.col(vec_col))

@@ -63,6 +63,16 @@ ORACLES: dict[str, str] = {}
 # contract query — these are perf instruments only.
 OPERATOR_ONLY: dict[str, QueryFn] = {}
 
+# Scale-smoke observability hooks (r5 verdict #4/#8). DIAGNOSTICS:
+# (spark, sf_dir) -> 1-row DataFrame printed by tools/scale_bench.py
+# after timing its query — for operators whose guards can bound the
+# output all the way to EMPTY (bounded != visible otherwise). NOTES:
+# a fixed adjudication line the smoke prints next to a query's ratio
+# so a known-benign reading (e.g. a bucket-saturation transition)
+# carries its explanation in the artifact itself.
+SCALE_DIAGNOSTICS: dict[str, QueryFn] = {}
+SCALE_NOTES: dict[str, str] = {}
+
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -1361,7 +1371,8 @@ def embedding_near_dup_op(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     dim = len(emb.select("embedding").first()["embedding"])
     return X_sim.embedding_near_dup_pairs(emb, dim=dim, threshold=0.9,
-                                          num_planes=8)
+                                          num_planes=None,
+                                          max_bucket=1000)
 
 
 # --- north-star: multimodal --------------------------------------------------------
@@ -4490,18 +4501,30 @@ enc AS (
 g AS (SELECT doc_id, list(tid ORDER BY i) AS token_ids FROM enc
       GROUP BY doc_id)
 SELECT toks.doc_id,
-       COALESCE(g.token_ids, CAST([] AS INTEGER[])) AS token_ids
+       array_to_string(COALESCE(g.token_ids, CAST([] AS INTEGER[])),
+                       ' ') AS token_ids
 FROM toks LEFT JOIN g USING (doc_id)
 """)
 def encode_docs_vocab1k_q(spark, sf_dir):
     """Corpus id-ification: frequency-ranked 1k vocabulary (ties by
     term → deterministic ids), then an order-preserving narrow encode
     via ONE broadcast map literal — no explode/join/shuffle on the
-    corpus side. OOV → 0."""
+    corpus side. OOV → 0.
+
+    Contract shape (r5 verdict #1): the driver harness canonicalizes
+    with pandas sort_values, which crashes on array cells — so the
+    id sequence ships as ONE space-joined string (order-preserving,
+    value-exact, atomic), mirrored by array_to_string in the oracle.
+    """
     from vega_spark.functions.text import build_vocab, encode_tokens
     docs = _t(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "text", size=1000)
-    return encode_tokens(docs, vocab, "text", "doc_id")
+    enc = encode_tokens(docs, vocab, "text", "doc_id")
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform("token_ids",
+                                 lambda x: x.cast("string")), " ")
+        .alias("token_ids"))
 
 
 # --- as-of join, forward direction with tolerance --------------------------
@@ -4541,28 +4564,36 @@ def asof_join_forward_tolerance_q(spark, sf_dir):
 # --- N-ary cogroup (reference CoGroupedRdd arity > 2) ----------------------
 
 @_q("cogroup_three_way", """
-WITH c AS (SELECT c_nationkey AS key, list_sort(list(c_name)) AS values_0
+WITH c AS (SELECT c_nationkey AS key,
+                  array_to_string(list_sort(list(c_name)), ',') AS values_0
            FROM customer GROUP BY 1),
-s AS (SELECT s_nationkey AS key, list_sort(list(s_name)) AS values_1
+s AS (SELECT s_nationkey AS key,
+             array_to_string(list_sort(list(s_name)), ',') AS values_1
       FROM supplier GROUP BY 1),
-n AS (SELECT n_nationkey AS key, list_sort(list(n_name)) AS values_2
+n AS (SELECT n_nationkey AS key,
+             array_to_string(list_sort(list(n_name)), ',') AS values_2
       FROM nation GROUP BY 1)
 SELECT COALESCE(c.key, s.key, n.key) AS key,
-       COALESCE(values_0, []) AS values_0,
-       COALESCE(values_1, []) AS values_1,
-       COALESCE(values_2, []) AS values_2
+       COALESCE(values_0, '') AS values_0,
+       COALESCE(values_1, '') AS values_1,
+       COALESCE(values_2, '') AS values_2
 FROM c FULL JOIN s ON c.key = s.key
        FULL JOIN n ON COALESCE(c.key, s.key) = n.key
 """)
 def cogroup_three_way_q(spark, sf_dir):
     """3-way cogroup by nation key: customer names, supplier names,
     and the nation name grouped per key in one pass (values sorted so
-    both engines agree on array order)."""
-    return J.cogroup_n([
+    both engines agree on array order). Groups ship comma-joined —
+    the driver canonicalizer needs atomic columns (r5 verdict #2),
+    same contract shape as the green 2-way ``cogroup``."""
+    cg = J.cogroup_n([
         (_t(spark, sf_dir, "customer"), "c_nationkey", "c_name"),
         (_t(spark, sf_dir, "supplier"), "s_nationkey", "s_name"),
         (_t(spark, sf_dir, "nation"), "n_nationkey", "n_name"),
     ])
+    return cg.select("key", *[
+        F.array_join(F.col(c), ",").alias(c)
+        for c in ("values_0", "values_1", "values_2")])
 
 
 # --- unionByName with missing columns / modern aggregate surface -----------
@@ -4820,9 +4851,7 @@ def for_each_observe_metrics_q(spark, sf_dir):
 
 
 @_q("cache_reuse_scan_count", """
-SELECT CAST(2 AS BIGINT) AS uncached_scans,
-       CAST(1 AS BIGINT) AS cached_scans,
-       1 AS exact_multiples
+SELECT 1 AS uncached_rescans, 1 AS cached_lt_uncached
 """)
 def cache_reuse_scan_count_q(spark, sf_dir):
     """Cache/persist re-use contract (reference rdd.rs:57,72-76 —
@@ -4830,13 +4859,16 @@ def cache_reuse_scan_count_q(spark, sf_dir):
     the VegaDataset.cache facade finishes it on Spark's storage
     layer). The win is MEASURED, not asserted: an Arrow-batched
     row-counting UDF feeds a task accumulator, so the number of
-    source evaluations is observable exactly. Two actions over the
-    uncached frame re-execute the scan+UDF both times (counter =
-    2n); two actions over the .cache()d frame execute it once — the
-    first action materializes the InMemoryRelation, the second is
-    served from it (counter = n). The contract pins the scan
-    multiples (2, 1), which is precisely the §2 cache row's
-    observable behavior a driver can hash."""
+    source evaluations is observable. Two actions over the uncached
+    frame re-execute the scan+UDF both times (counter >= 2n); two
+    actions over the .cache()d frame execute it once — the first
+    action materializes the InMemoryRelation, the second is served
+    from it. The contract pins INEQUALITIES, not exact multiples
+    (r5 ADVICE): accumulator updates from a transformation-stage UDF
+    are not exactly-once — a task retry or speculative run
+    double-counts, so ``acc == 2n`` exactly would fail spuriously;
+    ``acc_u >= 2n`` and ``acc_c < acc_u`` hold under retries and
+    still pin the cache win."""
     from vega_spark.dataset import VegaDataset
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
     n = li.count()
@@ -4865,9 +4897,8 @@ def cache_reuse_scan_count_q(spark, sf_dir):
         cached.df.unpersist()
 
     return spark.createDataFrame(
-        [(acc_u.value // n, acc_c.value // n,
-          int(acc_u.value == 2 * n and acc_c.value == n))],
-        "uncached_scans bigint, cached_scans bigint, exact_multiples int")
+        [(int(acc_u.value >= 2 * n), int(acc_c.value < acc_u.value))],
+        "uncached_rescans int, cached_lt_uncached int")
 
 
 @_q("read_whole_files_dir", """
@@ -7893,6 +7924,24 @@ def sparse_cosine_doc_pairs_q(spark, sf_dir):
                                max_df=1000, top=20)
 
 
+def _sparse_cosine_guard_diag(spark, sf_dir):
+    """Term-guard visibility for the smoke (r5 verdict #4): on a
+    corpus homogeneous enough that every term exceeds the df cut the
+    operator is bounded but EMPTY — this row says so out loud."""
+    from vega_spark.functions.search import sparse_cosine_term_guard
+    return sparse_cosine_term_guard(_t(spark, sf_dir, "documents"),
+                                    "text", max_df_frac=0.1, max_df=1000)
+
+
+SCALE_DIAGNOSTICS["sparse_cosine_doc_pairs"] = _sparse_cosine_guard_diag
+SCALE_NOTES["dedup_simhash"] = (
+    "operator-only ratios spanning the first scaled decade include "
+    "the bucket-SATURATION transition (candidate pairs can jump "
+    "orders of magnitude across one decade — 525 -> 14M measured at "
+    "10x — then go linear/sub-linear: 10x->30x measured 1.9x for 3x "
+    "data); read the post-saturation ratio, not the transition one")
+
+
 @_q("streaming_interval_join_pairs", """
 WITH c AS (SELECT user_id, ts AS cts FROM events
            WHERE event_type = 'click'),
@@ -8126,11 +8175,14 @@ WITH q0 AS (
          (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8))::BIGINT
           % 3600000) / 10000.0 - 180.0 AS lo
   FROM events),
-pres AS (
+pres0 AS (
   SELECT DISTINCT k, h,
          CAST(FLOOR(la / 45.0) AS BIGINT) AS cx,
          CAST(FLOOR(lo / 45.0) AS BIGINT) AS cy
-  FROM q0)
+  FROM q0),
+pres AS (
+  SELECT k, h, cx, cy FROM pres0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY h, cx, cy ORDER BY k) <= 1000)
 SELECT a.k AS k1, b.k AS k2, COUNT(*) AS n_shared
 FROM pres a JOIN pres b
   ON a.h = b.h AND a.cx = b.cx AND a.cy = b.cy AND a.k < b.k
@@ -8140,12 +8192,16 @@ ORDER BY n_shared DESC, k1, k2 LIMIT 20
 def geo_copresence_users_q(spark, sf_dir):
     """Co-presence contact pairs: users sharing a (45-deg cell, hour)
     bucket, ranked by shared buckets — candidates generated per
-    bucket via the equi-join, never across the population."""
+    bucket via the equi-join, never across the population. The
+    oracle's pres CTE mirrors the operator's max_bucket=1000 cap
+    (r5 ADVICE: an uncapped oracle silently diverges once any
+    (hour, cell) bucket exceeds the cap at denser data)."""
     from vega_spark.functions.geo import copresence_pairs, synthetic_coords
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     pts = synthetic_coords(ev, "event_id")
-    return copresence_pairs(pts, "user_id", "ts", cell_deg=45.0, top=20)
+    return copresence_pairs(pts, "user_id", "ts", cell_deg=45.0, top=20,
+                            max_bucket=1000)
 
 
 @_q("funnel_time_boxed_1h_24h", """
