@@ -125,11 +125,12 @@ def test_local_checkpoint_truncates_lineage(spark):
 
 def test_cache_reuse_measured_scan_multiples(spark):
     """The cache contract's mechanism, end to end at sf0.001: the
-    accumulator-fed probe must observe exactly 2 source evaluations
-    uncached and exactly 1 after VegaDataset.cache() (the second
-    action serves from the InMemoryRelation)."""
+    accumulator-fed probe must observe >= 2 source evaluations
+    uncached and strictly fewer after VegaDataset.cache() (the second
+    action serves from the InMemoryRelation). Inequalities, not exact
+    multiples (r5 ADVICE): transformation-stage accumulators are not
+    exactly-once under task retries/speculation."""
     from vega_spark import registry
     row = registry.QUERIES["cache_reuse_scan_count"](
         spark, "/root/testdata/sf0.001").collect()[0]
-    assert (row.uncached_scans, row.cached_scans,
-            row.exact_multiples) == (2, 1, 1)
+    assert (row.uncached_rescans, row.cached_lt_uncached) == (1, 1)

@@ -18,6 +18,9 @@ Strictness contract (calibrated against the round-2 driver rows):
   queries exist whose engines return different orders.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --json OUT.json [sf_dir] [query ...]
+  --json also writes the per-query results as a LOCALVERIFY-shaped
+  artifact (status/rows/sec per query + pass counts).
 """
 
 from __future__ import annotations
@@ -105,8 +108,14 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_session("oracle-check")
 
     con = duckdb.connect()
@@ -129,6 +138,7 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            results[name] = {"status": "spark_error", "err": str(e)[:300]}
             print(f"FAIL  {name:28s} spark error: {e}")
             continue
         # driver-parity guard (r5's encode_docs_vocab1k lesson): the
@@ -142,9 +152,12 @@ def main() -> int:
         if nested:
             failures.append((name, f"nested output columns {nested} — "
                              "driver canonicalizer crashes on these"))
+            results[name] = {"status": "nested_output", "cols": nested}
             print(f"FAIL  {name:28s} nested output columns {nested}")
             continue
         if name not in registry.ORACLES:
+            results[name] = {"status": "ok_rows_only", "rows": len(srows),
+                             "sec": round(time.time() - t0, 1)}
             print(f"ok*   {name:28s} rows={len(srows):7d} (no oracle, rows-only) "
                   f"{time.time()-t0:5.1f}s")
             continue
@@ -155,6 +168,7 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            results[name] = {"status": "duckdb_error", "err": str(e)[:300]}
             print(f"FAIL  {name:28s} duckdb error: {e}")
             continue
 
@@ -172,13 +186,33 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append((name, "; ".join(problems)))
+            results[name] = {"status": "fail",
+                             "err": "; ".join(problems)[:300]}
             print(f"FAIL  {name:28s} {'; '.join(problems)[:300]}")
         else:
+            results[name] = {"status": "ok", "rows": len(srows),
+                             "sec": round(time.time() - t0, 1)}
             print(f"ok    {name:28s} rows={len(srows):7d} {time.time()-t0:5.1f}s")
 
     print(f"\n{attempted - len(failures)}/{attempted} passed")
     for name, why in failures:
         print(f"  FAILED {name}: {why[:500]}")
+    if json_out is not None:
+        import json
+        payload = {
+            "sf_dir": sf_dir,
+            "checker": ("tools/check_oracle.py (driver-strict: exact "
+                        "values, type families, widened-type fail, "
+                        "nested-output guard)"),
+            "passed": attempted - len(failures),
+            "attempted": attempted,
+            "total_sec": round(sum(r.get("sec", 0.0)
+                                   for r in results.values()), 1),
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 
