@@ -415,9 +415,25 @@ def test_advisor_flags_global_window_and_cartesian(spark):
         Window.partitionBy(F.col("a") % 10).orderBy("a")))
     assert "global-window" not in {f["code"] for f in analyze_plan(good)}
     assert_scale_safe(good)
-    # cross joins flagged (nested-loop broadcast variant)
+    # cross joins: a side Catalyst PROVES tiny (range(5) has
+    # maxRows=5) is the benign scalar-attach shape -> INFO, not WARN
     cj = df.crossJoin(spark.range(5).withColumnRenamed("id", "b"))
-    assert "cross-nlj" in {f["code"] for f in analyze_plan(cj)}
+    codes = {f["code"] for f in analyze_plan(cj)}
+    assert "bounded-cross-broadcast" in codes and "cross-nlj" not in codes
+
+
+def test_advisor_cross_nlj_unbounded_side_still_warns(spark, sf_dir):
+    # a cross join against a real table scan (maxRows undefined on
+    # a parquet relation) cannot be proven bounded -> stays WARN;
+    # hint the broadcast so the physical plan is the NLJ shape the
+    # advisor matches rather than a FATAL CartesianProduct
+    from vega_spark.plans.advisor import analyze_plan
+    from vega_spark.tables import load_table
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cj = nat.crossJoin(F.broadcast(reg))
+    codes = {f["code"] for f in analyze_plan(cj)}
+    assert "cross-nlj" in codes and "bounded-cross-broadcast" not in codes
 
 
 def test_advisor_flags_row_udf_not_arrow(spark):

@@ -27,7 +27,9 @@ def main() -> int:
     spark = get_session("vega-audit")
     spark.sparkContext.setLogLevel("ERROR")
     fatals: list[tuple[str, str]] = []
-    warns = 0
+    warn_list: list[tuple[str, str]] = []
+    adjudicated: list[tuple[str, str, str]] = []
+    bounded_cross = 0
     errors: list[tuple[str, str]] = []
     for name, fn in registry.QUERIES.items():
         try:
@@ -36,15 +38,30 @@ def main() -> int:
         except Exception as exc:
             errors.append((name, repr(exc)[:120]))
             continue
+        adj = registry.ADJUDICATED_WARNS.get(name, {})
         for f in findings:
             if f["severity"] == "FATAL":
                 fatals.append((name, f["code"]))
             elif f["severity"] == "WARN":
-                warns += 1
+                if f["code"] in adj:
+                    adjudicated.append((name, f["code"], adj[f["code"]]))
+                else:
+                    warn_list.append((name, f["code"]))
+            elif f["code"] == "bounded-cross-broadcast":
+                bounded_cross += 1
     print(f"audited {len(registry.QUERIES)} queries: "
-          f"{len(fatals)} FATAL, {warns} WARN, {len(errors)} build-errors")
+          f"{len(fatals)} FATAL, {len(warn_list)} unadjudicated WARN, "
+          f"{len(adjudicated)} adjudicated WARN "
+          f"(registry.ADJUDICATED_WARNS), {bounded_cross} bounded-cross "
+          f"INFO (Catalyst maxRows-proven scalar attaches), "
+          f"{len(errors)} build-errors")
     for name, code in fatals:
         print(f"FATAL {name}: {code}")
+    for name, code in warn_list:
+        print(f"WARN  {name}: {code} (UNADJUDICATED — inspect, then "
+              f"fix or record in registry.ADJUDICATED_WARNS)")
+    for name, code, why in adjudicated:
+        print(f"adjudicated {name}: {code} — {why}")
     for name, err in errors:
         print(f"ERROR {name}: {err}")
     return 1 if fatals else 0
