@@ -422,6 +422,27 @@ def test_advisor_flags_global_window_and_cartesian(spark):
     assert "bounded-cross-broadcast" in codes and "cross-nlj" not in codes
 
 
+def test_advisor_unpushed_filter_detection(spark, sf_dir):
+    # Spark 4 omits the PushedFilters line entirely when nothing
+    # pushes, so the original "PushedFilters: []" literal was a DEAD
+    # check (r6 audit). The rewritten detector is structural: a
+    # Filter (even through a Python-eval node) directly on a scan
+    # whose section shows no pushed/partition filters.
+    from pyspark.sql.functions import udf
+    from vega_spark.plans.advisor import analyze_plan
+    from vega_spark.tables import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = li.filter(udf(lambda x: x > 5, "boolean")(F.col("l_quantity")))
+    assert "unpushed-filter" in {f["code"] for f in analyze_plan(bad)}
+    # a plain comparison pushes (PushedFilters non-empty) -> clean
+    good = li.filter(F.col("l_quantity") > 5)
+    assert "unpushed-filter" not in {f["code"] for f in analyze_plan(good)}
+    # HAVING-shape filters sit on aggregates, not scans -> clean
+    having = li.groupBy("l_returnflag").count().filter(F.col("count") > 10)
+    assert "unpushed-filter" not in {f["code"]
+                                     for f in analyze_plan(having)}
+
+
 def test_advisor_cross_nlj_unbounded_side_still_warns(spark, sf_dir):
     # a cross join against a real table scan (maxRows undefined on
     # a parquet relation) cannot be proven bounded -> stays WARN;

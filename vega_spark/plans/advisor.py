@@ -24,10 +24,18 @@ Checks (each finding: code, severity, detail):
 - row-python-udf   WARN   BatchEvalPython — row-at-a-time Python in
                           the hot path (Arrow/pandas UDFs show up as
                           ArrowEvalPython and are not flagged).
-- unpushed-filter  INFO   a Filter node above a scan whose
-                          PushedFilters is empty — predicate may be
-                          evaluated post-scan (casts/UDFs in the
-                          predicate commonly cause this).
+- unpushed-filter  INFO   a Filter (or Python-UDF eval) sitting
+                          DIRECTLY on a parquet scan that pushed
+                          nothing (no PushedFilters/PartitionFilters
+                          content) — the predicate reads every row
+                          post-scan; casts/UDFs in the predicate
+                          commonly cause this. NOTE Spark 4 omits the
+                          PushedFilters line entirely when nothing
+                          pushes, so the check inspects tree
+                          adjacency + the scan's section, not the old
+                          "PushedFilters: []" literal (which never
+                          appears — the r6 audit found the original
+                          form was a dead check).
 - exchanges        INFO   total Exchange count (context, not a flaw).
 """
 
@@ -111,6 +119,35 @@ def _cross_joins_bounded(df: DataFrame,
     return n_cross, n_bounded
 
 
+def _unpushed_scan_filters(txt: str) -> bool:
+    """True when a Filter (possibly through a Python-UDF eval node)
+    sits directly on a parquet scan that pushed NOTHING. Spark 4
+    prints no PushedFilters line at all for an un-pushed scan, so the
+    detection is structural: find scans within 3 tree lines below a
+    Filter, then require their detail section to show a non-empty
+    PushedFilters or PartitionFilters list. Filters above joins,
+    exchanges, or aggregates (HAVING shapes) are not adjacent to a
+    scan and never flag."""
+    lines = txt.splitlines()
+    suspects: set[str] = set()
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bFilter \(\d+\)", ln):
+            continue
+        for j in range(i + 1, min(i + 4, len(lines))):
+            sm = re.search(r"Scan parquet\s*\((\d+)\)", lines[j])
+            if sm:
+                suspects.add(sm.group(1))
+                break
+    for sid in suspects:
+        sec = re.search(rf"^\({sid}\) Scan parquet.*?(?:\n\n|\Z)",
+                        txt, re.S | re.M)
+        if sec and not re.search(
+                r"(?:PushedFilters|PartitionFilters): \[[^\]]+\]",
+                sec.group(0)):
+            return True
+    return False
+
+
 def analyze_plan(df: DataFrame) -> list[dict]:
     txt = plan_text(df)
     findings: list[dict] = []
@@ -158,12 +195,12 @@ def analyze_plan(df: DataFrame) -> list[dict]:
             "detail": "Row-at-a-time Python UDF (BatchEvalPython): "
                       "10-100x slower than Arrow-batched pandas UDFs "
                       "and breaks whole-stage codegen around it."})
-    if re.search(r"PushedFilters: \[\]", txt) and ") Filter" in txt:
+    if _unpushed_scan_filters(txt):
         findings.append({
             "code": "unpushed-filter", "severity": "INFO",
-            "detail": "A Filter sits above a scan with no pushed "
-                      "predicates; casts or Python UDFs in the "
-                      "predicate usually block pushdown."})
+            "detail": "A Filter sits directly on a parquet scan that "
+                      "pushed no predicates; casts or Python UDFs in "
+                      "the predicate usually block pushdown."})
     findings.append({
         "code": "exchanges", "severity": "INFO",
         "detail": f"{txt.count('Exchange')} Exchange node(s) "
