@@ -135,17 +135,24 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
     localCheckpointed each alternation to cut the growing lineage
     (the k-means/PageRank iteration discipline)."""
     items = ratings.select(F.col(item_col)).distinct()
-    # broadcast eligibility decided ONCE per run: each factor frame's
-    # row count IS its entity count, fixed for the whole training run
-    bc_items = items.count() <= _BCAST_FACTOR_ROWS
-    bc_users = (ratings.select(F.col(user_col)).distinct().count()
-                <= _BCAST_FACTOR_ROWS)
     yi = _init_factors(items, item_col, rank, seed).localCheckpoint()
+    # broadcast eligibility decided ONCE per run per side (r5 ADVICE:
+    # a count per half-step is 2·iters extra jobs), and ONLY ever by
+    # counting a just-checkpointed factor frame — row count == entity
+    # count, and counting checkpointed blocks is metadata-cheap. A
+    # ratings.distinct().count() here would add a full shuffle over
+    # the ratings fact table at 100 TB for the same answer, so the
+    # user side's decision waits for the first solved (checkpointed)
+    # user-factor frame instead.
+    bc_items = yi.count() <= _BCAST_FACTOR_ROWS
+    bc_users: bool | None = None
     xu = None
     for _ in range(iters):
         xu = _solve_side(ratings, user_col, item_col, rating_col,
                          yi, rank, reg,
                          broadcast_fixed=bc_items).localCheckpoint()
+        if bc_users is None:
+            bc_users = xu.count() <= _BCAST_FACTOR_ROWS
         yi = _solve_side(ratings, item_col, user_col, rating_col,
                          xu, rank, reg,
                          broadcast_fixed=bc_users).localCheckpoint()

@@ -87,9 +87,9 @@ ADJUDICATED_WARNS: dict[str, dict[str, str]] = {
         "contract (reference cartesian_rdd.rs materializes the right "
         "side per task); callers must keep one side small")},
     "ann_cosine_topk": {"cross-nlj": (
-        "broadcast side is the bounded query head (vec_id-range "
-        "filter, 15 ids) — an id filter on a scan has no Catalyst "
-        "maxRows, but the brute-force baseline is |Q|x|n| by design")},
+        "broadcast side is the bounded query head (vec_id < 3 "
+        "filter) — an id filter on a scan has no Catalyst maxRows, "
+        "but the brute-force baseline is |Q|x|n| by design")},
     "ann_lsh_topk": {"cross-nlj": (
         "bounded probe set + per-table hyperplane literals; LSH "
         "candidate join is bucket-keyed — the cross is the bounded "
@@ -102,8 +102,8 @@ ADJUDICATED_WARNS: dict[str, dict[str, str]] = {
         "subspaces, driver-bounded constant)")},
     "chi2_event_type_value": {"cross-nlj": (
         "marginal-x-marginal grid: both sides are grouped aggregates "
-        "over the event-type / value-bin DOMAINS (5 x 10) — bounded "
-        "by category cardinality, invisible to maxRows")},
+        "over the event-type / value-bin DOMAINS — bounded by "
+        "category cardinality, invisible to maxRows")},
     "naive_bayes_lang_confusion": {"cross-nlj": (
         "label-prior and vocab-head attaches: label domain (5) x "
         "scalar totals; vocab head is a bounded TakeOrdered")},
