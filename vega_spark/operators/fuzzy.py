@@ -36,6 +36,27 @@ def qgrams(col: Column | str, q: int = 3) -> Column:
                     lambda i: F.substring(s, i, q)))
 
 
+def gram_guard_report(df: DataFrame, name_col: str, q: int = 3,
+                      max_gram_freq: int = 1000) -> DataFrame:
+    """Observability companion for the q-gram frequency cap (same
+    doctrine as search.sparse_cosine_term_guard): one row of
+    (n_rows, total_grams, surviving_grams, capped_grams). A name
+    population homogeneous enough that EVERY gram exceeds the cap
+    yields zero candidates — bounded but silently empty unless this
+    says so (the 10x replica corpus does exactly that to supplier
+    names). One gram-keyed shuffle, nothing quadratic."""
+    g = (df.select(F.explode(qgrams(F.col(name_col), q)).alias("gram"))
+         .groupBy("gram").agg(F.count(F.lit(1)).alias("df_")))
+    n_rows = df.agg(F.count(F.lit(1)).alias("n"))
+    return (g.crossJoin(F.broadcast(n_rows))
+            .agg(F.max("n").alias("n_rows"),
+                 F.count(F.lit(1)).alias("total_grams"),
+                 F.sum((F.col("df_") <= max_gram_freq).cast("long"))
+                 .alias("surviving_grams"),
+                 F.sum((F.col("df_") > max_gram_freq).cast("long"))
+                 .alias("capped_grams")))
+
+
 def fuzzy_self_pairs(df: DataFrame, name_col: str,
                      id_col: str, max_dist: int = 2,
                      min_dist: int = 1, q: int = 3,

@@ -7995,6 +7995,18 @@ def _sparse_cosine_guard_diag(spark, sf_dir):
 
 
 SCALE_DIAGNOSTICS["sparse_cosine_doc_pairs"] = _sparse_cosine_guard_diag
+
+
+def _fuzzy_gram_guard_diag(spark, sf_dir):
+    """Gram-cap visibility for the smoke: the 10x replica corpus
+    clones supplier names, pushing every q-gram over the cap — the
+    operator is then bounded but EMPTY, and this row says why."""
+    from vega_spark.operators.fuzzy import gram_guard_report
+    return gram_guard_report(_t(spark, sf_dir, "supplier"), "s_name",
+                             q=3, max_gram_freq=50)
+
+
+SCALE_DIAGNOSTICS["fuzzy_match_suppliers"] = _fuzzy_gram_guard_diag
 SCALE_NOTES["dedup_simhash"] = (
     "operator-only ratios spanning the first scaled decade include "
     "the bucket-SATURATION transition (candidate pairs can jump "
