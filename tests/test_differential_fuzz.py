@@ -12,8 +12,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.fuzz_differential import (gen_decimal_query,  # noqa: E402
-                                     gen_join_query, gen_nested_query,
-                                     gen_query, gen_setop_query,
+                                     gen_join_query, gen_map_null_query,
+                                     gen_nested_query, gen_query,
+                                     gen_range_frame_query,
+                                     gen_setop_query,
                                      gen_string_date_query,
                                      gen_subquery_query,
                                      gen_three_way_join_query,
@@ -40,8 +42,9 @@ def test_random_query_shapes_agree_with_duckdb(spark, sf_dir):
             gen_setop_query, gen_three_way_join_query,
             gen_tied_rank_query, gen_decimal_query,
             gen_string_date_query, gen_subquery_query,
-            gen_nested_query]
-    for i in range(40):
+            gen_nested_query, gen_map_null_query,
+            gen_range_frame_query]
+    for i in range(48):
         sql = gens[i % len(gens)](rng)
         ok, why = run_case(spark, con, sql)
         assert ok, f"{sql}: {why}"

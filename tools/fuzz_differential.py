@@ -170,6 +170,42 @@ def gen_window_query(rng: random.Random) -> str:
     return sql
 
 
+def gen_range_frame_query(rng: random.Random) -> str:
+    """Value-based RANGE window frames (12th generator, r6): the one
+    frame family gen_window_query never emits — it is ROWS-only.
+    RANGE frames are defined on the ORDER-BY *value* axis and include
+    ALL peers of the boundary values, so (a) they are deterministic
+    under ties by construction — every peer row sees the identical
+    frame set, making (partition, order-value, window-aggs) a
+    tie-invariant output projection — and (b) they exercise
+    peer-inclusion, value-offset arithmetic, and DESC-direction
+    offset logic, none of which ROWS frames touch. Spark requires a
+    single numeric ORDER BY key for value offsets; both engines run
+    the same SQL (no dialect split). Exactness: integer order keys,
+    integer aggregates."""
+    part = rng.choice(GROUP_COLS)
+    ok = rng.choice(list(INT_EXPRS.values()))
+    direction = rng.choice(["ASC", "DESC"])
+    wins = []
+    for i in range(rng.randrange(1, 4)):
+        fn = rng.choice(AGG_FNS)
+        expr = "*" if fn == "COUNT" \
+            else rng.choice(list(INT_EXPRS.values()))
+        lo = rng.choice(["UNBOUNDED PRECEDING", "CURRENT ROW",
+                         f"{rng.randrange(0, 500)} PRECEDING"])
+        hi = rng.choice(["CURRENT ROW", "UNBOUNDED FOLLOWING",
+                         f"{rng.randrange(0, 500)} FOLLOWING"])
+        wins.append(f"{fn}({expr}) OVER (PARTITION BY {part} "
+                    f"ORDER BY {ok} {direction} "
+                    f"RANGE BETWEEN {lo} AND {hi}) AS w{i}")
+    sql = (f"SELECT {part} AS p, {ok} AS ok_val, {', '.join(wins)} "
+           f"FROM lineitem")
+    filters = _gen_filters(rng, 2)
+    if filters:
+        sql += " WHERE " + " AND ".join(filters)
+    return sql
+
+
 def gen_three_way_join_query(rng: random.Random) -> str:
     """lineitem x orders x customer 3-way joins (r3 verdict #5): each
     hop independently INNER or LEFT, so null propagation composes —
@@ -669,7 +705,7 @@ def main() -> int:
     gens = [gen_query, gen_join_query, gen_window_query, gen_setop_query,
             gen_three_way_join_query, gen_tied_rank_query,
             gen_decimal_query, gen_string_date_query, gen_subquery_query,
-            gen_nested_query, gen_map_null_query]
+            gen_nested_query, gen_map_null_query, gen_range_frame_query]
     if len(sys.argv) > 4:
         gens = [g for g in gens if sys.argv[4] in g.__name__]
         assert gens, f"no generator matches {sys.argv[4]!r}"

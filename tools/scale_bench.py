@@ -135,6 +135,14 @@ def main() -> int:
     with open(os.path.join(REPO, "bench_detail.json")) as f:
         detail = json.load(f)["queries"]
     ranked = [k for k, _ in sorted(detail.items(), key=lambda kv: -kv[1])]
+    op_only_mode = selector.startswith("op:")
+    if op_only_mode:
+        # op:NAME,... — for contract-wrapped queries, time ONLY the
+        # operator sub-plan (skip the full query): the exact-truth
+        # verification legs are unguarded by design and dominate wall
+        # time at large factors without answering the scale question.
+        # Names without an OPERATOR_ONLY leg still run in full.
+        selector = selector[3:]
     if selector.startswith("min:"):
         floor = float(selector.split(":", 1)[1])
         names = [k for k in ranked if detail[k] >= floor]
@@ -153,19 +161,24 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     for name in names:
+        skip_full = op_only_mode and name in registry.OPERATOR_ONLY
         fn = registry.QUERIES[name]
-        fn(spark, "/root/testdata/sf0.01").count()   # warm/JIT
-        t0 = time.perf_counter()
-        fn(spark, SF01).count()
-        base = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = fn(spark, out_dir).count()
-        big = round(time.perf_counter() - t0, 3)
-        ratio = round(big / base, 2) if base > 0 else None
-        results[name] = {"sf0.1_sec": base, f"sf0.1x{factor}_sec": big,
-                         "ratio": ratio, "rows": n}
-        print(f"# {name}: {base:.2f}s -> {big:.2f}s ({ratio}x)",
-              file=sys.stderr)
+        if skip_full:
+            results[name] = {"full_query": "skipped (op: selector)"}
+        else:
+            fn(spark, "/root/testdata/sf0.01").count()   # warm/JIT
+            t0 = time.perf_counter()
+            fn(spark, SF01).count()
+            base = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n = fn(spark, out_dir).count()
+            big = round(time.perf_counter() - t0, 3)
+            ratio = round(big / base, 2) if base > 0 else None
+            results[name] = {"sf0.1_sec": base,
+                             f"sf0.1x{factor}_sec": big,
+                             "ratio": ratio, "rows": n}
+            print(f"# {name}: {base:.2f}s -> {big:.2f}s ({ratio}x)",
+                  file=sys.stderr)
         note = registry.SCALE_NOTES.get(name)
         if note is not None:
             results[name]["note"] = note
@@ -173,7 +186,7 @@ def main() -> int:
         # bounded != empty must be VISIBLE (r5 verdict #4): a guard
         # that truncates all the way to zero output is correct but a
         # debugging trap if the smoke doesn't say so
-        if n == 0:
+        if not skip_full and n == 0:
             print(f"# WARN {name}: 0 rows at {factor}x — bounded-but-"
                   f"EMPTY output; read its guard diagnostic below",
                   file=sys.stderr)
@@ -224,8 +237,11 @@ def main() -> int:
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"metric": "scale_smoke", "factor": factor,
-                      "worst_ratio": max((r["ratio"] or 0)
-                                         for r in results.values()),
+                      "worst_ratio": max(
+                          (r.get("ratio")
+                           or r.get("operator_only", {}).get("ratio")
+                           or 0)
+                          for r in results.values()),
                       "detail": out_name}))
     spark.stop()
     return 0

@@ -6737,9 +6737,17 @@ def streaming_watermark_drops_q(spark, sf_dir):
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 2).alias("total")))
     name = "stream_wm_" + uuid.uuid4().hex[:8]
-    q = SS.to_memory(agg, name, output_mode="append")
-    q.processAllAvailable()
-    q.stop()
+    # right-size state partitions for the 3 stateful micro-batches
+    # (same rationale as the interval joins: store count pins at
+    # first batch; 32 near-empty stores is pure per-batch overhead)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = SS.to_memory(agg, name, output_mode="append")
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (spark.table(name)
             .select(F.col("win.start").cast("long").alias("win_start_s"),
                     "event_type", "n", "total"))
@@ -8056,10 +8064,21 @@ def streaming_interval_join_pairs_q(spark, sf_dir):
                               "click_ts", "view_ts",
                               lower="0 seconds", upper="30 minutes")
     name = "stream_ssj_" + uuid.uuid4().hex[:8]
-    q = SS.to_memory(joined.select("user_id", "click_id", "view_id"),
-                     name, output_mode="append")
-    q.processAllAvailable()
-    q.stop()
+    # right-size state partitions, same rationale as the left-outer
+    # variant below: the stream-stream join keeps 4 state stores per
+    # shuffle partition (2 sides x key-to-numValues), their count is
+    # pinned at first batch, and 32 near-empty HDFS-backed stores are
+    # pure per-batch overhead at this state size (at cluster scale,
+    # size this to state volume instead)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = SS.to_memory(joined.select("user_id", "click_id", "view_id"),
+                         name, output_mode="append")
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (spark.table(name).groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy("user_id"))
@@ -9247,6 +9266,11 @@ def streaming_versioned_rollup_q(spark, sf_dir):
     stream = SS.stream_parquet(
         spark, os.path.join(stage, "arrivals"),
         "event_type string, cents long", max_files_per_trigger=1)
+    # NOTE: the interval joins' state-partition pin was A/B'd here
+    # too and had NO effect (3.94s pinned vs 3.68s unpinned, r6) —
+    # this sink aggregates per epoch through foreachBatch (a *batch*
+    # plan per micro-batch), so there is no streaming state store to
+    # right-size; left at session defaults.
     q = stream_to_versioned(
         stream, table, ["event_type"],
         {"n": F.count(F.lit(1)), "sum_cents": F.sum("cents")},
