@@ -201,6 +201,11 @@ def main() -> int:
         # question (r4 verdict #3)
         op = registry.OPERATOR_ONLY.get(name)
         if op is not None:
+            if skip_full:
+                # the full-query sf0.01 warm-up was skipped — warm the
+                # operator leg itself so the first base timing isn't
+                # session/JIT startup in disguise
+                op(spark, "/root/testdata/sf0.01").count()
             t0 = time.perf_counter()
             op(spark, SF01).count()
             ob = round(time.perf_counter() - t0, 3)

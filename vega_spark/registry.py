@@ -8015,6 +8015,13 @@ def _fuzzy_gram_guard_diag(spark, sf_dir):
 
 
 SCALE_DIAGNOSTICS["fuzzy_match_suppliers"] = _fuzzy_gram_guard_diag
+SCALE_NOTES["geo_copresence_users"] = (
+    "FIXED grid (32 cells x data hour-span): bucket occupancy grows "
+    "linearly with users, within-bucket pairs quadratically, until "
+    "the max_bucket cap saturates and the per-bucket cost plateaus "
+    "at C(cap,2); the 100x smoke measured the pre-saturation zone "
+    "at 411x wall under the old cap=1000 (occupancy ~435) — cap "
+    "now 200, and at production density shrink cell_deg first")
 SCALE_NOTES["dedup_simhash"] = (
     "operator-only ratios spanning the first scaled decade include "
     "the bucket-SATURATION transition (candidate pairs can jump "
@@ -8274,7 +8281,7 @@ pres0 AS (
   FROM q0),
 pres AS (
   SELECT k, h, cx, cy FROM pres0
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY h, cx, cy ORDER BY k) <= 1000)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY h, cx, cy ORDER BY k) <= 200)
 SELECT a.k AS k1, b.k AS k2, COUNT(*) AS n_shared
 FROM pres a JOIN pres b
   ON a.h = b.h AND a.cx = b.cx AND a.cy = b.cy AND a.k < b.k
@@ -8285,15 +8292,26 @@ def geo_copresence_users_q(spark, sf_dir):
     """Co-presence contact pairs: users sharing a (45-deg cell, hour)
     bucket, ranked by shared buckets — candidates generated per
     bucket via the equi-join, never across the population. The
-    oracle's pres CTE mirrors the operator's max_bucket=1000 cap
+    oracle's pres CTE mirrors the operator's max_bucket cap
     (r5 ADVICE: an uncapped oracle silently diverges once any
-    (hour, cell) bucket exceeds the cap at denser data)."""
+    (hour, cell) bucket exceeds the cap at denser data).
+
+    max_bucket=200 (was 1000 through r6's first smoke): the grid
+    here is FIXED (32 cells x the data's hour span), so bucket
+    occupancy grows linearly with users and within-bucket pairing
+    quadratically — the 100x smoke measured the uncapped-in-practice
+    zone at 411x wall (occupancy ~435, under the old cap). 200 keeps
+    every test-SF result bit-identical (max observed occupancy at
+    sf0.1 is far lower; the oracle mirrors the cap regardless) while
+    bounding the plateau at C(200,2) pairs per bucket. The production
+    lever hierarchy: shrink cell_deg with population density first,
+    cap second — both documented in copresence_pairs."""
     from vega_spark.functions.geo import copresence_pairs, synthetic_coords
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
     pts = synthetic_coords(ev, "event_id")
     return copresence_pairs(pts, "user_id", "ts", cell_deg=45.0, top=20,
-                            max_bucket=1000)
+                            max_bucket=200)
 
 
 @_q("funnel_time_boxed_1h_24h", """
