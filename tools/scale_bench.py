@@ -104,18 +104,32 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
                     "text", F.regexp_replace(
                         "text", r"((?:\S+\s+){2})", f"$1rep{i} "))
             if t == "embeddings" and i > 0:
-                # deterministic per-replica perturbation: keeps norms
-                # realistic (amplitude fixed at 0.1 with a per-replica
-                # PHASE — an i-scaled amplitude would reach 2.9 at
-                # factor 30 and swamp the signal), breaks exact
-                # cross-replica duplicates
+                # deterministic per-(replica, dim) MURMUR3-HASHED
+                # perturbation (amplitude 0.1, keeps norms realistic).
+                # The r5 form 0.1*cos(j + i) was a ONE-parameter
+                # family periodic in i: replicas ~2*pi apart got
+                # near-identical perturbations, so past factor ~60 the
+                # replica data itself grew quadratically many TRUE
+                # near-dup pairs (measured: 1.35M pairs at 100x,
+                # 11.3M at 300x, 0 at sf0.1) and the smoke measured
+                # its own construction, not the operator. A LINEAR
+                # integer hash has the same flaw one level down (the
+                # replica-to-replica argument delta is constant in j —
+                # a phase shift, measured 282k pairs at 100x); only an
+                # avalanche hash of (i, j) decorrelates every
+                # cross-replica perturbation pair (distance
+                # concentrates at 0.1*sqrt(dims/2): no colliding pair
+                # at ANY factor) while within-replica dup structure
+                # still repeats linearly, as the instrument intends.
+                def _perturb(i):
+                    def f(x, j):
+                        angle = (F.hash(F.lit(i), j) % 6283) \
+                            .cast("double") / F.lit(1000.0)
+                        return (x + F.lit(0.1) * F.cos(angle)) \
+                            .cast("float")
+                    return f
                 rep = rep.withColumn(
-                    "embedding", F.transform(
-                        "embedding",
-                        lambda x, j: (x + F.lit(0.1)
-                                      * F.cos(j.cast("double")
-                                              + F.lit(float(i))))
-                        .cast("float")))
+                    "embedding", F.transform("embedding", _perturb(i)))
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:

@@ -184,8 +184,10 @@ def copresence_pairs(points: DataFrame, key_col: str, ts_col: str,
     The LIBRARY default is ``None`` (exact exhaustive pairs — a
     library call must not silently truncate results); production
     entry points opt into the cap explicitly (the registry passes
-    ``max_bucket=1000``, mirrored in its oracle). Set it on any
-    unbounded corpus."""
+    ``max_bucket=200``, mirrored in its oracle — sized so the
+    per-bucket C(cap,2) plateau stays cheap on a FIXED grid, see the
+    registry docstring; shrink ``cell_deg`` with population density
+    before leaning on the cap). Set it on any unbounded corpus."""
     hour = (F.unix_timestamp(F.col(ts_col)).cast("long") / 3600) \
         .cast("long")
     cx, cy = cell_id(F.col(lat_col), F.col(lon_col), cell_deg)
