@@ -206,6 +206,51 @@ def gen_range_frame_query(rng: random.Random) -> str:
     return sql
 
 
+def gen_pivot_query(rng: random.Random) -> str:
+    """SQL-standard PIVOT shapes (13th generator, r6): both engines
+    accept the identical `FROM (...) PIVOT (aggs FOR col IN (...))`
+    clause with the same generated column NAMES (`<value>_<alias>`),
+    so this is shared SQL — no dialect split. Exercises multi-agg
+    pivots, the all-NULL column from an IN value absent from the
+    data ('ZZ'), and empty-group semantics under filters. Exactness:
+    integer measures only."""
+    pivot_col, domain = rng.choice([
+        ("l_linestatus", ["'O'", "'F'"]),
+        ("l_returnflag", ["'A'", "'N'", "'R'"]),
+    ])
+    group = rng.choice(["l_linenumber",
+                        f"l_orderkey % {rng.randrange(2, 6)}"])
+    vals = rng.sample(domain, rng.randrange(1, len(domain) + 1))
+    # PIVOT implicitly groups by every non-pivot non-aggregated
+    # column, so the inner query must project ONLY the group key, the
+    # pivot column, and the measures the aggs consume (by name).
+    n_meas = rng.randrange(1, 3)
+    meas = rng.sample(list(INT_EXPRS.values()), n_meas)
+    # every projected measure must be consumed by an agg (an
+    # unaggregated column would become an implicit group key), so
+    # COUNT takes the measure, not * — identical here: measures are
+    # non-null integers
+    fns = [rng.choice(AGG_FNS) for _ in range(n_meas)]
+    aggs = [f"{fn}(m{i}) AS a{i}" for i, fn in enumerate(fns)]
+    if rng.random() < 0.4 and "COUNT" not in fns:
+        # absent value -> all-NULL pivot column. DOCUMENTED upstream
+        # divergence keeps COUNT out of this branch: DuckDB emits 0
+        # for COUNT over an absent pivot value (empty-set aggregate
+        # semantics, like the standard), Spark synthesizes NULL for
+        # every missing cell — pinned by
+        # test_pivot_absent_value_count_divergence; SUM/MIN/MAX are
+        # NULL on both.
+        vals.append("'ZZ'")
+    inner = (f"SELECT {group} AS g, {pivot_col} AS p, "
+             + ", ".join(f"{m} AS m{i}" for i, m in enumerate(meas))
+             + " FROM lineitem")
+    filters = _gen_filters(rng, 2)
+    if filters:
+        inner += " WHERE " + " AND ".join(filters)
+    return (f"SELECT * FROM ({inner}) "
+            f"PIVOT ({', '.join(aggs)} FOR p IN ({', '.join(vals)}))")
+
+
 def gen_three_way_join_query(rng: random.Random) -> str:
     """lineitem x orders x customer 3-way joins (r3 verdict #5): each
     hop independently INNER or LEFT, so null propagation composes —
@@ -705,7 +750,8 @@ def main() -> int:
     gens = [gen_query, gen_join_query, gen_window_query, gen_setop_query,
             gen_three_way_join_query, gen_tied_rank_query,
             gen_decimal_query, gen_string_date_query, gen_subquery_query,
-            gen_nested_query, gen_map_null_query, gen_range_frame_query]
+            gen_nested_query, gen_map_null_query, gen_range_frame_query,
+            gen_pivot_query]
     if len(sys.argv) > 4:
         gens = [g for g in gens if sys.argv[4] in g.__name__]
         assert gens, f"no generator matches {sys.argv[4]!r}"
