@@ -186,27 +186,37 @@ _PRIORITY = [
 
 # Contract-changed-this-round queries: their past driver rows are
 # green but hashed the OLD surface; force a re-check ahead of the tail.
-# Contracts whose Spark leg or oracle changed THIS round (r6):
-# geo_copresence_users' oracle now mirrors the operator's
-# max_bucket=1000 cap in its pres CTE (r5 ADVICE — the uncapped
-# oracle silently diverges on denser data); cache_reuse_scan_count
-# now pins retry-robust inequalities instead of exact accumulator
-# multiples (r5 ADVICE — transformation-stage accumulators are not
-# exactly-once). encode_docs_vocab1k (array output stringified) sits
-# at the very front already via its red r5 row; cogroup_three_way
-# (same fix) has never been checked, so both re-enter the window
-# without needing an entry here.
-_RECHECK = {"geo_copresence_users", "cache_reuse_scan_count"}
+# r7: EMPTY on purpose — the r6 contract changes (geo cap mirror,
+# cache inequalities) landed green driver rows in r6, and the r7
+# window must burn exactly the 50 never-checked queries to close the
+# verification debt to 322/322 (VERDICT r6 #1).  The r7 in-round
+# changes (geo_copresence_users adaptive grid) are re-queued for r8
+# via _RECHECK_NEXT below, which only takes effect once debt is 0.
+_RECHECK: set[str] = set()
+
+# Queries whose contract changed in r7 — they are green-but-stale and
+# must jump the rotation queue in the FIRST post-debt window (r8).
+# queries() folds these into _RECHECK automatically once no
+# never-checked queries remain, so the current window is never
+# diluted while debt is outstanding.
+_RECHECK_NEXT: set[str] = {"geo_copresence_users"}
 
 
 def _driver_rows() -> dict[str, dict]:
-    """Latest driver CORRECTNESS row per query (later rounds win)."""
+    """Latest driver CORRECTNESS row per query (later rounds win).
+
+    Each returned row is annotated with ``_round`` — the round number
+    of the CORRECTNESS file it came from — so the rotation policy can
+    order stale greens oldest-first."""
     import glob
     import json
+    import re
 
     rows: dict[str, dict] = {}
     for p in sorted(glob.glob(os.path.join(_REPO_ROOT,
                                            "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(p) as f:
                 data = json.load(f)
@@ -214,6 +224,8 @@ def _driver_rows() -> dict[str, dict]:
             continue
         for name, row in data.items():
             if isinstance(row, dict):
+                row = dict(row)
+                row["_round"] = rnd
                 rows[name] = row
     return rows
 
@@ -228,10 +240,45 @@ def _is_green(name: str, row: dict) -> bool:
     return row.get("err") == "no_oracle" and name not in registry.ORACLES
 
 
+def _window_order(names, rows, recheck, recheck_next, priority) -> list[str]:
+    """Pure window-ordering policy (unit-tested in
+    tests/test_window_policy.py).  Three tiers:
+
+    1. FAILED — latest driver row is red; a fix must be re-checked,
+       never buried (the round-2 bug this ordering fixed).
+    2. FRESH — never driver-checked, plus contract-changed greens
+       (``recheck``).  While any never-checked query remains,
+       ``recheck_next`` is deferred so the window burns pure debt;
+       once debt hits 0 it folds into ``recheck`` automatically.
+    3. TAIL — stale-green rotation: greens ordered OLDEST driver
+       round first (ties broken by _PRIORITY then name), so the
+       post-debt window is a regression patrol over the rows whose
+       evidence is most out of date.
+    """
+    green = {k for k, r in rows.items() if _is_green(k, r)}
+
+    def rank(k: str) -> int:
+        return priority.index(k) if k in priority else len(priority)
+
+    debt = [k for k in names if k not in rows]
+    if not debt:
+        recheck = set(recheck) | set(recheck_next)
+    failed = sorted((k for k in names if k in rows and k not in green),
+                    key=rank)
+    fresh = sorted((k for k in names
+                    if k in debt or (k in recheck and k in green)),
+                   key=rank)
+    seen = set(failed) | set(fresh)
+    tail = sorted((k for k in names if k not in seen),
+                  key=lambda k: (rows[k].get("_round", 0), rank(k), k))
+    return failed + fresh + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered
     so the driver's per-round window re-checks repaired failures
-    first, then never-verified queries (see _PRIORITY)."""
+    first, then never-verified queries, then stale greens oldest
+    driver round first (see _window_order)."""
     def shipped(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ship_package(spark)
@@ -239,17 +286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     q = {k: shipped(fn) for k, fn in registry.QUERIES.items()}
-    rows = _driver_rows()
-    green = {k for k, r in rows.items() if _is_green(k, r)}
-
-    def rank(k: str) -> int:
-        return _PRIORITY.index(k) if k in _PRIORITY else len(_PRIORITY)
-
-    failed = sorted((k for k in q if k in rows and k not in green), key=rank)
-    fresh = sorted((k for k in q if k not in rows
-                    or (k in _RECHECK and k in green)), key=rank)
-    tail = [k for k in q if k in green and k not in _RECHECK]
-    return {k: q[k] for k in failed + fresh + tail}
+    order = _window_order(list(q), _driver_rows(), _RECHECK,
+                          _RECHECK_NEXT, _PRIORITY)
+    return {k: q[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:
