@@ -232,14 +232,9 @@ def gen_pivot_query(rng: random.Random) -> str:
     # non-null integers
     fns = [rng.choice(AGG_FNS) for _ in range(n_meas)]
     aggs = [f"{fn}(m{i}) AS a{i}" for i, fn in enumerate(fns)]
-    if rng.random() < 0.4 and "COUNT" not in fns:
-        # absent value -> all-NULL pivot column. DOCUMENTED upstream
-        # divergence keeps COUNT out of this branch: DuckDB emits 0
-        # for COUNT over an absent pivot value (empty-set aggregate
-        # semantics, like the standard), Spark synthesizes NULL for
-        # every missing cell — pinned by
-        # test_pivot_absent_value_count_divergence; SUM/MIN/MAX are
-        # NULL on both.
+    if rng.random() < 0.4:
+        # absent value -> all-NULL pivot column ('ZZ'); safe for
+        # COUNT too since the NULLIF normalization below covers it.
         vals.append("'ZZ'")
     inner = (f"SELECT {group} AS g, {pivot_col} AS p, "
              + ", ".join(f"{m} AS m{i}" for i, m in enumerate(meas))
@@ -247,8 +242,34 @@ def gen_pivot_query(rng: random.Random) -> str:
     filters = _gen_filters(rng, 2)
     if filters:
         inner += " WHERE " + " AND ".join(filters)
-    return (f"SELECT * FROM ({inner}) "
-            f"PIVOT ({', '.join(aggs)} FOR p IN ({', '.join(vals)}))")
+    piv = (f"({inner}) "
+           f"PIVOT ({', '.join(aggs)} FOR p IN ({', '.join(vals)}))")
+    if "COUNT" not in fns:
+        return f"SELECT * FROM {piv}"
+    # DOCUMENTED upstream divergence (pinned by
+    # test_pivot_absent_value_count_divergence): for an EMPTY
+    # (group, value) cell — absent IN value, or a present value that
+    # a filter/group combination leaves row-less for some group —
+    # DuckDB's COUNT emits 0 (empty-set aggregate semantics, like
+    # the standard) while Spark's PivotFirst synthesizes NULL. The
+    # r6 carve-out only guarded the absent-'ZZ' branch (r6 ADVICE):
+    # present-value empty cells fire the same divergence. Normalize
+    # LOSSLESSLY on the DuckDB side with NULLIF(col, 0): measures
+    # are non-null integers, so a genuine COUNT is >= 1 and
+    # duck COUNT = 0 <=> empty cell <=> Spark NULL, exactly.
+    # (Dialect split is also why the outer select is explicit: with
+    # a single aliased agg Spark names the column 'O' where DuckDB
+    # names it 'O_a0'; the compare is positional so only ORDER must
+    # match, which the explicit duck-side list preserves.)
+    cols = ["g"]
+    for v in vals:
+        vname = v.strip("'")
+        for i, fn in enumerate(fns):
+            c = f"{vname}_a{i}"  # duck names aliased aggs v_ai always
+            cols.append(f'NULLIF("{c}", 0) AS x{len(cols)}'
+                        if fn == "COUNT" else f'"{c}"')
+    return (f"SELECT * FROM {piv}",
+            f"SELECT {', '.join(cols)} FROM {piv}")
 
 
 def gen_three_way_join_query(rng: random.Random) -> str:
@@ -354,6 +375,107 @@ def gen_decimal_query(rng: random.Random) -> str:
     if keys:
         sql += " GROUP BY " + ", ".join(keys)
     return sql
+
+
+def gen_decimal_arith_query(rng: random.Random) -> str:
+    """DECIMAL precision-propagation arithmetic (14th generator, r6
+    verdict #7): products of explicitly-cast DECIMAL columns — the
+    result scale is the SUM of operand scales in both engines, so
+    every product is exact and the engines must agree bit for bit
+    (and string-for-string: the compare keys on str(Decimal), so
+    matching result SCALES are part of what this sweeps) — plus
+    grouped SUM/MIN/MAX over them, widening comparisons against
+    mixed-scale literals, and unary negation/ABS. Division and
+    double->decimal rounding stay excluded by design: result-scale
+    rules for division and half-way rounding modes legitimately
+    differ between the engines (r2 lesson, see gen_decimal_query).
+    Near-overflow is approached via a wide constant factor (the
+    product precision lands at 37 digits) without ever crossing:
+    Spark yields NULL where DuckDB ERRORS on true decimal overflow,
+    so a crossing shape would be a harness crash, not a finding."""
+    dec_ops = {
+        "p2q0": "(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                "CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(9,0)))",
+        "p2d2": "(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                "CAST(l_discount AS DECIMAL(4,2)))",
+        "wide": f"(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                f"CAST({rng.randrange(10_000, 999_999_999)} "
+                f"AS DECIMAL(18,0)))",
+        "neg": "(- CAST(l_extendedprice AS DECIMAL(18,2)))",
+        "abs": "ABS(- CAST(l_extendedprice AS DECIMAL(18,2)))",
+        "add": "(CAST(l_extendedprice AS DECIMAL(18,2)) + "
+               "CAST(l_tax AS DECIMAL(4,2)))",
+    }
+    keys = rng.sample(GROUP_COLS, rng.randrange(0, 2))
+    aggs = []
+    for i in range(rng.randrange(1, 4)):
+        fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+        expr = "*" if fn == "COUNT" else rng.choice(list(dec_ops.values()))
+        aggs.append(f"{fn}({expr}) AS a{i}")
+    sql = f"SELECT {', '.join(keys + aggs)} FROM lineitem"
+    filters = _gen_filters(rng, 1)
+    if rng.random() < 0.7:
+        # widening comparison: (28,2)-ish product vs a (x,3) literal
+        lit = f"{rng.randrange(1, 9_999_999)}.{rng.randrange(0, 1000):03d}"
+        filters.append(f"{dec_ops['p2q0']} {rng.choice(CMP_OPS)} {lit}")
+    if filters:
+        sql += " WHERE " + " AND ".join(filters)
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    return sql
+
+
+TZ_ZONES = ["America/New_York", "Europe/London", "Asia/Kolkata",
+            "Australia/Lord_Howe", "America/Sao_Paulo", "Asia/Tokyo"]
+# (year, month, day) anchors on/near DST transitions for the zones
+# above (plus a stable mid-year control) — the hour sweep around
+# these hits spring-forward gaps and fall-back overlaps
+TZ_DATES = [(1995, 4, 2), (1995, 10, 29), (1996, 3, 31), (1996, 10, 27),
+            (1997, 2, 16), (1997, 10, 5), (1995, 7, 15), (1995, 1, 1),
+            (1996, 12, 31)]
+
+
+def gen_timestamp_tz_query(rng: random.Random):
+    """Timezone / DST conversion corners (15th generator, r6 verdict
+    #7): construct deterministic naive-UTC timestamps from integer
+    fields (make_timestamp over a DST-transition date anchor, hour
+    swept by l_orderkey, optional multi-thousand-hour interval
+    shift), convert UTC->zone, and aggregate on the LOCAL hour /
+    minute / date. The UTC->local direction is total (every instant
+    has exactly one local rendering — no gap/overlap ambiguity), so
+    the engines must agree exactly; half-hour zones (Kolkata,
+    Lord_Howe — whose DST shift is 30 min) exercise non-whole-hour
+    offsets. Dialect split: Spark spells the conversion
+    from_utc_timestamp(ts, tz) (session TZ pinned UTC, so
+    hour()/to_date() render the shifted wall clock), DuckDB spells
+    it timezone(tz, timezone('UTC', ts)). The local->UTC direction
+    is deliberately NOT generated: spring-forward gap times don't
+    exist and fall-back times are ambiguous, and engine tie-breaks
+    legitimately differ."""
+    tz = rng.choice(TZ_ZONES)
+    y, mo, d = rng.choice(TZ_DATES)
+    minute = rng.choice([0, 30, 59])
+    span = rng.randrange(24, 97)
+    shift = rng.randrange(0, 5) * rng.choice([0, 1000, 4383, 8766])
+    mk = f"make_timestamp({y}, {mo}, {d}, x % 24, {minute}, 0)"
+    src_s = (f"(SELECT l_orderkey % {span} AS x, COUNT(*) AS w "
+             f"FROM lineitem GROUP BY 1)")
+    ts_s = (f"{mk} + make_interval(0, 0, 0, 0, "
+            f"CAST(x / 24 AS INT) * {shift}, 0, 0)")
+    loc_s = f"from_utc_timestamp({ts_s}, '{tz}')"
+    ts_d = f"{mk} + INTERVAL ((x // 24) * {shift}) HOUR"
+    loc_d = f"timezone('{tz}', timezone('UTC', {ts_d}))"
+    keyed = rng.random() < 0.5
+    gkey_s = (f"hour({loc_s})" if keyed
+              else f"CAST(to_date({loc_s}) AS STRING)")
+    gkey_d = (f"EXTRACT(hour FROM {loc_d})" if keyed
+              else f"CAST(CAST({loc_d} AS DATE) AS VARCHAR)")
+    aggs_s = (f"COUNT(*) AS n, SUM(w) AS sw, MIN(x) AS mn, "
+              f"MAX(minute({loc_s})) AS mm")
+    aggs_d = (f"COUNT(*) AS n, SUM(w) AS sw, MIN(x) AS mn, "
+              f"MAX(EXTRACT(minute FROM {loc_d})) AS mm")
+    return (f"SELECT {gkey_s} AS g, {aggs_s} FROM {src_s} GROUP BY 1",
+            f"SELECT {gkey_d} AS g, {aggs_d} FROM {src_s} GROUP BY 1")
 
 
 def gen_setop_query(rng: random.Random) -> str:
@@ -751,7 +873,8 @@ def main() -> int:
             gen_three_way_join_query, gen_tied_rank_query,
             gen_decimal_query, gen_string_date_query, gen_subquery_query,
             gen_nested_query, gen_map_null_query, gen_range_frame_query,
-            gen_pivot_query]
+            gen_pivot_query, gen_decimal_arith_query,
+            gen_timestamp_tz_query]
     if len(sys.argv) > 4:
         gens = [g for g in gens if sys.argv[4] in g.__name__]
         assert gens, f"no generator matches {sys.argv[4]!r}"

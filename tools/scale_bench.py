@@ -100,9 +100,59 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
                 # replicas then share IDENTICAL internal structure, so
                 # per-replica dup-group sizes and Jaccard values match
                 # exactly and the linearity ratio is noise-free.
+                # Heavy-tailed vocabulary (r6 verdict #4): the base
+                # corpus is a 31-word lexicon where EVERY term's df is
+                # stopword-class, so at any factor the sparse-cosine
+                # df guard prunes the whole vocabulary and the smoke
+                # measures the guard path, not the operator (observed:
+                # surviving_terms 0/331 at 300x). Real corpora obey
+                # Heaps/Zipf — more docs bring more distinct, mostly
+                # RARE terms. Append 2 Zipf-sampled tokens per doc,
+                # drawn log-uniformly over a 50k lexicon (P(rank<=r)
+                # = ln r / ln L  =>  df(r) ~ 1/r, the Zipf pmf):
+                # head ranks stay over the df cap (pruned, like real
+                # stopwords), mid ranks land in the surviving band
+                # and give the postings join its true workload.
+                # Instrument safety: ranks are keyed on the doc's
+                # ORIGINAL first-10-word prefix, so copy-and-mutate
+                # near-dups (and exact dups) draw IDENTICAL tails —
+                # their shingle Jaccard is untouched — and replicas
+                # stay exactly isomorphic (same prefix => same ranks,
+                # only the z{i} replica tag differs), keeping the
+                # dedup linearity instruments noise-free; the tag
+                # also keeps cross-replica term collisions at zero,
+                # so no factor^2 posting buckets exist.
+                prefix = F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, 10))
+                tail = [
+                    F.concat(
+                        F.lit(f"z{i}q"),
+                        F.floor(F.pow(F.lit(50000.0),
+                                      (F.abs(F.hash(prefix, F.lit(m)))
+                                       % 1000000)
+                                      .cast("double") / 1000000.0))
+                        .cast("long").cast("string"))
+                    for m in (1, 2)]
                 rep = rep.withColumn(
-                    "text", F.regexp_replace(
-                        "text", r"((?:\S+\s+){2})", f"$1rep{i} "))
+                    "text", F.concat(
+                        F.regexp_replace(
+                            "text", r"((?:\S+\s+){2})", f"$1rep{i} "),
+                        F.lit(" "), tail[0], F.lit(" "), tail[1]))
+            if t == "supplier":
+                # Regenerate the name from the OFFSET key (r6 verdict
+                # #4): cloning names verbatim gave every informative
+                # q-gram a df of `factor` x its base value, pushing
+                # the whole gram vocabulary over the fuzzy-match cap
+                # (bounded-but-EMPTY output at 100x/300x — the guard
+                # path, not the operator). A real factor-x supplier
+                # corpus has factor-x DISTINCT names; rebuilding
+                # Supplier#%09d from the strided key restores the
+                # natural digit-gram df distribution at every factor.
+                rep = rep.withColumn(
+                    "s_name", F.concat(
+                        F.lit("Supplier#"),
+                        F.lpad(F.col("s_suppkey").cast("string"),
+                               9, "0")))
             if t == "embeddings" and i > 0:
                 # deterministic per-(replica, dim) MURMUR3-HASHED
                 # perturbation (amplitude 0.1, keeps norms realistic).
@@ -167,11 +217,26 @@ def main() -> int:
 
     spark = get_session("vega-scale-bench",
                         cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if not os.path.isdir(os.path.join(out_dir, "lineitem.parquet")):
+    # corpus construction version — bump whenever build_scaled's
+    # enrichment changes so cached /tmp replica dirs from an older
+    # construction are rebuilt, not silently reused (v2: Zipf doc
+    # vocabulary + regenerated supplier names, r7)
+    corpus_v = 2
+    vpath = os.path.join(out_dir, "_corpus_version")
+    built = os.path.isdir(os.path.join(out_dir, "lineitem.parquet"))
+    if built:
+        try:
+            with open(vpath) as f:
+                built = int(f.read().strip()) == corpus_v
+        except Exception:
+            built = False
+    if not built:
         t0 = time.perf_counter()
         build_scaled(spark, SF01, out_dir, factor)
-        print(f"# built {out_dir} in {time.perf_counter() - t0:.1f}s",
-              file=sys.stderr)
+        with open(vpath, "w") as f:
+            f.write(str(corpus_v))
+        print(f"# built {out_dir} (corpus v{corpus_v}) in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     results: dict[str, dict] = {}
     for name in names:
@@ -240,12 +305,20 @@ def main() -> int:
     out_path = os.path.join(REPO, out_name)
     # MERGE into an existing artifact: a targeted re-run (name-list
     # selector) must refresh only its rows, not clobber the widened
-    # sweep's coverage
+    # sweep's coverage. Deep-merge PER ROW (r6 ADVICE): an op:-mode
+    # run writes full_query="skipped", which must not replace a
+    # prior run's real full-query timing for the same query.
     merged = dict(results)
     try:
         with open(out_path) as f:
             prior = json.load(f).get("queries", {})
-        merged = {**prior, **results}
+        merged = dict(prior)
+        for name, row in results.items():
+            base = dict(prior.get(name, {}))
+            base.update({k: v for k, v in row.items()
+                         if not (k == "full_query"
+                                 and "ratio" in base)})
+            merged[name] = base
     except Exception:
         pass
     out = {"metric": "scale_smoke", "factor": factor,
@@ -255,11 +328,12 @@ def main() -> int:
                     "at the sf0.1 gate")}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
+    # worst_ratio considers BOTH legs (r6 ADVICE): a super-linear
+    # operator-only ratio must not hide behind a tame full-query one.
     print(json.dumps({"metric": "scale_smoke", "factor": factor,
                       "worst_ratio": max(
-                          (r.get("ratio")
-                           or r.get("operator_only", {}).get("ratio")
-                           or 0)
+                          max(r.get("ratio") or 0,
+                              r.get("operator_only", {}).get("ratio") or 0)
                           for r in results.values()),
                       "detail": out_name}))
     spark.stop()

@@ -43,6 +43,34 @@ def cell_id(lat: F.Column, lon: F.Column, cell_deg: float
             F.floor(lon / cell_deg).cast("long"))
 
 
+def adaptive_cell_deg(n_points: int, base_deg: float = 45.0,
+                      n0: int = 200_000, max_k: int = 8) -> float:
+    """Density-adaptive grid size: halve the cell edge ``k`` times
+    where ``k = ceil(0.5 * log2(n/n0))`` (clamped to [0, max_k]), so
+    cell COUNT grows linearly with ``n`` and expected bucket
+    occupancy stays ~constant — the layout-level fix for the
+    quadratic within-bucket pairing that a FIXED grid develops as
+    density grows (same adaptive-parameter shape as the embedding
+    blocker's ``num_planes``, similarity.py).
+
+    One cheap ``df.count()`` feeds this (parquet metadata count —
+    no scan); the formula is engine-replayable BIT-FOR-BIT: ``k``
+    uses one libm ``log2`` + ``ceil`` (DuckDB spells it
+    ``CEIL(0.5*LOG2(n/n0))``), and ``base_deg / 2**k`` is exact
+    because the divisor is a power of two. ``n0`` is the point count
+    at which the base grid's expected occupancy is still cheap to
+    pair exhaustively; sqrt scaling (0.5 factor) because pairing
+    cost per bucket is quadratic in occupancy. Truncation caps
+    (``max_bucket``) remain the backstop for hot spots — this moves
+    the COMMON case off the cap so safety no longer rests on
+    truncation."""
+    import math
+    if n_points <= 0:
+        return base_deg
+    k = min(max_k, max(0, math.ceil(0.5 * math.log2(n_points / float(n0)))))
+    return base_deg / float(1 << k)
+
+
 def cell_density(points: DataFrame, lat_col: str = "lat",
                  lon_col: str = "lon", cell_deg: float = 1.0,
                  top: int = 20) -> DataFrame:
@@ -191,6 +219,13 @@ def copresence_pairs(points: DataFrame, key_col: str, ts_col: str,
     hour = (F.unix_timestamp(F.col(ts_col)).cast("long") / 3600) \
         .cast("long")
     cx, cy = cell_id(F.col(lat_col), F.col(lon_col), cell_deg)
+    # Physical shape note (r7): an alternative single-exchange form
+    # (groupBy bucket + sort_array(collect_set) + slice cap + array-
+    # lambda pair generation) was A/B'd at the 300x smoke and LOST —
+    # 147s vs 113s — because object-hash aggregation of set buffers
+    # and nested higher-order lambdas fall out of whole-stage
+    # codegen, while this distinct/window/join pipeline stays fully
+    # codegen'd; keep the join form.
     pres = (points.select(F.col(key_col).alias("k"), hour.alias("h"),
                           cx.alias("cx"), cy.alias("cy"))
             .distinct())

@@ -8016,12 +8016,13 @@ def _fuzzy_gram_guard_diag(spark, sf_dir):
 
 SCALE_DIAGNOSTICS["fuzzy_match_suppliers"] = _fuzzy_gram_guard_diag
 SCALE_NOTES["geo_copresence_users"] = (
-    "FIXED grid (32 cells x data hour-span): bucket occupancy grows "
-    "linearly with users, within-bucket pairs quadratically, until "
-    "the max_bucket cap saturates and the per-bucket cost plateaus "
-    "at C(cap,2); the 100x smoke measured the pre-saturation zone "
-    "at 411x wall under the old cap=1000 (occupancy ~435) — cap "
-    "now 200, and at production density shrink cell_deg first")
+    "DENSITY-ADAPTIVE grid since r7: cell edge halves every 4x "
+    "points (adaptive_cell_deg), so cell count tracks n and bucket "
+    "occupancy stays ~constant — under the r6 FIXED 32-cell grid, "
+    "occupancy grew linearly and within-bucket pairs quadratically "
+    "(84.9x wall at 300x; 411x at 100x under cap=1000). "
+    "max_bucket=200 remains as a hot-spot backstop, no longer the "
+    "safety mechanism")
 SCALE_NOTES["dedup_simhash"] = (
     "operator-only ratios spanning the first scaled decade include "
     "the bucket-SATURATION transition (candidate pairs can jump "
@@ -8266,7 +8267,12 @@ def geo_trajectory_users_q(spark, sf_dir):
 
 
 @_q("geo_copresence_users", f"""
-WITH q0 AS (
+WITH grid AS (
+  SELECT 45.0 / CAST(POWER(2, LEAST(8, GREATEST(0,
+           CAST(CEIL(0.5 * LOG2(COUNT(*) / 200000.0)) AS BIGINT))))
+         AS DOUBLE) AS c
+  FROM events),
+q0 AS (
   SELECT user_id AS k,
          CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
          (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
@@ -8276,8 +8282,8 @@ WITH q0 AS (
   FROM events),
 pres0 AS (
   SELECT DISTINCT k, h,
-         CAST(FLOOR(la / 45.0) AS BIGINT) AS cx,
-         CAST(FLOOR(lo / 45.0) AS BIGINT) AS cy
+         CAST(FLOOR(la / (SELECT c FROM grid)) AS BIGINT) AS cx,
+         CAST(FLOOR(lo / (SELECT c FROM grid)) AS BIGINT) AS cy
   FROM q0),
 pres AS (
   SELECT k, h, cx, cy FROM pres0
@@ -8289,28 +8295,34 @@ GROUP BY 1, 2
 ORDER BY n_shared DESC, k1, k2 LIMIT 20
 """)
 def geo_copresence_users_q(spark, sf_dir):
-    """Co-presence contact pairs: users sharing a (45-deg cell, hour)
+    """Co-presence contact pairs: users sharing a (grid cell, hour)
     bucket, ranked by shared buckets — candidates generated per
     bucket via the equi-join, never across the population. The
     oracle's pres CTE mirrors the operator's max_bucket cap
     (r5 ADVICE: an uncapped oracle silently diverges once any
     (hour, cell) bucket exceeds the cap at denser data).
 
-    max_bucket=200 (was 1000 through r6's first smoke): the grid
-    here is FIXED (32 cells x the data's hour span), so bucket
-    occupancy grows linearly with users and within-bucket pairing
-    quadratically — the 100x smoke measured the uncapped-in-practice
-    zone at 411x wall (occupancy ~435, under the old cap). 200 keeps
-    every test-SF result bit-identical (max observed occupancy at
-    sf0.1 is far lower; the oracle mirrors the cap regardless) while
-    bounding the plateau at C(200,2) pairs per bucket. The production
-    lever hierarchy: shrink cell_deg with population density first,
-    cap second — both documented in copresence_pairs."""
-    from vega_spark.functions.geo import copresence_pairs, synthetic_coords
+    r7 (r6 verdict #3): the grid is now DENSITY-ADAPTIVE — cell edge
+    45.0 / 2^ceil(0.5*log2(n/200k)) from one metadata-cheap count(),
+    so cell count grows ~linearly with points and expected bucket
+    occupancy stays constant (adaptive_cell_deg, functions/geo.py).
+    Under the old FIXED 32-cell grid, occupancy grew linearly and
+    within-bucket pairing quadratically until the cap plateaued it —
+    the suite's steepest scale curve (84.9x wall at 300x) and the
+    only operator whose safety rested on truncation rather than
+    layout. The oracle's grid CTE replays the same formula (libm
+    log2/ceil parity verified; 45/2^k division exact). At every test
+    SF (n <= 200k) the subdivision is 1 — results bit-identical to
+    the r6-green contract. max_bucket=200 stays as the hot-spot
+    backstop only."""
+    from vega_spark.functions.geo import (adaptive_cell_deg,
+                                          copresence_pairs,
+                                          synthetic_coords)
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cell = adaptive_cell_deg(ev.count(), base_deg=45.0)
     pts = synthetic_coords(ev, "event_id")
-    return copresence_pairs(pts, "user_id", "ts", cell_deg=45.0, top=20,
+    return copresence_pairs(pts, "user_id", "ts", cell_deg=cell, top=20,
                             max_bucket=200)
 
 
