@@ -143,16 +143,28 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
                 # #4): cloning names verbatim gave every informative
                 # q-gram a df of `factor` x its base value, pushing
                 # the whole gram vocabulary over the fuzzy-match cap
-                # (bounded-but-EMPTY output at 100x/300x — the guard
-                # path, not the operator). A real factor-x supplier
-                # corpus has factor-x DISTINCT names; rebuilding
-                # Supplier#%09d from the strided key restores the
-                # natural digit-gram df distribution at every factor.
+                # (bounded-but-EMPTY at 100x/300x — the guard path,
+                # not the operator). Rebuilding as Supplier#%09d is
+                # NOT enough: a digit-only tail has a ~1000-trigram
+                # alphabet, so at 300k rows every digit gram's df is
+                # thousands regardless of name distinctness. Instead:
+                # a 6-char base36 md5 STEM keyed on key//10 plus the
+                # final digit. Grams live in the 36^3 space (avg df
+                # ~32 at 300x — under the cap of 50, the operator
+                # regime), groups of 10 consecutive keys share the
+                # stem and differ in one char (edit distance 1 — the
+                # same match structure the base corpus's digit tails
+                # give), and stems never repeat across replicas
+                # (key//10 is replica-strided), keeping both the
+                # candidate and match sets linear in factor.
+                stem = F.lower(F.conv(
+                    F.substring(F.md5(
+                        (F.col("s_suppkey") - F.col("s_suppkey") % 10)
+                        .cast("string")), 1, 12), 16, 36))
                 rep = rep.withColumn(
                     "s_name", F.concat(
-                        F.lit("Supplier#"),
-                        F.lpad(F.col("s_suppkey").cast("string"),
-                               9, "0")))
+                        F.lit("Supplier#"), F.substring(stem, 1, 6),
+                        (F.col("s_suppkey") % 10).cast("string")))
             if t == "embeddings" and i > 0:
                 # deterministic per-(replica, dim) MURMUR3-HASHED
                 # perturbation (amplitude 0.1, keeps norms realistic).
@@ -219,9 +231,9 @@ def main() -> int:
                         cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # corpus construction version — bump whenever build_scaled's
     # enrichment changes so cached /tmp replica dirs from an older
-    # construction are rebuilt, not silently reused (v2: Zipf doc
-    # vocabulary + regenerated supplier names, r7)
-    corpus_v = 2
+    # construction are rebuilt, not silently reused (v3: Zipf doc
+    # vocabulary + base36-stem supplier names, r7)
+    corpus_v = 3
     vpath = os.path.join(out_dir, "_corpus_version")
     built = os.path.isdir(os.path.join(out_dir, "lineitem.parquet"))
     if built:
@@ -322,6 +334,7 @@ def main() -> int:
     except Exception:
         pass
     out = {"metric": "scale_smoke", "factor": factor,
+           "corpus_version": corpus_v,
            "queries": merged,
            "note": ("ratio ~<= factor (+ fixed overhead) = linear-ish; "
                     ">> factor flags a super-linear stage invisible "

@@ -6740,14 +6740,11 @@ def streaming_watermark_drops_q(spark, sf_dir):
     # right-size state partitions for the 3 stateful micro-batches
     # (same rationale as the interval joins: store count pins at
     # first batch; 32 near-empty stores is pure per-batch overhead)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from vega_spark.session import pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
         q = SS.to_memory(agg, name, output_mode="append")
         q.processAllAvailable()
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (spark.table(name)
             .select(F.col("win.start").cast("long").alias("win_start_s"),
                     "event_type", "n", "total"))
@@ -8078,15 +8075,12 @@ def streaming_interval_join_pairs_q(spark, sf_dir):
     # pinned at first batch, and 32 near-empty HDFS-backed stores are
     # pure per-batch overhead at this state size (at cluster scale,
     # size this to state volume instead)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from vega_spark.session import pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
         q = SS.to_memory(joined.select("user_id", "click_id", "view_id"),
                          name, output_mode="append")
         q.processAllAvailable()
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (spark.table(name).groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy("user_id"))
@@ -8112,14 +8106,20 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
     """Stream-stream LEFT OUTER interval join with real null
     emission: a click with no same-user view in the next 30 min must
     surface as a null-extended row — but ONLY once the watermark
-    proves no match can still arrive. The arrival dir stages three
-    ordered files (the data, then two far-future watermark-advancer
-    batches — two because the engine applies an advanced watermark
-    one batch late), so by the final batch every base click's match
-    window is provably closed and ALL unmatched clicks flush. The
-    oracle is the plain batch LEFT JOIN: missing null rows (outer
-    semantics not flushed) or extra ones (flushed too early) both
-    fail the hash."""
+    proves no match can still arrive. The oracle is the plain batch
+    LEFT JOIN: missing null rows (outer semantics not flushed) or
+    extra ones (flushed too early) both fail the hash.
+
+    Drain choreography (r7, was 3 staged files on ONE shared dir):
+    each side gets its OWN pre-filtered arrival dir — the shared-dir
+    form made both FileStreamSources scan the full events file per
+    batch and filter complementarily, 5x the rows actually joined —
+    staged as (base, one far-future advancer). The advancer's
+    watermark is computed at batch-2 end and applied one batch late,
+    by the engine's NO-DATA batch (noDataMicroBatches, pinned on
+    explicitly since the final flush now rides on it): 3 micro-batch
+    cycles instead of the old 4 (two advancers + trailing no-data).
+    Same-host A/B: 13.7s -> 8.7s idle."""
     import datetime
     import os
     import shutil
@@ -8134,58 +8134,63 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
                      F.timestamp_micros(F.expr("ts div 1000"))
                      .alias("ts"))
     mx = base.agg(F.max("ts")).collect()[0][0]
-    stage = tempfile.mkdtemp(prefix="vega_stream_loj_")
     schema = ("event_id long, user_id long, event_type string, "
               "ts timestamp")
 
-    def advancer(hours_ahead: int):
-        t = mx + datetime.timedelta(hours=hours_ahead)
-        return spark.createDataFrame(
-            [(-1, -1, "click", t), (-2, -1, "view", t)], schema)
+    def advancer(typ: str):
+        t = mx + datetime.timedelta(hours=4)
+        return spark.createDataFrame([(-1, -1, typ, t)], schema)
 
-    files = [("f1_base", base), ("f2_adv", advancer(4)),
-             ("f3_adv", advancer(8))]
-    mt = None
-    for i, (tag, df) in enumerate(files):
-        tmp = tempfile.mkdtemp(prefix="vega_stream_loj_part_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(stage, f"{tag}.parquet")
-        shutil.copy(os.path.join(tmp, src), dst)
-        mt = os.path.getmtime(dst) if mt is None else mt
-        os.utime(dst, (mt + 60 * i, mt + 60 * i))
+    def stage_side(typ: str):
+        stage = tempfile.mkdtemp(prefix=f"vega_stream_loj_{typ}_")
+        files = [("f1_base",
+                  base.filter(F.col("event_type") == typ)),
+                 ("f2_adv", advancer(typ))]
+        mt = None
+        for i, (tag, df) in enumerate(files):
+            tmp = tempfile.mkdtemp(prefix="vega_stream_loj_part_")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = [f for f in os.listdir(tmp)
+                   if f.endswith(".parquet")][0]
+            dst = os.path.join(stage, f"{tag}.parquet")
+            shutil.copy(os.path.join(tmp, src), dst)
+            mt = os.path.getmtime(dst) if mt is None else mt
+            os.utime(dst, (mt + 60 * i, mt + 60 * i))
+        return stage
 
-    src_c = SS.stream_parquet(spark, stage, schema,
+    src_c = SS.stream_parquet(spark, stage_side("click"), schema,
                               max_files_per_trigger=1)
-    src_v = SS.stream_parquet(spark, stage, schema,
+    src_v = SS.stream_parquet(spark, stage_side("view"), schema,
                               max_files_per_trigger=1)
-    clicks = (src_c.filter(F.col("event_type") == "click")
-              .select("user_id", F.col("ts").alias("click_ts"),
-                      F.col("event_id").alias("click_id")))
-    views = (src_v.filter(F.col("event_type") == "view")
-             .select(F.col("user_id").alias("user_id"),
-                     F.col("ts").alias("view_ts"),
-                     F.col("event_id").alias("view_id")))
+    clicks = src_c.select("user_id", F.col("ts").alias("click_ts"),
+                          F.col("event_id").alias("click_id"))
+    views = src_v.select(F.col("user_id").alias("user_id"),
+                         F.col("ts").alias("view_ts"),
+                         F.col("event_id").alias("view_id"))
     joined = SJ.interval_join(clicks, views, "user_id",
                               "click_ts", "view_ts",
                               lower="0 seconds", upper="30 minutes",
                               watermark_delay="10 minutes",
                               how="leftOuter")
     name = "stream_loj_" + uuid.uuid4().hex[:8]
-    # right-size state partitions for the 6 stateful micro-batches:
-    # the state-store partition count is fixed at first batch, and
-    # 32 near-empty HDFS-backed stores per batch is pure overhead at
-    # this state size (at cluster scale, size this to state volume)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # right-size state partitions: the state-store partition count
+    # is fixed at first batch, and 32 near-empty HDFS-backed stores
+    # per batch is pure overhead at this state size (at cluster
+    # scale, size this to state volume)
+    from contextlib import ExitStack
+
+    from vega_spark.session import pinned_conf
+    with ExitStack() as st:
+        st.enter_context(pinned_conf(
+            spark, "spark.sql.shuffle.partitions", "8"))
+        st.enter_context(pinned_conf(
+            spark, "spark.sql.streaming.noDataMicroBatches.enabled",
+            "true"))
         q = SS.to_memory(joined.select("user_id", "click_id",
                                        "view_id"),
                          name, output_mode="append")
         q.processAllAvailable()
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (spark.table(name).filter(F.col("user_id") >= 0)
             .groupBy("user_id")
             .agg(F.count("view_id").alias("n_pairs"),

@@ -19,8 +19,30 @@ Scale notes (100 TB design intent):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def pinned_conf(spark: SparkSession, key: str, value: str):
+    """Temporarily set a session conf, restoring the prior value on
+    exit (even on error). Used to right-size
+    ``spark.sql.shuffle.partitions`` for stateful streaming drains,
+    where the state-store partition count is fixed at first batch.
+
+    SINGLE-THREADED ASSUMPTION: this mutates session-global state,
+    which is safe under the sequential driver/bench harness but racy
+    if registry queries ever run concurrently on one session (the
+    restore could clobber a concurrent query's setting). If
+    concurrency is introduced, scope the setting per-query with a
+    dedicated session/newSession() instead."""
+    prev = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def get_session(
