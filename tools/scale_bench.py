@@ -133,10 +133,34 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
                                       .cast("double") / 1000000.0))
                         .cast("long").cast("string"))
                     for m in (1, 2)]
+                # v4: the salt token VARIES with position —
+                # rep{i}w{(j//2)%32} instead of a constant rep{i}.
+                # The constant token was ~1/3 of every doc's tokens,
+                # so it DOMINATED the simhash weighted bit-majority
+                # and collapsed each replica's fingerprint space
+                # ~5x (measured: 1,066 distinct fps per 5,000-doc
+                # replica vs 4,960 at base) — the smoke then measured
+                # giant identical-fp cliques, a corpus artifact no
+                # real corpus (or the base corpus) has. 32 rotating
+                # salt tokens put each at ~1x content-word weight,
+                # restoring base-like fp diversity, while keeping
+                # BOTH salt invariants: every token still carries the
+                # replica tag (cross-replica shingles stay broken,
+                # Jaccard ~ 0) and the rotation is position-
+                # deterministic and identical across replicas modulo
+                # the tag (within-replica dup structure and replica
+                # isomorphism preserved exactly).
+                words = F.split(F.col("text"), " ")
+                salt = lambda i_: (lambda w, j: F.when(  # noqa: E731
+                    j % 2 == 1,
+                    F.array(w, F.concat(
+                        F.lit(f"rep{i_}w"),
+                        ((j - 1) / 2).cast("long") % 32))
+                ).otherwise(F.array(w)))
                 rep = rep.withColumn(
                     "text", F.concat(
-                        F.regexp_replace(
-                            "text", r"((?:\S+\s+){2})", f"$1rep{i} "),
+                        F.concat_ws(" ", F.flatten(
+                            F.transform(words, salt(i)))),
                         F.lit(" "), tail[0], F.lit(" "), tail[1]))
             if t == "supplier":
                 # Regenerate the name from the OFFSET key (r6 verdict
@@ -231,9 +255,9 @@ def main() -> int:
                         cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # corpus construction version — bump whenever build_scaled's
     # enrichment changes so cached /tmp replica dirs from an older
-    # construction are rebuilt, not silently reused (v3: Zipf doc
-    # vocabulary + base36-stem supplier names, r7)
-    corpus_v = 3
+    # construction are rebuilt, not silently reused (v4: position-
+    # rotating salt tokens restoring simhash fp diversity, r7)
+    corpus_v = 4
     vpath = os.path.join(out_dir, "_corpus_version")
     built = os.path.isdir(os.path.join(out_dir, "lineitem.parquet"))
     if built:
