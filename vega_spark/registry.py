@@ -8021,11 +8021,13 @@ SCALE_NOTES["geo_copresence_users"] = (
     "max_bucket=200 remains as a hot-spot backstop, no longer the "
     "safety mechanism")
 SCALE_NOTES["dedup_simhash"] = (
-    "operator-only ratios spanning the first scaled decade include "
-    "the bucket-SATURATION transition (candidate pairs can jump "
-    "orders of magnitude across one decade — 525 -> 14M measured at "
-    "10x — then go linear/sub-linear: 10x->30x measured 1.9x for 3x "
-    "data); read the post-saturation ratio, not the transition one")
+    "Manku combinatorial block keys since r7 (~32-bit tables, "
+    "C(6,3)=20 of them for h=3): chance bucket collisions fall from "
+    "n^2/2^16 to n^2/2^33, removing the saturation transition the "
+    "r4-r6 smokes measured (60.8x at 100x then; 4.8x at 100x now, "
+    "corpus v4). Residual hot buckets are identical-fingerprint "
+    "boilerplate cliques — max_bucket caps them; exact-dedup "
+    "upstream is the production answer")
 
 
 @_q("streaming_interval_join_pairs", """
@@ -8119,12 +8121,17 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
     by the engine's NO-DATA batch (noDataMicroBatches, pinned on
     explicitly since the final flush now rides on it): 3 micro-batch
     cycles instead of the old 4 (two advancers + trailing no-data).
-    Same-host A/B: 13.7s -> 8.7s idle."""
-    import datetime
+    The advancer files and the max-ts probe are plain pyarrow (a
+    1-row createDataFrame().write() costs a ~6s Spark job EACH at
+    this scale; column-statistics max from parquet metadata costs
+    milliseconds). Same-host idle A/B: 13.7s -> 5.9-6.9s."""
     import os
     import shutil
     import tempfile
     import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from vega_spark.streaming import joins as SJ
     from vega_spark.streaming import sources as SS
@@ -8133,29 +8140,41 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
     base = ev.select("event_id", "user_id", "event_type",
                      F.timestamp_micros(F.expr("ts div 1000"))
                      .alias("ts"))
-    mx = base.agg(F.max("ts")).collect()[0][0]
+    # max event time from parquet column statistics — no Spark job
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    mx = max(pf.metadata.row_group(g).column(ts_idx).statistics.max
+             for g in range(pf.metadata.num_row_groups))
+    if hasattr(mx, "value"):           # pandas.Timestamp -> ns int
+        mx = mx.value
+    if isinstance(mx, int):            # raw ns since epoch
+        adv_us = mx // 1000 + 4 * 3600 * 1_000_000
+    else:                              # datetime.datetime
+        import calendar
+        adv_us = (calendar.timegm(mx.timetuple()) * 1_000_000
+                  + mx.microsecond + 4 * 3600 * 1_000_000)
     schema = ("event_id long, user_id long, event_type string, "
               "ts timestamp")
 
-    def advancer(typ: str):
-        t = mx + datetime.timedelta(hours=4)
-        return spark.createDataFrame([(-1, -1, typ, t)], schema)
-
     def stage_side(typ: str):
         stage = tempfile.mkdtemp(prefix=f"vega_stream_loj_{typ}_")
-        files = [("f1_base",
-                  base.filter(F.col("event_type") == typ)),
-                 ("f2_adv", advancer(typ))]
-        mt = None
-        for i, (tag, df) in enumerate(files):
-            tmp = tempfile.mkdtemp(prefix="vega_stream_loj_part_")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = [f for f in os.listdir(tmp)
-                   if f.endswith(".parquet")][0]
-            dst = os.path.join(stage, f"{tag}.parquet")
-            shutil.copy(os.path.join(tmp, src), dst)
-            mt = os.path.getmtime(dst) if mt is None else mt
-            os.utime(dst, (mt + 60 * i, mt + 60 * i))
+        tmp = tempfile.mkdtemp(prefix="vega_stream_loj_part_")
+        base.filter(F.col("event_type") == typ).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, "f1_base.parquet")
+        shutil.copy(os.path.join(tmp, src), dst)
+        adv = pa.table(
+            {"event_id": [-1], "user_id": [-1], "event_type": [typ],
+             "ts": pa.array([adv_us], pa.timestamp("us"))},
+            schema=pa.schema([("event_id", pa.int64()),
+                              ("user_id", pa.int64()),
+                              ("event_type", pa.string()),
+                              ("ts", pa.timestamp("us"))]))
+        adv_dst = os.path.join(stage, "f2_adv.parquet")
+        pq.write_table(adv, adv_dst)
+        mt = os.path.getmtime(dst)
+        os.utime(adv_dst, (mt + 60, mt + 60))
         return stage
 
     src_c = SS.stream_parquet(spark, stage_side("click"), schema,
