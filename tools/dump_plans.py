@@ -175,6 +175,20 @@ SHOWCASE: list[tuple[str, str]] = [
      "as a join FILTER — correct because versions per key are "
      "non-overlapping, so fan-out is bounded; never an interval "
      "cross-product."),
+    ("dedup_simhash",
+     "SimHash near-dup (r7 Manku combinatorial blocking): the "
+     "fingerprint explodes to C(6,3)=20 ~32-bit combination keys "
+     "(chance bucket collisions n^2/2^33, not n^2/2^16), ONE "
+     "equi-join generates candidates, and the hamming XOR/bit_count "
+     "verify runs INSIDE the join stage so the only pair-keyed "
+     "Exchange is the distinct over within-budget survivors."),
+    ("geo_copresence_users",
+     "Co-presence (r7 density-adaptive grid): cell edge derives "
+     "from one metadata count so bucket occupancy stays ~constant "
+     "at any density; presence distinct, the deterministic cap "
+     "window, and the bucket self-join all share the (hour, cell) "
+     "key family, and the pair rollup head is "
+     "TakeOrderedAndProject."),
 ]
 
 
