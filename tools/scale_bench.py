@@ -274,6 +274,33 @@ def main() -> int:
         print(f"# built {out_dir} (corpus v{corpus_v}) in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # Size the session to the SCALED input (r6 verdict #8: at 1000x
+    # the 128 GiB sandbox is the real constraint — that's the
+    # measurement). conf_for_scale's arithmetic picks shuffle
+    # partitions whose decoded working set fits a task's memory
+    # share; without it the 32-partition default put ~500 MB of
+    # decoded text per task at 1000x and the OS killed Arrow python
+    # workers (observed: stage-straggler 'Python worker exited
+    # unexpectedly'). Arrow batches are capped too — a pandas UDF
+    # batch of 10k 1000x-salted docs is itself tens of MB.
+    from vega_spark.session import conf_for_scale
+    input_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(out_dir) for f in fns)
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mem_per_core = (128 * 1024**3) // max(cores, 1)
+    for k, v in conf_for_scale(input_bytes, cores, mem_per_core).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   "2048")
+    print(f"# sized session for {input_bytes / 1e9:.1f} GB input: "
+          f"shuffle.partitions="
+          f"{spark.conf.get('spark.sql.shuffle.partitions')}",
+          file=sys.stderr)
+
     results: dict[str, dict] = {}
     for name in names:
         skip_full = op_only_mode and name in registry.OPERATOR_ONLY
