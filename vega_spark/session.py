@@ -134,10 +134,19 @@ def conf_for_scale(input_bytes: int, total_cores: int,
     scan_bytes = (target_partition_bytes if n_scan_tasks >= total_cores
                   else max(input_bytes // max(total_cores, 1), 4 * 1024**2))
     bcast = min(mem_per_task // 10, 512 * 1024**2)
+    # the ADAPTIVE threshold applies to exact runtime shuffle sizes
+    # (not Catalyst's inflated pre-execution estimates), so it can
+    # safely sit higher than the static one: a plan that conservatively
+    # planned sort-merge gets converted to broadcast-hash at runtime
+    # when the built side's TRUE size fits (observed: a ~30 MB
+    # aggregate misestimated above a 51 MB static threshold cost a
+    # 105M-row frame two extra sort-shuffles at the 300x smoke)
+    bcast_rt = min(mem_per_task // 4, 512 * 1024**2)
     return {
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.sql.files.maxPartitionBytes": str(scan_bytes),
         "spark.sql.autoBroadcastJoinThreshold": str(bcast),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(bcast_rt),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
