@@ -131,6 +131,39 @@ def test_simhash_hot_chunk_cap(spark):
     assert dflt.count() == full.count()
 
 
+def test_simhash_pigeonhole_exhaustive_vs_brute_force(spark):
+    """The Manku combinatorial blocking (r7) must find EVERY pair
+    within the hamming budget — pigeonhole over C(B, B-h) block
+    combinations guarantees it, and this replays the guarantee
+    against a brute-force all-pairs scan of the same fingerprints,
+    for several budgets (different B / table counts)."""
+    import random
+
+    rng = random.Random(77)
+    words = [f"w{i}" for i in range(60)]
+    texts = []
+    for _ in range(40):
+        base = [rng.choice(words) for _ in range(25)]
+        texts.append(" ".join(base))
+        # planted mutations at varying depths → a spread of distances
+        for k in (1, 3, 6):
+            mut = list(base)
+            for _ in range(k):
+                mut[rng.randrange(len(mut))] = rng.choice(words)
+            texts.append(" ".join(mut))
+    df = docs(spark, texts)
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", D.simhash("text").alias("fp")).collect()}
+    for h in (1, 3, 5):
+        truth = {(a, b)
+                 for a in fps for b in fps if a < b
+                 and bin((fps[a] ^ fps[b])
+                         & 0xFFFFFFFFFFFFFFFF).count("1") <= h}
+        got = {(r.doc_a, r.doc_b) for r in D.simhash_near_pairs(
+            df, "text", "doc_id", max_hamming=h).collect()}
+        assert got == truth, (h, len(got), len(truth))
+
+
 def test_word_shingles_udf_matches_expression(spark):
     # the Arrow-batched shingle generator must reproduce the Column
     # expression EXACTLY (same sets, same first-occurrence order,
