@@ -377,6 +377,52 @@ def gen_decimal_query(rng: random.Random) -> str:
     return sql
 
 
+def gen_grouping_sets_query(rng: random.Random) -> str:
+    """CUBE / explicit GROUPING SETS shapes (16th generator, r7):
+    shared SQL — both engines accept GROUP BY CUBE(...) and GROUP BY
+    GROUPING SETS ((...),...) with GROUPING(col) indicators, which
+    pin the super-aggregate NULL-key canonicalization both ways
+    (a NULL group key from the data vs a NULL synthesized by the
+    super-aggregate row are distinguishable ONLY via GROUPING()).
+    Exactness: integer aggregates only. The empty-input grand-total
+    divergence is carved out in run_case (same rule as ROLLUP)."""
+    keys = rng.sample(GROUP_COLS, rng.randrange(1, 3))
+    if rng.random() < 0.3:
+        # seed NULLs into a group key so NULL-from-data meets
+        # NULL-from-super-aggregate in the same output column
+        if keys[0] == "l_linenumber":
+            keys[0] = f"NULLIF(l_linenumber, {rng.randrange(1, 5)})"
+        elif keys[0] == "l_returnflag":
+            keys[0] = f"NULLIF(l_returnflag, '{rng.choice('ANR')}')"
+        else:
+            keys[0] = f"NULLIF(l_linestatus, '{rng.choice('OF')}')"
+    aliased = [f"{k} AS g{i}" for i, k in enumerate(keys)]
+    gnames = [f"g{i}" for i in range(len(keys))]
+    aggs = []
+    for i in range(rng.randrange(1, 3)):
+        fn = rng.choice(AGG_FNS)
+        arg = "*" if fn == "COUNT" else rng.choice(list(INT_EXPRS.values()))
+        aggs.append(f"{fn}({arg}) AS a{i}")
+    gind = [f"GROUPING({g}) AS gi{i}" for i, g in enumerate(gnames)]
+    if rng.random() < 0.5:
+        spec = f"CUBE({', '.join(gnames)})"
+    else:
+        # the FULL tuple is always a member: Spark requires every
+        # GROUPING(col) argument to be a grouping column of the spec
+        subsets = [(), tuple(gnames)] + [tuple(rng.sample(
+            gnames, rng.randrange(1, len(gnames) + 1)))
+            for _ in range(rng.randrange(0, 2))]
+        spec = ("GROUPING SETS ("
+                + ", ".join("(" + ", ".join(s) + ")" for s in subsets)
+                + ")")
+    inner = f"SELECT {', '.join(aliased)}, * FROM lineitem"
+    filters = _gen_filters(rng, 2)
+    if filters:
+        inner += " WHERE " + " AND ".join(filters)
+    return (f"SELECT {', '.join(gnames + gind + aggs)} "
+            f"FROM ({inner}) t GROUP BY {spec}")
+
+
 def gen_decimal_arith_query(rng: random.Random) -> str:
     """DECIMAL precision-propagation arithmetic (14th generator, r6
     verdict #7): products of explicitly-cast DECIMAL columns — the
@@ -811,13 +857,15 @@ def run_case(spark, con, sql) -> tuple[bool, str]:
     drows = [tuple(r) for r in con.sql(duck_sql).fetchall()]
     sql = spark_sql  # for the ROLLUP empty-input carve-out below
 
-    if not srows and len(drows) == 1 and "ROLLUP" in sql:
+    if not srows and len(drows) >= 1 and any(
+        kw in sql for kw in ("ROLLUP", "CUBE", "GROUPING SETS")):
         # Documented upstream divergence, not a translation bug:
         # over an EMPTY input Spark emits no rows for grouping sets,
         # while DuckDB (and Postgres / the standard) emit the ()
         # grand-total row — GROUPING()=1, NULL keys, COUNT(*)=0,
         # NULL min/max/sum. Accept exactly that row shape.
-        if all(v is None or v in (0, 1) for v in drows[0]):
+        if all(all(v is None or v in (0, 1) for v in r)
+               for r in drows):
             return True, ""
 
     def key(v):
@@ -874,7 +922,7 @@ def main() -> int:
             gen_decimal_query, gen_string_date_query, gen_subquery_query,
             gen_nested_query, gen_map_null_query, gen_range_frame_query,
             gen_pivot_query, gen_decimal_arith_query,
-            gen_timestamp_tz_query]
+            gen_timestamp_tz_query, gen_grouping_sets_query]
     if len(sys.argv) > 4:
         gens = [g for g in gens if sys.argv[4] in g.__name__]
         assert gens, f"no generator matches {sys.argv[4]!r}"
