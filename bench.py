@@ -263,6 +263,24 @@ BENCH_QUERIES = [
 ]
 
 
+def drift_probe(spark) -> float:
+    """Fixed-work host-speed reference (VERDICT r7 #8): a constant
+    pure-JVM job — 400M-element range sum+mod across 32 splits, no
+    data dependence, no shuffle — timed min-of-3. Recorded before AND
+    after the bench so cross-round drift adjudications ("the host got
+    uniformly slower") rest on a measured constant-work number
+    instead of the per-query median inference three rounds running.
+    Min-of-3 discards scheduler warm-up; the job is ~1s on an idle
+    32-thread host."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "sum(id % 7) AS s").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -275,6 +293,8 @@ def main() -> None:
     # instead of first-call JIT latency, and run-to-run variance
     # drops ~5x for the expression-heavy queries.
     spark.range(1000).count()
+    probe_pre = drift_probe(spark)
+    print(f"# drift_probe pre: {probe_pre:.3f}s", file=sys.stderr)
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
@@ -357,6 +377,10 @@ def main() -> None:
               f"(contract: {timings.get(name, float('nan')):.3f}s)",
               file=sys.stderr)
 
+    probe_post = drift_probe(spark)
+    print(f"# drift_probe post: {probe_post:.3f}s", file=sys.stderr)
+    probe = {"pre": probe_pre, "post": probe_post}
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
@@ -384,6 +408,7 @@ def main() -> None:
                    # operator's cost with the verification truth leg
                    # stripped; not part of the headline total
                    "operator_only": operator_only,
+                   "drift_probe_sec": probe,
                    "sf": float(sf) if sf else None}, f, indent=1)
     worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     line = json.dumps({
@@ -393,6 +418,7 @@ def main() -> None:
         "queries": worst,
         "n_queries": len(timings),
         "detail": "bench_detail.json",
+        "drift_probe_sec": probe,
         "sf": float(sf) if sf else None,
     })
     if len(line) > 3000:  # belt-and-braces: never overflow the capture
@@ -400,6 +426,7 @@ def main() -> None:
                            "value": total, "unit": "sec",
                            "queries": {}, "n_queries": len(timings),
                            "detail": "bench_detail.json",
+                           "drift_probe_sec": probe,
                            "sf": float(sf) if sf else None})
     print(line)
     spark.stop()

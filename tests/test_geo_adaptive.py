@@ -42,6 +42,24 @@ def test_divisor_is_exact_power_of_two():
         assert deg * (1 << k) == 45.0
 
 
+def test_driver_datasets_stay_on_base_grid():
+    # r8 (ADVICE): the bit-identical-to-r6 claim rests on the DRIVER
+    # datasets having n <= n0 (k=0, base grid). The hardcoded counts
+    # above assert the formula; this pins the ACTUAL parquet row
+    # counts, so a regenerated/larger testdata drop fails loudly here
+    # instead of silently changing the contract's grid.
+    import os
+
+    import pyarrow.parquet as pq
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):  # container without testdata
+            continue
+        n = pq.ParquetFile(path).metadata.num_rows
+        assert n <= 200_000, (sf, n)
+        assert adaptive_cell_deg(n) == 45.0
+
+
 def test_matches_duckdb_formula():
     import duckdb
     for n in (1000, 200_000, 200_001, 999_999, 3_200_000, 30_000_000,

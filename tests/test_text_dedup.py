@@ -110,6 +110,21 @@ def test_simhash_identical_and_near(spark):
     assert near_found >= 7
 
 
+def test_simhash_max_hamming_validated(spark):
+    # r8 (ADVICE): budgets past 13 would clamp n_blocks at 16 and
+    # degenerate (h=16: single zero-key table = full cross join;
+    # h>16: plan-time ValueError from combinations). Must raise a
+    # CLEAR error at plan time instead.
+    import pytest
+
+    df = docs(spark, _corpus(3))
+    for bad in (14, 16, 17, -1):
+        with pytest.raises(ValueError, match="max_hamming"):
+            D.simhash_near_pairs(df, "text", "doc_id", max_hamming=bad)
+    # 13 is the last valid budget: B=16 blocks, C(16,3) tables — legal
+    D.simhash_near_pairs(df, "text", "doc_id", max_hamming=13)
+
+
 def test_simhash_hot_chunk_cap(spark):
     # 40 identical docs: every (chunk, key) bucket holds all 40 ids.
     # With max_bucket=5 each bucket keeps ids 0..4 only, so candidate

@@ -863,9 +863,25 @@ def run_case(spark, con, sql) -> tuple[bool, str]:
         # over an EMPTY input Spark emits no rows for grouping sets,
         # while DuckDB (and Postgres / the standard) emit the ()
         # grand-total row — GROUPING()=1, NULL keys, COUNT(*)=0,
-        # NULL min/max/sum. Accept exactly that row shape.
-        if all(all(v is None or v in (0, 1) for v in r)
-               for r in drows):
+        # NULL min/max/sum. r8 (ADVICE): the row-shape heuristic
+        # alone could bless a GENUINE Spark empty-result bug on a
+        # near-empty-but-nonempty input, so require proof the grouped
+        # input really is empty: probe the FROM..GROUP BY segment
+        # (both grouping-set generators emit `... FROM <rel> [WHERE
+        # ...] GROUP BY <spec>` with no top-level HAVING) with
+        # DuckDB. Carve out only when COUNT(*)=0 AND the rows look
+        # like super-aggregate rows of an empty input.
+        empty_input = False
+        try:
+            seg = sql[sql.index(" FROM ") + 6:sql.rindex(" GROUP BY ")]
+            empty_input = (
+                con.sql(f"SELECT COUNT(*) FROM {seg}")
+                .fetchall()[0][0] == 0)
+        except Exception:
+            empty_input = False
+        if empty_input and all(
+                all(v is None or v in (0, 1) for v in r)
+                for r in drows):
             return True, ""
 
     def key(v):

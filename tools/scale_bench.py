@@ -376,6 +376,13 @@ def main() -> int:
     # sweep's coverage. Deep-merge PER ROW (r6 ADVICE): an op:-mode
     # run writes full_query="skipped", which must not replace a
     # prior run's real full-query timing for the same query.
+    # Every fresh row carries the corpus version it was measured
+    # under (r7 ADVICE): without the per-row stamp, a targeted re-run
+    # deep-merged over rows measured on an OLDER corpus construction
+    # while the artifact's top-level corpus_version claimed the new
+    # one — silently mixing v3 and v4 evidence under one label.
+    for row in results.values():
+        row["corpus_version"] = corpus_v
     merged = dict(results)
     try:
         with open(out_path) as f:
@@ -383,10 +390,24 @@ def main() -> int:
         merged = dict(prior)
         for name, row in results.items():
             base = dict(prior.get(name, {}))
+            if base.get("corpus_version") != corpus_v:
+                # prior row measured under a different (or unstamped)
+                # corpus build: its timings are not comparable — drop
+                # it rather than merge mixed-version evidence
+                base = {}
             base.update({k: v for k, v in row.items()
                          if not (k == "full_query"
                                  and "ratio" in base)})
             merged[name] = base
+        # prior rows NOT refreshed this run: mark stale if their
+        # version differs, so the artifact never presents old-corpus
+        # numbers as current evidence
+        for name, row in merged.items():
+            if (name not in results
+                    and row.get("corpus_version") != corpus_v):
+                row["stale"] = (f"measured under corpus v"
+                                f"{row.get('corpus_version', '<1-3>')}"
+                                f", current v{corpus_v}")
     except Exception:
         pass
     out = {"metric": "scale_smoke", "factor": factor,

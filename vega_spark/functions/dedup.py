@@ -573,7 +573,18 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     # IDENTICAL: both schemes' candidate sets contain every
     # within-budget pair (pigeonhole) and the hamming filter keeps
     # exactly those, so the final pair set is the same.
-    n_blocks = min(max_hamming + 3, 16)
+    if not 0 <= max_hamming <= 13:
+        # r8 (ADVICE): beyond 13 the B=h+3 block count would clamp at
+        # 16, degrading to a single zero-width key (h=16: one empty
+        # combination -> full cross join) or a plan-time ValueError
+        # from combinations(range(16), <0). Fail loudly instead: a
+        # hamming budget past 13/64 bits is not near-duplicate
+        # detection anyway.
+        raise ValueError(
+            f"max_hamming must be in [0, 13], got {max_hamming}: "
+            "n_blocks = max_hamming + 3 must not exceed 16 or the "
+            "combination keys degenerate to a cross join")
+    n_blocks = max_hamming + 3
     bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     widths = [bounds[i + 1] - bounds[i] for i in range(n_blocks)]
     block = [F.shiftright(F.col("fp"), bounds[i])

@@ -8140,11 +8140,32 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
     base = ev.select("event_id", "user_id", "event_type",
                      F.timestamp_micros(F.expr("ts div 1000"))
                      .alias("ts"))
-    # max event time from parquet column statistics — no Spark job
-    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
-    ts_idx = pf.schema_arrow.get_field_index("ts")
-    mx = max(pf.metadata.row_group(g).column(ts_idx).statistics.max
-             for g in range(pf.metadata.num_row_groups))
+    # max event time from parquet column statistics — no Spark job.
+    # r8 (ADVICE): the footer probe assumes a single file with
+    # statistics present; a stats-disabled writer or a directory
+    # dataset must fall back to the Spark max() aggregate instead of
+    # raising AttributeError.
+    try:
+        src_path = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(src_path):
+            import pyarrow.dataset as pads
+            frags = list(pads.dataset(src_path,
+                                      format="parquet").get_fragments())
+        else:
+            frags = [pq.ParquetFile(src_path)]
+        stats = []
+        for fr in frags:
+            pf = fr if isinstance(fr, pq.ParquetFile) \
+                else pq.ParquetFile(fr.path)
+            ts_idx = pf.schema_arrow.get_field_index("ts")
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(ts_idx).statistics
+                if st is None or st.max is None:
+                    raise ValueError("column statistics missing")
+                stats.append(st.max)
+        mx = max(stats)
+    except Exception:
+        mx = ev.agg(F.max("ts")).collect()[0][0]  # raw ns since epoch
     if hasattr(mx, "value"):           # pandas.Timestamp -> ns int
         mx = mx.value
     if isinstance(mx, int):            # raw ns since epoch
@@ -8209,6 +8230,21 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
                                        "view_id"),
                          name, output_mode="append")
         q.processAllAvailable()
+        # r8 (ADVICE): the final outer flush rides on the engine's
+        # no-data micro-batch completing inside processAllAvailable().
+        # Verify the null-extended rows actually landed (the memory
+        # sink is driver-local, this is cheap); one extra drain cycle
+        # if the no-data batch raced, loud failure over a silently
+        # wrong answer otherwise.
+        def _n_null():
+            return (spark.table(name)
+                    .filter((F.col("user_id") >= 0)
+                            & F.col("view_id").isNull()).count())
+        if _n_null() == 0:
+            q.processAllAvailable()
+            assert _n_null() > 0, (
+                "streaming LOJ outer flush missing: no null-extended "
+                "rows in the memory sink after drain")
         q.stop()
     return (spark.table(name).filter(F.col("user_id") >= 0)
             .groupBy("user_id")
