@@ -272,6 +272,11 @@ def drift_probe(spark) -> float:
     instead of the per-query median inference three rounds running.
     Min-of-3 discards scheduler warm-up; the job is ~1s on an idle
     32-thread host."""
+    # one untimed call first: the probe's codegen unit JITs on its
+    # first execution (measured 0.44s pre vs 0.11s post on an idle
+    # host before this warm call — that delta was JIT, not drift)
+    spark.range(0, 400_000_000, 1, 32).selectExpr(
+        "sum(id % 7) AS s").collect()
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()

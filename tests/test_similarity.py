@@ -196,6 +196,43 @@ def test_sparse_cosine_pairs_identical_docs_top(spark):
     assert all(r.cos <= 1.0 for r in got)
 
 
+def test_sparse_cosine_band_df_inactive_is_exact(spark):
+    # r8 (VERDICT r7 #4): band_df must be a NO-OP whenever no
+    # surviving term's df exceeds it — the registry ships band_df=512
+    # against test-SF cuts <= 500, so bit-identical output there is
+    # the contract
+    from vega_spark.functions.search import sparse_cosine_pairs
+    rows = [(i, f"alpha beta u{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sparse_cosine_pairs(df, "text", max_df_frac=1.0,
+                                top=50).collect()
+    banded = sparse_cosine_pairs(df, "text", max_df_frac=1.0,
+                                 band_df=100, top=50).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, banded))
+
+
+def test_sparse_cosine_band_df_md5_residue_deterministic(spark):
+    # Active band: postings of a df>band_df term enter the pair join
+    # iff md5_32('t:doc') % df < band_df — replay the rule with
+    # hashlib and pin the surviving pair set exactly (the oracle's
+    # ('0x'||substr(md5(..),1,8))::BIGINT replays the same residue)
+    import hashlib
+    from itertools import combinations
+
+    from vega_spark.functions.search import sparse_cosine_pairs
+    rows = [(i, f"zz u{i}") for i in range(10)] \
+        + [(i, f"yy u{i}") for i in (10, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = [d for d in range(10)
+            if int(hashlib.md5(f"zz:{d}".encode())
+                   .hexdigest()[:8], 16) % 10 < 3]
+    assert 1 <= len(kept) < 10  # the rule actually thins this corpus
+    want = {tuple(p) for p in combinations(kept, 2)} | {(10, 11)}
+    got = {(r.d1, r.d2) for r in sparse_cosine_pairs(
+        df, "text", max_df_frac=1.0, band_df=3, top=100).collect()}
+    assert got == want
+
+
 def test_sparse_cosine_term_guard_report(spark):
     # guard observability (r5 verdict #4): the report must account
     # for every distinct term as surviving XOR capped against the

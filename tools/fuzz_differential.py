@@ -635,6 +635,92 @@ def gen_subquery_query(rng: random.Random) -> str:
     return sql
 
 
+def gen_select_scalar_subquery(rng: random.Random) -> str:
+    """Correlated scalar subqueries in the SELECT LIST (17th
+    generator, r8 — VERDICT r7 #7): the decorrelation class the
+    WHERE-clause generator can't reach. Shapes: per-order COUNT(*)
+    over lineitem (the classic COUNT bug — an order with no matching
+    rows must surface 0, not NULL, after the outer-join rewrite),
+    MIN/MAX/SUM correlated aggregates (empty group -> NULL), and a
+    COALESCE-wrapped SUM (NULL -> sentinel, pinning which engine
+    nulls first). Correlation is equality on the FK (the only form
+    Spark guarantees to decorrelate); extra uncorrelated filters
+    randomize the empty-group frequency. Outer rows bounded so the
+    O(outer x inner) oracle stays cheap at sf0.001."""
+    outer, okey, inner, ikey = rng.choice([
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+    ])
+    bound = rng.randrange(200, 1200)
+    corr = f"i.{ikey} = t.{okey}"
+    cols = [f"t.{okey} AS k"]
+    ifilt = ""
+    if rng.random() < 0.7:
+        if inner == "lineitem":
+            ifilt = (f" AND i.l_linenumber {rng.choice(CMP_OPS)} "
+                     f"{rng.randrange(1, 7)}")
+        else:
+            ifilt = (f" AND i.o_orderstatus "
+                     f"{rng.choice(['=', '<>'])} 'F'")
+    # COUNT bug shape: zero-match outers must yield 0
+    cols.append(f"(SELECT COUNT(*) FROM {inner} i WHERE {corr}{ifilt})"
+                f" AS c0")
+    agg_expr = ("CAST(i.l_quantity AS BIGINT)" if inner == "lineitem"
+                else "i.o_orderkey % 97")
+    fn = rng.choice(["MIN", "MAX", "SUM"])
+    cols.append(f"(SELECT {fn}({agg_expr}) FROM {inner} i "
+                f"WHERE {corr}{ifilt}) AS c1")
+    if rng.random() < 0.5:
+        cols.append(f"COALESCE((SELECT SUM({agg_expr}) FROM {inner} i"
+                    f" WHERE {corr}{ifilt}), -1) AS c2")
+    return (f"SELECT {', '.join(cols)} FROM {outer} t "
+            f"WHERE t.{okey} < {bound}")
+
+
+def gen_outer_join_pushdown_query(rng: random.Random) -> str:
+    """Outer-join x filter-placement interaction (18th generator, r8
+    — VERDICT r7 #7, the classic wrong-answers class): the same
+    predicate means DIFFERENT things in the ON clause vs the WHERE
+    clause of a LEFT/FULL join. Shapes swept: (a) right-side
+    predicate in ON (thins matches, PRESERVES left rows), (b) the
+    same predicate in WHERE (legitimately collapses LEFT to INNER —
+    an optimizer that pushes it below the join must not change
+    either answer), (c) LEFT-side predicate in ON of a LEFT join
+    (must NOT filter preserved left rows — the single most common
+    pushdown bug), (d) IS-NULL-protected WHERE on the null-extended
+    side (anti-join rewrite). COUNT(*) vs COUNT(right_col) vs
+    SUM(CASE IS NULL) make any divergence visible per group."""
+    how = rng.choice(["LEFT JOIN", "LEFT JOIN", "FULL JOIN"])
+    on = ["o.o_orderkey = l.l_orderkey"]
+    where = [f"o.o_orderkey < {rng.randrange(2000, 15000)}"]
+    if rng.random() < 0.7:  # (a) right-side pred in ON
+        on.append(f"l.l_linenumber {rng.choice(CMP_OPS)} "
+                  f"{rng.randrange(1, 7)}")
+    if rng.random() < 0.5:  # (c) LEFT-side pred in ON: no filtering!
+        on.append(f"o.o_orderkey % {rng.randrange(2, 7)} = 0")
+    r = rng.random()
+    if r < 0.35:  # (b) right-side pred in WHERE: collapses to inner
+        where.append(f"CAST(l.l_quantity AS BIGINT) "
+                     f"{rng.choice(CMP_OPS)} {rng.randrange(1, 50)}")
+    elif r < 0.7:  # (d) IS-NULL-protected null-extended-side filter
+        where.append(f"(l.l_orderkey IS NULL OR l.l_partkey % "
+                     f"{rng.randrange(2, 9)} = 0)")
+    if how == "FULL JOIN":
+        # FULL + outer-side WHERE pred would kill right-only rows by
+        # o.o_orderkey IS NULL; keep them visible half the time
+        if rng.random() < 0.5:
+            where[0] = (f"(o.o_orderkey IS NULL OR {where[0]})")
+    key = rng.choice(["o.o_orderpriority", "o.o_orderstatus"])
+    return (f"SELECT {key} AS g, COUNT(*) AS n_rows, "
+            f"COUNT(l.l_orderkey) AS n_right, "
+            f"SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) "
+            f"AS n_null, MIN(o.o_orderkey) AS mn, "
+            f"MAX(l.l_linenumber) AS mx "
+            f"FROM orders o {how} lineitem l ON "
+            f"{' AND '.join(on)} WHERE {' AND '.join(where)} "
+            f"GROUP BY 1")
+
+
 def gen_nested_query(rng: random.Random):
     """ARRAY/STRUCT + explode + higher-order-function shapes (r4
     verdict #5): the LLM tier leans on tokens/shingles/embeddings —
@@ -938,7 +1024,8 @@ def main() -> int:
             gen_decimal_query, gen_string_date_query, gen_subquery_query,
             gen_nested_query, gen_map_null_query, gen_range_frame_query,
             gen_pivot_query, gen_decimal_arith_query,
-            gen_timestamp_tz_query, gen_grouping_sets_query]
+            gen_timestamp_tz_query, gen_grouping_sets_query,
+            gen_select_scalar_subquery, gen_outer_join_pushdown_query]
     if len(sys.argv) > 4:
         gens = [g for g in gens if sys.argv[4] in g.__name__]
         assert gens, f"no generator matches {sys.argv[4]!r}"

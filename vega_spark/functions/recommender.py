@@ -186,12 +186,28 @@ def recommend_top_k(ratings: DataFrame, user_col: str, item_col: str,
     sel = (users.join(xu.withColumnRenamed("id", user_col), user_col)
            .withColumnRenamed("f", "fu"))
     rank = _infer_rank(xu)
+    # drop the factor arrays the moment the dot is computed: the
+    # anti-join below otherwise shuffles |users| x |items| rows each
+    # carrying BOTH rank-length arrays (~50 GB at the 100x smoke for
+    # 25 users x 2M items) for columns nothing downstream reads
     scored = (F.broadcast(sel).crossJoin(
         yi.withColumnRenamed("id", item_col)
         .withColumnRenamed("f", "fi"))
-        .withColumn("score", _dot("fu", "fi", rank)))
-    seen = ratings.select(user_col, item_col).distinct()
-    unseen = scored.join(seen, [user_col, item_col], "left_anti")
+        .withColumn("score", _dot("fu", "fi", rank))
+        .select(user_col, item_col, "score"))
+    # seen pairs matter ONLY for the bounded target user set: filter
+    # ratings to it (broadcast semi — users is bounded by contract)
+    # BEFORE the distinct, then broadcast the anti-join side. The
+    # r7-shape full-corpus ratings.distinct() was one shuffle of the
+    # whole fact table plus a sort-merge anti against the scored
+    # frame — at the 100x smoke that pair of exchanges, not the
+    # training loop, dominated the 300s operator leg. Post-fix the
+    # only full-corpus pass left in recommend is none at all: seen
+    # is |target users| x avg-degree rows (~1k), broadcast both ways.
+    seen = (ratings.join(F.broadcast(users), user_col, "semi")
+            .select(user_col, item_col).distinct())
+    unseen = scored.join(F.broadcast(seen), [user_col, item_col],
+                         "left_anti")
     w = (Window.partitionBy(user_col)
          .orderBy(F.col("score").desc(), F.col(item_col).asc()))
     return (unseen.withColumn("rk", F.row_number().over(w))

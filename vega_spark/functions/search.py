@@ -94,6 +94,7 @@ def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         max_df_frac: float = 0.1,
                         max_df: int | None = None,
+                        band_df: int | None = None,
                         top: int = 20, idf_scale: int = 1_000,
                         round_dp: int = 6) -> DataFrame:
     """Most-similar document pairs by sparse TF-IDF cosine via the
@@ -119,6 +120,25 @@ def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
       explicitly (the registry ships ``max_df=1000``, mirrored in
       its oracle). Set it on any unbounded corpus.
     The effective threshold is min(ceil(frac·N), max_df).
+
+    ``band_df`` (r8, VERDICT r7 #4) bounds the PRE-CAP Zipf band
+    structurally: terms with df in (band_df, cut] survive the cap but
+    still grow their pair fan-out as df² while their df climbs toward
+    the cap — the measured in-decade super-linearity at the 1000x
+    smoke (303.5s for 3.33x data over 300x) lived entirely in this
+    band. The rule: a posting (t, doc) of a term with df > band_df
+    enters the PAIR JOIN only if ``md5_32(t:doc) % df < band_df`` — a
+    deterministic, engine-replayable rank-proportional down-sample
+    keeping ~band_df postings per term, so EVERY term's expected pair
+    fan-out is bounded by C(band_df, 2) and total pair work grows
+    with vocabulary (Heaps-sublinear), not with df². Norms stay EXACT
+    (every term weights its documents' denominators); dots for
+    banded terms are a documented under-estimate — these are the
+    LOWEST-idf survivors, so top-pair ranking on natural corpora is
+    driven by the exact sub-band tier. Inactive (bit-identical
+    output) whenever no surviving term exceeds band_df — the LIBRARY
+    default is ``None`` (exact); the registry ships band_df=512,
+    which at the test SFs (cut <= 500) provably never fires.
 
     Determinism: idf is integerized once per term
     (round(ln(N/df)·idf_scale)), so every weight, dot product and
@@ -151,6 +171,17 @@ def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
     # roughly half of all surviving terms are hapax legomena, so
     # this halves the postings frame the pair join shuffles, exactly.
     wj = w.filter(F.col("df") >= 2)
+    if band_df is not None:
+        # rank-proportional posting down-sample for the pair join
+        # (band_df docstring above): keep ~band_df postings per
+        # banded term via a 32-bit md5 residue — the identical
+        # '0x'||substr(md5(..),1,8) expression DuckDB evaluates, so
+        # the oracle replays the rule bit-for-bit when it fires
+        h32 = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("t"), F.col("doc").cast("string"))), 1, 8),
+            16, 10).cast("long")
+        wj = wj.filter((F.col("df") <= band_df)
+                       | (h32 % F.col("df") < band_df))
     a = wj.select(F.col("doc").alias("d1"), "t", F.col("w").alias("w1"))
     b = wj.select(F.col("doc").alias("d2"), "t", F.col("w").alias("w2"))
     dots = (a.join(b, "t").filter(F.col("d1") < F.col("d2"))

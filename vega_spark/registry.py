@@ -7954,18 +7954,24 @@ WITH tf AS (
   GROUP BY 1, 2),
 nd AS (SELECT COUNT(*) AS n FROM documents),
 dft AS (
-  SELECT t, CAST(ROUND(LN(CAST(n AS DOUBLE) / df) * 1000, 0) AS BIGINT)
+  SELECT t, df,
+         CAST(ROUND(LN(CAST(n AS DOUBLE) / df) * 1000, 0) AS BIGINT)
          AS idf_q
   FROM (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1) d
   CROSS JOIN nd
   WHERE df <= LEAST(CAST(CEIL(n * 0.1) AS BIGINT), 1000)),
 w AS (
-  SELECT doc, tf.t, tf.tf * idf_q AS w
+  SELECT doc, tf.t, df, tf.tf * idf_q AS w
   FROM tf JOIN dft ON tf.t = dft.t),
 norms AS (SELECT doc, SUM(w * w) AS n2 FROM w GROUP BY 1),
+wj AS (
+  SELECT doc, t, w FROM w
+  WHERE df <= 512
+     OR ('0x' || substr(md5(t || ':' || CAST(doc AS VARCHAR)), 1, 8))
+        ::BIGINT % df < 512),
 dots AS (
   SELECT a.doc AS d1, b.doc AS d2, SUM(a.w * b.w) AS dot
-  FROM w a JOIN w b ON a.t = b.t AND a.doc < b.doc
+  FROM wj a JOIN wj b ON a.t = b.t AND a.doc < b.doc
   GROUP BY 1, 2)
 SELECT d1, d2,
        ROUND(CAST(dot AS DOUBLE)
@@ -7983,11 +7989,20 @@ def sparse_cosine_doc_pairs_q(spark, sf_dir):
     85x wall for 10x data; the absolute cap is what keeps the term
     join linear, see sparse_cosine_pairs). Exact integerized weights
     so the oracle replays every dot product bit-for-bit; the oracle's
-    dft CTE mirrors the LEAST(ceil(0.1n), 1000) threshold."""
+    dft CTE mirrors the LEAST(ceil(0.1n), 1000) threshold.
+
+    r8 (VERDICT r7 #4): band_df=512 bounds the pre-cap Zipf band —
+    terms with df in (512, 1000] enter the pair join through a
+    deterministic md5-residue down-sample (~512 postings/term, see
+    sparse_cosine_pairs), so per-term pair fan-out is bounded by
+    C(512,2) instead of growing as df² across the decade. The
+    oracle's wj CTE replays the identical 32-bit-md5 rule; at the
+    driver SFs the cut is <= 500 so the band NEVER fires and the
+    green hash is bit-identical to the r5 contract."""
     from vega_spark.functions.search import sparse_cosine_pairs
     docs = _t(spark, sf_dir, "documents")
     return sparse_cosine_pairs(docs, "text", max_df_frac=0.1,
-                               max_df=1000, top=20)
+                               max_df=1000, band_df=512, top=20)
 
 
 def _sparse_cosine_guard_diag(spark, sf_dir):
