@@ -136,6 +136,38 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
     (the k-means/PageRank iteration discipline)."""
     items = ratings.select(F.col(item_col)).distinct()
     yi = _init_factors(items, item_col, rank, seed).localCheckpoint()
+    # Two co-partitioned ratings copies (r8, the MLlib in/out-block
+    # discipline): a half-step is broadcast-join (narrow, preserves
+    # the stream side's partitioning) then groupBy(solve_key) — but
+    # ratings arrives partitioned by (user, item), where one entity's
+    # ~30 interactions scatter across every partition, so the partial
+    # aggregate holds ~1 row per key (useless) and the final agg
+    # re-shuffles the ENTIRE pre-agg stream (21 sufficient-statistic
+    # columns x 60M rows ≈ 10 GB per half-step at the 100x smoke).
+    # Pre-partitioning each copy on its solve key makes every
+    # half-step exchange-free: localCheckpoint preserves the physical
+    # output partitioning, so the groupBy's ClusteredDistribution is
+    # already satisfied. Two shuffles paid once instead of 10 GB per
+    # half-step; skipped when ratings is small enough that the extra
+    # materializations cost more than they save.
+    from vega_spark.session import pinned_conf, release_local_checkpoint
+    copart = ratings.count() > 5_000_000
+    if copart:
+        # AQE must be OFF while these checkpoints materialize: under
+        # AQE the captured physical plan is the adaptive wrapper,
+        # whose outputPartitioning reads as unknown, so the
+        # checkpointed scan loses its hash partitioning and every
+        # half-step re-inserts the exchange this copy exists to kill
+        # (verified on the executed plan both ways). AQE stays on for
+        # the half-steps themselves.
+        spark = ratings.sparkSession
+        with pinned_conf(spark, "spark.sql.adaptive.enabled", "false"):
+            r_user = (ratings.repartition(F.col(user_col))
+                      .localCheckpoint())
+            r_item = (ratings.repartition(F.col(item_col))
+                      .localCheckpoint())
+    else:
+        r_user = r_item = ratings
     # broadcast eligibility decided ONCE per run per side (r5 ADVICE:
     # a count per half-step is 2·iters extra jobs), and ONLY ever by
     # counting a just-checkpointed factor frame — row count == entity
@@ -147,15 +179,33 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
     bc_items = yi.count() <= _BCAST_FACTOR_ROWS
     bc_users: bool | None = None
     xu = None
+    # Release superseded factor checkpoints EAGERLY (r8): each
+    # alternation strands the previous round's factor blocks (plus
+    # the broadcast relations built from them) in the block manager
+    # until the ContextCleaner's weak-ref sweep happens to run after
+    # a JVM GC — at the 100x smoke that accumulated state made the
+    # SAME half-step swing 15s..112s. Deterministic unpersist keeps
+    # the heap flat across iterations; the new frame is always
+    # count()-materialized before its predecessor is dropped.
     for _ in range(iters):
-        xu = _solve_side(ratings, user_col, item_col, rating_col,
-                         yi, rank, reg,
-                         broadcast_fixed=bc_items).localCheckpoint()
+        xu_new = _solve_side(r_user, user_col, item_col, rating_col,
+                             yi, rank, reg,
+                             broadcast_fixed=bc_items).localCheckpoint()
+        n_users = xu_new.count()          # materialize before release
         if bc_users is None:
-            bc_users = xu.count() <= _BCAST_FACTOR_ROWS
-        yi = _solve_side(ratings, item_col, user_col, rating_col,
-                         xu, rank, reg,
-                         broadcast_fixed=bc_users).localCheckpoint()
+            bc_users = n_users <= _BCAST_FACTOR_ROWS
+        if xu is not None:
+            release_local_checkpoint(xu)
+        xu = xu_new
+        yi_new = _solve_side(r_item, item_col, user_col, rating_col,
+                             xu, rank, reg,
+                             broadcast_fixed=bc_users).localCheckpoint()
+        yi_new.count()                    # materialize before release
+        release_local_checkpoint(yi)
+        yi = yi_new
+    if copart:
+        release_local_checkpoint(r_user)
+        release_local_checkpoint(r_item)
     return xu, yi
 
 
