@@ -211,23 +211,27 @@ def test_sparse_cosine_band_df_inactive_is_exact(spark):
     assert sorted(map(tuple, exact)) == sorted(map(tuple, banded))
 
 
-def test_sparse_cosine_band_df_md5_residue_deterministic(spark):
-    # Active band: postings of a df>band_df term enter the pair join
-    # iff md5_32('t:doc') % df < band_df — replay the rule with
-    # hashlib and pin the surviving pair set exactly (the oracle's
+def test_sparse_cosine_band_df_md5_subbucket_deterministic(spark):
+    # Active band: a df>band_df term's postings are hash-partitioned
+    # into ceil(df/band_df) sub-buckets via md5_32('t:doc') and pair
+    # only within a sub-bucket — replay the assignment with hashlib
+    # and pin the surviving pair set exactly (the oracle's
     # ('0x'||substr(md5(..),1,8))::BIGINT replays the same residue)
     import hashlib
+    import math
     from itertools import combinations
 
     from vega_spark.functions.search import sparse_cosine_pairs
     rows = [(i, f"zz u{i}") for i in range(10)] \
         + [(i, f"yy u{i}") for i in (10, 11)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    kept = [d for d in range(10)
-            if int(hashlib.md5(f"zz:{d}".encode())
-                   .hexdigest()[:8], 16) % 10 < 3]
-    assert 1 <= len(kept) < 10  # the rule actually thins this corpus
-    want = {tuple(p) for p in combinations(kept, 2)} | {(10, 11)}
+    n_sub = math.ceil(10 / 3)            # df=10, band_df=3 -> 4
+    sub = {d: int(hashlib.md5(f"zz:{d}".encode())
+                  .hexdigest()[:8], 16) % n_sub for d in range(10)}
+    want = {(i, j) for i, j in combinations(range(10), 2)
+            if sub[i] == sub[j]} | {(10, 11)}  # yy: df=2 <= 3, exact
+    assert want != {tuple(p) for p in combinations(range(10), 2)} | \
+        {(10, 11)}                      # the rule actually prunes
     got = {(r.d1, r.d2) for r in sparse_cosine_pairs(
         df, "text", max_df_frac=1.0, band_df=3, top=100).collect()}
     assert got == want

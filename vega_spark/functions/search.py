@@ -122,23 +122,29 @@ def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
     The effective threshold is min(ceil(frac·N), max_df).
 
     ``band_df`` (r8, VERDICT r7 #4) bounds the PRE-CAP Zipf band
-    structurally: terms with df in (band_df, cut] survive the cap but
-    still grow their pair fan-out as df² while their df climbs toward
-    the cap — the measured in-decade super-linearity at the 1000x
-    smoke (303.5s for 3.33x data over 300x) lived entirely in this
-    band. The rule: a posting (t, doc) of a term with df > band_df
-    enters the PAIR JOIN only if ``md5_32(t:doc) % df < band_df`` — a
-    deterministic, engine-replayable rank-proportional down-sample
-    keeping ~band_df postings per term, so EVERY term's expected pair
-    fan-out is bounded by C(band_df, 2) and total pair work grows
-    with vocabulary (Heaps-sublinear), not with df². Norms stay EXACT
-    (every term weights its documents' denominators); dots for
-    banded terms are a documented under-estimate — these are the
-    LOWEST-idf survivors, so top-pair ranking on natural corpora is
-    driven by the exact sub-band tier. Inactive (bit-identical
-    output) whenever no surviving term exceeds band_df — the LIBRARY
-    default is ``None`` (exact); the registry ships band_df=512,
-    which at the test SFs (cut <= 500) provably never fires.
+    structurally with a PER-TERM PAIR BUDGET ∝ df: a term with
+    df > band_df has its postings hash-partitioned into
+    ``ceil(df / band_df)`` sub-buckets (``md5_32(t:doc) %
+    n_buckets`` — deterministic, engine-replayable) and the pair
+    join runs within (term, sub-bucket), so its pair fan-out falls
+    from C(df, 2) to ~df·band_df/2 while EVERY posting still enters
+    the join. Measured decomposition at the 1000x smoke: terms with
+    df in (64, 1000] held 372M of the 400M candidate pairs from only
+    2.4M postings — exactly the df² band a fixed thin-to-K cap can't
+    bound (the quadratic just re-forms below K). With the budget,
+    total pair work is Σ df·band_df/2 ∝ postings — linear in corpus
+    size with constant band_df/2. Norms stay EXACT (every term
+    weights its documents' denominators); dots for banded terms are
+    a documented under-estimate (a pair loses a banded term's
+    contribution when the two postings land in different
+    sub-buckets) — these are the lowest-idf survivors, and true
+    near-dup pairs co-rank on the exact df <= band_df tier.
+    Inactive (bit-identical output) whenever no surviving term
+    exceeds band_df. The LIBRARY default is ``None`` (exact); the
+    registry ships band_df=64 with the identical rule mirrored in
+    its DuckDB oracle, so both engines replay the same sub-bucket
+    assignment bit for bit at every SF (band_df a power of two keeps
+    ceil(df/band_df) exact in both engines' double division).
 
     Determinism: idf is integerized once per term
     (round(ln(N/df)·idf_scale)), so every weight, dot product and
@@ -172,19 +178,25 @@ def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
     # this halves the postings frame the pair join shuffles, exactly.
     wj = w.filter(F.col("df") >= 2)
     if band_df is not None:
-        # rank-proportional posting down-sample for the pair join
-        # (band_df docstring above): keep ~band_df postings per
-        # banded term via a 32-bit md5 residue — the identical
-        # '0x'||substr(md5(..),1,8) expression DuckDB evaluates, so
-        # the oracle replays the rule bit-for-bit when it fires
+        # per-term pair budget (band_df docstring above): banded
+        # terms' postings split into ceil(df/band_df) md5-keyed
+        # sub-buckets; the '0x'||substr(md5(..),1,8) residue is the
+        # identical expression DuckDB evaluates, so the oracle
+        # replays the assignment bit-for-bit when it fires
         h32 = F.conv(F.substring(F.md5(F.concat_ws(
             ":", F.col("t"), F.col("doc").cast("string"))), 1, 8),
             16, 10).cast("long")
-        wj = wj.filter((F.col("df") <= band_df)
-                       | (h32 % F.col("df") < band_df))
-    a = wj.select(F.col("doc").alias("d1"), "t", F.col("w").alias("w1"))
-    b = wj.select(F.col("doc").alias("d2"), "t", F.col("w").alias("w2"))
-    dots = (a.join(b, "t").filter(F.col("d1") < F.col("d2"))
+        n_sub = F.ceil(F.col("df") / F.lit(band_df)).cast("long")
+        wj = wj.withColumn(
+            "sub", F.when(F.col("df") <= band_df, F.lit(0))
+            .otherwise(h32 % n_sub))
+    else:
+        wj = wj.withColumn("sub", F.lit(0))
+    a = wj.select(F.col("doc").alias("d1"), "t", "sub",
+                  F.col("w").alias("w1"))
+    b = wj.select(F.col("doc").alias("d2"), "t", "sub",
+                  F.col("w").alias("w2"))
+    dots = (a.join(b, ["t", "sub"]).filter(F.col("d1") < F.col("d2"))
             .groupBy("d1", "d2")
             .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot")))
     cos = (F.col("dot").cast("double")
