@@ -194,12 +194,18 @@ _PRIORITY = [
 # via _RECHECK_NEXT below, which only takes effect once debt is 0.
 _RECHECK: set[str] = set()
 
-# Queries whose contract changed in r7 — they are green-but-stale and
-# must jump the rotation queue in the FIRST post-debt window (r8).
-# queries() folds these into _RECHECK automatically once no
-# never-checked queries remain, so the current window is never
-# diluted while debt is outstanding.
-_RECHECK_NEXT: set[str] = {"geo_copresence_users"}
+# Queries whose contract changed since their last green driver row —
+# they are green-but-stale and must jump the rotation queue in the
+# FIRST post-debt window. queries() folds these into _RECHECK
+# automatically once no never-checked queries remain, so a window is
+# never diluted while debt is outstanding.
+# r8 additions: sparse_cosine_doc_pairs (band_df=64 pair budget, new
+# oracle wj CTE — inactive at the sf0.01 compare SF but the contract
+# text changed) and als_recommend_parts (co-partitioned training +
+# recommend seen-set rework; rows-only check, output rows unchanged).
+_RECHECK_NEXT: set[str] = {"geo_copresence_users",
+                           "sparse_cosine_doc_pairs",
+                           "als_recommend_parts"}
 
 
 def _driver_rows() -> dict[str, dict]:
