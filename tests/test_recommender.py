@@ -60,3 +60,23 @@ def test_als_determinism_and_recommendations(spark):
     assert len(rows) == 4
     assert all(r.item >= 25 for r in rows)
     assert all(r.rk in (1, 2) for r in rows)
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    # r8: iterative operators must release superseded checkpoints
+    # deterministically (ALS half-steps swung 15s..112s at the 100x
+    # smoke from accumulated block-manager state). Pin the helper's
+    # contract: blocks present after localCheckpoint, gone after
+    # release, and a non-checkpoint frame is a safe no-op.
+    from vega_spark.session import release_local_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(10000).selectExpr("id", "id * 2 AS y") \
+        .localCheckpoint()
+    df.count()
+    assert jsc.getPersistentRDDs().size() == before + 1
+    release_local_checkpoint(df)
+    assert jsc.getPersistentRDDs().size() == before
+    # no-op on a plain frame
+    release_local_checkpoint(spark.range(10))
