@@ -721,6 +721,43 @@ def gen_outer_join_pushdown_query(rng: random.Random) -> str:
             f"GROUP BY 1")
 
 
+def gen_interval_arith_query(rng: random.Random) -> str:
+    """INTERVAL arithmetic (19th generator, r8 — the third dialect
+    corner VERDICT r7 #7 named): timestamp ± INTERVAL n
+    DAY/HOUR/MINUTE/MONTH as EXTRACT group keys, WHERE bounds
+    against TIMESTAMP literals, and MIN/MAX of shifted timestamps —
+    sweeps month-end clamping (Jan 31 + 1 MONTH), hour/minute carry
+    across day boundaries, and negative shifts. o_orderdate is
+    wall-clock (timestamp[us], read NTZ; session TZ pinned UTC on
+    both engines) so every shift is exact calendar arithmetic."""
+    unit = rng.choice(["DAY", "HOUR", "MINUTE", "MONTH"])
+    n = rng.randrange(1, {"DAY": 45, "HOUR": 72, "MINUTE": 2000,
+                          "MONTH": 14}[unit])
+    sign = rng.choice(["+", "-"])
+    shifted = f"(o_orderdate {sign} INTERVAL {n} {unit})"
+    keys = []
+    if rng.random() < 0.8:
+        part = rng.choice(["YEAR", "MONTH", "DAY", "HOUR"])
+        keys.append(f"EXTRACT({part} FROM {shifted}) AS g0")
+    aggs = ["COUNT(*) AS a0", f"MIN({shifted}) AS a1",
+            f"MAX({shifted}) AS a2"]
+    if rng.random() < 0.5:
+        m = rng.randrange(1, 12)
+        # month-end clamp trap: distinct month-of shifted dates
+        aggs.append(f"COUNT(DISTINCT EXTRACT(MONTH FROM o_orderdate "
+                    f"+ INTERVAL {m} MONTH)) AS a3")
+    sql = f"SELECT {', '.join(keys + aggs)} FROM orders"
+    if rng.random() < 0.7:
+        ts = (f"TIMESTAMP '202{rng.randrange(0, 6)}-"
+              f"{rng.randrange(1, 13):02d}-"
+              f"{rng.randrange(1, 28):02d} "
+              f"{rng.randrange(0, 24):02d}:00:00'")
+        sql += f" WHERE {shifted} {rng.choice(CMP_OPS)} {ts}"
+    if keys:
+        sql += " GROUP BY g0"
+    return sql
+
+
 def gen_nested_query(rng: random.Random):
     """ARRAY/STRUCT + explode + higher-order-function shapes (r4
     verdict #5): the LLM tier leans on tokens/shingles/embeddings —
@@ -1025,7 +1062,8 @@ def main() -> int:
             gen_nested_query, gen_map_null_query, gen_range_frame_query,
             gen_pivot_query, gen_decimal_arith_query,
             gen_timestamp_tz_query, gen_grouping_sets_query,
-            gen_select_scalar_subquery, gen_outer_join_pushdown_query]
+            gen_select_scalar_subquery, gen_outer_join_pushdown_query,
+            gen_interval_arith_query]
     if len(sys.argv) > 4:
         gens = [g for g in gens if sys.argv[4] in g.__name__]
         assert gens, f"no generator matches {sys.argv[4]!r}"

@@ -8052,6 +8052,21 @@ SCALE_NOTES["dedup_simhash"] = (
     "corpus v4). Residual hot buckets are identical-fingerprint "
     "boilerplate cliques — max_bucket caps them; exact-dedup "
     "upstream is the production answer")
+SCALE_NOTES["fuzzy_match_suppliers"] = (
+    "ADJUDICATED quadratic band (r8): per-gram candidates grow as "
+    "sum C(df,2) and gram df grows ~linearly with rows on a short "
+    "fixed-alphabet key population (36^3 gram space saturates — v4 "
+    "diagnostic: avg df ~34 at 300x, 40.3x wall). Unlike "
+    "sparse-cosine, the sub-bucket budget is NOT applicable: fuzzy "
+    "match promises EXACT recall of every within-distance pair "
+    "(q-gram lemma), and both classical tighteners degenerate here "
+    "— length filtering (all keys same length) and Ed-Join prefix "
+    "filtering (7-char strings have ~5 grams < the kq+1=7 prefix). "
+    "Raising q to 4 breaks the lemma for len-7/dist-2 pairs. The "
+    "max_gram_freq=1000 cap is the asymptotic bound (reached ~30x "
+    "beyond the 300x smoke) and exact-dedup of identical keys "
+    "upstream is the production answer — same doctrine as simhash's "
+    "boilerplate cliques")
 
 
 @_q("streaming_interval_join_pairs", """
