@@ -74,6 +74,14 @@ def get_session(
         # events.parquet stores timestamp[ns]; Spark 4 rejects NANOS
         # unless read as raw int64 (we do wall-clock integer math on it)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the generated-class cache defaults to 100 entries JVM-wide;
+        # a session that runs hundreds of distinct plans (the
+        # 214-query bench, the 322-query oracle sweep, any real
+        # multi-query workload) thrashes it and re-Janino-compiles
+        # evicted stages — one suspected driver of the mega-session
+        # tax (queries timing 1.2-3x their fresh-session floor).
+        # Read once at first codegen, so it must be set at build time.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -91,6 +99,10 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # JVM-wide generated-class cache (see get_session): sized
+        # before the session's first codegen, which is after this
+        # runs inside entry()/queries()
+        "spark.sql.codegen.cache.maxEntries": "2000",
     }.items():
         try:
             spark.conf.set(k, v)
