@@ -8052,6 +8052,17 @@ SCALE_NOTES["dedup_simhash"] = (
     "corpus v4). Residual hot buckets are identical-fingerprint "
     "boilerplate cliques — max_bucket caps them; exact-dedup "
     "upstream is the production answer")
+SCALE_NOTES["als_recommend_parts"] = (
+    "r8: eager checkpoint release + MLlib-style co-partitioned "
+    "ratings copies make every half-step exchange-free — 14.7x at "
+    "the 100x smoke (was 46.6x). The co-partition trade: 3 ratings "
+    "copies pinned in storage, so the SINGLE-JVM working set is "
+    "~3x the fact table; at 300x (180M ratings, ~20+ GB decoded vs "
+    "a 16 GiB heap) local[32] OOMs and local[16] completes "
+    "disk-spill-bound (1363.8s — the measured one-JVM floor, "
+    "recorded in BENCH_scale_300x.json). At cluster scale the "
+    "copies are the point: network-shuffle per half-step is what "
+    "they remove, and executor memory is sized per conf_for_scale")
 SCALE_NOTES["fuzzy_match_suppliers"] = (
     "ADJUDICATED quadratic band (r8): per-gram candidates grow as "
     "sum C(df,2) and gram df grows ~linearly with rows on a short "
