@@ -199,13 +199,11 @@ _RECHECK: set[str] = set()
 # FIRST post-debt window. queries() folds these into _RECHECK
 # automatically once no never-checked queries remain, so a window is
 # never diluted while debt is outstanding.
-# r8 additions: sparse_cosine_doc_pairs (band_df=64 pair budget, new
-# oracle wj CTE — inactive at the sf0.01 compare SF but the contract
-# text changed) and als_recommend_parts (co-partitioned training +
-# recommend seen-set rework; rows-only check, output rows unchanged).
-_RECHECK_NEXT: set[str] = {"geo_copresence_users",
-                           "sparse_cosine_doc_pairs",
-                           "als_recommend_parts"}
+# r9: the r8 set (geo_copresence_users, sparse_cosine_doc_pairs,
+# als_recommend_parts) landed green r8 rows against the changed
+# contracts and rotates out. This round's in-round contract changes
+# are queued here as they land.
+_RECHECK_NEXT: set[str] = set()
 
 
 def _driver_rows() -> dict[str, dict]:

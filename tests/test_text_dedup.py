@@ -111,18 +111,25 @@ def test_simhash_identical_and_near(spark):
 
 
 def test_simhash_max_hamming_validated(spark):
-    # r8 (ADVICE): budgets past 13 would clamp n_blocks at 16 and
-    # degenerate (h=16: single zero-key table = full cross join;
-    # h>16: plan-time ValueError from combinations). Must raise a
-    # CLEAR error at plan time instead.
+    # r9 (ADVICE): with B clamped at 16 blocks the pigeonhole
+    # guarantee holds for any h <= 15 (combination keys of 2 or 1
+    # blocks at h = 14/15); only h >= 16 degenerates to a zero-width
+    # key (full cross join) and must raise a CLEAR plan-time error.
     import pytest
 
     df = docs(spark, _corpus(3))
-    for bad in (14, 16, 17, -1):
+    for bad in (16, 17, -1):
         with pytest.raises(ValueError, match="max_hamming"):
             D.simhash_near_pairs(df, "text", "doc_id", max_hamming=bad)
-    # 13 is the last valid budget: B=16 blocks, C(16,3) tables — legal
-    D.simhash_near_pairs(df, "text", "doc_id", max_hamming=13)
+    # 14 and 15 are legal (B = 16, C(16,2)/C(16,1) tables) and the
+    # pigeonhole must still catch an exact duplicate (hamming 0)
+    texts = _corpus(3)
+    dup = docs(spark, texts + [texts[0]])
+    for h in (13, 14, 15):
+        got = {(r.doc_a, r.doc_b)
+               for r in D.simhash_near_pairs(
+                   dup, "text", "doc_id", max_hamming=h).collect()}
+        assert (0, 3) in got
 
 
 def test_simhash_hot_chunk_cap(spark):

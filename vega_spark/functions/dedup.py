@@ -573,18 +573,21 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     # IDENTICAL: both schemes' candidate sets contain every
     # within-budget pair (pigeonhole) and the hamming filter keeps
     # exactly those, so the final pair set is the same.
-    if not 0 <= max_hamming <= 13:
-        # r8 (ADVICE): beyond 13 the B=h+3 block count would clamp at
-        # 16, degrading to a single zero-width key (h=16: one empty
-        # combination -> full cross join) or a plan-time ValueError
-        # from combinations(range(16), <0). Fail loudly instead: a
-        # hamming budget past 13/64 bits is not near-duplicate
-        # detection anyway.
+    if not 0 <= max_hamming <= 15:
+        # r9 (ADVICE): the pigeonhole guarantee holds for any
+        # h <= B - 1 = 15 with B clamped at 16 blocks (combination
+        # keys of 2 or 1 blocks for h = 14/15). Only h >= 16 truly
+        # degenerates: B - h <= 0 leaves a zero-width combination —
+        # one empty key, i.e. a full cross join. Fail loudly there;
+        # 14/15 are legal (if expensive: 1-2 block keys are only
+        # 4-8 bits wide, so chance collisions grow as n^2/2^5..2^9 —
+        # callers on large corpora should pair them with max_bucket).
         raise ValueError(
-            f"max_hamming must be in [0, 13], got {max_hamming}: "
-            "n_blocks = max_hamming + 3 must not exceed 16 or the "
-            "combination keys degenerate to a cross join")
-    n_blocks = max_hamming + 3
+            f"max_hamming must be in [0, 15], got {max_hamming}: "
+            "at >= 16 the combination keys are zero-width (B - h "
+            "<= 0 with B = 16 blocks) and the candidate join "
+            "degenerates to a full cross join")
+    n_blocks = min(max_hamming + 3, 16)
     bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     widths = [bounds[i + 1] - bounds[i] for i in range(n_blocks)]
     block = [F.shiftright(F.col("fp"), bounds[i])

@@ -128,12 +128,19 @@ def _solve_side(ratings: DataFrame, solve_key: str, fixed_key: str,
 def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
                  rating_col: str, rank: int = 4, iters: int = 3,
                  reg: float = 0.1,
-                 seed: str = "als") -> tuple[DataFrame, DataFrame]:
+                 seed: str = "als",
+                 copart: bool | None = None) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` alternations; returns (user_factors,
     item_factors) as (id, f array<double>) frames. Caller should
     cache/localCheckpoint the ratings frame; factor frames are
     localCheckpointed each alternation to cut the growing lineage
-    (the k-means/PageRank iteration discipline)."""
+    (the k-means/PageRank iteration discipline).
+
+    ``copart`` pre-decides whether to build the two co-partitioned
+    ratings copies (see inline note). r9 (ADVICE): pass it when the
+    caller already knows the input scale — the ``None`` fallback
+    counts the ratings frame, one full scan of the fact table that
+    tiny inputs shouldn't pay just to learn the answer is False."""
     items = ratings.select(F.col(item_col)).distinct()
     yi = _init_factors(items, item_col, rank, seed).localCheckpoint()
     # Two co-partitioned ratings copies (r8, the MLlib in/out-block
@@ -151,7 +158,8 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
     # half-step; skipped when ratings is small enough that the extra
     # materializations cost more than they save.
     from vega_spark.session import pinned_conf, release_local_checkpoint
-    copart = ratings.count() > 5_000_000
+    if copart is None:
+        copart = ratings.count() > 5_000_000
     if copart:
         # AQE must be OFF while these checkpoints materialize: under
         # AQE the captured physical plan is the adaptive wrapper,

@@ -157,6 +157,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _meta_rows(sf_dir: str, name: str) -> int | None:
+    """Table row count from parquet FOOTER metadata — zero Spark
+    jobs, milliseconds. Used to pre-decide scale-dependent plan
+    choices (e.g. als_explicit's ``copart`` hint, r9 ADVICE) without
+    paying a count job on tiny inputs. Returns None when the footer
+    can't be read (caller falls back to its own counting)."""
+    import os
+
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            import pyarrow.dataset as pads
+            # count_rows() with no filter is a pure footer-metadata
+            # sum for parquet datasets — no column data is read
+            return pads.dataset(path, format="parquet").count_rows()
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the reference's de-facto benchmark query (weblog shape):
 # avg(value) grouped by (category, hour-of-day) — examples/file_read.rs:13-29
@@ -6936,8 +6957,13 @@ def als_recommend_parts_q(spark, sf_dir):
                         F.col("l_partkey").alias("item"))
                .agg(F.sum("l_quantity").alias("r"))
                .localCheckpoint())
+    # copart hint from the fact table's parquet footer (ratings rows
+    # <= lineitem rows): no count job on small SFs (r9, ADVICE)
+    li_rows = _meta_rows(sf_dir, "lineitem")
     xu, yi = als_explicit(ratings, "user", "item", "r",
-                          rank=4, iters=2, reg=0.1)
+                          rank=4, iters=2, reg=0.1,
+                          copart=None if li_rows is None
+                          else li_rows > 5_000_000)
     users = ratings.select("user").distinct().filter(F.col("user") < 25)
     recs = recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
 
@@ -6983,8 +7009,11 @@ def als_recommend_parts_op(spark, sf_dir):
                         F.col("l_partkey").alias("item"))
                .agg(F.sum("l_quantity").alias("r"))
                .localCheckpoint())
+    li_rows = _meta_rows(sf_dir, "lineitem")
     xu, yi = als_explicit(ratings, "user", "item", "r",
-                          rank=4, iters=2, reg=0.1)
+                          rank=4, iters=2, reg=0.1,
+                          copart=None if li_rows is None
+                          else li_rows > 5_000_000)
     users = ratings.select("user").distinct().filter(F.col("user") < 25)
     return recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
 
@@ -8292,9 +8321,30 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
                             & F.col("view_id").isNull()).count())
         if _n_null() == 0:
             q.processAllAvailable()
-            assert _n_null() > 0, (
-                "streaming LOJ outer flush missing: no null-extended "
-                "rows in the memory sink after drain")
+            if _n_null() == 0:
+                # r9 (ADVICE): zero null-extended rows is
+                # data-dependent — legitimate when every click has a
+                # same-user view inside the interval. Only fail after
+                # the batch-side anti-join proves unmatched clicks
+                # exist (every base click's window IS finalized here:
+                # the advancer sits 4h past max ts vs a 30min bound +
+                # 10min delay). Rare path: the check runs only when
+                # the sink read zero nulls twice.
+                cb = base.filter(F.col("event_type") == "click") \
+                    .select("user_id", F.col("ts").alias("cts"))
+                vb = base.filter(F.col("event_type") == "view") \
+                    .select(F.col("user_id").alias("vu"),
+                            F.col("ts").alias("vts"))
+                expected = cb.join(
+                    vb, (F.col("user_id") == F.col("vu"))
+                    & (F.col("vts") >= F.col("cts"))
+                    & (F.col("vts") <= F.col("cts")
+                       + F.expr("INTERVAL 30 MINUTES")),
+                    "left_anti").count()
+                assert expected == 0, (
+                    "streaming LOJ outer flush missing: batch side "
+                    f"expects {expected} null-extended rows, memory "
+                    "sink has none after drain")
         q.stop()
     return (spark.table(name).filter(F.col("user_id") >= 0)
             .groupBy("user_id")

@@ -80,8 +80,13 @@ def get_session(
         # multi-query workload) thrashes it and re-Janino-compiles
         # evicted stages — one suspected driver of the mega-session
         # tax (queries timing 1.2-3x their fresh-session floor).
-        # Read once at first codegen, so it must be set at build time.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # STATIC conf: read once at JVM start, so it binds ONLY here
+        # (builder time) — ensure_engine_conf cannot set it on an
+        # externally provided session (r9, ADVICE). 8000 not 2000:
+        # 214 bench queries x ~15-40 codegen units each can exceed
+        # 2000 distinct generated classes, and entries are cheap
+        # (class metadata refs, not compiled-code copies).
+        .config("spark.sql.codegen.cache.maxEntries", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -93,21 +98,47 @@ def get_session(
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine confs to an externally
     provided session (the driver passes its own session to
-    ``__spark_entry__.entry``/``queries``)."""
+    ``__spark_entry__.entry``/``queries``).
+
+    r9 (ADVICE): ``spark.sql.codegen.cache.maxEntries`` is a
+    StaticSQLConf in Spark 4.1 — ``spark.conf.set`` on a live session
+    ALWAYS raises, so an externally provided session keeps whatever
+    its builder pinned (the 100-entry default unless the caller used
+    ``get_session``). We read every conf back after setting and warn
+    once per session when a value could not be applied, instead of
+    silently passing: a mega-session-tax adjudication must know
+    which path the cache sizing actually bound on."""
+    import warnings
     for k, v in {
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        # JVM-wide generated-class cache (see get_session): sized
-        # before the session's first codegen, which is after this
-        # runs inside entry()/queries()
-        "spark.sql.codegen.cache.maxEntries": "2000",
+        # static conf — set attempt below always fails on a live
+        # session; kept in the map so the read-back WARNS when an
+        # external session runs with the 100-entry default
+        "spark.sql.codegen.cache.maxEntries": "8000",
     }.items():
         try:
             spark.conf.set(k, v)
-        except Exception:  # static conf in this session — accept as-is
-            pass
+        except Exception:
+            pass  # static conf — verified by the read-back below
+        try:
+            applied = spark.conf.get(k, None)
+        except Exception:
+            applied = None
+        if applied != v:
+            warned = getattr(spark, "_vega_conf_warned", set())
+            if k not in warned:
+                warnings.warn(
+                    f"engine conf {k}={v!r} could not be applied to "
+                    f"this session (static conf; effective value "
+                    f"{applied!r}). Mega-session workloads on this "
+                    f"session may pay codegen-cache eviction; build "
+                    f"sessions via vega_spark.session.get_session to "
+                    f"bind static confs.", stacklevel=2)
+                warned.add(k)
+                spark._vega_conf_warned = warned
     return spark
 
 
