@@ -44,6 +44,51 @@ def test_stop_gram_cap_prunes_universal_grams(spark):
     assert len(loose) > 0     # with a permissive cap the pairs appear
 
 
+def test_banded_mode_inactive_is_bit_identical(spark):
+    # band_gram_df larger than every gram df: the sub column is all
+    # zeros, so the banded plan must return EXACTLY the exact mode's
+    # pairs (same inactive-rule contract as sparse_cosine's band_df)
+    rows = [(1, "red widget"), (2, "red widgets"), (3, "red wadget"),
+            (4, "blue bolt"), (5, "red widget")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    exact = {(r.id_a, r.id_b, r.dist) for r in
+             Z.fuzzy_self_pairs(df, "name", "id", max_dist=2).collect()}
+    banded = {(r.id_a, r.id_b, r.dist) for r in
+              Z.fuzzy_self_pairs(df, "name", "id", max_dist=2,
+                                 band_gram_df=100).collect()}
+    assert banded == exact
+
+
+def test_banded_recall(spark):
+    # r9 (VERDICT r8 #4): the banded escape hatch trades the q-gram
+    # lemma's exact recall for a per-gram pair budget — recall must
+    # be MEASURED, and on a name population whose pairs share many
+    # grams it must stay high. 200 names in 100 edit-distance-1
+    # pairs over a deliberately saturated gram space (shared stem):
+    # band_gram_df=4 splits the hot stem grams into many sub-buckets.
+    rows = []
+    for i in range(100):
+        stem = f"acme{i:03d}supply"
+        rows.append((2 * i, stem + "a"))
+        rows.append((2 * i + 1, stem + "b"))   # dist 1 from partner
+    df = spark.createDataFrame(rows, "id long, name string")
+    exact = {(r.id_a, r.id_b) for r in
+             Z.fuzzy_self_pairs(df, "name", "id", max_dist=1,
+                                max_gram_freq=1000).collect()}
+    banded = {(r.id_a, r.id_b) for r in
+              Z.fuzzy_self_pairs(df, "name", "id", max_dist=1,
+                                 max_gram_freq=1000,
+                                 band_gram_df=4).collect()}
+    assert banded <= exact            # never invents pairs
+    truth = {(2 * i, 2 * i + 1) for i in range(100)}
+    assert truth <= exact             # exact mode keeps the lemma
+    recall = len(banded & truth) / len(truth)
+    # each true pair shares ~12 grams; even with every gram banded
+    # into ~25 sub-buckets the miss probability per pair is
+    # (1 - 1/n_sub)^m — recall stays well above this floor
+    assert recall >= 0.9, f"banded recall {recall}"
+
+
 def test_resolve_entities_survivorship(spark):
     rows = [
         (1, "acme corp", 10, 5.0),

@@ -2061,6 +2061,62 @@ def fuzzy_match_suppliers_q(spark, sf_dir):
                  F.min("dist").alias("min_dist")))
 
 
+@_q("fuzzy_match_suppliers_banded", """
+WITH n AS (SELECT s_suppkey AS id, lower(s_name) AS s FROM supplier),
+g0 AS (SELECT id, s,
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(s) - 2, 1)),
+          i -> substr(s, i, 3))) AS grams FROM n),
+g AS (SELECT id, s, unnest(grams) AS gram FROM g0),
+freq AS (SELECT gram, COUNT(*) AS df_ FROM g GROUP BY 1),
+gg AS (SELECT g.id, g.s, g.gram, freq.df_
+       FROM g JOIN freq USING (gram) WHERE df_ <= 50),
+gs AS (SELECT id, s, gram,
+        CASE WHEN df_ <= 16 THEN 0
+             ELSE ('0x' || substr(md5(gram || ':'
+                                      || CAST(id AS VARCHAR)), 1, 8))
+                  ::BIGINT
+                  % CAST(CEIL(CAST(df_ AS DOUBLE) / 16) AS BIGINT)
+        END AS sub
+       FROM gg),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.s AS s_a, b.s AS s_b
+         FROM gs a JOIN gs b
+           ON a.gram = b.gram AND a.sub = b.sub AND a.id < b.id),
+v AS (SELECT id_a, id_b, levenshtein(s_a, s_b) AS dist
+      FROM cand WHERE abs(len(s_a) - len(s_b)) <= 2),
+p AS (SELECT id_a, id_b, dist FROM v WHERE dist BETWEEN 1 AND 2),
+sym AS (SELECT id_a AS id, dist FROM p
+        UNION ALL SELECT id_b AS id, dist FROM p)
+SELECT id AS s_suppkey, COUNT(*) AS n_fuzzy, MIN(dist) AS min_dist
+FROM sym GROUP BY id
+""")
+def fuzzy_match_suppliers_banded_q(spark, sf_dir):
+    """The scale-safe fuzzy-match escape hatch (r9, VERDICT r8 #4):
+    same blocked fuzzy self-match as ``fuzzy_match_suppliers`` but
+    with ``band_gram_df=16`` — every gram's candidate fan-out is
+    budgeted to ~df·8 pairs via md5 sub-buckets (see
+    fuzzy_self_pairs), making total candidate work linear in
+    postings where the exact mode's Σ C(df, 2) band runs quadratic
+    on saturated gram alphabets (the adjudicated 40.3x at the 300x
+    smoke). Trades the q-gram lemma's exact recall for the budget;
+    recall vs the exact mode is measured in
+    tests/test_fuzzy.py::test_banded_recall and the scale smoke.
+    The oracle replays the gram cap AND the 32-bit-md5 sub-bucket
+    assignment bit for bit, so the driver checks the rule ACTIVE
+    wherever gram dfs exceed the band."""
+    from vega_spark.operators.fuzzy import fuzzy_self_pairs
+    sup = _t(spark, sf_dir, "supplier")
+    pairs = fuzzy_self_pairs(sup, "s_name", "s_suppkey",
+                             max_dist=2, min_dist=1, q=3,
+                             max_gram_freq=50, band_gram_df=16)
+    sym = (pairs.select(F.col("id_a").alias("id"), "dist")
+           .unionAll(pairs.select(F.col("id_b").alias("id"), "dist")))
+    return (sym.groupBy(F.col("id").alias("s_suppkey"))
+            .agg(F.count(F.lit(1)).alias("n_fuzzy"),
+                 F.min("dist").alias("min_dist")))
+
+
 @_q("pivot_unpivot_roundtrip", """
 WITH agg AS (
   SELECT l_returnflag,
@@ -8096,17 +8152,23 @@ SCALE_NOTES["fuzzy_match_suppliers"] = (
     "ADJUDICATED quadratic band (r8): per-gram candidates grow as "
     "sum C(df,2) and gram df grows ~linearly with rows on a short "
     "fixed-alphabet key population (36^3 gram space saturates — v4 "
-    "diagnostic: avg df ~34 at 300x, 40.3x wall). Unlike "
-    "sparse-cosine, the sub-bucket budget is NOT applicable: fuzzy "
-    "match promises EXACT recall of every within-distance pair "
-    "(q-gram lemma), and both classical tighteners degenerate here "
-    "— length filtering (all keys same length) and Ed-Join prefix "
-    "filtering (7-char strings have ~5 grams < the kq+1=7 prefix). "
-    "Raising q to 4 breaks the lemma for len-7/dist-2 pairs. The "
-    "max_gram_freq=1000 cap is the asymptotic bound (reached ~30x "
-    "beyond the 300x smoke) and exact-dedup of identical keys "
-    "upstream is the production answer — same doctrine as simhash's "
-    "boilerplate cliques")
+    "diagnostic: avg df ~34 at 300x, 40.3x wall). The EXACT mode "
+    "keeps the q-gram lemma's recall guarantee, and both classical "
+    "tighteners degenerate here — length filtering (all keys same "
+    "length) and Ed-Join prefix filtering (7-char strings have ~5 "
+    "grams < the kq+1=7 prefix); raising q to 4 breaks the lemma "
+    "for len-7/dist-2 pairs. The max_gram_freq=1000 cap is the "
+    "asymptotic bound and exact-dedup of identical keys upstream is "
+    "one production answer; the OTHER, in code since r9, is "
+    "fuzzy_match_suppliers_banded (band_gram_df sub-bucket budget, "
+    "pair work ∝ postings) for pipelines that accept measured "
+    "recall in exchange for linear scaling")
+SCALE_NOTES["fuzzy_match_suppliers_banded"] = (
+    "the scale path for the fuzzy-match quadratic band: per-gram "
+    "pair work budgeted at df*band/2 via md5 sub-buckets (mirrors "
+    "sparse_cosine band_df), so candidates are linear in postings "
+    "at ANY factor. Recall vs exact mode is measured, not assumed — "
+    "the smoke prints matched-pair recall alongside wall ratio")
 
 
 @_q("streaming_interval_join_pairs", """
