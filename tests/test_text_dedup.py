@@ -132,6 +132,57 @@ def test_simhash_max_hamming_validated(spark):
         assert (0, 3) in got
 
 
+def test_simhash_collapse_identical(spark):
+    # r9: 12 identical docs (one boilerplate clique) + the usual
+    # near-dup corpus. Collapsed output must be LINEAR in the clique
+    # (11 star edges, not C(12,2)=66 pairs) and its connected
+    # components must equal the exhaustive form's exactly.
+    texts = _corpus(10)
+    rows = texts + [texts[0]] * 12          # ids 20..31 identical to doc 0... plus doc 0
+    df = docs(spark, rows)
+    full = D.simhash_near_pairs(df, "text", "doc_id", max_hamming=3)
+    coll = D.simhash_near_pairs(df, "text", "doc_id", max_hamming=3,
+                                collapse_identical=True)
+    full_pairs = {(r.doc_a, r.doc_b) for r in full.collect()}
+    coll_rows = coll.collect()
+    coll_pairs = {(r.doc_a, r.doc_b) for r in coll_rows}
+    assert coll_pairs <= full_pairs          # spanning subset
+    # the clique {0, 20..31} contributes exactly 12 star edges (0 is
+    # the min-id rep) instead of C(13,2) = 78 exhaustive pairs
+    clique = {0} | set(range(20, 32))
+    stars = {(a, b) for a, b in coll_pairs if a in clique and b in clique}
+    assert stars == {(0, m) for m in range(20, 32)}
+    assert all(r.hamming == 0 for r in coll_rows
+               if (r.doc_a, r.doc_b) in stars)
+    # closure equality: components of both pair graphs are identical
+    cf = {(r.doc_id, r.component)
+          for r in D.connected_components(full).collect()}
+    cc = {(r.doc_id, r.component)
+          for r in D.connected_components(coll).collect()}
+    assert cf == cc
+
+
+def test_simhash_band_bucket(spark):
+    # r9: inactive budget (band larger than every bucket) must be
+    # bit-identical to the exact form; an active budget must return
+    # a subset that still catches planted exact/near dups with high
+    # probability (an exact dup shares all 20 combination buckets,
+    # so it survives banding unless every one of 20 independent
+    # sub-bucket draws separates the pair).
+    texts = _corpus(20)
+    df = docs(spark, texts + [texts[0]])
+    exact = {(r.doc_a, r.doc_b) for r in D.simhash_near_pairs(
+        df, "text", "doc_id", max_hamming=8).collect()}
+    inact = {(r.doc_a, r.doc_b) for r in D.simhash_near_pairs(
+        df, "text", "doc_id", max_hamming=8,
+        band_bucket=10_000).collect()}
+    assert inact == exact
+    act = {(r.doc_a, r.doc_b) for r in D.simhash_near_pairs(
+        df, "text", "doc_id", max_hamming=8, band_bucket=2).collect()}
+    assert act <= exact
+    assert (0, 30) in act        # exact dup: 20 chances to co-bucket
+
+
 def test_simhash_hot_chunk_cap(spark):
     # 40 identical docs: every (chunk, key) bucket holds all 40 ids.
     # With max_bucket=5 each bucket keeps ids 0..4 only, so candidate

@@ -902,6 +902,120 @@ def gen_nested_query(rng: random.Random):
             f"MIN({e1_d}) AS e FROM embeddings GROUP BY vec_id % {mod}")
 
 
+def gen_setop_coercion_query(rng: random.Random) -> str:
+    """Set-op TYPE COERCION shapes (r9, VERDICT r8 #7): UNION /
+    UNION ALL / INTERSECT / EXCEPT between branches whose column
+    types DIFFER — int vs bigint vs decimal(p, s) vs double — so the
+    engines must widen to a common type before comparing/deduping.
+    Silent-widening divergences (decimal rescale truncation vs
+    rounding, double equality after decimal->double, int-width
+    overflow in the widened branch) live exactly here.
+
+    Exactness by construction: every source value is an INTEGER
+    (orderkey/linenumber/qty casts, all < 2^31), so it is exactly
+    representable in every target type including double; the final
+    projection pins each output to a fixed type (BIGINT / exact
+    DECIMAL string) so the comparator checks VALUES, not the
+    engines' (legitimately different) result-type spellings."""
+    src = {
+        "k_int": "CAST(l_linenumber AS INTEGER)",
+        "k_big": "l_orderkey",
+        "k_qty": "CAST(l_quantity AS BIGINT)",
+    }
+    tgt = [
+        "DECIMAL(18,3)", "DECIMAL(12,0)", "DOUBLE", "BIGINT", "INTEGER",
+    ]
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    kl, kr = rng.choice(list(src.values())), rng.choice(list(src.values()))
+    tl, tr = rng.sample(tgt, 2)
+    lf = _gen_filters(rng, 2)
+    lw = (" WHERE " + " AND ".join(lf)) if lf else ""
+    rlim = rng.randrange(100, 15000)
+    left = f"SELECT CAST({kl} AS {tl}) AS k FROM lineitem{lw}"
+    right = (f"SELECT CAST({kr} AS {tr}) AS k FROM lineitem "
+             f"WHERE l_orderkey < {rlim}")
+    if rng.random() < 0.5:
+        left, right = right, left
+    # SUM stays exact: values are integers; the widened sum is cast
+    # to DECIMAL(38,6) then rendered as VARCHAR so both engines must
+    # agree on the digits, not on the type object
+    return (f"SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS d, "
+            f"CAST(CAST(MIN(k) AS DECIMAL(38,6)) AS VARCHAR) AS lo, "
+            f"CAST(CAST(MAX(k) AS DECIMAL(38,6)) AS VARCHAR) AS hi, "
+            f"CAST(CAST(SUM(k) AS DECIMAL(38,6)) AS VARCHAR) AS s "
+            f"FROM ({left} {op} {right}) t")
+
+
+def gen_window_null_order_query(rng: random.Random):
+    """Window null-ordering shapes (r9, VERDICT r8 #7): RANK /
+    DENSE_RANK / RANGE-framed aggregates over an ORDER BY key with
+    NULLIF-seeded NULLs and explicit NULLS FIRST / NULLS LAST — plus
+    the IMPLICIT-default case, where the Spark side omits the clause
+    and the DuckDB side states Spark's documented default (ASC ->
+    NULLS FIRST, DESC -> NULLS LAST; DuckDB's own default is NULLS
+    LAST for both). Getting this mapping wrong is exactly how a
+    hand-written DuckDB oracle silently diverges from a Spark window
+    query, so the fuzzer pins it on real data.
+
+    Determinism: only rank functions (tie-stable) and RANGE frames
+    (peer-aggregated, intra-tie order can't leak), and the window
+    values are aggregated down per group so row order never matters."""
+    gmod = rng.randrange(2, 5)
+    nmod = rng.randrange(2, 7)
+    nval = rng.randrange(0, nmod)
+    okey = f"NULLIF(l_orderkey % {nmod}, {nval})"
+    direction = rng.choice(["ASC", "DESC"])
+    explicit = rng.choice([None, "NULLS FIRST", "NULLS LAST"])
+    if explicit is None:
+        spark_no = ""   # Spark default under test
+        duck_no = (" NULLS FIRST" if direction == "ASC"
+                   else " NULLS LAST")
+    else:
+        spark_no = duck_no = " " + explicit
+    part = f"l_linenumber % {gmod}"
+    fn = rng.choice([
+        "RANK() OVER w",
+        "DENSE_RANK() OVER w",
+        "COUNT(*) OVER w",
+        "SUM(CAST(l_quantity AS BIGINT)) OVER w",
+        f"MIN({okey}) OVER w",
+    ])
+    filters = _gen_filters(rng, 2)
+    where = (" WHERE " + " AND ".join(filters)) if filters else ""
+
+    def q(null_clause: str) -> str:
+        return (f"SELECT g, COUNT(*) AS n, SUM(v) AS sv, "
+                f"MIN(v) AS lo, MAX(v) AS hi FROM ("
+                f"SELECT {part} AS g, {fn} AS v FROM lineitem{where} "
+                f"WINDOW w AS (PARTITION BY {part} "
+                f"ORDER BY {okey} {direction}{null_clause} "
+                f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                f") t GROUP BY g")
+    return (q(spark_no), q(duck_no))
+
+
+def gen_lateral_query(rng: random.Random) -> str:
+    """LATERAL correlated-subquery shapes (r9, VERDICT r8 #7): each
+    orders row drives a correlated aggregate over its lineitems via
+    `, LATERAL (SELECT ...)` — the decorrelation path (rewrite to a
+    keyed aggregate + join) on both engines. COUNT vs the
+    empty-group NULL (a LATERAL scalar aggregate still emits a row
+    per outer row; COUNT gives 0, SUM gives NULL) is the trap."""
+    lim = rng.randrange(100, 2000)
+    agg = rng.choice([
+        ("COUNT(*)", "BIGINT"),
+        ("SUM(CAST(l_quantity AS BIGINT))", "BIGINT"),
+        ("MAX(l_linenumber)", "INTEGER"),
+    ])
+    qf = rng.randrange(10, 45)
+    cond = rng.choice(["", f" AND l_quantity > {qf}"])
+    return (f"SELECT o_orderkey, CAST(v AS {agg[1]}) AS v "
+            f"FROM orders, LATERAL ("
+            f"SELECT {agg[0]} AS v FROM lineitem "
+            f"WHERE l_orderkey = o_orderkey{cond}) t "
+            f"WHERE o_orderkey < {lim}")
+
+
 def gen_map_null_query(rng: random.Random):
     """MAP-typed columns + null-heavy aggregate shapes (r5 verdict #7
     — the remaining untouched dialect corners). Two sub-families:
@@ -1063,7 +1177,8 @@ def main() -> int:
             gen_pivot_query, gen_decimal_arith_query,
             gen_timestamp_tz_query, gen_grouping_sets_query,
             gen_select_scalar_subquery, gen_outer_join_pushdown_query,
-            gen_interval_arith_query]
+            gen_interval_arith_query, gen_setop_coercion_query,
+            gen_window_null_order_query, gen_lateral_query]
     if len(sys.argv) > 4:
         gens = [g for g in gens if sys.argv[4] in g.__name__]
         assert gens, f"no generator matches {sys.argv[4]!r}"

@@ -535,7 +535,9 @@ def simhash(col: Column | str, text_col_tokens: Column | None = None) -> Column:
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       collapse_identical: bool = False,
+                       band_bucket: int | None = None) -> DataFrame:
     """SimHash near-dup candidates: combinatorial block keys (Manku
     et al., WWW'07) — ``max_hamming + 3`` fingerprint blocks, one
     table per ``(B - max_hamming)``-block combination, so by
@@ -556,7 +558,38 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     LIBRARY default is ``None`` (exhaustive — a library call must
     not silently drop candidates); production entry points opt in
     explicitly (the registry ships ``max_bucket=1000``). Set it on
-    any unbounded corpus."""
+    any unbounded corpus.
+
+    ``collapse_identical`` (r9, VERDICT r8 #5 — the exact-dedup
+    pre-pass the scale notes prescribed): group docs by EQUAL
+    fingerprint first, run Manku blocking on one representative
+    (min id) per distinct fingerprint, and emit (a) the rep-level
+    near pairs plus (b) a hamming-0 STAR (rep, member) edge per
+    collapsed member. The output is then a SPANNING SUBSET of the
+    exhaustive pair set whose connected components are EXACTLY the
+    exhaustive (uncapped) form's: hamming(m, x) == hamming(rep, x)
+    for every member m of rep's group (equal fps), so rep-level
+    pairs represent every member pair, and the stars splice members
+    back into their rep's component. Identical-fingerprint
+    boilerplate cliques — the residual hot buckets the 1000x smoke
+    measured — cost C(g, 2) bucket pairs exhaustively but only
+    g - 1 star edges collapsed, and every blocking table shrinks to
+    one posting per DISTINCT fingerprint. Pair-count consumers need
+    the exhaustive form; dedup/clustering consumers (connected
+    components, keep-representatives) should prefer this.
+
+    ``band_bucket`` (r9): per-bucket pair budget ∝ n via md5
+    sub-buckets — the scale path when the candidate stream, not the
+    cap, is the cost. Measured decomposition at the 1000x smoke
+    (corpus v4, 5M docs): 99% of fps DISTINCT (collapse moot), the
+    cap binding on only 262 of 45M buckets, chance collisions ~3k
+    pairs — yet 1.57e9 candidates for 8.3M survivors (0.5%), all
+    from mid-size (10-999 doc) NEAR-fp buckets that a low-entropy
+    token distribution breeds. The budget bounds exactly that band
+    while every doc keeps a uniform per-bucket survival chance (vs
+    max_bucket's hard truncation of docs K+1..). Inactive
+    (bit-identical output) when no bucket exceeds it. Default None
+    (exact); opt in on low-fp-entropy corpora."""
     # Combinatorial block keys (Manku, Jain & Sarma, "Detecting
     # Near-Duplicates for Web Crawling", WWW'07 §3): split the 64-bit
     # fingerprint into B = max_hamming + 3 blocks and key each table
@@ -596,6 +629,24 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     from itertools import combinations
     combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
     fp = df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("fp"))
+    stars = None
+    if collapse_identical:
+        # materialize the fingerprints ONCE: the collapsed plan reads
+        # fp three times (group aggregate, star join, blocking), and
+        # without this the simhash UDF — tokenize + hash every doc,
+        # the dominant linear term (measured ~60s of the 78s plain
+        # wall at the 1000x smoke) — re-runs per consumer (measured:
+        # 141s collapsed vs 78s plain at 1000x before this line).
+        # 16 bytes/doc of storage buys one fp pass total.
+        fp = fp.localCheckpoint(eager=True)
+        # one keyed aggregate — the pre-pass itself is corpus-linear
+        groups = fp.groupBy("fp").agg(F.min("doc").alias("rep"))
+        stars = (fp.join(groups, "fp")
+                 .filter(F.col("doc") != F.col("rep"))
+                 .select(F.col("rep").alias("doc_a"),
+                         F.col("doc").alias("doc_b"),
+                         F.lit(0).cast("integer").alias("hamming")))
+        fp = groups.select(F.col("rep").alias("doc"), "fp")
     chunk_keys = []
     for t, combo in enumerate(combos):
         key = F.lit(0).cast("long")
@@ -603,6 +654,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
             key = F.shiftleft(key, widths[i]).bitwiseOR(block[i])
         chunk_keys.append(F.struct(F.lit(t).alias("chunk"),
                                    key.alias("key")))
+    if band_bucket is not None and not collapse_identical:
+        # the banded plan reads fp twice (hot-bucket sizes pass +
+        # the main join) — materialize it once or the simhash UDF
+        # (the dominant linear term, ~22.5s at the 1000x smoke)
+        # runs per consumer. collapse_identical checkpointed already.
+        fp = fp.localCheckpoint(eager=True)
     chunks = fp.select(
         "doc", "fp", F.explode(F.array(*chunk_keys)).alias("c"),
     ).select("doc", "fp", "c.chunk", "c.key")
@@ -613,9 +670,48 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
         w = Window.partitionBy("chunk", "key").orderBy("doc")
         chunks = (chunks.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= max_bucket).drop("__rn"))
-    a = chunks.select("chunk", "key", F.col("doc").alias("doc_a"),
+    if band_bucket is not None:
+        # per-bucket PAIR BUDGET ∝ n (r9 — the same sub-bucket trick
+        # as sparse_cosine band_df / fuzzy band_gram_df): a bucket
+        # with n > band_bucket docs splits into ceil(n / band_bucket)
+        # md5 sub-buckets and pairs form within a sub-bucket only, so
+        # its fan-out falls from C(n, 2) to ~n·band_bucket/2 and
+        # TOTAL candidate work is linear in postings. Unlike
+        # max_bucket (which truncates a hot bucket to its first K
+        # docs — docs K+1.. lose that bucket entirely), every doc
+        # stays in the join with a uniform per-bucket survival
+        # chance, so recall degrades gracefully (~1/n_sub per shared
+        # bucket, and a within-budget pair with d damaged blocks
+        # shares C(B-d, B-h) buckets — 20/10/4/1 for d=0..3).
+        # Plan shape: hot-bucket sizes only (buckets > band are a
+        # tiny fraction — ~1.2M of 45M at the 1000x smoke) broadcast
+        # back onto the postings, so the postings frame is never
+        # window-sorted (a first cut used count().over(partitionBy)
+        # and the 100M-row sort cost MORE than the candidate savings:
+        # 104.8s vs 93.0s exact at 1000x).
+        hot = (chunks.groupBy("chunk", "key")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > band_bucket))
+        h32 = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("chunk").cast("string"),
+            F.col("key").cast("string"),
+            F.col("doc").cast("string"))), 1, 8), 16, 10).cast("long")
+        chunks = (chunks.join(F.broadcast(hot), ["chunk", "key"],
+                              "left")
+                  .withColumn(
+                      "sub",
+                      F.when(F.col("__n").isNull(), F.lit(0))
+                      .otherwise(h32 % F.ceil(F.col("__n")
+                                              / F.lit(band_bucket))
+                                 .cast("long")))
+                  .drop("__n"))
+    else:
+        chunks = chunks.withColumn("sub", F.lit(0))
+    a = chunks.select("chunk", "key", "sub",
+                      F.col("doc").alias("doc_a"),
                       F.col("fp").alias("fp_a"))
-    b = chunks.select("chunk", "key", F.col("doc").alias("doc_b"),
+    b = chunks.select("chunk", "key", "sub",
+                      F.col("doc").alias("doc_b"),
                       F.col("fp").alias("fp_b"))
     # Verify-then-dedup (r7, was dedup-then-verify): the hamming
     # test is a map-side bit op on the join output, so applying it
@@ -628,11 +724,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     # function of the pair, so filtering before vs after the
     # duplicate collapse keeps exactly the same surviving rows.
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (a.join(b, ["chunk", "key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .withColumn("hamming", hamming)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming").distinct())
+    pairs = (a.join(b, ["chunk", "key", "sub"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .withColumn("hamming", hamming)
+             .filter(F.col("hamming") <= max_hamming)
+             .select("doc_a", "doc_b", "hamming").distinct())
+    if stars is not None:
+        # disjoint by construction: blocked pairs join DISTINCT
+        # fingerprints (hamming >= 1); stars are the hamming-0 edges
+        pairs = pairs.unionByName(stars)
+    return pairs
 
 
 # --- pair graph -> clusters ---------------------------------------------------

@@ -129,7 +129,8 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
                  rating_col: str, rank: int = 4, iters: int = 3,
                  reg: float = 0.1,
                  seed: str = "als",
-                 copart: bool | None = None) -> tuple[DataFrame, DataFrame]:
+                 copart: bool | None = None,
+                 copart_storage=None) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` alternations; returns (user_factors,
     item_factors) as (id, f array<double>) frames. Caller should
     cache/localCheckpoint the ratings frame; factor frames are
@@ -140,7 +141,15 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
     ratings copies (see inline note). r9 (ADVICE): pass it when the
     caller already knows the input scale — the ``None`` fallback
     counts the ratings frame, one full scan of the fact table that
-    tiny inputs shouldn't pay just to learn the answer is False."""
+    tiny inputs shouldn't pay just to learn the answer is False.
+
+    ``copart_storage`` (r9, VERDICT r8 #6): StorageLevel for the two
+    co-partitioned copies. They exist to ELIDE SHUFFLES, not to live
+    in heap — each is read sequentially once per half-step — so
+    ``StorageLevel.DISK_ONLY`` trades a page-cache-friendly disk
+    scan for zero storage-memory pressure (the default in-memory
+    copies OOMed a single 16 GiB JVM at the 300x smoke: 3x the fact
+    table pinned). None = the engine's localCheckpoint default."""
     items = ratings.select(F.col(item_col)).distinct()
     yi = _init_factors(items, item_col, rank, seed).localCheckpoint()
     # Two co-partitioned ratings copies (r8, the MLlib in/out-block
@@ -171,9 +180,9 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
         spark = ratings.sparkSession
         with pinned_conf(spark, "spark.sql.adaptive.enabled", "false"):
             r_user = (ratings.repartition(F.col(user_col))
-                      .localCheckpoint())
+                      .localCheckpoint(storageLevel=copart_storage))
             r_item = (ratings.repartition(F.col(item_col))
-                      .localCheckpoint())
+                      .localCheckpoint(storageLevel=copart_storage))
     else:
         r_user = r_item = ratings
     # broadcast eligibility decided ONCE per run per side (r5 ADVICE:

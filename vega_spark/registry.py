@@ -1214,6 +1214,71 @@ def dedup_simhash_op(spark, sf_dir):
         max_hamming=3, max_bucket=1000)
 
 
+@_q("dedup_simhash_collapsed", f"""
+{_TRUE_PAIRS_090_SQL}
+SELECT n_true AS n_true_pairs, 1 AS recall_ge_half,
+       1 AS components_match
+FROM truth
+""")
+def dedup_simhash_collapsed_q(spark, sf_dir):
+    """SimHash near-dup with the identical-fingerprint collapse
+    pre-pass (r9, VERDICT r8 #5): exact-dedup on fingerprint
+    equality BEFORE Manku blocking, so boilerplate cliques cost
+    g - 1 star edges instead of C(g, 2) bucket pairs and every
+    blocking table holds one posting per DISTINCT fingerprint —
+    the production configuration for boilerplate-heavy corpora
+    (the residual hot buckets the 1000x smoke measured).
+
+    Contract: (1) the exact-Jaccard truth count (SQL-pinned);
+    (2) >= 50% of >= 0.9-Jaccard truth pairs land in the SAME
+    connected component of the collapsed pair graph (dedup's actual
+    question — the collapsed output is a spanning subset, so
+    membership is judged on closure, not raw pairs); (3) the
+    collapsed components EQUAL the exhaustive uncapped form's
+    (hamming(m, x) == hamming(rep, x) for equal fps makes this a
+    theorem; the flag re-proves it on the driver corpus, and would
+    catch a hot bucket big enough that the shipped cap bends it)."""
+    docs = _t(spark, sf_dir, "documents")
+    sim_c = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
+                                       max_hamming=3, max_bucket=1000,
+                                       collapse_identical=True)
+    comp_c = X_dedup.connected_components(sim_c)
+    sim_x = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
+                                       max_hamming=3)
+    comp_x = X_dedup.connected_components(sim_x)
+    diff = (comp_c.exceptAll(comp_x)
+            .unionAll(comp_x.exceptAll(comp_c)))
+    true = X_dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                       n=3, threshold=0.9) \
+        .select("doc_a", "doc_b")
+    ca = comp_c.select(F.col("doc_id").alias("doc_a"),
+                       F.col("component").alias("comp_a"))
+    cb = comp_c.select(F.col("doc_id").alias("doc_b"),
+                       F.col("component").alias("comp_b"))
+    found = (true.join(ca, "doc_a").join(cb, "doc_b")
+             .filter(F.col("comp_a") == F.col("comp_b")))
+    n_true = true.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    return (n_true
+            .crossJoin(found.agg(F.count(F.lit(1)).alias("__found")))
+            .crossJoin(diff.agg((F.count(F.lit(1)) == 0).cast("int")
+                                .alias("components_match")))
+            .select(
+                "n_true_pairs",
+                (2 * F.col("__found") >= F.col("n_true_pairs"))
+                .cast("int").alias("recall_ge_half"),
+                "components_match"))
+
+
+@_op("dedup_simhash_collapsed")
+def dedup_simhash_collapsed_op(spark, sf_dir):
+    """Operator sub-plan: the collapse pre-pass + Manku blocking +
+    stars alone (shipped config) — the contract adds two connected-
+    components replays and the exact truth leg."""
+    return X_dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_hamming=3, max_bucket=1000, collapse_identical=True)
+
+
 # --- north-star: text analysis ---------------------------------------------------
 
 @_q("text_features", """
@@ -2103,8 +2168,12 @@ def fuzzy_match_suppliers_banded_q(spark, sf_dir):
     recall vs the exact mode is measured in
     tests/test_fuzzy.py::test_banded_recall and the scale smoke.
     The oracle replays the gram cap AND the 32-bit-md5 sub-bucket
-    assignment bit for bit, so the driver checks the rule ACTIVE
-    wherever gram dfs exceed the band."""
+    assignment bit for bit. At the driver compare SFs the rule is
+    INACTIVE (sf0.1 surviving gram dfs are all <= 16 — measured r9 —
+    so sub = 0 everywhere and the output is bit-identical to the
+    exact mode); it fires on the 300x smoke corpus (avg gram df ~34),
+    where wall ratio and recall vs the exact mode are measured —
+    the same two-regime verification sparse_cosine's band_df uses."""
     from vega_spark.operators.fuzzy import fuzzy_self_pairs
     sup = _t(spark, sf_dir, "supplier")
     pairs = fuzzy_self_pairs(sup, "s_name", "s_suppkey",
@@ -7014,12 +7083,18 @@ def als_recommend_parts_q(spark, sf_dir):
                .agg(F.sum("l_quantity").alias("r"))
                .localCheckpoint())
     # copart hint from the fact table's parquet footer (ratings rows
-    # <= lineitem rows): no count job on small SFs (r9, ADVICE)
+    # <= lineitem rows): no count job on small SFs (r9, ADVICE).
+    # DISK_ONLY copies: they elide per-half-step shuffles and are
+    # read sequentially, so heap residency buys nothing — in-memory
+    # copies OOMed the single 16 GiB JVM at the 300x smoke (r9,
+    # VERDICT r8 #6)
+    from pyspark.storagelevel import StorageLevel
     li_rows = _meta_rows(sf_dir, "lineitem")
     xu, yi = als_explicit(ratings, "user", "item", "r",
                           rank=4, iters=2, reg=0.1,
                           copart=None if li_rows is None
-                          else li_rows > 5_000_000)
+                          else li_rows > 5_000_000,
+                          copart_storage=StorageLevel.DISK_ONLY)
     users = ratings.select("user").distinct().filter(F.col("user") < 25)
     recs = recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
 
@@ -7065,11 +7140,13 @@ def als_recommend_parts_op(spark, sf_dir):
                         F.col("l_partkey").alias("item"))
                .agg(F.sum("l_quantity").alias("r"))
                .localCheckpoint())
+    from pyspark.storagelevel import StorageLevel
     li_rows = _meta_rows(sf_dir, "lineitem")
     xu, yi = als_explicit(ratings, "user", "item", "r",
                           rank=4, iters=2, reg=0.1,
                           copart=None if li_rows is None
-                          else li_rows > 5_000_000)
+                          else li_rows > 5_000_000,
+                          copart_storage=StorageLevel.DISK_ONLY)
     users = ratings.select("user").distinct().filter(F.col("user") < 25)
     return recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
 
@@ -8121,6 +8198,36 @@ def _fuzzy_gram_guard_diag(spark, sf_dir):
 
 
 SCALE_DIAGNOSTICS["fuzzy_match_suppliers"] = _fuzzy_gram_guard_diag
+
+
+def _fuzzy_banded_recall_diag(spark, sf_dir):
+    """Measured recall of the banded escape hatch against the exact
+    mode on the SAME corpus (r9, VERDICT r8 #4) — the number the
+    banded trade is priced in. banded ⊆ exact structurally (the
+    sub-bucket join only removes candidates; the verify is
+    identical), so banded_hits == banded_pairs doubles as an
+    invariant check."""
+    from vega_spark.operators.fuzzy import fuzzy_self_pairs
+    sup = _t(spark, sf_dir, "supplier")
+    kw = dict(max_dist=2, min_dist=1, q=3, max_gram_freq=50)
+    exact = fuzzy_self_pairs(sup, "s_name", "s_suppkey",
+                             **kw).select("id_a", "id_b")
+    banded = fuzzy_self_pairs(sup, "s_name", "s_suppkey",
+                              band_gram_df=16,
+                              **kw).select("id_a", "id_b")
+    hits = banded.join(exact, ["id_a", "id_b"], "semi")
+    return (exact.agg(F.count(F.lit(1)).alias("exact_pairs"))
+            .crossJoin(banded.agg(F.count(F.lit(1))
+                                  .alias("banded_pairs")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("banded_hits")))
+            .select("exact_pairs", "banded_pairs", "banded_hits",
+                    F.round(F.col("banded_hits")
+                            / F.greatest(F.col("exact_pairs"),
+                                         F.lit(1)), 4).alias("recall")))
+
+
+SCALE_DIAGNOSTICS["fuzzy_match_suppliers_banded"] = \
+    _fuzzy_banded_recall_diag
 SCALE_NOTES["geo_copresence_users"] = (
     "DENSITY-ADAPTIVE grid since r7: cell edge halves every 4x "
     "points (adaptive_cell_deg), so cell count tracks n and bucket "
@@ -8134,9 +8241,32 @@ SCALE_NOTES["dedup_simhash"] = (
     "C(6,3)=20 of them for h=3): chance bucket collisions fall from "
     "n^2/2^16 to n^2/2^33, removing the saturation transition the "
     "r4-r6 smokes measured (60.8x at 100x then; 4.8x at 100x now, "
-    "corpus v4). Residual hot buckets are identical-fingerprint "
-    "boilerplate cliques — max_bucket caps them; exact-dedup "
-    "upstream is the production answer")
+    "corpus v4). r9 DECOMPOSITION of the 1000x tail (78-93s, 5M "
+    "docs): fp UDF 22.5s + postings build ~15s + a 1.57e9-candidate "
+    "codegen verify for 8.26M survivors (0.5%). NOT cliques (99% of "
+    "fps distinct on v4), NOT the cap (binds on 262 of 45M buckets), "
+    "NOT chance collisions (~3k pairs) — mid-size (10-999 doc) "
+    "NEAR-fp buckets from the corpus's low token entropy. Candidate "
+    "density grows linearly (0.18 -> 5.21 -> 15.7 pairs/posting at "
+    "1x/300x/1000x), i.e. the exact candidate stream is QUADRATIC "
+    "in corpus; two in-code escape hatches bound it: "
+    "collapse_identical (boilerplate-clique corpora) and "
+    "band_bucket (pair work ∝ postings, the linear asymptote — at "
+    "1000x it is only 1.1x faster, recall 0.71, because the "
+    "crossover is just beginning; past the cap-saturation decade it "
+    "is the only linear configuration)")
+SCALE_NOTES["dedup_simhash_collapsed"] = (
+    "the production simhash configuration for boilerplate-heavy "
+    "corpora: identical fingerprints collapse to one blocking "
+    "posting + linear star edges BEFORE Manku tables, so clique "
+    "cost falls from C(g,2) to g-1 while connected components stay "
+    "EXACTLY the exhaustive form's (equal fps have equal hamming "
+    "to everything). On corpus v4 the pre-pass is deliberately moot "
+    "(99% distinct fps — v4 restored fp diversity precisely to kill "
+    "clique artifacts), so its 1000x wall tracks dedup_simhash's; "
+    "the win appears exactly when a real corpus's boilerplate "
+    "does. fp is checkpointed once (the UDF re-ran per consumer "
+    "before r9: 141s vs 78s at 1000x)")
 SCALE_NOTES["als_recommend_parts"] = (
     "r8: eager checkpoint release + MLlib-style co-partitioned "
     "ratings copies make every half-step exchange-free — 14.7x at "
