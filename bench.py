@@ -260,6 +260,11 @@ BENCH_QUERIES = [
     "custom_source_events",        # Spark-4 Python DataSource scan
     "tpch_q18_large_orders",       # large-order semi-join aggregate
     "sql_exists_subquery",         # correlated EXISTS decorrelation
+    # round-9 widening: the scale escape hatches (each a distinct
+    # shipped configuration with its own contract; first rows land
+    # in BASELINE.md from this round's idle bench)
+    "fuzzy_match_suppliers_banded",  # ∝df gram pair budget + verify
+    "dedup_simhash_collapsed",       # fp-equality collapse + closure pin
 ]
 
 

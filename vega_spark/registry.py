@@ -8277,7 +8277,11 @@ SCALE_NOTES["als_recommend_parts"] = (
     "disk-spill-bound (1363.8s — the measured one-JVM floor, "
     "recorded in BENCH_scale_300x.json). At cluster scale the "
     "copies are the point: network-shuffle per half-step is what "
-    "they remove, and executor memory is sized per conf_for_scale")
+    "they remove, and executor memory is sized per conf_for_scale. "
+    "r9: the copies are DISK_ONLY (they elide shuffles; heap "
+    "residency buys nothing for a sequential per-half-step scan) — "
+    "local[32] at 300x now COMPLETES, 1237.2s vs the local[16] "
+    "spill-bound floor of 1363.8s; the OOM failure mode is gone")
 SCALE_NOTES["fuzzy_match_suppliers"] = (
     "ADJUDICATED quadratic band (r8): per-gram candidates grow as "
     "sum C(df,2) and gram df grows ~linearly with rows on a short "
