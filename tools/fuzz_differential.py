@@ -940,9 +940,9 @@ def gen_setop_coercion_query(rng: random.Random) -> str:
     # to DECIMAL(38,6) then rendered as VARCHAR so both engines must
     # agree on the digits, not on the type object
     return (f"SELECT COUNT(*) AS n, COUNT(DISTINCT k) AS d, "
-            f"CAST(CAST(MIN(k) AS DECIMAL(38,6)) AS VARCHAR) AS lo, "
-            f"CAST(CAST(MAX(k) AS DECIMAL(38,6)) AS VARCHAR) AS hi, "
-            f"CAST(CAST(SUM(k) AS DECIMAL(38,6)) AS VARCHAR) AS s "
+            f"CAST(CAST(MIN(k) AS DECIMAL(38,6)) AS STRING) AS lo, "
+            f"CAST(CAST(MAX(k) AS DECIMAL(38,6)) AS STRING) AS hi, "
+            f"CAST(CAST(SUM(k) AS DECIMAL(38,6)) AS STRING) AS s "
             f"FROM ({left} {op} {right}) t")
 
 
@@ -973,34 +973,45 @@ def gen_window_null_order_query(rng: random.Random):
     else:
         spark_no = duck_no = " " + explicit
     part = f"l_linenumber % {gmod}"
-    fn = rng.choice([
-        "RANK() OVER w",
-        "DENSE_RANK() OVER w",
-        "COUNT(*) OVER w",
-        "SUM(CAST(l_quantity AS BIGINT)) OVER w",
-        f"MIN({okey}) OVER w",
+    fn, framed = rng.choice([
+        ("RANK()", False),           # rank fns take NO explicit frame
+        ("DENSE_RANK()", False),     # (Spark enforces the ROW frame)
+        ("COUNT(*)", True),
+        ("SUM(CAST(l_quantity AS BIGINT))", True),
+        (f"MIN({okey})", True),
     ])
+    frame = (" RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+             if framed else "")
     filters = _gen_filters(rng, 2)
     where = (" WHERE " + " AND ".join(filters)) if filters else ""
 
     def q(null_clause: str) -> str:
         return (f"SELECT g, COUNT(*) AS n, SUM(v) AS sv, "
                 f"MIN(v) AS lo, MAX(v) AS hi FROM ("
-                f"SELECT {part} AS g, {fn} AS v FROM lineitem{where} "
+                f"SELECT {part} AS g, {fn} OVER w AS v "
+                f"FROM lineitem{where} "
                 f"WINDOW w AS (PARTITION BY {part} "
-                f"ORDER BY {okey} {direction}{null_clause} "
-                f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                f"ORDER BY {okey} {direction}{null_clause}{frame})"
                 f") t GROUP BY g")
     return (q(spark_no), q(duck_no))
 
 
-def gen_lateral_query(rng: random.Random) -> str:
+def gen_lateral_query(rng: random.Random):
     """LATERAL correlated-subquery shapes (r9, VERDICT r8 #7): each
-    orders row drives a correlated aggregate over its lineitems via
-    `, LATERAL (SELECT ...)` — the decorrelation path (rewrite to a
-    keyed aggregate + join) on both engines. COUNT vs the
-    empty-group NULL (a LATERAL scalar aggregate still emits a row
-    per outer row; COUNT gives 0, SUM gives NULL) is the trap."""
+    orders row drives a correlated aggregate over its lineitems —
+    the decorrelation path (rewrite to a keyed aggregate + join) on
+    both engines. COUNT-0 vs SUM-NULL on the empty group is the trap.
+
+    Emits a (spark_sql, duck_sql) PAIR — a MEASURED engine
+    divergence, found by this generator's first run (r9): a scalar
+    aggregate subquery yields exactly one row even on empty input,
+    so comma-LATERAL must preserve every outer row, and Spark does;
+    DuckDB 1.0 decorrelates `o, LATERAL (SELECT MAX(..) WHERE
+    corr)` into an inner join and DROPS outer rows whose group is
+    empty (verified minimally: 2-row outer, 1 matching inner —
+    comma form returns 1 row, LEFT JOIN LATERAL .. ON TRUE returns
+    2). The DuckDB side therefore states LEFT JOIN LATERAL ON TRUE
+    explicitly; the Spark side keeps the comma form under test."""
     lim = rng.randrange(100, 2000)
     agg = rng.choice([
         ("COUNT(*)", "BIGINT"),
@@ -1009,11 +1020,12 @@ def gen_lateral_query(rng: random.Random) -> str:
     ])
     qf = rng.randrange(10, 45)
     cond = rng.choice(["", f" AND l_quantity > {qf}"])
-    return (f"SELECT o_orderkey, CAST(v AS {agg[1]}) AS v "
-            f"FROM orders, LATERAL ("
-            f"SELECT {agg[0]} AS v FROM lineitem "
-            f"WHERE l_orderkey = o_orderkey{cond}) t "
-            f"WHERE o_orderkey < {lim}")
+    sub = (f"(SELECT {agg[0]} AS v FROM lineitem "
+           f"WHERE l_orderkey = o_orderkey{cond}) t")
+    head = f"SELECT o_orderkey, CAST(v AS {agg[1]}) AS v FROM orders"
+    tail = f" WHERE o_orderkey < {lim}"
+    return (f"{head}, LATERAL {sub}{tail}",
+            f"{head} LEFT JOIN LATERAL {sub} ON TRUE{tail}")
 
 
 def gen_map_null_query(rng: random.Random):
