@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "semantic_dedup_flags",        # SemDeDup cluster-wise marking
     "web_url_dedup_pipeline",      # URL parse/blocklist/keep-best
     "web_line_filter",             # line-wise quality cleaning
+    "web_line_dedup_corpus",       # corpus-level boilerplate line dedup (r9)
     "triangle_count_parts",        # degree-oriented triangles
     "bpe_encode_docs",             # BPE train (bounded head) + encode
     "ewma_user_values",            # bounded-frame EWMA fold per key

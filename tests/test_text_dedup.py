@@ -162,6 +162,24 @@ def test_simhash_collapse_identical(spark):
     assert cf == cc
 
 
+def test_simhash_precomputed_fingerprints_identical(spark):
+    # r9: a caller-precomputed (doc, fp) frame fed via fingerprints=
+    # must be bit-identical to the direct path for BOTH the plain and
+    # the collapsed form — it is exactly the frame each pass would
+    # have computed itself, just computed once.
+    texts = _corpus(12)
+    df = docs(spark, texts + [texts[0]] * 3)
+    fp = D.simhash_fingerprints(df, "text", "doc_id") \
+        .localCheckpoint(eager=True)
+    for kw in ({}, {"collapse_identical": True}, {"max_bucket": 2}):
+        direct = {tuple(r) for r in D.simhash_near_pairs(
+            df, "text", "doc_id", max_hamming=3, **kw).collect()}
+        shared = {tuple(r) for r in D.simhash_near_pairs(
+            df, "text", "doc_id", max_hamming=3,
+            fingerprints=fp, **kw).collect()}
+        assert shared == direct, kw
+
+
 def test_simhash_band_bucket(spark):
     # r9: inactive budget (band larger than every bucket) must be
     # bit-identical to the exact form; an active budget must return

@@ -63,6 +63,31 @@ def test_line_filter_rules_and_empty_doc(spark):
     assert out[2].kept_ratio == 0.0
 
 
+def test_line_dedup_corpus_global_rule(spark):
+    # 'footer' appears in 3 docs (> max_doc_freq=2) -> dropped from
+    # ALL of them, even where it repeats within one doc; 'shared'
+    # appears in exactly 2 docs -> kept; line order preserved; a doc
+    # losing every line survives with empty text and ratio 0.
+    rows = [
+        (1, "alpha\nfooter\nbravo"),
+        (2, "footer\nshared\nfooter"),
+        (3, "charlie\nfooter\nshared"),
+        (4, "footer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in W.line_dedup_corpus(
+        df, "text", "doc_id", max_doc_freq=2).collect()}
+    assert out[1].clean_text == "alpha\nbravo"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[2].clean_text == "shared"
+    assert (out[2].n_lines, out[2].n_kept) == (3, 1)
+    assert out[3].clean_text == "charlie\nshared"
+    assert out[4].clean_text == "" and out[4].n_kept == 0
+    assert out[4].kept_ratio == 0.0
+    # within-doc repetition alone (2 distinct docs) is NOT boilerplate
+    assert "shared" in out[2].clean_text and "shared" in out[3].clean_text
+
+
 def test_strip_html_drops_script_style_keeps_blocks(spark):
     from pyspark.sql import functions as F
     from vega_spark.functions.web import extract_main_text

@@ -1028,6 +1028,144 @@ def gen_lateral_query(rng: random.Random):
             f"{head} LEFT JOIN LATERAL {sub} ON TRUE{tail}")
 
 
+def gen_array_hof_query(rng: random.Random):
+    """Array higher-order-function shapes (r9 frontier): per-row
+    integer arrays with NULLIF-seeded NULL elements pushed through
+    transform / filter / aggregate / sort / distinct / index chains.
+    The dialect mapping is the test surface — it is exactly what a
+    hand-written DuckDB oracle for a Spark array pipeline must get
+    right, and every line of it hides a semantics trap:
+
+    * transform/filter -> list_transform/list_filter (same lambdas);
+    * aggregate(A, 0, (a,x) -> a+x) -> list_sum, EXCEPT list_sum
+      skips NULL elements where the Spark lambda propagates them
+      (both sides therefore null-strip first), and list_sum([]) is
+      NULL where Spark's aggregate returns the init value (the
+      DuckDB side coalesces to 0);
+    * sort_array ASC puts NULLs FIRST -> list_sort(A, 'ASC',
+      'NULLS FIRST') must say so (DuckDB's own default is NULLS
+      LAST);
+    * array_distinct KEEPS one NULL -> list_distinct DROPS all
+      NULLs (both sides null-strip before distinct);
+    * try_element_at -> A[i]: both 1-based, both NULL out of
+      bounds, both count from the end on negative i.
+
+    Exactness: every element is an integer cast; results are pinned
+    BIGINT."""
+    q = "CAST(l_quantity AS BIGINT)"
+    ln = "CAST(l_linenumber AS BIGINT)"
+    ok = "l_orderkey"
+    m = rng.randrange(3, 9)
+    z1 = rng.randrange(1, 8)
+    z2 = rng.randrange(0, m)
+    elems = [f"NULLIF({ln}, {z1})", f"{ok} % {m}", q,
+             f"NULLIF({ok} % {m}, {z2})", f"{q} + {rng.randrange(1, 5)}"]
+    rng.shuffle(elems)
+    elems = elems[:rng.randrange(3, 6)]
+    arr_s = "array(" + ", ".join(elems) + ")"
+    arr_d = "[" + ", ".join(elems) + "]"
+    mul = rng.randrange(2, 4)
+    pmod = rng.randrange(2, 5)
+    thr = rng.randrange(0, 40)
+    idx = rng.choice([-2, -1, 1, 2, 3, 7])
+    scalars = {
+        # null-strip BOTH sides, then Spark-fold vs list_sum; DuckDB
+        # coalesces the empty-list NULL back to Spark's init value
+        "s_fold": (
+            f"aggregate(filter(transform(A, x -> x * {mul}), "
+            f"x -> x IS NOT NULL AND x % {pmod} = 0), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+            f"CAST(COALESCE(list_sum(list_filter(list_transform("
+            f"A, x -> x * {mul}), "
+            f"x -> x IS NOT NULL AND x % {pmod} = 0)), 0) AS BIGINT)"),
+        "n_match": (
+            f"CAST(size(filter(A, x -> x > {thr})) AS BIGINT)",
+            f"CAST(len(list_filter(A, x -> x > {thr})) AS BIGINT)"),
+        "v_first_distinct": (
+            "try_element_at(sort_array(array_distinct("
+            "filter(A, x -> x IS NOT NULL))), 1)",
+            "list_sort(list_distinct(list_filter("
+            "A, x -> x IS NOT NULL)))[1]"),
+        "v_probe": (f"try_element_at(sort_array(A), {idx})",
+                    f"list_sort(A, 'ASC', 'NULLS FIRST')[{idx}]"),
+    }
+    picks = rng.sample(sorted(scalars), rng.randrange(2, 4))
+    filters = _gen_filters(rng, 2)
+    where = (" WHERE " + " AND ".join(filters)) if filters else ""
+
+    def inner(arr: str) -> str:
+        return (f"SELECT l_orderkey AS okey, l_linenumber AS lno, "
+                f"{arr} AS A FROM lineitem{where}")
+
+    if rng.random() < 0.5:
+        lim = rng.randrange(50, 400)
+        cols_s = ", ".join(f"{scalars[p][0]} AS {p}" for p in picks)
+        cols_d = ", ".join(f"{scalars[p][1]} AS {p}" for p in picks)
+        return ((f"SELECT okey, lno, {cols_s} FROM ({inner(arr_s)}) t "
+                 f"WHERE okey < {lim}"),
+                (f"SELECT okey, lno, {cols_d} FROM ({inner(arr_d)}) t "
+                 f"WHERE okey < {lim}"))
+    par = rng.randrange(2, 6)
+    agg_s = ", ".join(
+        f"SUM({scalars[p][0]}) AS s_{p}, MIN({scalars[p][0]}) AS m_{p}"
+        for p in picks)
+    agg_d = ", ".join(
+        f"SUM({scalars[p][1]}) AS s_{p}, MIN({scalars[p][1]}) AS m_{p}"
+        for p in picks)
+    return ((f"SELECT okey % {par} AS g, COUNT(*) AS n, {agg_s} "
+             f"FROM ({inner(arr_s)}) t GROUP BY 1"),
+            (f"SELECT okey % {par} AS g, COUNT(*) AS n, {agg_d} "
+             f"FROM ({inner(arr_d)}) t GROUP BY 1"))
+
+
+def gen_nullsafe_join_query(rng: random.Random):
+    """Null-safe-equality join shapes (r9 frontier): INNER / LEFT /
+    FULL joins over composite keys with NULLIF-seeded NULLs, where
+    each key column independently uses either null-safe equality
+    (Spark ``<=>`` -> DuckDB ``IS NOT DISTINCT FROM`` — the pair
+    emission exists because the spellings differ) or plain ``=``
+    (which never matches NULL). The trap matrix: NULL==NULL matches
+    under null-safe only, a NULL on ONE side matches under neither,
+    and under FULL OUTER every dropped match must resurface as two
+    null-extended rows instead of one joined row.
+
+    Both sides are pre-aggregated to distinct key frames first, so
+    the join is small and the fan-out deterministic; all outputs are
+    COUNT/SUM of integers (BIGINT-pinned)."""
+    m1 = rng.randrange(2, 6)
+    m2 = rng.randrange(2, 7)
+    z1 = rng.randrange(0, m1)
+    z2 = rng.randrange(0, m2)
+    z3 = rng.randrange(0, m1)
+    z4 = rng.randrange(0, m2)
+    jt = rng.choice(["JOIN", "LEFT JOIN", "FULL JOIN"])
+    ns1, ns2 = rng.choice([(True, True), (True, False), (False, True)])
+    filters = _gen_filters(rng, 2)
+    lw = (" WHERE " + " AND ".join(filters)) if filters else ""
+    left = (f"SELECT NULLIF(CAST(l_linenumber AS BIGINT) % {m1}, {z1}) "
+            f"AS k1, NULLIF(l_orderkey % {m2}, {z2}) AS k2, "
+            f"COUNT(*) AS cl, SUM(CAST(l_quantity AS BIGINT)) AS sl "
+            f"FROM lineitem{lw} GROUP BY 1, 2")
+    right = (f"SELECT NULLIF(CAST(o_custkey AS BIGINT) % {m1}, {z3}) "
+             f"AS k1, NULLIF(o_orderkey % {m2}, {z4}) AS k2, "
+             f"COUNT(*) AS cr FROM orders GROUP BY 1, 2")
+
+    def on(nullsafe_spelling: str) -> str:
+        c1 = (f"a.k1 {nullsafe_spelling} b.k1" if ns1
+              else "a.k1 = b.k1")
+        c2 = (f"a.k2 {nullsafe_spelling} b.k2" if ns2
+              else "a.k2 = b.k2")
+        return f"{c1} AND {c2}"
+
+    def q(spelling: str) -> str:
+        return (f"SELECT COUNT(*) AS n, COUNT(a.k1) AS nl1, "
+                f"COUNT(b.k1) AS nr1, COUNT(a.k2) AS nl2, "
+                f"COUNT(b.k2) AS nr2, SUM(a.cl) AS scl, "
+                f"SUM(a.sl) AS ssl, SUM(b.cr) AS scr "
+                f"FROM ({left}) a {jt} ({right}) b ON {on(spelling)}")
+    return (q("<=>"), q("IS NOT DISTINCT FROM"))
+
+
 def gen_map_null_query(rng: random.Random):
     """MAP-typed columns + null-heavy aggregate shapes (r5 verdict #7
     — the remaining untouched dialect corners). Two sub-families:
@@ -1190,7 +1328,8 @@ def main() -> int:
             gen_timestamp_tz_query, gen_grouping_sets_query,
             gen_select_scalar_subquery, gen_outer_join_pushdown_query,
             gen_interval_arith_query, gen_setop_coercion_query,
-            gen_window_null_order_query, gen_lateral_query]
+            gen_window_null_order_query, gen_lateral_query,
+            gen_array_hof_query, gen_nullsafe_join_query]
     if len(sys.argv) > 4:
         gens = [g for g in gens if sys.argv[4] in g.__name__]
         assert gens, f"no generator matches {sys.argv[4]!r}"

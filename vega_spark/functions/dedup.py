@@ -533,11 +533,26 @@ def simhash(col: Column | str, text_col_tokens: Column | None = None) -> Column:
     return _simhash_pack_udf()(hashes)
 
 
+def simhash_fingerprints(df: DataFrame, text_col: str,
+                         id_col: str) -> DataFrame:
+    """``(doc, fp)`` SimHash fingerprint frame — the linear UDF pass
+    (tokenize + hash + bit-vote every document) that dominates the
+    simhash family's wall time. Exposed so a caller running SEVERAL
+    blocking passes over the same corpus (e.g. the registry contract
+    that proves collapsed components equal the exhaustive form's)
+    computes it ONCE, materializes it (``localCheckpoint``), and
+    feeds both passes via ``simhash_near_pairs(fingerprints=...)``
+    instead of paying the UDF per pass."""
+    return df.select(F.col(id_col).alias("doc"),
+                     simhash(text_col).alias("fp"))
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3,
                        max_bucket: int | None = None,
                        collapse_identical: bool = False,
-                       band_bucket: int | None = None) -> DataFrame:
+                       band_bucket: int | None = None,
+                       fingerprints: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup candidates: combinatorial block keys (Manku
     et al., WWW'07) — ``max_hamming + 3`` fingerprint blocks, one
     table per ``(B - max_hamming)``-block combination, so by
@@ -589,7 +604,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     while every doc keeps a uniform per-bucket survival chance (vs
     max_bucket's hard truncation of docs K+1..). Inactive
     (bit-identical output) when no bucket exceeds it. Default None
-    (exact); opt in on low-fp-entropy corpora."""
+    (exact); opt in on low-fp-entropy corpora.
+
+    ``fingerprints`` (r9): a precomputed ``(doc, fp)`` frame (from
+    ``simhash_fingerprints``), used INSTEAD of computing the simhash
+    UDF over ``df`` — ``df``/``text_col``/``id_col`` are then
+    ignored. For callers that run multiple blocking passes over one
+    corpus (the registry's collapsed-vs-exhaustive equality proof
+    runs two), this halves the dominant linear UDF term. The caller
+    owns materialization: pass a checkpointed/cached frame, since
+    the internal single-consumer checkpoints are skipped."""
     # Combinatorial block keys (Manku, Jain & Sarma, "Detecting
     # Near-Duplicates for Web Crawling", WWW'07 §3): split the 64-bit
     # fingerprint into B = max_hamming + 3 blocks and key each table
@@ -628,7 +652,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
              for i in range(n_blocks)]
     from itertools import combinations
     combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
-    fp = df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("fp"))
+    # ``fingerprints``: a precomputed (doc, fp) frame from
+    # simhash_fingerprints — the caller owns its materialization
+    # (checkpoint/cache), so the internal single-consumer
+    # checkpoints below are skipped to avoid double-copying.
+    precomputed = fingerprints is not None
+    fp = (fingerprints.select("doc", "fp") if precomputed
+          else df.select(F.col(id_col).alias("doc"),
+                         simhash(text_col).alias("fp")))
     stars = None
     if collapse_identical:
         # materialize the fingerprints ONCE: the collapsed plan reads
@@ -637,8 +668,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
         # the dominant linear term (measured ~60s of the 78s plain
         # wall at the 1000x smoke) — re-runs per consumer (measured:
         # 141s collapsed vs 78s plain at 1000x before this line).
-        # 16 bytes/doc of storage buys one fp pass total.
-        fp = fp.localCheckpoint(eager=True)
+        # 16 bytes/doc of storage buys one fp pass total. A
+        # caller-precomputed frame is already materialized (the
+        # caller owns it) — don't pin a second copy.
+        if not precomputed:
+            fp = fp.localCheckpoint(eager=True)
         # one keyed aggregate — the pre-pass itself is corpus-linear
         groups = fp.groupBy("fp").agg(F.min("doc").alias("rep"))
         stars = (fp.join(groups, "fp")
@@ -659,7 +693,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
         # the main join) — materialize it once or the simhash UDF
         # (the dominant linear term, ~22.5s at the 1000x smoke)
         # runs per consumer. collapse_identical checkpointed already.
-        fp = fp.localCheckpoint(eager=True)
+        if not precomputed:
+            fp = fp.localCheckpoint(eager=True)
     chunks = fp.select(
         "doc", "fp", F.explode(F.array(*chunk_keys)).alias("c"),
     ).select("doc", "fp", "c.chunk", "c.key")

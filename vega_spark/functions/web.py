@@ -117,6 +117,55 @@ def line_filter(df: DataFrame, text_col: str = "text",
                                 / F.greatest(F.col("n_lines"), F.lit(1)), 4)))
 
 
+def line_dedup_corpus(df: DataFrame, text_col: str = "text",
+                      doc_col: str = "doc_id",
+                      max_doc_freq: int = 2,
+                      out_col: str = "clean_text") -> DataFrame:
+    """CORPUS-level bulk line deduplication (the CCNet / RefinedWeb /
+    Dolma boilerplate pass): a line that occurs in MORE than
+    ``max_doc_freq`` distinct documents is template boilerplate
+    (navigation, cookie banners, license footers) and is dropped
+    from EVERY document — unlike :func:`line_filter`, which judges
+    each line on its own content, this is a global frequency rule.
+    Line order within a document is preserved and every input
+    document survives (possibly with an empty ``out_col``). Adds
+    (``out_col``, n_lines, n_kept, kept_ratio).
+
+    Scale shape (100 TB): two keyed shuffles — a line-keyed
+    count-distinct to find hot lines, and a doc-keyed rebuild. The
+    hot-line frame is the heavy-hitter tail only (df > threshold),
+    tiny relative to the corpus, so the anti-join broadcasts under
+    AQE. On a petabyte corpus, group on (xxhash64(line),
+    length(line)) instead of the raw string to shrink the exchange;
+    the raw-string form here keeps the DuckDB oracle replay exact."""
+    lines = df.select(
+        F.col(doc_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__pos", "__line"))
+    hot = (lines.groupBy("__line")
+           .agg(F.count_distinct("__doc").alias("__df"))
+           .filter(F.col("__df") > max_doc_freq)
+           .select("__line"))
+    kept = lines.join(hot, "__line", "left_anti")
+    reb = (kept.groupBy("__doc")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("__pos", "__line"))),
+                        lambda s: s["__line"]),
+                    "\n").alias(out_col)))
+    n_all = lines.groupBy("__doc").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    return (n_all.join(reb, "__doc", "left")
+            .select(F.col("__doc").alias(doc_col), "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce(out_col, F.lit("")).alias(out_col),
+                    F.round(F.coalesce("n_kept", F.lit(0))
+                            / F.greatest(F.col("n_lines"), F.lit(1)),
+                            4).alias("kept_ratio")))
+
+
 def strip_html(html: Column | str, keep_block_breaks: bool = True) -> Column:
     """Extract visible text from an HTML string — the boilerplate-
     strip pass every CommonCrawl-style ingest runs before any quality

@@ -1239,12 +1239,19 @@ def dedup_simhash_collapsed_q(spark, sf_dir):
     theorem; the flag re-proves it on the driver corpus, and would
     catch a hot bucket big enough that the shipped cap bends it)."""
     docs = _t(spark, sf_dir, "documents")
+    # the simhash UDF (tokenize + hash + bit-vote every doc) is the
+    # dominant linear term of both legs — compute it ONCE and feed
+    # both blocking passes (r9; output-identical, the fp frame is
+    # exactly what each pass would have computed itself)
+    fp = X_dedup.simhash_fingerprints(docs, "text", "doc_id") \
+        .localCheckpoint(eager=True)
     sim_c = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
                                        max_hamming=3, max_bucket=1000,
-                                       collapse_identical=True)
+                                       collapse_identical=True,
+                                       fingerprints=fp)
     comp_c = X_dedup.connected_components(sim_c)
     sim_x = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
-                                       max_hamming=3)
+                                       max_hamming=3, fingerprints=fp)
     comp_x = X_dedup.connected_components(sim_x)
     diff = (comp_c.exceptAll(comp_x)
             .unionAll(comp_x.exceptAll(comp_c)))
@@ -1960,6 +1967,50 @@ def web_line_filter_q(spark, sf_dir):
                             max_digit_ratio=0.5)
     return out.select("doc_id", "n_lines", "n_kept", "clean_text",
                       "kept_ratio")
+
+
+@_q("web_line_dedup_corpus", """
+WITH d AS (SELECT doc_id,
+             string_split(replace(text, ' the ', chr(10)), chr(10))
+               AS lines
+           FROM documents),
+x AS (SELECT doc_id,
+        unnest(list_transform(lines,
+               (v, i) -> {'pos': i, 'line': v}),
+               recursive := true)
+      FROM d),
+hot AS (SELECT line FROM x GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) > 2),
+kept AS (SELECT doc_id, pos, line FROM x
+         WHERE line NOT IN (SELECT line FROM hot)),
+reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+          string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+n AS (SELECT doc_id, COUNT(*) AS n_lines FROM x GROUP BY doc_id)
+SELECT n.doc_id, n.n_lines,
+       COALESCE(reb.n_kept, 0) AS n_kept,
+       COALESCE(reb.clean_text, '') AS clean_text,
+       ROUND(COALESCE(reb.n_kept, 0) * 1.0
+             / GREATEST(n.n_lines, 1), 4) AS kept_ratio
+FROM n LEFT JOIN reb ON n.doc_id = reb.doc_id
+""")
+def web_line_dedup_corpus_q(spark, sf_dir):
+    """Corpus-level bulk line dedup (CCNet / RefinedWeb / Dolma):
+    any line occurring in > 2 DISTINCT documents is boilerplate and
+    is removed from every document; per-doc line order is preserved
+    and docs that lose every line survive with empty text. Same
+    synthetic line structure as web_line_filter (' the ' ->
+    newline — the corpus has no newlines), so near-dup documents
+    genuinely share lines and the rule fires. Two keyed shuffles
+    (line-count, doc-rebuild); the hot-line set is the heavy-hitter
+    tail and broadcasts under AQE — scales to the petabyte corpus
+    this pass exists for. Oracle replays split, positional unnest,
+    the distinct-doc frequency rule and the ordered reassembly
+    exactly."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " the ", "\n").alias("text"))
+    return X_web.line_dedup_corpus(docs, "text", "doc_id",
+                                   max_doc_freq=2)
 
 
 @_q("triangle_count_parts", """
