@@ -162,6 +162,42 @@ def test_simhash_collapse_identical(spark):
     assert cf == cc
 
 
+def test_closure_equality_violations(spark):
+    # r9: the decomposition that replaced the second connected-
+    # components run must be EMPTY exactly when closures are equal,
+    # and must produce a witness for every failure mode.
+    def pairs(spark, ps):
+        return spark.createDataFrame(list(ps),
+                                     "doc_a long, doc_b long")
+
+    star = pairs(spark, [(1, 2), (1, 3)])       # component {1,2,3}
+    chain = pairs(spark, [(1, 2), (2, 3)])      # same closure
+    comp_star = D.connected_components(star)
+    # equal closures, different edge sets in the allowed direction
+    # (sub must be a SUBSET of full, so use sub=star, full=star+chain)
+    full_sup = pairs(spark, [(1, 2), (1, 3), (2, 3)])
+    assert D.closure_equality_violations(
+        star, comp_star, full_sup).count() == 0
+    # (b) bridge: full connects {1,2,3} to a vertex sub never saw
+    full_bridge = pairs(spark, [(1, 2), (1, 3), (3, 4)])
+    assert D.closure_equality_violations(
+        star, comp_star, full_bridge).count() > 0
+    # (b) split: full merges two sub-components
+    two = pairs(spark, [(1, 2), (3, 4)])
+    comp_two = D.connected_components(two)
+    full_merge = pairs(spark, [(1, 2), (3, 4), (2, 3)])
+    assert D.closure_equality_violations(
+        two, comp_two, full_merge).count() > 0
+    # (a) surplus: sub has an edge full lacks
+    sub_extra = pairs(spark, [(1, 2), (1, 3), (5, 6)])
+    comp_extra = D.connected_components(sub_extra)
+    assert D.closure_equality_violations(
+        sub_extra, comp_extra, star).count() > 0
+    # identical edge sets: trivially equal
+    assert D.closure_equality_violations(
+        chain, D.connected_components(chain), chain).count() == 0
+
+
 def test_simhash_precomputed_fingerprints_identical(spark):
     # r9: a caller-precomputed (doc, fp) frame fed via fingerprints=
     # must be bit-identical to the direct path for BOTH the plain and

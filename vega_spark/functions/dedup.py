@@ -815,6 +815,44 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                          F.col("comp").alias("component"))
 
 
+def closure_equality_violations(sub_pairs: DataFrame,
+                                sub_components: DataFrame,
+                                full_pairs: DataFrame) -> DataFrame:
+    """Witness frame for ``closure(sub_pairs) != closure(full_pairs)``
+    — EMPTY iff the two pair graphs have identical connected
+    components (r9; replaces a second iterative connected-components
+    run over the full graph with two single joins).
+
+    Partition-equality decomposition, given ``sub_components`` =
+    ``connected_components(sub_pairs)``:
+
+    * (a) every sub edge is a full edge  =>  closure(sub) <=
+      closure(full) — violations are ``exceptAll`` surplus rows;
+    * (b) every FULL edge is internal to one sub-component class
+      (both endpoints labeled, labels equal)  =>  closure(full) <=
+      closure(sub) — violations are bridging/unlabeled edges.
+
+    (a) and (b) together force equality; conversely any closure
+    difference produces a witness: an edge sub lacks transitively
+    shows up as a full edge bridging two sub classes (or touching an
+    unlabeled vertex), and a spurious sub edge as (a) surplus. Both
+    checks are corpus-linear joins over the pair sets — no
+    iteration."""
+    sub = sub_pairs.select("doc_a", "doc_b")
+    full = full_pairs.select("doc_a", "doc_b")
+    la = sub_components.select(F.col("doc_id").alias("doc_a"),
+                               F.col("component").alias("__comp_a"))
+    lb = sub_components.select(F.col("doc_id").alias("doc_b"),
+                               F.col("component").alias("__comp_b"))
+    surplus = sub.exceptAll(full)
+    bridge = (full.join(la, "doc_a", "left").join(lb, "doc_b", "left")
+              .filter(F.col("__comp_a").isNull()
+                      | F.col("__comp_b").isNull()
+                      | (F.col("__comp_a") != F.col("__comp_b")))
+              .select("doc_a", "doc_b"))
+    return surplus.unionAll(bridge)
+
+
 def keep_representatives(docs: DataFrame, components: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """Collapse each near-dup cluster to its lowest-id document.

@@ -1234,10 +1234,19 @@ def dedup_simhash_collapsed_q(spark, sf_dir):
     connected component of the collapsed pair graph (dedup's actual
     question — the collapsed output is a spanning subset, so
     membership is judged on closure, not raw pairs); (3) the
-    collapsed components EQUAL the exhaustive uncapped form's
-    (hamming(m, x) == hamming(rep, x) for equal fps makes this a
-    theorem; the flag re-proves it on the driver corpus, and would
-    catch a hot bucket big enough that the shipped cap bends it)."""
+    collapsed components EQUAL the exhaustive uncapped form's.
+    The equality proof (r9 restructure — the first cut ran the
+    iterative connected-components a SECOND time over the exhaustive
+    graph) uses the partition-equality decomposition instead: with
+    comp_c = components(collapsed), closure(collapsed) ==
+    closure(exhaustive) iff (a) every collapsed edge is an
+    exhaustive edge (so closure_c <= closure_x) AND (b) every
+    exhaustive edge is INTERNAL to one comp_c class — both
+    endpoints labeled, labels equal — (so closure_x <= closure_c).
+    Both checks are single joins over the exhaustive pair set; a
+    cap-bent hot bucket that split a component would surface as an
+    exhaustive edge bridging two comp_c labels (check b), and any
+    spurious collapsed edge as check-a surplus."""
     docs = _t(spark, sf_dir, "documents")
     # the simhash UDF (tokenize + hash + bit-vote every doc) is the
     # dominant linear term of both legs — compute it ONCE and feed
@@ -1252,9 +1261,7 @@ def dedup_simhash_collapsed_q(spark, sf_dir):
     comp_c = X_dedup.connected_components(sim_c)
     sim_x = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
                                        max_hamming=3, fingerprints=fp)
-    comp_x = X_dedup.connected_components(sim_x)
-    diff = (comp_c.exceptAll(comp_x)
-            .unionAll(comp_x.exceptAll(comp_c)))
+    diff = X_dedup.closure_equality_violations(sim_c, comp_c, sim_x)
     true = X_dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                        n=3, threshold=0.9) \
         .select("doc_a", "doc_b")
