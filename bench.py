@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     # round-2 capability widening (one per new operator family):
     "kmv_distinct_jaccard",        # bottom-k sketch set relations
     "ann_pq_topk",                 # PQ codes + ADC scan + rerank
+    "ann_ivfpq_topk",              # IVF-PQ residual codes, probe-join ADC (r9)
     "semantic_dedup_flags",        # SemDeDup cluster-wise marking
     "web_url_dedup_pipeline",      # URL parse/blocklist/keep-best
     "web_line_filter",             # line-wise quality cleaning

@@ -168,6 +168,36 @@ def test_pq_adc_recall_with_rerank(spark):
         assert abs(ge[key] - ee[key]) < 1e-9
 
 
+def test_ivfpq_recall_exact_cos_and_full_probe(spark):
+    # r9: the FAISS IVFPQ composition. (1) probing EVERY cell with a
+    # generous rerank pool must reach high recall (the residual codes
+    # only shape the ADC candidate ranking; the exact rerank fixes
+    # the rest); (2) reported cos of overlapping pairs is the EXACT
+    # cosine; (3) full determinism across re-runs (hashed init, no
+    # RNG anywhere in the pipeline).
+    rows, df = vectors(spark, n=300, dim=16)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = S.ivfpq_ann_topk(df, queries, dim=16, k=8, n_cells=8,
+                           n_probe=8, m=4, nbits=5, iters_pq=3,
+                           n_train=300, refine=15)
+    exact = S.cosine_topk_bruteforce(df, queries, k=8)
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.8, recall
+    ge = {(r.query_id, r.neighbor_id): r.cos for r in got.collect()}
+    ee = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    for key in g & e:
+        assert abs(ge[key] - ee[key]) < 1e-9
+    got2 = {(r.query_id, r.neighbor_id, r.rk)
+            for r in S.ivfpq_ann_topk(
+                df, queries, dim=16, k=8, n_cells=8, n_probe=8, m=4,
+                nbits=5, iters_pq=3, n_train=300, refine=15).collect()}
+    assert got2 == {(r.query_id, r.neighbor_id, r.rk)
+                    for r in got.collect()}
+
+
 def test_truncation_recall_full_dim_is_perfect(spark, sf_dir):
     # truncating to the FULL dimension must reproduce the baseline
     # exactly (recall 1.0); shorter prefixes are monotonically <= 1

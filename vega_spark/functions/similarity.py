@@ -631,6 +631,133 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
                     F.round("cos", 6).alias("cos"), "rk"))
 
 
+def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                   k: int = 10, n_cells: int = 16, n_probe: int = 4,
+                   m: int = 8, nbits: int = 5, iters_ivf: int = 1,
+                   iters_pq: int = 3, n_train: int = 20_000,
+                   refine: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """IVF-PQ approximate top-k — the FAISS ``IndexIVFPQ`` layout
+    (the billion-scale workhorse) re-expressed as DataFrame ops:
+
+    1. coarse quantizer: deterministic hashed-init k-means cells
+       (:func:`train_ivf_centroids`);
+    2. every vector stores (cell, PQ code of the RESIDUAL
+       ``v - centroid[cell]``) — residual encoding is what makes
+       IVFPQ beat flat PQ: residual norms are a fraction of vector
+       norms, so the same code budget quantizes far finer;
+    3. queries probe their ``n_probe`` nearest cells; candidate
+       generation is the same cell equi-join as :func:`ivf_ann_topk`
+       (partition the code frame by cell on disk and Spark's
+       partition pruning IS the inverted-list seek);
+    4. ADC scoring on the join output (Arrow-batched): approx
+       cos(q, centroid + recon(residual)) from three driver-small
+       LUTs — q·centroid (nq x n_cells), q·codeword (nq x m x 2^b),
+       and the query-independent centroid/codeword geometry
+       (n_cells x m x 2^b) — m table adds per candidate, never the
+       embedding;
+    5. exact cosine re-rank of the ``k*refine`` ADC survivors
+       against original vectors.
+
+    Scale shape: the index frame is (id, cell, m small ints) — the
+    embedding column is read only by the bounded training sample,
+    the residual encode pass, and the final k*refine-per-query
+    re-rank join. Driver transfer is constant in corpus size
+    (centroids + codebooks + the query set)."""
+    from pyspark.sql.functions import pandas_udf
+
+    centroids = train_ivf_centroids(corpus, dim, n_cells, iters_ivf,
+                                    id_col, vec_col)
+    C = np.asarray(centroids, dtype="float64")       # n_cells x dim
+    cell1 = _nearest_cells_udf(centroids, 1)
+    celln = _nearest_cells_udf(centroids, n_probe)
+
+    @pandas_udf("array<double>")
+    def residual(vs: pd.Series, cells: pd.Series) -> pd.Series:
+        M = np.vstack(vs.to_numpy()).astype("float64")
+        R = M - C[cells.to_numpy().astype("int64")]
+        return pd.Series(list(R))
+
+    indexed = (corpus.select(F.col(id_col), F.col(vec_col),
+                             cell1(F.col(vec_col))[0].alias("cell"))
+               .withColumn("__res", residual(F.col(vec_col),
+                                             F.col("cell"))))
+    codebooks = train_pq_codebooks(
+        indexed, dim, m=m, nbits=nbits, iters=iters_pq,
+        n_train=n_train, id_col=id_col, vec_col="__res")
+    codes = (pq_encode(indexed, codebooks, vec_col="__res")
+             .select(F.col(id_col).alias("neighbor_id"), "cell",
+                     "pq_code"))
+
+    Cs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    ksub = max(cb.shape[0] for cb in Cs)
+    dsub = Cs[0].shape[1]
+    # query-independent geometry LUTs
+    LUTn = np.zeros((m, ksub))                       # |codeword|^2
+    CC = np.zeros((n_cells, m, ksub))                # c_sub . codeword
+    for j, cb in enumerate(Cs):
+        LUTn[j, :cb.shape[0]] = (cb * cb).sum(axis=1)
+        CC[:, j, :cb.shape[0]] = C[:, j * dsub:(j + 1) * dsub] @ cb.T
+    Cn2 = (C * C).sum(axis=1)                        # |centroid|^2
+
+    qrows = (queries.select(F.col(query_id_col).alias("qid"),
+                            F.col(vec_col).alias("v")).collect())
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    QC = Q @ C.T                                     # nq x n_cells
+    LUTd = np.zeros((len(qids), m, ksub))            # q_sub . codeword
+    for j, cb in enumerate(Cs):
+        LUTd[:, j, :cb.shape[0]] = Q[:, j * dsub:(j + 1) * dsub] @ cb.T
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    jj = np.arange(m)[None, :]
+
+    @pandas_udf("double")
+    def adc(qid: pd.Series, cell: pd.Series,
+            code: pd.Series) -> pd.Series:
+        qi = qid.map(qpos).to_numpy().astype("int64")
+        ce = cell.to_numpy().astype("int64")
+        K = np.vstack(code.to_numpy()).astype("int64")   # n x m
+        dots = QC[qi, ce] + LUTd[qi[:, None], jj, K].sum(axis=1)
+        rn2 = (Cn2[ce] + 2.0 * CC[ce[:, None], jj, K].sum(axis=1)
+               + LUTn[jj, K].sum(axis=1))
+        rn = np.sqrt(np.maximum(rn2, 0.0))
+        rn[rn == 0.0] = 1.0
+        return pd.Series(dots / (rn * qn[qi]))
+
+    probe = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(celln(F.col(vec_col))).alias("cell")))
+    cand = (codes.join(probe, "cell")
+            .withColumn("__adc", adc(F.col("query_id"), F.col("cell"),
+                                     F.col("pq_code"))))
+    kk = k * refine
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc())
+    surv = (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= kk)
+            .select("query_id", "neighbor_id"))
+    orig = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("__cvec"),
+                         l2_norm(F.col(vec_col)).alias("__cn"))
+    qv = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn")))
+    rer = (surv.join(orig, "neighbor_id").join(qv, "query_id")
+           .select("query_id", "neighbor_id",
+                   (dot(F.col("__cvec"), F.col("__qvec"))
+                    / (F.col("__cn") * F.col("__qn"))).alias("cos")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                F.col("neighbor_id").asc())
+    return (rer.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 6).alias("cos"), "rk"))
+
+
 def truncation_recall(emb: DataFrame, dims: tuple[int, ...] = (8, 16, 32),
                       k: int = 5, n_queries: int = 10,
                       id_col: str = "vec_id",
