@@ -385,6 +385,26 @@ def test_mask_pii_patterns(spark):
 
 # --- pair graph -> clusters ---------------------------------------------------
 
+def test_connected_components_paths_agree(spark):
+    # r9 opt round: the runtime-size-gated driver union-find path and
+    # the distributed min-label/pointer-jump loop must emit IDENTICAL
+    # labels — same fixpoint (min reachable id), every endpoint
+    # labeled. 60-hop chain forces many pointer-jump rounds; islands
+    # and a clique cover star/merge shapes.
+    edges = ([(i, i + 1) for i in range(1, 60)]          # long chain
+             + [(100, 101), (200, 201), (201, 202),      # islands
+                (300, 301), (300, 302), (301, 302)])     # clique
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    via_driver = {(r.doc_id, r.component)
+                  for r in D.connected_components(pairs).collect()}
+    via_loop = {(r.doc_id, r.component)
+                for r in D.connected_components(
+                    pairs, driver_max_edges=None).collect()}
+    assert via_driver == via_loop
+    assert (1, 1) in via_driver and (60, 1) in via_driver
+    assert (302, 300) in via_driver
+
+
 def test_connected_components_chain_and_islands(spark):
     # chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
     # island pair 10-11, plus 20-21/21-22 triangle-free v

@@ -26,7 +26,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from vega_spark.functions.text import tokens
@@ -775,41 +775,107 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_max_edges: int | None = 1_000_000
+                         ) -> DataFrame:
     """Connected components of the near-dup pair graph by min-label
     propagation: every node's label converges to the smallest id
     reachable from it. Returns (doc_id, component).
 
-    Iteration cost: one equi-join (labels onto symmetric edges) + one
-    min-groupBy — both shuffle on node id, so AQE coalesces them and
-    co-partitioning is reused. Rounds needed = graph diameter; near-dup
-    clusters are shallow (dozens of docs, diameter ~2-4), so this
-    converges in a handful of rounds even at 100 TB. (For adversarial
-    long-chain graphs, the alternating small-star/large-star
-    contraction [Kiveris et al., "Connected Components in MapReduce"]
-    halves diameter per round; not needed for dedup-shaped graphs.)
-    Lineage is truncated per round with localCheckpoint so the plan
-    doesn't grow unboundedly."""
-    e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
+    r9 optimization round — two execution strategies, chosen at
+    RUNTIME from the materialized edge count (the same decide-by-
+    true-size pattern as AQE's broadcast conversion, guide §3.1):
+
+    * **small graph** (symmetric edge rows <= ``driver_max_edges``
+      and integer node ids): collect the (already materialized,
+      payload-free) edge list and run union-find with min-id roots
+      on the driver — one pass, exact same labels as the fixpoint
+      below. A pair graph is id-pairs only, so 1M rows is ~16 MB —
+      comfortably inside the normal broadcast-side budget; the
+      per-round shuffle machinery (12+ rounds x several AQE stages
+      was the measured wall at sf0.1: 3.5-4s for a 512-pair graph)
+      disappears. At 100 TB the near-dup pair set can exceed any
+      driver budget, so:
+    * **large graph**: the distributed min-label loop below —
+      per round one equi-join (labels onto symmetric edges) + one
+      min-groupBy + a pointer-jump composition (label of label:
+      reach doubles per round, so rounds are O(log diameter) not
+      O(diameter) — the sf0.1 collapsed-simhash graph carries
+      ~12-hop chains, not the shallow diameter-2-4 clusters the r8
+      notes assumed). The convergence test rides the SAME job that
+      materializes each round's labels (an ``observe()`` metric on
+      the new-vs-old join) instead of a second count() job.
+
+    Edges are symmetrized with ONE explode pass over ``pairs``
+    instead of a 2-branch union — the union form computed the
+    (possibly expensive) pair derivation TWICE inside the
+    materialization job, and the callers' pair frames (ngram-Jaccard
+    candidate join, fuzzy-blocked levenshtein, simhash blocking) are
+    exactly the expensive kind. Lineage is truncated per round with
+    localCheckpoint so the plan doesn't grow unboundedly.
+
+    ``driver_max_edges=None`` (or 0) forces the distributed path;
+    the driver path also requires integer ids (Python's min must
+    order exactly like Spark's — true for integral types; strings
+    with non-ASCII code points could differ, so they stay
+    distributed)."""
+    e = pairs.select(F.explode(F.array(
+        F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+        F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+    )).alias("__e")).select("__e.u", "__e.v")
     # every round's join re-reads the edge frame; materialize it once
-    # or the (possibly expensive) pair derivation — e.g. the
-    # ngram-Jaccard candidate join — re-runs once per superstep
-    # (same rationale as graph.pagerank's materialize_edges)
+    # or the pair derivation re-runs once per superstep (same
+    # rationale as graph.pagerank's materialize_edges)
     e = e.localCheckpoint(eager=True)
+    id_type = dict(e.dtypes)["u"]
+    if (driver_max_edges and id_type in ("tinyint", "smallint", "int",
+                                         "bigint")
+            and e.count() <= driver_max_edges):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:          # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = e.collect()
+        for row in rows:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {row[0] for row in rows}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        return pairs.sparkSession.createDataFrame(
+            out, schema=f"doc_id {id_type}, component {id_type}")
     labels = (e.select("u").distinct()
               .select(F.col("u").alias("node"), F.col("u").alias("comp")))
     for _ in range(max_iter):
         neigh = (e.join(labels, e.v == labels.node)
                  .select(F.col("u").alias("node"), "comp"))
-        new = (labels.union(neigh)
-               .groupBy("node").agg(F.min("comp").alias("comp"))
+        l1 = (labels.union(neigh)
+              .groupBy("node").agg(F.min("comp").alias("comp")))
+        # pointer-jump: follow the label OF the label — comp(x) <= x
+        # always holds (init own id; min includes self; jump only
+        # composes), so the jump is monotone and the fixpoint is
+        # unchanged (min reachable id). The l1 self-join's two
+        # identical groupBy subtrees share one exchange at runtime
+        # (AQE exchange reuse).
+        l2 = (l1.join(l1.select(F.col("node").alias("__c"),
+                                F.col("comp").alias("__cc")),
+                      F.col("comp") == F.col("__c"))
+              .select("node", F.col("__cc").alias("comp")))
+        obs = Observation()
+        new = (l2.join(labels.select("node", F.col("comp").alias("__old")),
+                       "node")
+               .observe(obs, F.sum((F.col("comp") != F.col("__old"))
+                                   .cast("long")).alias("changed"))
+               .select("node", "comp")
                .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
         labels = new
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("comp").alias("component"))
@@ -1003,9 +1069,14 @@ def mine_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                      F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
                      lambda i: F.struct(
                          (i - 1).alias("pos"),
-                         F.sha2(F.concat_ws(
-                             " ", F.slice(F.col("__toks"), i, k)), 256)
-                         .alias("d")))).alias("g"))
+                         # unhex: ship the 32-byte digest, not its
+                         # 64-char hex string — the digest-keyed
+                         # count is the one corpus-wide shuffle and
+                         # this halves its key bytes (guide §2.3);
+                         # same 256-bit exactness
+                         F.unhex(F.sha2(F.concat_ws(
+                             " ", F.slice(F.col("__toks"), i, k)),
+                             256)).alias("d")))).alias("g"))
              .select("doc_id", "g.pos", "g.d"))
     dup = (grams.groupBy("d")
            .agg(F.count(F.lit(1)).alias("__n"))

@@ -17,6 +17,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str,
+                weight: str | None = None) -> DataFrame:
+    """Both edge directions in ONE pass over ``edges`` (r9 opt round,
+    guide §2.4 — remove redundant passes): the previous 2-branch
+    ``union`` form read its input once per branch, and because every
+    registry edge frame is *derived* (a basket self-join or
+    co-occurrence fan-out, not a parquet scan), the derivation ran
+    TWICE inside the edge-materialization job. A narrow explode emits
+    exactly the union's rows — same multiset, one derivation.
+    Measured on ppr_part_affinity's plan: 16 lineitem scans → 8."""
+    if weight is not None:
+        both = F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v"),
+                     F.col(weight).alias("w")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v"),
+                     F.col(weight).alias("w")))
+        return (edges.select(F.explode(both).alias("__e"))
+                .select("__e.u", "__e.v", "__e.w"))
+    both = F.array(
+        F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+        F.struct(F.col(dst).alias("u"), F.col(src).alias("v")))
+    return (edges.select(F.explode(both).alias("__e"))
+            .select("__e.u", "__e.v"))
+
+
 def pagerank(edges: DataFrame, src: str, dst: str,
              iters: int = 3, damping: float = 0.85,
              checkpoint_every: int = 8,
@@ -57,9 +82,7 @@ def pagerank(edges: DataFrame, src: str, dst: str,
     sf0.1), so the flag matters mainly when AQE is disabled or its
     stats mislead; leave False by default.
     """
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .union(edges.select(F.col(dst).alias("u"),
-                               F.col(src).alias("v"))))
+    sym = _symmetrize(edges, src, dst)
     if materialize_edges:
         # every superstep re-reads the edge frame; materializing it
         # once (localCheckpoint) stops the per-iteration recompute of
@@ -178,9 +201,7 @@ def label_propagation(edges: DataFrame, src: str = "src",
     ``checkpoint_every`` rounds."""
     from pyspark.sql.window import Window
 
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .union(edges.select(F.col(dst).alias("u"),
-                               F.col(src).alias("v"))))
+    sym = _symmetrize(edges, src, dst)
     if materialize_edges:
         # see pagerank: pay the edge derivation once, not per superstep
         sym = sym.localCheckpoint(eager=True)
@@ -221,9 +242,7 @@ def bfs_distances(edges: DataFrame, src: str = "u", dst: str = "v",
     frame instead of replaying all prior hops. Early-exits when a
     frontier comes back empty (one cheap isEmpty job per hop — the
     standard Pregel-style driver loop)."""
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .union(edges.select(F.col(dst).alias("u"),
-                               F.col(src).alias("v"))).distinct())
+    sym = _symmetrize(edges, src, dst).distinct()
     if materialize_edges:
         sym = sym.localCheckpoint(eager=True)
     if source is None:
@@ -260,11 +279,7 @@ def shortest_paths(edges: DataFrame, src: str = "u", dst: str = "v",
     at web-graph scale the same shape runs delta-stepping by
     filtering the join's left side to nodes whose dist improved last
     round."""
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
-                        F.col(weight).alias("w"))
-           .union(edges.select(F.col(dst).alias("u"),
-                               F.col(src).alias("v"),
-                               F.col(weight).alias("w"))))
+    sym = _symmetrize(edges, src, dst, weight)
     sym = sym.localCheckpoint(eager=True)
     if source is None:
         source = sym.agg(F.min("u").alias("node"))
@@ -296,10 +311,8 @@ def k_core(edges: DataFrame, src: str = "u", dst: str = "v",
     two semi-joins to induce the subgraph — all keyed by node id,
     edges never replicated. Lineage cut every round. Returns
     ``(node, deg)`` on the surviving subgraph."""
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .union(edges.select(F.col(dst).alias("u"),
-                               F.col(src).alias("v"))).distinct()
-           .localCheckpoint(eager=True))
+    sym = _symmetrize(edges, src, dst).distinct() \
+        .localCheckpoint(eager=True)
     for _ in range(max_rounds):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
@@ -371,9 +384,7 @@ def personalized_pagerank(edges: DataFrame, src: str, dst: str,
     keyed aggregate; edges never reshuffled under AQE broadcast);
     the seed indicator is carried inside the rank frame so the
     restart term adds no extra join."""
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .union(edges.select(F.col(dst).alias("u"),
-                               F.col(src).alias("v"))))
+    sym = _symmetrize(edges, src, dst)
     if materialize_edges:
         sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))

@@ -1258,17 +1258,27 @@ def dedup_simhash_collapsed_q(spark, sf_dir):
     # exactly what each pass would have computed itself)
     fp = X_dedup.simhash_fingerprints(docs, "text", "doc_id") \
         .localCheckpoint(eager=True)
+    # materialize each blocking leg ONCE (r9 opt round, guide §1.2 /
+    # §5): sim_c feeds connected_components AND the closure proof's
+    # exceptAll; sim_x feeds the proof's surplus AND bridge checks.
+    # Un-materialized, each consumer replays the full explode x20 +
+    # self-join + distinct blocking plan (measured: the collapsed leg
+    # ran 2x and the exhaustive leg 2x inside one action's plan).
     sim_c = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
                                        max_hamming=3, max_bucket=1000,
                                        collapse_identical=True,
-                                       fingerprints=fp)
+                                       fingerprints=fp) \
+        .localCheckpoint(eager=True)
     comp_c = X_dedup.connected_components(sim_c)
     sim_x = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
-                                       max_hamming=3, fingerprints=fp)
+                                       max_hamming=3, fingerprints=fp) \
+        .localCheckpoint(eager=True)
     diff = X_dedup.closure_equality_violations(sim_c, comp_c, sim_x)
+    # the exact truth leg feeds both the count and the closure-hit
+    # join — one materialization, not two index self-join replays
     true = X_dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                        n=3, threshold=0.9) \
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").localCheckpoint(eager=True)
     ca = comp_c.select(F.col("doc_id").alias("doc_a"),
                        F.col("component").alias("comp_a"))
     cb = comp_c.select(F.col("doc_id").alias("doc_b"),
@@ -1616,9 +1626,15 @@ def streaming_windowed_counts_q(spark, sf_dir):
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 2).alias("total")))
     name = "stream_wc_" + uuid.uuid4().hex[:8]
-    q = SS.to_memory(agg, name, output_mode="complete")
-    q.processAllAvailable()
-    q.stop()
+    # right-size state partitions for the bounded drain (r9 opt; the
+    # interval joins' rationale): store count pins at first batch and
+    # 32 near-empty HDFS-backed stores are pure per-batch overhead at
+    # this state size — at cluster scale size this to state volume
+    from vega_spark.session import pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = SS.to_memory(agg, name, output_mode="complete")
+        q.processAllAvailable()
+        q.stop()
     return (spark.table(name)
             .select(F.col("win.start").cast("long").alias("win_start_s"),
                     "event_type", "n", "total"))
@@ -5278,9 +5294,13 @@ def streaming_stream_static_join_q(spark, sf_dir):
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 2).alias("total")))
     name = "stream_ssj_" + uuid.uuid4().hex[:8]
-    q = SS.to_memory(agg, name, output_mode="complete")
-    q.processAllAvailable()
-    q.stop()
+    # right-size state partitions for the bounded drain (r9 opt —
+    # see streaming_windowed_counts; cluster: size to state volume)
+    from vega_spark.session import pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = SS.to_memory(agg, name, output_mode="complete")
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -5307,15 +5327,28 @@ def streaming_dedup_exact_q(spark, sf_dir):
     stage = tempfile.mkdtemp(prefix="vega_stream_dd_")
     c = ev.coalesce(4)
     c.write.mode("overwrite").parquet(os.path.join(stage, "arrival=1"))
-    c.write.mode("overwrite").parquet(os.path.join(stage, "arrival=2"))
+    # second identical arrival: hardlink the just-written files
+    # instead of re-running the write job — bit-identical duplicate
+    # input (the contract is "every event arrives twice"), one Spark
+    # write instead of two (r9 opt, guide §1.2: don't recompute what
+    # you already have)
+    os.makedirs(os.path.join(stage, "arrival=2"), exist_ok=True)
+    for f in os.listdir(os.path.join(stage, "arrival=1")):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(stage, "arrival=1", f),
+                    os.path.join(stage, "arrival=2", f))
     stream = SS.stream_parquet(
         spark, os.path.join(stage, "*"),
         "event_id long, event_type string, value double")
     deduped = dedup_exact_stream(stream, ["event_id"])
     name = "stream_dd_" + uuid.uuid4().hex[:8]
-    q = SS.to_memory(deduped, name, output_mode="append")
-    q.processAllAvailable()
-    q.stop()
+    # right-size state partitions for the dedup state drain (r9 opt —
+    # see streaming_windowed_counts; cluster: size to state volume)
+    from vega_spark.session import pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = SS.to_memory(deduped, name, output_mode="append")
+        q.processAllAvailable()
+        q.stop()
     return (spark.table(name)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -7198,8 +7231,17 @@ def als_recommend_parts_q(spark, sf_dir):
                           copart=None if li_rows is None
                           else li_rows > 5_000_000,
                           copart_storage=StorageLevel.DISK_ONLY)
-    users = ratings.select("user").distinct().filter(F.col("user") < 25)
-    recs = recommend_top_k(ratings, "user", "item", xu, yi, users, k=3)
+    # materialize the tiny user set and the recommendation frame ONCE
+    # (r9 opt round, guide §5 caching-when-reused): users feeds four
+    # consumers (two inside recommend_top_k, uagg, and the semi-join)
+    # and recs feeds three (viol window, ragg, seen semi-join) inside
+    # one action — un-materialized, the broadcast-scored
+    # users x items pass re-ran per consumer (profiled 1.6s -> 0.7s
+    # on the final action)
+    users = (ratings.select("user").distinct().filter(F.col("user") < 25)
+             .localCheckpoint(eager=True))
+    recs = recommend_top_k(ratings, "user", "item", xu, yi, users, k=3) \
+        .localCheckpoint(eager=True)
 
     rmse = als_rmse(ratings, "user", "item", "r", xu, yi)
     base = ratings.agg(F.stddev_pop("r").alias("sd")).collect()[0]["sd"]
@@ -7897,9 +7939,13 @@ def streaming_session_windows_q(spark, sf_dir):
                     "user_id")
            .agg(F.count(F.lit(1)).alias("n_events")))
     name = "stream_sess_" + uuid.uuid4().hex[:8]
-    q = SS.to_memory(agg, name, output_mode="complete")
-    q.processAllAvailable()
-    q.stop()
+    # right-size state partitions for the bounded drain (r9 opt —
+    # see streaming_windowed_counts; cluster: size to state volume)
+    from vega_spark.session import pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = SS.to_memory(agg, name, output_mode="complete")
+        q.processAllAvailable()
+        q.stop()
     return (spark.table(name)
             .select("user_id",
                     F.unix_micros(F.col("session.start"))
@@ -9812,12 +9858,15 @@ def ppr_part_affinity_q(spark, sf_dir):
     from vega_spark.functions.analytics import cooccurrence_pairs
     from vega_spark.functions.graph import personalized_pagerank
     li = _t(spark, sf_dir, "lineitem")
+    # materialize the co-occurrence edge derivation ONCE (r9 opt,
+    # guide §2.4): it used to run 4x in this query — twice in the
+    # seed-derivation union below, twice again inside the function's
+    # edge symmetrization (before-plan: 16 lineitem scans)
     edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2,
-                               max_basket=200)
-    sym = (edges.select(F.col("item_a").alias("u"))
-           .union(edges.select(F.col("item_b").alias("u"))))
-    deg_nodes = sym.groupBy("u").agg(F.count(F.lit(1)))
-    seeds = deg_nodes.select("u").orderBy("u").limit(2)
+                               max_basket=200).localCheckpoint(eager=True)
+    seeds = (edges.select(F.explode(F.array("item_a", "item_b"))
+                          .alias("u"))
+             .distinct().orderBy("u").limit(2))
     out = personalized_pagerank(edges, "item_a", "item_b", seeds,
                                 iters=3, damping=0.85)
     return (out.filter(F.col("rank") > 0)
@@ -9911,10 +9960,20 @@ def image_curation_pipeline_q(spark, sf_dir):
                             for i in b["doc_id"]],
             })
 
-    with_png = docs.mapInPandas(gen, "doc_id long, payload binary")
+    # materialize the synthesized PNG frame ONCE (r9 opt round, guide
+    # §5): it feeds THREE differently-shaped consumers (header gate,
+    # gated decode, survivor fetch) plus the n_pass count action —
+    # un-materialized, make_pattern_png re-encoded the whole corpus
+    # per consumer (no exchange-reuse applies: the subtrees differ).
+    # Payloads are ~KB PNGs, so the pinned copy is corpus-bounded
+    # and released with the session; at 100 TB the equivalent is a
+    # staged parquet of the decoded-once assets (guide §8 pattern).
+    with_png = docs.mapInPandas(gen, "doc_id long, payload binary") \
+        .localCheckpoint(eager=True)
     hdr = image_header_metadata(with_png)
     passing = (hdr.filter(F.col("width") >= 12)
-               .select(F.col("asset_id").alias("doc_id")))
+               .select(F.col("asset_id").alias("doc_id"))
+               .localCheckpoint(eager=True))
     sub = with_png.join(passing, "doc_id")
     hashes = image_dhash(sub)
     keep = (hashes.groupBy("dhash")
