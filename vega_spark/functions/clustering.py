@@ -87,6 +87,46 @@ def _update_centroids(assigned: DataFrame, vec_col: str, dim: int,
     return out
 
 
+def _iterate_partials(points: DataFrame, vec_col: str,
+                      centroids: list[list[float]],
+                      k: int, dim: int) -> list:
+    """One fused Lloyd iteration (r9 opt round, guide §2.4/§4):
+    nearest-centroid assignment AND the per-cluster (sum, count)
+    partials in a single narrow mapInPandas pass — ``k x dim``
+    doubles per task reach the driver, replacing the previous
+    posexplode → groupBy(cluster, pos) → collect chain whose
+    exchange + second stage were pure overhead for summary-sized
+    data. This is the MLlib treeAggregate shape: cost per iteration
+    is one scan, zero shuffles, driver merge O(partitions·k·dim).
+    Partial sums use numpy within a partition and merge in
+    partition order — deterministic, though not bit-identical to
+    the old shuffle-merge order; the contract surface (partition
+    coverage, cluster-count bounds, silhouette range) is invariant
+    to centroid ulps."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    def part(it):
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            a = (c_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+            for cid in np.unique(a):
+                m = a == cid
+                sums[cid] += X[m].sum(axis=0)
+                cnts[cid] += int(m.sum())
+        yield pd.DataFrame({"cluster": np.arange(k, dtype="int32"),
+                            "s": [list(map(float, r)) for r in sums],
+                            "n": cnts})
+
+    return (points.select(vec_col)
+            .mapInPandas(part, "cluster int, s array<double>, n long")
+            .collect())
+
+
 def kmeans(points: DataFrame, vec_col: str, k: int,
            max_iter: int = 20, tol: float = 1e-4,
            init_ids: DataFrame | None = None,
@@ -94,13 +134,24 @@ def kmeans(points: DataFrame, vec_col: str, k: int,
     """Lloyd's k-means. Deterministic init: the k rows with the
     lowest ``id_col`` (seedless reproducibility across engines and
     runs — random init would make every result engine-specific).
-    Returns (points + ``cluster`` column, final centroids)."""
+    Returns (points + ``cluster`` column, final centroids).
+
+    Per-iteration plan (r9 opt): ONE narrow fused pass
+    (`_iterate_partials`) — no exchange anywhere in the loop; only
+    the final returned assignment runs the plain `assign_clusters`
+    column."""
     first = (init_ids or points).orderBy(id_col).limit(k).collect()
     centroids = [list(map(float, r[vec_col])) for r in first]
     dim = len(centroids[0])
     for _ in range(max_iter):
-        assigned = assign_clusters(points, vec_col, centroids)
-        new = _update_centroids(assigned, vec_col, dim, k, centroids)
+        rows = _iterate_partials(points, vec_col, centroids, k, dim)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in rows:                        # partition order — stable
+            sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            cnts[r["cluster"]] += r["n"]
+        new = [list(sums[c] / cnts[c]) if cnts[c] > 0 else list(centroids[c])
+               for c in range(k)]             # empty cluster keeps centroid
         shift = max(sum((a - b) ** 2 for a, b in zip(cn, co)) ** 0.5
                     for cn, co in zip(new, centroids))
         centroids = new

@@ -283,6 +283,14 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int,
         w = Window.partitionBy("bucket").orderBy("id")
         b = (b.withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") <= max_bucket).drop("__rn"))
+    else:
+        # r9 opt: the capped path's window exchange is reused across
+        # both self-join branches at runtime, so the bucket UDF runs
+        # once — but UNCAPPED there is no exchange before the join
+        # and each branch re-runs the Python bucket pass. Materialize
+        # the (id, v, nrm, bucket) frame once instead; rows are
+        # vector-sized, corpus-bounded.
+        b = b.localCheckpoint(eager=True)
     lhs = b.select("bucket", F.col("id").alias("id_a"),
                    F.col("v").alias("v_a"), F.col("nrm").alias("na"))
     rhs = b.select("bucket", F.col("id").alias("id_b"),
