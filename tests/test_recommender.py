@@ -80,3 +80,19 @@ def test_release_local_checkpoint_frees_blocks(spark):
     assert jsc.getPersistentRDDs().size() == before
     # no-op on a plain frame
     release_local_checkpoint(spark.range(10))
+
+
+def test_rmse_vs_baseline_matches_separate_jobs(spark):
+    """r9 opt: the fused single-action (rmse, baseline-sd) helper must
+    return exactly the two scalars the separate jobs produced."""
+    from vega_spark.functions.recommender import als_rmse_vs_baseline
+
+    df = _lowrank_ratings(spark).cache()
+    xu, yi = als_explicit(df, "user", "item", "r",
+                          rank=3, iters=2, reg=0.01)
+    rmse_f, sd_f = als_rmse_vs_baseline(df, "user", "item", "r", xu, yi)
+    rmse_sep = als_rmse(df, "user", "item", "r", xu, yi)
+    sd_sep = float(
+        df.agg(F.stddev_pop("r").alias("sd")).collect()[0]["sd"])
+    assert rmse_f == rmse_sep
+    assert sd_f == sd_sep

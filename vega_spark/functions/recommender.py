@@ -205,19 +205,23 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
     # the heap flat across iterations; the new frame is always
     # count()-materialized before its predecessor is dropped.
     for _ in range(iters):
+        # localCheckpoint is EAGER by default — the new frame is
+        # fully materialized by the checkpoint job itself, so no
+        # extra count() is needed before releasing the predecessor
+        # (r9 opt: the old per-half-step counts were 2·iters−1
+        # redundant driver round-trips; only the first user-side
+        # count survives, feeding the broadcast decision).
         xu_new = _solve_side(r_user, user_col, item_col, rating_col,
                              yi, rank, reg,
                              broadcast_fixed=bc_items).localCheckpoint()
-        n_users = xu_new.count()          # materialize before release
         if bc_users is None:
-            bc_users = n_users <= _BCAST_FACTOR_ROWS
+            bc_users = xu_new.count() <= _BCAST_FACTOR_ROWS
         if xu is not None:
             release_local_checkpoint(xu)
         xu = xu_new
         yi_new = _solve_side(r_item, item_col, user_col, rating_col,
                              xu, rank, reg,
                              broadcast_fixed=bc_users).localCheckpoint()
-        yi_new.count()                    # materialize before release
         release_local_checkpoint(yi)
         yi = yi_new
     if copart:
@@ -238,6 +242,31 @@ def als_rmse(ratings: DataFrame, user_col: str, item_col: str,
     dot = _dot("fu", "fi", rank)
     err = j.agg(F.avg(F.pow(F.col(rating_col) - dot, 2))).collect()[0][0]
     return float(err) ** 0.5
+
+
+def als_rmse_vs_baseline(ratings: DataFrame, user_col: str,
+                         item_col: str, rating_col: str,
+                         xu: DataFrame, yi: DataFrame
+                         ) -> tuple[float, float]:
+    """Training RMSE and the global-mean predictor's RMSE
+    (= stddev_pop of the ratings) in ONE action — the two scalars
+    als-contract queries compare were two separate collect jobs
+    (r9 opt, guide §5: scalar aggregates that feed one decision
+    belong in one job). Each aggregate is computed over exactly the
+    same frame/expressions as before; the crossJoin of two
+    single-row aggregates changes neither value."""
+    rank = _infer_rank(xu)
+    j = (ratings
+         .join(xu.withColumnRenamed("id", user_col)
+               .withColumnRenamed("f", "fu"), user_col)
+         .join(yi.withColumnRenamed("id", item_col)
+               .withColumnRenamed("f", "fi"), item_col))
+    dot = _dot("fu", "fi", rank)
+    row = (j.agg(F.avg(F.pow(F.col(rating_col) - dot, 2)).alias("mse"))
+           .crossJoin(ratings.agg(
+               F.stddev_pop(rating_col).alias("sd")))
+           .collect()[0])
+    return float(row["mse"]) ** 0.5, float(row["sd"])
 
 
 def recommend_top_k(ratings: DataFrame, user_col: str, item_col: str,

@@ -120,10 +120,10 @@ def zip_with_index(df: DataFrame, order: Sequence[str],
     No ``Window.orderBy`` without partitioning anywhere, so no
     all-rows-through-one-task stage: the old plan was correct but
     single-reducer; this one keeps every stage at full parallelism
-    and survives a 100x scale-up. Cost: the sorted frame is computed
-    twice (count job + final job) — identical to rdd.zipWithIndex's
-    contract; ties in the ordering get an arbitrary but valid index
-    within their tie group either way.
+    and survives a 100x scale-up. The sorted frame is materialized
+    once (localCheckpoint) and feeds both the count job and the final
+    job; ties in the ordering get an arbitrary but valid index within
+    their tie group.
     """
     sort_cols = [F.col(c) if isinstance(c, str) else c for c in order]
     s = (df.repartitionByRange(*sort_cols)
@@ -131,6 +131,15 @@ def zip_with_index(df: DataFrame, order: Sequence[str],
          .select("*", F.spark_partition_id().alias("__pid"),
                  F.monotonically_increasing_id()
                  .bitwiseAND(F.lit((1 << 33) - 1)).alias("__lidx")))
+    # r9 opt: materialize the sorted+indexed frame ONCE — the count
+    # job below and the final job then read the same materialization
+    # instead of each recomputing the range-partition + sort (this
+    # also pins tie order: both jobs now see the identical (__pid,
+    # __lidx) assignment by construction rather than by deterministic
+    # replay). Spark's own rdd.zipWithIndex recomputes; persisting is
+    # the DataFrame-era trade (storage is MEMORY_AND_DISK, so at
+    # scale the sorted run spills rather than pinning heap).
+    s = s.localCheckpoint(eager=True)
     counts = s.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
     sizes = {r["__pid"]: r["__n"] for r in counts}
     offsets, acc = [], 0

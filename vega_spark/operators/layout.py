@@ -203,7 +203,9 @@ def parquet_footer_census(spark, paths, columns):
 
 def write_size_targeted(df: DataFrame, path: str,
                         target_file_bytes: int = 128 * 1024 * 1024,
-                        sample_rows: int = 2000) -> dict:
+                        sample_rows: int = 2000,
+                        n_rows: int | None = None,
+                        est_row_bytes: float | None = None) -> dict:
     """Size-targeted parquet write: pick the file count so each
     output file lands near ``target_file_bytes`` (the HDFS-block /
     object-store sweet spot — the knob that prevents both the
@@ -213,24 +215,36 @@ def write_size_targeted(df: DataFrame, path: str,
     head to a scratch dir (real parquet encoding + compression, the
     only honest estimator); the full write is then one
     ``repartition(n_files)`` round-robin — uniform file sizes by
-    construction. Returns {n_rows, est_row_bytes, n_files}."""
+    construction. Returns {n_rows, est_row_bytes, n_files}.
+
+    ``n_rows`` / ``est_row_bytes`` are caller hints (the als_explicit
+    ``copart`` pattern): a caller whose ``df`` is a bare parquet scan
+    already has the EXACT row count and a whole-table bytes-per-row
+    in the source footers — passing them skips the count job and the
+    sample-write job entirely. The hints change only the estimator,
+    never the write: a wrong ``n_rows`` hint would corrupt the sizing,
+    so callers must only pass footer-exact values."""
     import math
     import os
     import shutil
     import tempfile
 
-    n_rows = df.count()
-    scratch = tempfile.mkdtemp(prefix="vega_sizer_")
-    try:
-        head = df.limit(min(sample_rows, max(n_rows, 1)))
-        head.coalesce(1).write.mode("overwrite").parquet(scratch)
-        sampled = max(1, min(sample_rows, n_rows))
-        total = sum(os.path.getsize(os.path.join(scratch, f))
-                    for f in os.listdir(scratch)
-                    if f.endswith(".parquet"))
-        bpr = max(1.0, total / sampled)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    if n_rows is None:
+        n_rows = df.count()
+    if est_row_bytes is not None:
+        bpr = max(1.0, float(est_row_bytes))
+    else:
+        scratch = tempfile.mkdtemp(prefix="vega_sizer_")
+        try:
+            head = df.limit(min(sample_rows, max(n_rows, 1)))
+            head.coalesce(1).write.mode("overwrite").parquet(scratch)
+            sampled = max(1, min(sample_rows, n_rows))
+            total = sum(os.path.getsize(os.path.join(scratch, f))
+                        for f in os.listdir(scratch)
+                        if f.endswith(".parquet"))
+            bpr = max(1.0, total / sampled)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
     rows_per_file = max(1, int(target_file_bytes / bpr))
     n_files = max(1, math.ceil(n_rows / rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(path)

@@ -7215,7 +7215,7 @@ def als_recommend_parts_q(spark, sf_dir):
     flags are engine-computed.  Monotone per-iteration descent and
     low-rank recovery stay pinned in test_recommender."""
     from vega_spark.functions.recommender import (
-        als_explicit, als_rmse, recommend_top_k)
+        als_explicit, als_rmse_vs_baseline, recommend_top_k)
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     ratings = (orders.select("o_orderkey", "o_custkey")
@@ -7250,8 +7250,10 @@ def als_recommend_parts_q(spark, sf_dir):
     recs = recommend_top_k(ratings, "user", "item", xu, yi, users, k=3) \
         .localCheckpoint(eager=True)
 
-    rmse = als_rmse(ratings, "user", "item", "r", xu, yi)
-    base = ratings.agg(F.stddev_pop("r").alias("sd")).collect()[0]["sd"]
+    # one action for both scalars (r9 opt: was an RMSE collect + a
+    # separate stddev collect — same expressions, fused job)
+    rmse, base = als_rmse_vs_baseline(ratings, "user", "item", "r",
+                                      xu, yi)
 
     from pyspark.sql.window import Window
     w = Window.partitionBy("user").orderBy("rk")
@@ -10155,8 +10157,25 @@ def write_size_targeted_roundtrip_q(spark, sf_dir):
     from vega_spark.operators.layout import write_size_targeted
     target = 256 * 1024
     li = _t(spark, sf_dir, "lineitem")
+    # r9 opt (guide §6): li is a bare parquet scan, so the sizer's two
+    # estimator jobs (count + head sample-write) are replaced by the
+    # source FOOTER stats — exact row count, whole-table bytes/row.
+    # Falls back to the measured path if the footer can't be read.
+    meta_n = _meta_rows(sf_dir, "lineitem")
+    bpr = None
+    if meta_n:
+        src = os.path.join(sf_dir, "lineitem.parquet")
+        try:
+            sz = (sum(os.path.getsize(os.path.join(src, f))
+                      for f in os.listdir(src) if f.endswith(".parquet"))
+                  if os.path.isdir(src) else os.path.getsize(src))
+            bpr = sz / meta_n if sz else None
+        except OSError:
+            bpr = None
     out = tempfile.mkdtemp(prefix="vega_sized_q_") + "/data"
-    info = write_size_targeted(li, out, target_file_bytes=target)
+    info = write_size_targeted(li, out, target_file_bytes=target,
+                               n_rows=meta_n if bpr else None,
+                               est_row_bytes=bpr)
     n_back = spark.read.parquet(out).count()
     sizes = [os.path.getsize(os.path.join(out, f))
              for f in os.listdir(out) if f.endswith(".parquet")]
