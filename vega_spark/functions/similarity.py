@@ -691,9 +691,39 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                              cell1(F.col(vec_col))[0].alias("cell"))
                .withColumn("__res", residual(F.col(vec_col),
                                              F.col("cell"))))
-    codebooks = train_pq_codebooks(
-        indexed, dim, m=m, nbits=nbits, iters=iters_pq,
-        n_train=n_train, id_col=id_col, vec_col="__res")
+    # r9 opt (guide §4 — don't run a corpus-wide Python pass to feed
+    # a bounded collect): codebook training needs only the n_train
+    # md5-ordered sample's RESIDUALS, but routing it through
+    # train_pq_codebooks(indexed) executed the full-corpus
+    # cell1+residual UDF pipeline a second time (once under the
+    # training TakeOrdered, once again in the encode pass). Instead:
+    # one TakeOrdered collect of the RAW sample vectors (exactly the
+    # job train_pq_codebooks ran, minus the UDF subtree), then the
+    # cell assignment and residual are computed on the DRIVER with
+    # the SAME numpy ops/dtypes as _nearest_cells_udf and residual()
+    # — stable argsort on -(X @ normalized-Cᵀ), float64 subtract —
+    # so the training matrix is bit-identical and so are the
+    # codebooks. (A limit-then-UDF DataFrame variant was measured
+    # first: the non-terminal limit degrades TakeOrderedAndProject
+    # to a full global sort — 3.4 s → 6.2 s at sf0.1. Rejected.)
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sample = (corpus
+              .orderBy(F.md5(F.col(id_col).cast("string")
+                             .cast("binary")), F.col(id_col))
+              .limit(n_train)
+              .select(F.col(vec_col).alias("v")).collect())
+    Xs = np.array([list(r["v"]) for r in sample], dtype="float64")
+    cnorm = np.linalg.norm(C, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+    cells_s = np.argsort(-(Xs @ (C / cnorm[:, None]).T),
+                         axis=1, kind="stable")[:, 0]
+    Rs = Xs - C[cells_s]
+    dsub0 = dim // m
+    codebooks = [
+        _kmeans_np(Rs[:, j * dsub0:(j + 1) * dsub0],
+                   1 << nbits, iters_pq).tolist()
+        for j in range(m)
+    ]
     codes = (pq_encode(indexed, codebooks, vec_col="__res")
              .select(F.col(id_col).alias("neighbor_id"), "cell",
                      "pq_code"))
