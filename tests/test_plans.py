@@ -282,12 +282,23 @@ def test_zip_with_index_has_no_window(spark, sf_dir):
     # VERDICT r01 scale fix: the old plan ranked via an unpartitioned
     # Window (all rows through one task). The scalable plan is
     # range-partition + per-partition offsets — no WindowExec at all.
-    from vega_spark.operators.joins import zip_with_index
+    # r9 opt: zip_with_index checkpoints the sorted frame, so its
+    # final plan is an ExistingRDD scan + broadcast offset join — the
+    # range-partitioning contract is asserted on the pre-checkpoint
+    # pipeline (the plan the checkpoint job actually materializes).
+    from vega_spark.operators.joins import (_range_sorted_local_index,
+                                            zip_with_index)
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pre = _range_sorted_local_index(c, ["c_custkey"])
+    pre_txt = I.plan_text(pre)
+    assert "Window" not in pre_txt, pre_txt
+    assert "rangepartitioning" in pre_txt.lower(), pre_txt
     q = zip_with_index(c, ["c_custkey"], "idx")
     txt = I.plan_text(q)
     assert "Window" not in txt, txt
-    assert "rangepartitioning" in txt.lower(), txt
+    # offsets must attach by broadcast — re-shuffling the data side
+    # on __pid would defeat the materialize-once design
+    assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt, txt
 
 
 def test_build_vocab_ranked_head_is_bounded(spark, sf_dir):

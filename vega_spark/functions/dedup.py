@@ -825,8 +825,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     )).alias("__e")).select("__e.u", "__e.v")
     # every round's join re-reads the edge frame; materialize it once
     # or the pair derivation re-runs once per superstep (same
-    # rationale as graph.pagerank's materialize_edges)
-    e = e.localCheckpoint(eager=True)
+    # rationale as graph.pagerank's materialize_edges). LAZY (r9 opt
+    # continuation): the size-gate count() below is the first action
+    # and materializes the checkpoint itself — one job instead of a
+    # checkpoint job plus a cached-read count job; when the gate is
+    # disabled the first superstep materializes it instead.
+    e = e.localCheckpoint(eager=False)
     id_type = dict(e.dtypes)["u"]
     if (driver_max_edges and id_type in ("tinyint", "smallint", "int",
                                          "bigint")

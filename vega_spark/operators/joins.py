@@ -100,6 +100,21 @@ def zip_by_order(left: DataFrame, right: DataFrame,
     return li.join(ri.select("__idx", *rcols), on="__idx", how="inner").drop("__idx")
 
 
+def _range_sorted_local_index(df: DataFrame,
+                              order: Sequence[str]) -> DataFrame:
+    """The pre-materialization pipeline of ``zip_with_index``: range
+    partition + in-partition sort + local 0-based position. Split out
+    so the plan contract (range partitioning, no Window) stays
+    assertable — the checkpoint in ``zip_with_index`` truncates the
+    final plan to an ExistingRDD scan, hiding this subtree."""
+    sort_cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    return (df.repartitionByRange(*sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .select("*", F.spark_partition_id().alias("__pid"),
+                    F.monotonically_increasing_id()
+                    .bitwiseAND(F.lit((1 << 33) - 1)).alias("__lidx")))
+
+
 def zip_with_index(df: DataFrame, order: Sequence[str],
                    index_name: str = "index") -> DataFrame:
     """zipWithIndex under an explicit ordering (0-based) — the
@@ -125,12 +140,6 @@ def zip_with_index(df: DataFrame, order: Sequence[str],
     job; ties in the ordering get an arbitrary but valid index within
     their tie group.
     """
-    sort_cols = [F.col(c) if isinstance(c, str) else c for c in order]
-    s = (df.repartitionByRange(*sort_cols)
-         .sortWithinPartitions(*sort_cols)
-         .select("*", F.spark_partition_id().alias("__pid"),
-                 F.monotonically_increasing_id()
-                 .bitwiseAND(F.lit((1 << 33) - 1)).alias("__lidx")))
     # r9 opt: materialize the sorted+indexed frame ONCE — the count
     # job below and the final job then read the same materialization
     # instead of each recomputing the range-partition + sort (this
@@ -138,8 +147,11 @@ def zip_with_index(df: DataFrame, order: Sequence[str],
     # __lidx) assignment by construction rather than by deterministic
     # replay). Spark's own rdd.zipWithIndex recomputes; persisting is
     # the DataFrame-era trade (storage is MEMORY_AND_DISK, so at
-    # scale the sorted run spills rather than pinning heap).
-    s = s.localCheckpoint(eager=True)
+    # scale the sorted run spills rather than pinning heap). The
+    # checkpoint is LAZY: the per-partition count job below is the
+    # first action, so it materializes the checkpoint itself — one
+    # job instead of a checkpoint job plus a cached-read count job.
+    s = _range_sorted_local_index(df, order).localCheckpoint(eager=False)
     counts = s.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
     sizes = {r["__pid"]: r["__n"] for r in counts}
     offsets, acc = [], 0
