@@ -131,11 +131,32 @@ def cooccurrence_pairs(df: DataFrame, basket_col: str, item_col: str,
     pairs. No self-join: the classic join-on-basket formulation
     shuffles the big table twice and explodes skewed baskets across
     reducers; this shape contains the quadratic term inside one row."""
-    items = (df.select(F.col(basket_col).alias("b"),
-                       F.col(item_col).alias("i"))
-             .groupBy("b")
-             .agg(F.slice(F.array_sort(F.collect_set("i")),
-                          1, max_basket).alias("items")))
+    return _pairs_from_items(_basket_items(df, basket_col, item_col),
+                             min_count, max_basket)
+
+
+def _basket_items(df: DataFrame, basket_col: str,
+                  item_col: str) -> DataFrame:
+    """Distinct items per basket — ``(b, items_all sorted array)`` —
+    in ONE scan + ONE exchange of the fact table. Shared by every
+    basket-derived aggregate in this module (pairs, item supports,
+    basket total) so consumers that need several of them don't each
+    re-scan the input (r9 opt round, guide §2.4). NULL items are
+    dropped by ``collect_set``; see the equivalence notes at the
+    consumers."""
+    return (df.select(F.col(basket_col).alias("b"),
+                      F.col(item_col).alias("i"))
+            .groupBy("b")
+            .agg(F.array_sort(F.collect_set("i")).alias("items_all")))
+
+
+def _pairs_from_items(grouped: DataFrame, min_count: int,
+                      max_basket: int) -> DataFrame:
+    """Pair fan-out + count over a ``_basket_items`` frame (the body
+    of :func:`cooccurrence_pairs`, split so callers holding the
+    grouped frame reuse it)."""
+    items = grouped.select(
+        F.slice(F.col("items_all"), 1, max_basket).alias("items"))
     pairs = items.select(F.explode(
         F.flatten(F.transform(
             F.col("items"),
@@ -524,27 +545,43 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)P(b)).
     The classic curation screen for always-co-occurring boilerplate.
 
-    Plan: pair counts come from :func:`cooccurrence_pairs` (narrow
-    in-row fan-out, no self-join); item supports are one keyed
-    aggregate; the basket total is a one-row aggregate frame — both
-    join back as broadcast sides. The big table is never shuffled
-    beyond the basket grouping."""
-    pairs = cooccurrence_pairs(df, basket_col, item_col,
-                               min_count=min_count,
-                               max_basket=max_basket)
-    baskets = df.select(F.col(basket_col).alias("b"),
-                        F.col(item_col).alias("i")).distinct()
-    item_n = baskets.groupBy(F.col("i").alias("item")) \
-        .agg(F.count(F.lit(1)).alias("n_item"))
-    total = baskets.select("b").distinct() \
-        .agg(F.count(F.lit(1)).alias("__N"))
+    Plan (r9 opt round, guide §2.4 — one scan, one basket exchange):
+    the grouped ``_basket_items`` frame feeds the pair fan-out, the
+    item supports (explode of the uncapped per-basket item set — the
+    same distinct (b, i) multiset the old ``df.distinct()`` pass
+    re-derived with a second scan + exchange) and the basket total
+    (count of groups == count of distinct baskets). Equivalence note:
+    ``collect_set`` drops NULL items, so ``item_n`` loses any NULL
+    row the old distinct-based frame carried — but NULL never matches
+    the ante/cons equi-joins below, so the OUTPUT is row-identical.
+    Both small frames join back as broadcast sides; the big table is
+    never shuffled beyond the basket grouping, and both rule
+    directions fan out narrowly from one pass over the pair frame
+    (was a 2-branch union re-reading it)."""
+    grouped = _basket_items(df, basket_col, item_col)
+    pairs = _pairs_from_items(grouped, min_count, max_basket)
+    item_n = (grouped.select(F.explode("items_all").alias("item"))
+              .groupBy("item").agg(F.count(F.lit(1)).alias("n_item")))
+    # this branch intentionally keeps its own subtree: Catalyst
+    # prunes the collect_set out of a bare count-of-groups (count of
+    # a non-nullable column rewrites to count(1) too), so its basket
+    # exchange can never match the shared one — but the pruned shape
+    # is a ONE-column (basket key) scan + distinct-count, far cheaper
+    # than forcing reuse via an eager checkpoint of the corpus-sized
+    # grouped frame (verified on the executed sf0.1 plan: the pairs
+    # and item_n branches share one full scan via ReusedExchange,
+    # this branch is the only other scan and reads just ``b``).
+    total = grouped.agg(F.count(F.lit(1)).alias("__N"))
     # both directions: (a→b) and (b→a) share the same pair count
-    directed = (pairs.select(F.col("item_a").alias("ante"),
-                             F.col("item_b").alias("cons"),
-                             F.col("n_baskets"))
-                .union(pairs.select(F.col("item_b").alias("ante"),
-                                    F.col("item_a").alias("cons"),
-                                    F.col("n_baskets"))))
+    directed = (pairs.select(F.explode(F.array(
+        F.struct(F.col("item_a").alias("ante"),
+                 F.col("item_b").alias("cons"),
+                 F.col("n_baskets").alias("n_baskets")),
+        F.struct(F.col("item_b").alias("ante"),
+                 F.col("item_a").alias("cons"),
+                 F.col("n_baskets").alias("n_baskets"))))
+        .alias("__d"))
+        .select("__d.ante", "__d.cons", "__d.n_baskets"))
     out = (directed
            .join(F.broadcast(item_n.withColumnRenamed("item", "ante")
                              .withColumnRenamed("n_item", "n_ante")),
@@ -574,22 +611,29 @@ def item_item_neighbors(df: DataFrame, basket_col: str, item_col: str,
 
     Plan: reuses the narrow pair fan-out; the per-item top-k is a
     window PARTITIONED by the item (per-key heap, no global sort).
-    Ties break on the neighbor id so the result is deterministic."""
+    Ties break on the neighbor id so the result is deterministic.
+    r9 opt round (guide §2.4): item supports come from the SAME
+    grouped basket frame as the pairs (one scan + one exchange of
+    the fact table — the old ``df.distinct()`` support pass was a
+    second scan; NULL items dropped by ``collect_set`` never match
+    the item/neighbor equi-joins, so output is row-identical), and
+    both pair directions fan out narrowly from one pass over the
+    pair frame (was a 2-branch union re-reading it)."""
     from pyspark.sql.window import Window
 
-    pairs = cooccurrence_pairs(df, basket_col, item_col,
-                               min_count=min_count,
-                               max_basket=max_basket)
-    baskets = df.select(F.col(basket_col).alias("b"),
-                        F.col(item_col).alias("i")).distinct()
-    item_n = baskets.groupBy(F.col("i").alias("item")) \
-        .agg(F.count(F.lit(1)).alias("n_item"))
-    directed = (pairs.select(F.col("item_a").alias("item"),
-                             F.col("item_b").alias("neighbor"),
-                             F.col("n_baskets"))
-                .union(pairs.select(F.col("item_b").alias("item"),
-                                    F.col("item_a").alias("neighbor"),
-                                    F.col("n_baskets"))))
+    grouped = _basket_items(df, basket_col, item_col)
+    pairs = _pairs_from_items(grouped, min_count, max_basket)
+    item_n = (grouped.select(F.explode("items_all").alias("item"))
+              .groupBy("item").agg(F.count(F.lit(1)).alias("n_item")))
+    directed = (pairs.select(F.explode(F.array(
+        F.struct(F.col("item_a").alias("item"),
+                 F.col("item_b").alias("neighbor"),
+                 F.col("n_baskets").alias("n_baskets")),
+        F.struct(F.col("item_b").alias("item"),
+                 F.col("item_a").alias("neighbor"),
+                 F.col("n_baskets").alias("n_baskets"))))
+        .alias("__d"))
+        .select("__d.item", "__d.neighbor", "__d.n_baskets"))
     scored = (directed
               .join(F.broadcast(item_n), "item")
               .join(F.broadcast(item_n

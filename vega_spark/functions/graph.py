@@ -166,8 +166,11 @@ def triangle_count(edges: DataFrame, src: str = "src",
          .filter(F.col("a") != F.col("b")).distinct())
     if materialize_edges:
         e = e.localCheckpoint(eager=True)
-    deg = (e.select(F.col("a").alias("n"))
-           .union(e.select(F.col("b").alias("n")))
+    # both endpoints in ONE pass over the checkpointed edges (r9
+    # opt, the _symmetrize explode shape — the 2-branch union read
+    # the edge blocks once per branch and ran two partial-agg stages)
+    deg = (e.select(F.explode(F.array(F.col("a"), F.col("b")))
+           .alias("n"))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
     withd = (e.join(deg.select(F.col("n").alias("a"),
                                F.col("d").alias("da")), "a")
@@ -347,8 +350,11 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     # the canonical edges feed degrees AND all of triangle_count's
     # consumers — materialize once (cluster equivalent: persist)
     e = e.localCheckpoint(eager=True)
-    deg = (e.select(F.col("a").alias("n"))
-           .union(e.select(F.col("b").alias("n")))
+    # both endpoints in ONE pass over the checkpointed edges (r9
+    # opt, the _symmetrize explode shape — the 2-branch union read
+    # the edge blocks once per branch and ran two partial-agg stages)
+    deg = (e.select(F.explode(F.array(F.col("a"), F.col("b")))
+           .alias("n"))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
     tri = triangle_count(e, "a", "b", materialize_edges=False)
     per = (deg.join(tri, deg["n"] == tri["node"], "left")

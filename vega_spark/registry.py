@@ -8834,7 +8834,14 @@ def geo_copresence_users_q(spark, sf_dir):
                                           synthetic_coords)
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    cell = adaptive_cell_deg(ev.count(), base_deg=45.0)
+    # grid sizing needs only the events row count — parquet footer
+    # stats instead of a count job (r9 opt, the als copart/_meta_rows
+    # pattern: estimator-only, falls back to counting when footers
+    # are unreadable; same value by construction — ev is the full
+    # events table, one row per source row)
+    n_events = _meta_rows(sf_dir, "events")
+    cell = adaptive_cell_deg(ev.count() if n_events is None else n_events,
+                             base_deg=45.0)
     pts = synthetic_coords(ev, "event_id")
     return copresence_pairs(pts, "user_id", "ts", cell_deg=cell, top=20,
                             max_bucket=200)
@@ -9995,7 +10002,13 @@ def image_curation_pipeline_q(spark, sf_dir):
             .agg(F.min("asset_id").alias("doc_id")))
     surv = with_png.join(keep.select("doc_id"), "doc_id")
     stats = image_pixel_stats(surv)
-    n_images = docs.count()
+    # n_images is the raw documents row count — parquet footer stats
+    # instead of a count job (r9 opt, the _meta_rows estimator
+    # pattern; docs is the unfiltered table projected to doc_id, so
+    # the values agree by construction; count() fallback when footers
+    # are unreadable). n_pass counts a checkpointed frame — cheap.
+    meta_docs = _meta_rows(sf_dir, "documents")
+    n_images = docs.count() if meta_docs is None else meta_docs
     n_pass = passing.count()
     return (stats.agg(F.count(F.lit(1)).alias("n_kept"),
                       F.sum("sum_px").alias("total_px_kept"))
