@@ -5204,7 +5204,12 @@ def cache_reuse_scan_count_q(spark, sf_dir):
     still pin the cache win."""
     from vega_spark.dataset import VegaDataset
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
-    n = li.count()
+    # n is the raw lineitem row count, used only in the accumulator
+    # inequalities — parquet footer stats instead of a count job
+    # (r9 opt, the _meta_rows estimator pattern; identical value by
+    # construction, count() fallback when footers are unreadable)
+    meta_n = _meta_rows(sf_dir, "lineitem")
+    n = li.count() if meta_n is None else meta_n
     sc = spark.sparkContext
 
     def counting_probe():
