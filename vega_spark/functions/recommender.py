@@ -178,11 +178,16 @@ def als_explicit(ratings: DataFrame, user_col: str, item_col: str,
         # (verified on the executed plan both ways). AQE stays on for
         # the half-steps themselves.
         spark = ratings.sparkSession
+        from vega_spark.session import run_overlapped
         with pinned_conf(spark, "spark.sql.adaptive.enabled", "false"):
-            r_user = (ratings.repartition(F.col(user_col))
-                      .localCheckpoint(storageLevel=copart_storage))
-            r_item = (ratings.repartition(F.col(item_col))
-                      .localCheckpoint(storageLevel=copart_storage))
+            # the two copies are independent shuffles of the same
+            # checkpointed input — overlap them (guide §2.6); both
+            # run inside the pinned-AQE-off window either way
+            r_user, r_item = run_overlapped(
+                lambda: (ratings.repartition(F.col(user_col))
+                         .localCheckpoint(storageLevel=copart_storage)),
+                lambda: (ratings.repartition(F.col(item_col))
+                         .localCheckpoint(storageLevel=copart_storage)))
     else:
         r_user = r_item = ratings
     # broadcast eligibility decided ONCE per run per side (r5 ADVICE:

@@ -92,8 +92,14 @@ def zip_by_order(left: DataFrame, right: DataFrame,
     the index. The index join shuffles on a uniform BIGINT, so there
     is no skew; at 100 TB prefer a shared key over positional
     semantics when one exists."""
-    li = zip_with_index(left, left_order, "__idx")
-    ri = zip_with_index(right, right_order, "__idx")
+    # r9 opt (guide §2.6): each side's zip_with_index runs a blocking
+    # per-partition count job; the two sides share no lineage, so the
+    # two jobs overlap from a driver thread pool — the scheduler
+    # back-fills one side's stage tail with the other side's tasks.
+    from vega_spark.session import run_overlapped
+    li, ri = run_overlapped(
+        lambda: zip_with_index(left, left_order, "__idx"),
+        lambda: zip_with_index(right, right_order, "__idx"))
     # disambiguate colliding column names with suffixes, like rdd.zip's tuple
     rcols = [F.col(c).alias(c if c not in left.columns else c + "_right")
              for c in right.columns]

@@ -39,6 +39,7 @@ from vega_spark.operators.core import (
     select_map,
 )
 from vega_spark.session import ensure_engine_conf
+from vega_spark.session import run_overlapped as X_run_overlapped
 from vega_spark.tables import (
     load_table,
     ts_date,
@@ -181,6 +182,39 @@ def _meta_rows(sf_dir: str, name: str) -> int | None:
             # sum for parquet datasets — no column data is read
             return pads.dataset(path, format="parquet").count_rows()
         return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _meta_col_max(sf_dir: str, name: str, col: str):
+    """Max of a column from parquet FOOTER column statistics — zero
+    Spark jobs (the streaming_left_outer_interval_join probe, r8,
+    factored out in r9 so the other drain choreographies reuse it).
+    Returns the raw statistics max (int for INT64-encoded columns,
+    datetime/pandas.Timestamp for timestamp columns) or None when any
+    row group lacks statistics (caller falls back to a Spark max())."""
+    import os
+
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            import pyarrow.dataset as pads
+            frags = list(pads.dataset(path,
+                                      format="parquet").get_fragments())
+        else:
+            frags = [pq.ParquetFile(path)]
+        stats = []
+        for fr in frags:
+            pf = fr if isinstance(fr, pq.ParquetFile) \
+                else pq.ParquetFile(fr.path)
+            idx = pf.schema_arrow.get_field_index(col)
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                if st is None or st.max is None:
+                    return None
+                stats.append(st.max)
+        return max(stats) if stats else None
     except Exception:
         return None
 
@@ -1255,33 +1289,47 @@ def dedup_simhash_collapsed_q(spark, sf_dir):
     exhaustive edge bridging two comp_c labels (check b), and any
     spurious collapsed edge as check-a surplus."""
     docs = _t(spark, sf_dir, "documents")
-    # the simhash UDF (tokenize + hash + bit-vote every doc) is the
-    # dominant linear term of both legs — compute it ONCE and feed
-    # both blocking passes (r9; output-identical, the fp frame is
-    # exactly what each pass would have computed itself)
-    fp = X_dedup.simhash_fingerprints(docs, "text", "doc_id") \
-        .localCheckpoint(eager=True)
+
     # materialize each blocking leg ONCE (r9 opt round, guide §1.2 /
     # §5): sim_c feeds connected_components AND the closure proof's
-    # exceptAll; sim_x feeds the proof's surplus AND bridge checks.
-    # Un-materialized, each consumer replays the full explode x20 +
-    # self-join + distinct blocking plan (measured: the collapsed leg
-    # ran 2x and the exhaustive leg 2x inside one action's plan).
-    sim_c = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
-                                       max_hamming=3, max_bucket=1000,
-                                       collapse_identical=True,
-                                       fingerprints=fp) \
-        .localCheckpoint(eager=True)
-    comp_c = X_dedup.connected_components(sim_c)
-    sim_x = X_dedup.simhash_near_pairs(docs, "text", "doc_id",
-                                       max_hamming=3, fingerprints=fp) \
-        .localCheckpoint(eager=True)
-    diff = X_dedup.closure_equality_violations(sim_c, comp_c, sim_x)
+    # exceptAll; sim_x feeds the proof's surplus AND bridge checks;
     # the exact truth leg feeds both the count and the closure-hit
-    # join — one materialization, not two index self-join replays
-    true = X_dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                       n=3, threshold=0.9) \
-        .select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # join. Un-materialized, each consumer replays the full
+    # explode x20 + self-join + distinct blocking plan (measured: the
+    # collapsed leg ran 2x and the exhaustive leg 2x inside one
+    # action's plan).
+    #
+    # r9 opt (guide §2.6): the exact-Jaccard truth leg shares NO
+    # lineage with the simhash legs — its materialization (the
+    # longest single leg, ~2.5s of the query at sf0.1) runs
+    # CONCURRENTLY with the fp + blocking-leg pipeline instead of
+    # after it; and sim_c/sim_x, which both hang off the checkpointed
+    # fp frame, overlap each other. Same frames, same final action,
+    # result unchanged (oracle-pinned).
+    def _truth_leg():
+        return (X_dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                            n=3, threshold=0.9)
+                .select("doc_a", "doc_b").localCheckpoint(eager=True))
+
+    def _simhash_legs():
+        # the simhash UDF (tokenize + hash + bit-vote every doc) is
+        # the dominant linear term of both legs — compute it ONCE and
+        # feed both blocking passes (r9; output-identical, the fp
+        # frame is exactly what each pass would have computed itself)
+        fp = X_dedup.simhash_fingerprints(docs, "text", "doc_id") \
+            .localCheckpoint(eager=True)
+        return X_run_overlapped(
+            lambda: X_dedup.simhash_near_pairs(
+                docs, "text", "doc_id", max_hamming=3, max_bucket=1000,
+                collapse_identical=True, fingerprints=fp)
+            .localCheckpoint(eager=True),
+            lambda: X_dedup.simhash_near_pairs(
+                docs, "text", "doc_id", max_hamming=3, fingerprints=fp)
+            .localCheckpoint(eager=True))
+
+    true, (sim_c, sim_x) = X_run_overlapped(_truth_leg, _simhash_legs)
+    comp_c = X_dedup.connected_components(sim_c)
+    diff = X_dedup.closure_equality_violations(sim_c, comp_c, sim_x)
     ca = comp_c.select(F.col("doc_id").alias("doc_a"),
                        F.col("component").alias("comp_a"))
     cb = comp_c.select(F.col("doc_id").alias("doc_b"),
@@ -6996,9 +7044,23 @@ def streaming_watermark_drops_q(spark, sf_dir):
     t = ev.select("event_id",
                   F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
                   "event_type", "value")
-    mx = t.agg(F.max("ts")).collect()[0][0]
-    day = __import__("datetime").timedelta(hours=24)
-    cut24, cut48 = mx - day, mx - 2 * day
+    # max event time from parquet FOOTER statistics (r9 opt, guide §6
+    # metadata over jobs — _meta_col_max, the loj-query probe). The
+    # cut instants are computed in the raw µs domain and rebuilt with
+    # timestamp_micros, so they are TZ-independent and equal by
+    # construction to the collected max (the staged ts column IS
+    # timestamp_micros(raw div 1000)). Spark max() job only as the
+    # stats-missing fallback.
+    mx_ns = _meta_col_max(sf_dir, "events", "ts")
+    if isinstance(mx_ns, int):
+        day_us = 24 * 3600 * 1_000_000
+        mx_us = mx_ns // 1000
+        cut24 = F.timestamp_micros(F.lit(mx_us - day_us))
+        cut48 = F.timestamp_micros(F.lit(mx_us - 2 * day_us))
+    else:
+        mx = t.agg(F.max("ts")).collect()[0][0]
+        day = __import__("datetime").timedelta(hours=24)
+        cut24, cut48 = F.lit(mx - day), F.lit(mx - 2 * day)
     stage = tempfile.mkdtemp(prefix="vega_stream_wm_")
     # THREE ordered arrival files: the newest day first (advances the
     # watermark to max-1h), the 24-48h band second (burns the batch
@@ -7006,18 +7068,24 @@ def streaming_watermark_drops_q(spark, sf_dir):
     # Spark applies it to late-row drops one batch after it advances),
     # stragglers third — so the straggler batch runs with the fully
     # effective watermark and every late row is dropped.
-    parts = (("b1_head_new", t.filter(F.col("ts") > F.lit(cut24))),
-             ("b2_head_old", t.filter((F.col("ts") > F.lit(cut48))
-                                      & (F.col("ts") <= F.lit(cut24)))),
-             ("b3_late", t.filter(F.col("ts") <= F.lit(cut48))))
-    order = []
-    for tag, part in parts:
+    parts = (("b1_head_new", t.filter(F.col("ts") > cut24)),
+             ("b2_head_old", t.filter((F.col("ts") > cut48)
+                                      & (F.col("ts") <= cut24))),
+             ("b3_late", t.filter(F.col("ts") <= cut48)))
+
+    def _stage_part(tag, part):
         tmp = tempfile.mkdtemp(prefix="vega_stream_wm_part_")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
         src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
         dst = os.path.join(stage, f"{tag}.parquet")
         shutil.copy(os.path.join(tmp, src), dst)
-        order.append(dst)
+        return dst
+    # r9 opt (guide §2.6): the three per-band staging writes are
+    # independent single-task jobs — overlap them; arrival ORDER is
+    # enforced by the explicit mtimes set below, not by write order.
+    order = list(X_run_overlapped(
+        *[lambda tag=tag, part=part: _stage_part(tag, part)
+          for tag, part in parts]))
     base = os.path.getmtime(order[0])
     for i, p in enumerate(order[1:], start=1):
         os.utime(p, (base + 60 * i, base + 60 * i))
@@ -7238,27 +7306,37 @@ def als_recommend_parts_q(spark, sf_dir):
     # VERDICT r8 #6)
     from pyspark.storagelevel import StorageLevel
     li_rows = _meta_rows(sf_dir, "lineitem")
-    xu, yi = als_explicit(ratings, "user", "item", "r",
-                          rank=4, iters=2, reg=0.1,
-                          copart=None if li_rows is None
-                          else li_rows > 5_000_000,
-                          copart_storage=StorageLevel.DISK_ONLY)
+
     # materialize the tiny user set and the recommendation frame ONCE
     # (r9 opt round, guide §5 caching-when-reused): users feeds four
     # consumers (two inside recommend_top_k, uagg, and the semi-join)
     # and recs feeds three (viol window, ragg, seen semi-join) inside
     # one action — un-materialized, the broadcast-scored
     # users x items pass re-ran per consumer (profiled 1.6s -> 0.7s
-    # on the final action)
-    users = (ratings.select("user").distinct().filter(F.col("user") < 25)
-             .localCheckpoint(eager=True))
-    recs = recommend_top_k(ratings, "user", "item", xu, yi, users, k=3) \
-        .localCheckpoint(eager=True)
-
-    # one action for both scalars (r9 opt: was an RMSE collect + a
-    # separate stddev collect — same expressions, fused job)
-    rmse, base = als_rmse_vs_baseline(ratings, "user", "item", "r",
-                                      xu, yi)
+    # on the final action).
+    #
+    # r9 opt (guide §2.6): `users` depends only on the checkpointed
+    # ratings frame, not on training — its materialization overlaps
+    # the training loop; and the recs checkpoint + the RMSE/baseline
+    # collect both depend only on (xu, yi, users), so those two
+    # actions overlap each other. Same frames, same values, result
+    # unchanged (oracle-pinned).
+    (xu, yi), users = X_run_overlapped(
+        lambda: als_explicit(ratings, "user", "item", "r",
+                             rank=4, iters=2, reg=0.1,
+                             copart=None if li_rows is None
+                             else li_rows > 5_000_000,
+                             copart_storage=StorageLevel.DISK_ONLY),
+        lambda: (ratings.select("user").distinct()
+                 .filter(F.col("user") < 25)
+                 .localCheckpoint(eager=True)))
+    recs, (rmse, base) = X_run_overlapped(
+        lambda: recommend_top_k(ratings, "user", "item", xu, yi,
+                                users, k=3).localCheckpoint(eager=True),
+        # one action for both scalars (r9 opt: was an RMSE collect +
+        # a separate stddev collect — same expressions, fused job)
+        lambda: als_rmse_vs_baseline(ratings, "user", "item", "r",
+                                     xu, yi))
 
     from pyspark.sql.window import Window
     w = Window.partitionBy("user").orderBy("rk")
@@ -8579,30 +8657,11 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
                      F.timestamp_micros(F.expr("ts div 1000"))
                      .alias("ts"))
     # max event time from parquet column statistics — no Spark job.
-    # r8 (ADVICE): the footer probe assumes a single file with
-    # statistics present; a stats-disabled writer or a directory
-    # dataset must fall back to the Spark max() aggregate instead of
-    # raising AttributeError.
-    try:
-        src_path = os.path.join(sf_dir, "events.parquet")
-        if os.path.isdir(src_path):
-            import pyarrow.dataset as pads
-            frags = list(pads.dataset(src_path,
-                                      format="parquet").get_fragments())
-        else:
-            frags = [pq.ParquetFile(src_path)]
-        stats = []
-        for fr in frags:
-            pf = fr if isinstance(fr, pq.ParquetFile) \
-                else pq.ParquetFile(fr.path)
-            ts_idx = pf.schema_arrow.get_field_index("ts")
-            for g in range(pf.metadata.num_row_groups):
-                st = pf.metadata.row_group(g).column(ts_idx).statistics
-                if st is None or st.max is None:
-                    raise ValueError("column statistics missing")
-                stats.append(st.max)
-        mx = max(stats)
-    except Exception:
+    # r8 (ADVICE): a stats-disabled writer or a directory dataset
+    # must fall back to the Spark max() aggregate (the r9 refactor
+    # moved the probe into _meta_col_max; None = stats missing).
+    mx = _meta_col_max(sf_dir, "events", "ts")
+    if mx is None:
         mx = ev.agg(F.max("ts")).collect()[0][0]  # raw ns since epoch
     if hasattr(mx, "value"):           # pandas.Timestamp -> ns int
         mx = mx.value
@@ -8636,9 +8695,15 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
         os.utime(adv_dst, (mt + 60, mt + 60))
         return stage
 
-    src_c = SS.stream_parquet(spark, stage_side("click"), schema,
+    # r9 opt (guide §2.6): the two per-side staging writes are
+    # independent single-task jobs — overlap them from a driver
+    # thread pool (each writes its own temp dir; the shared `base`
+    # frame is read-only to both)
+    stage_c, stage_v = X_run_overlapped(
+        lambda: stage_side("click"), lambda: stage_side("view"))
+    src_c = SS.stream_parquet(spark, stage_c, schema,
                               max_files_per_trigger=1)
-    src_v = SS.stream_parquet(spark, stage_side("view"), schema,
+    src_v = SS.stream_parquet(spark, stage_v, schema,
                               max_files_per_trigger=1)
     clicks = src_c.select("user_id", F.col("ts").alias("click_ts"),
                           F.col("event_id").alias("click_id"))

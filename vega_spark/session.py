@@ -198,6 +198,40 @@ def conf_for_scale(input_bytes: int, total_cores: int,
     }
 
 
+def run_overlapped(*thunks):
+    """Run independent driver thunks (each typically materializing one
+    frame via an eager ``localCheckpoint``/action) CONCURRENTLY from a
+    small thread pool and return their results in argument order —
+    guide §2.6: actions are only sequential because driver code calls
+    them sequentially, and Spark's FIFO scheduler back-fills the tail
+    of one job with tasks of the next. Used by multi-leg contract
+    queries whose legs share no lineage (e.g. an exact-truth leg next
+    to an LSH leg): the query's RESULT is unchanged — same frames,
+    same final action — only the driver-side ordering of independent
+    jobs changes. Peak cluster load is the sum of the overlapped legs,
+    so keep the fan small (2-3) and the legs corpus-pass-sized.
+
+    Exceptions propagate to the caller (first failing thunk, after
+    all threads finish — no half-started leg is leaked)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return (thunks[0](),)
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        results, first_err = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                if first_err is None:
+                    first_err = e
+                results.append(None)
+        if first_err is not None:
+            raise first_err
+        return tuple(results)
+
+
 def release_local_checkpoint(df) -> None:
     """Free the block-manager storage behind a ``localCheckpoint()``ed
     DataFrame NOW instead of waiting for the ContextCleaner's
