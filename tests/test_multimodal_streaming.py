@@ -421,6 +421,45 @@ def test_hamming_pairs_match_bruteforce(spark):
     assert got == want
 
 
+def test_hamming_pair_counts_match_pair_enumeration(spark):
+    # the collapsed class-count form (r9 opt: blocking over DISTINCT
+    # signatures, class-size arithmetic) must return EXACTLY
+    # hamming_near_dup_pairs(...).groupBy("hamming").count() — same
+    # values AND same schema — on a corpus composed of the shapes
+    # that matter: an identical-signature clique (hamming 0, the
+    # quadratic hot class), near classes 1-3 bits apart with
+    # multiplicities, a far singleton, and a null signature (which
+    # the pair form silently drops: null keys never equi-join)
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    base = (1 << 63) | 0x0123456789ABCDEF  # exercises the signed wrap
+    rows, i = [], 0
+    for fp, g in [(base, 4),            # clique of 4: C(4,2)=6 at h=0
+                  (base ^ 1, 2),        # 1 bit away, size 2
+                  (base ^ 0b110, 3),    # 2 bits away, size 3
+                  (base ^ (1 << 40) ^ (1 << 41) ^ 1, 1),  # 3 bits
+                  (base ^ 0xFFFF, 1)]:  # far: no pair within budget
+        for _ in range(g):
+            rows.append((i, signed(fp)))
+            i += 1
+    rows.append((i, None))
+    df = spark.createDataFrame(rows, "asset_id long, dhash long")
+    pairs = M.hamming_near_dup_pairs(df, max_hamming=3)
+    want_df = pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    got_df = M.hamming_near_dup_pair_counts(df, max_hamming=3)
+    assert got_df.schema == want_df.schema
+    want = {r.hamming: r.n_pairs for r in want_df.collect()}
+    got = {r.hamming: r.n_pairs for r in got_df.collect()}
+    assert got == want
+    # cross-check the arithmetic independently of BOTH plans:
+    # h0 = C(4,2)+C(2,2)+C(3,2); h1 = A·B (xor=1); h2 = A·C (0b110)
+    # + B·D (bits 40,41); h3 = A·D (bits 40,41,0) + B·C (0b111)
+    assert got == {0: 6 + 1 + 3, 1: 4 * 2, 2: 4 * 3 + 2 * 1,
+                   3: 4 * 1 + 2 * 3}
+
+
 def test_dhash_signed_wrap_bit63(spark):
     # an image whose dHash sets bit 63 must come back as a negative
     # long (two's-complement wrap), not overflow

@@ -18,10 +18,14 @@ SF = "/root/testdata/sf0.001"
 
 SHOWCASE: list[tuple[str, str]] = [
     ("image_near_dup_hamming",
-     "Pigeonhole hamming blocking: the 64-bit signature explodes to "
-     "4 bounded chunk keys, ONE equi-join generates candidates, XOR "
-     "bit_count verifies — exact near-dup pairs with no all-pairs "
-     "stage anywhere."),
+     "Collapsed-class pigeonhole blocking (r9 opt): identical "
+     "signatures collapse to one class row (ONE linear combinable "
+     "groupBy of the corpus), the 4-chunk equi-join + XOR bit_count "
+     "verify run over DISTINCT signatures only, and per-hamming "
+     "counts come from class-size arithmetic — exact, with pair "
+     "work bounded by the signature space, not corpus² (the "
+     "doc-level self-join read 423x at the 300x smoke; this form "
+     "9-13x across re-runs)."),
     ("maxsim_late_interaction",
      "Late-interaction MaxSim with query vectors folded into codegen "
      "as literals: the corpus side is one narrow explode + ONE keyed "

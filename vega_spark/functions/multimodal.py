@@ -780,6 +780,65 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = "asset_id",
             .select("doc_a", "doc_b", "hamming"))
 
 
+def hamming_near_dup_pair_counts(hashes: DataFrame,
+                                 id_col: str = "asset_id",
+                                 hash_col: str = "dhash",
+                                 max_hamming: int = 3) -> DataFrame:
+    """Pair COUNTS per hamming distance — exactly
+    ``hamming_near_dup_pairs(...).groupBy("hamming").count()`` —
+    computed from collapsed signature classes, never enumerating
+    doc-level pairs.
+
+    Why (guide §2.5, hot keys; r9 opt round): identical signatures
+    form classes, and the doc-level pigeonhole self-join emits g²
+    candidates per class of size g — quadratic when signatures
+    repeat (the 300x scale smoke measured 423x wall for 300x data on
+    the 425-class synthetic image corpus). Counts only need class
+    arithmetic: within a class every pair is hamming 0 (C(g,2)
+    pairs); across two DISTINCT classes every doc pair shares the
+    classes' fingerprint hamming (g_a·g_b pairs), which is >= 1. So
+    the blocking runs over distinct signatures — bounded by the
+    signature space, not the corpus — and the counts are identical
+    to the pair-enumerating plan by construction (pinned by
+    test_multimodal_streaming against the brute-force form).
+
+    The class table is guide §8's 'decide on hashes' signature
+    table: ONE linear groupBy over the corpus (partial-agg
+    combinable, so hot classes never skew a reducer), materialized
+    once (distinct fps × 16 bytes). Null signatures are excluded,
+    matching the pair form (a null key never equi-joins).
+    ``id_col`` is unused for counting but kept for signature parity
+    with ``hamming_near_dup_pairs``."""
+    classes = (hashes
+               .filter(F.col(hash_col).isNotNull())
+               .groupBy(F.col(hash_col).alias("__fp"))
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .localCheckpoint(eager=True))
+    cand = hamming_near_dup_pairs(
+        classes.select(F.col("__fp").alias("asset_id"),
+                       F.col("__fp").alias("dhash")),
+        max_hamming=max_hamming)
+    h_type = dict(cand.dtypes)["hamming"]
+    cross = (cand
+             .join(classes.select(F.col("__fp").alias("doc_a"),
+                                  F.col("__n").alias("__na")), "doc_a")
+             .join(classes.select(F.col("__fp").alias("doc_b"),
+                                  F.col("__n").alias("__nb")), "doc_b")
+             .select("hamming",
+                     (F.col("__na") * F.col("__nb")).alias("__cnt")))
+    within = (classes.filter(F.col("__n") >= 2)
+              .select(F.lit(0).cast(h_type).alias("hamming"),
+                      F.expr("(__n * (__n - 1)) DIV 2").alias("__cnt")))
+    return (within.unionByName(cross)
+            .groupBy("hamming")
+            # coalesce with a non-null literal: sum() is declared
+            # nullable but never null over a non-empty group — this
+            # pins n_pairs back to count()'s non-nullable long so the
+            # declared schema is BIT-identical to the pair plan's
+            .agg(F.coalesce(F.sum("__cnt"), F.lit(0).cast("long"))
+                 .alias("n_pairs")))
+
+
 def make_test_png(width: int, height: int) -> bytes:
     """A minimal VALID 8-bit grayscale PNG of the given dims (stdlib
     zlib only) — deterministic synthetic payloads for exercising the

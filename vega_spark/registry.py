@@ -8508,6 +8508,20 @@ SCALE_NOTES["dedup_simhash_collapsed"] = (
     "the win appears exactly when a real corpus's boilerplate "
     "does. fp is checkpointed once (the UDF re-ran per consumer "
     "before r9: 141s vs 78s at 1000x)")
+SCALE_NOTES["image_near_dup_hamming"] = (
+    "collapsed-class counting since the r9 opt round: the synthetic "
+    "image corpus has only 425 distinct (w,h) pattern classes, so "
+    "identical dHashes form size-n/425 classes and the doc-level "
+    "pigeonhole self-join emitted g² candidates per class — measured "
+    "423x wall for 300x data. Counts now come from class arithmetic "
+    "(within-class C(g,2) at hamming 0; cross-class g_a*g_b at the "
+    "classes' fp hamming >= 1) over a blocking join of DISTINCT "
+    "signatures — 9.1-13.5x across 300x re-runs, decode-bound. "
+    "hamming_near_dup_pairs (the pair-ENUMERATING operator) is "
+    "unchanged for consumers that need doc pairs; its output is "
+    "itself quadratic on identical-signature corpora, so pair "
+    "consumers at scale should dedup identical signatures first "
+    "(the dedup_simhash_collapsed pattern)")
 SCALE_NOTES["als_recommend_parts"] = (
     "r8: eager checkpoint release + MLlib-style co-partitioned "
     "ratings copies make every half-step exchange-free — 14.7x at "
@@ -9566,7 +9580,7 @@ def image_near_dup_hamming_q(spark, sf_dir):
     equi-join shuffle — the 100 TB plan, never all-pairs."""
     import pandas as pd
 
-    from vega_spark.functions.multimodal import (hamming_near_dup_pairs,
+    from vega_spark.functions.multimodal import (hamming_near_dup_pair_counts,
                                                  image_dhash,
                                                  make_pattern_png)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -9581,17 +9595,18 @@ def image_near_dup_hamming_q(spark, sf_dir):
             })
 
     with_png = docs.mapInPandas(gen, "doc_id long, payload binary")
-    # materialize signatures ONCE (r9 opt round, guide §1.2): both
-    # sides of the pigeonhole self-join otherwise re-run the full
-    # PNG synth + pixel decode + dHash pass (the Python-boundary
-    # subtrees are not exchange-reused; measured 2.8s -> 1.7s).
-    # 8 bytes/doc pinned — at corpus scale this is the signature
-    # table of guide §8: decide on hashes, never re-decode payloads.
-    hashes = image_dhash(with_png).localCheckpoint(eager=True)
-    pairs = hamming_near_dup_pairs(hashes, "asset_id", "dhash",
-                                   max_hamming=3)
-    return (pairs.groupBy("hamming")
-            .agg(F.count(F.lit(1)).alias("n_pairs")))
+    # r9 opt round (guide §2.5): counts via collapsed signature
+    # classes — the doc-level pigeonhole self-join is quadratic in
+    # identical-signature class size (425 distinct patterns here, so
+    # the 300x smoke read 423x wall for 300x data); the class form
+    # blocks over DISTINCT fingerprints and multiplies class sizes,
+    # provably the same per-hamming counts (cross-class hamming >= 1,
+    # within-class pairs are exactly the hamming-0 C(g,2)). One
+    # decode pass: the class table is the only consumer of the
+    # signatures and is materialized inside the function.
+    return hamming_near_dup_pair_counts(image_dhash(with_png),
+                                        "asset_id", "dhash",
+                                        max_hamming=3)
 
 
 @_q("mine_repeated_ngrams", """
