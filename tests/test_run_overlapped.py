@@ -62,3 +62,34 @@ def test_spark_actions_from_threads_match_serial(spark):
             and e_ser.exceptAll(e_par).count() == 0)
     assert (o_par.exceptAll(o_ser).count() == 0
             and o_ser.exceptAll(o_par).count() == 0)
+
+
+def test_drain_shuffle_partitions_sizing(tmp_path):
+    # the drain partition count derives from staged arrival bytes:
+    # floor binds for small staging (bench SFs — behavior identical
+    # to the old constant 8), grows one partition per
+    # bytes_per_partition, caps defensively, sums multiple paths,
+    # walks directories, and tolerates missing paths
+    from vega_spark.session import drain_shuffle_partitions
+
+    d = tmp_path / "stage"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x" * 1024)
+    assert drain_shuffle_partitions(str(d)) == "8"          # floor
+    assert drain_shuffle_partitions(
+        str(d), floor=2, bytes_per_partition=512) == "2"    # ceil(1)<floor
+    assert drain_shuffle_partitions(
+        str(d), floor=1, bytes_per_partition=100) == "11"   # ceil(1024/100)
+    (d / "sub").mkdir()
+    (d / "sub" / "b.parquet").write_bytes(b"y" * 1024)      # walked
+    assert drain_shuffle_partitions(
+        str(d), floor=1, bytes_per_partition=1024) == "2"
+    two = tmp_path / "stage2"
+    two.mkdir()
+    (two / "c.parquet").write_bytes(b"z" * 2048)            # summed
+    assert drain_shuffle_partitions(
+        str(d), str(two), floor=1, bytes_per_partition=1024) == "4"
+    assert drain_shuffle_partitions(
+        str(d), floor=1, bytes_per_partition=1, cap=16) == "16"  # cap
+    assert drain_shuffle_partitions(
+        str(tmp_path / "missing"), floor=8) == "8"          # tolerant

@@ -1679,10 +1679,12 @@ def streaming_windowed_counts_q(spark, sf_dir):
     name = "stream_wc_" + uuid.uuid4().hex[:8]
     # right-size state partitions for the bounded drain (r9 opt; the
     # interval joins' rationale): store count pins at first batch and
-    # 32 near-empty HDFS-backed stores are pure per-batch overhead at
-    # this state size — at cluster scale size this to state volume
-    from vega_spark.session import pinned_conf
-    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # near-empty HDFS-backed stores are pure per-batch overhead —
+    # sized from the staged arrival bytes (floor 8 binds at bench
+    # SFs; grows with the data, the one knob AQE cannot rescue)
+    from vega_spark.session import drain_shuffle_partitions, pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions",
+                     drain_shuffle_partitions(stage)):
         q = SS.to_memory(agg, name, output_mode="complete")
         q.processAllAvailable()
         q.stop()
@@ -5355,9 +5357,10 @@ def streaming_stream_static_join_q(spark, sf_dir):
                 F.round(F.sum("value"), 2).alias("total")))
     name = "stream_ssj_" + uuid.uuid4().hex[:8]
     # right-size state partitions for the bounded drain (r9 opt —
-    # see streaming_windowed_counts; cluster: size to state volume)
-    from vega_spark.session import pinned_conf
-    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # see streaming_windowed_counts; sized from staged arrival bytes)
+    from vega_spark.session import drain_shuffle_partitions, pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions",
+                     drain_shuffle_partitions(stage)):
         q = SS.to_memory(agg, name, output_mode="complete")
         q.processAllAvailable()
         q.stop()
@@ -5403,9 +5406,11 @@ def streaming_dedup_exact_q(spark, sf_dir):
     deduped = dedup_exact_stream(stream, ["event_id"])
     name = "stream_dd_" + uuid.uuid4().hex[:8]
     # right-size state partitions for the dedup state drain (r9 opt —
-    # see streaming_windowed_counts; cluster: size to state volume)
-    from vega_spark.session import pinned_conf
-    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # see streaming_windowed_counts; sized from the staged arrival
+    # bytes, both hardlinked arrivals counted — both are drained)
+    from vega_spark.session import drain_shuffle_partitions, pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions",
+                     drain_shuffle_partitions(stage)):
         q = SS.to_memory(deduped, name, output_mode="append")
         q.processAllAvailable()
         q.stop()
@@ -7101,9 +7106,11 @@ def streaming_watermark_drops_q(spark, sf_dir):
     name = "stream_wm_" + uuid.uuid4().hex[:8]
     # right-size state partitions for the 3 stateful micro-batches
     # (same rationale as the interval joins: store count pins at
-    # first batch; 32 near-empty stores is pure per-batch overhead)
-    from vega_spark.session import pinned_conf
-    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # first batch; near-empty stores are pure per-batch overhead —
+    # sized from the staged band bytes, floor 8 at bench SFs)
+    from vega_spark.session import drain_shuffle_partitions, pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions",
+                     drain_shuffle_partitions(stage)):
         q = SS.to_memory(agg, name, output_mode="append")
         q.processAllAvailable()
         q.stop()
@@ -8032,9 +8039,10 @@ def streaming_session_windows_q(spark, sf_dir):
            .agg(F.count(F.lit(1)).alias("n_events")))
     name = "stream_sess_" + uuid.uuid4().hex[:8]
     # right-size state partitions for the bounded drain (r9 opt —
-    # see streaming_windowed_counts; cluster: size to state volume)
-    from vega_spark.session import pinned_conf
-    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # see streaming_windowed_counts; sized from staged arrival bytes)
+    from vega_spark.session import drain_shuffle_partitions, pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions",
+                     drain_shuffle_partitions(stage)):
         q = SS.to_memory(agg, name, output_mode="complete")
         q.processAllAvailable()
         q.stop()
@@ -8508,6 +8516,29 @@ SCALE_NOTES["dedup_simhash_collapsed"] = (
     "the win appears exactly when a real corpus's boilerplate "
     "does. fp is checkpointed once (the UDF re-ran per consumer "
     "before r9: 141s vs 78s at 1000x)")
+SCALE_NOTES["streaming_windowed_counts"] = (
+    "drain state partitions derive from STAGED ARRIVAL BYTES since "
+    "the r9 opt round (drain_shuffle_partitions: one partition per "
+    "64 MB, floor 8 — stateful streaming disables AQE and pins the "
+    "store count at first batch, so the initial value is the final "
+    "parallelism). Floor binds through 300x (2.1-2.3x wall); at "
+    "1000x the staging is 1.44 GB, the drain ran with 22 derived "
+    "partitions and read 4.7x wall for 1000x data")
+SCALE_NOTES["streaming_dedup_exact"] = (
+    "scale smokes are bounded by the MEMORY-SINK harness, not the "
+    "stateful operator: the dedup drain's output is input-sized by "
+    "contract, and at 300x the sink's driver collect exceeds "
+    "spark.driver.maxResultSize (measured: 1035 MiB > 1 GiB). A "
+    "production drain sinks to files/a table; the dropDuplicates "
+    "state itself is keyed and partition-local. Drain partitions "
+    "derive from staged bytes like the other drains")
+SCALE_NOTES["streaming_session_windows"] = (
+    "scale smokes are bounded by the COMPLETE-MODE memory sink: it "
+    "re-materializes every (user, session) row per batch on the "
+    "driver, which heap-OOMs at 300x. The session-window state "
+    "operator is keyed by user and partition-local; a production "
+    "drain uses append/update into a real sink. Drain partitions "
+    "derive from staged bytes like the other drains")
 SCALE_NOTES["image_near_dup_hamming"] = (
     "collapsed-class counting since the r9 opt round: the synthetic "
     "image corpus has only 425 distinct (w,h) pattern classes, so "
@@ -8605,10 +8636,12 @@ def streaming_interval_join_pairs_q(spark, sf_dir):
     # variant below: the stream-stream join keeps 4 state stores per
     # shuffle partition (2 sides x key-to-numValues), their count is
     # pinned at first batch, and 32 near-empty HDFS-backed stores are
-    # pure per-batch overhead at this state size (at cluster scale,
-    # size this to state volume instead)
-    from vega_spark.session import pinned_conf
-    with pinned_conf(spark, "spark.sql.shuffle.partitions", "8"):
+    # pure per-batch overhead — sized from the staged arrival bytes
+    # (both stream sides read the same staging dir; floor 8 binds at
+    # bench SFs)
+    from vega_spark.session import drain_shuffle_partitions, pinned_conf
+    with pinned_conf(spark, "spark.sql.shuffle.partitions",
+                     drain_shuffle_partitions(stage)):
         q = SS.to_memory(joined.select("user_id", "click_id", "view_id"),
                          name, output_mode="append")
         q.processAllAvailable()
@@ -8736,10 +8769,11 @@ def streaming_left_outer_interval_join_q(spark, sf_dir):
     # scale, size this to state volume)
     from contextlib import ExitStack
 
-    from vega_spark.session import pinned_conf
+    from vega_spark.session import drain_shuffle_partitions, pinned_conf
     with ExitStack() as st:
         st.enter_context(pinned_conf(
-            spark, "spark.sql.shuffle.partitions", "8"))
+            spark, "spark.sql.shuffle.partitions",
+            drain_shuffle_partitions(stage_c, stage_v)))
         st.enter_context(pinned_conf(
             spark, "spark.sql.streaming.noDataMicroBatches.enabled",
             "true"))

@@ -95,6 +95,45 @@ def get_session(
     return spark
 
 
+def drain_shuffle_partitions(*staged_paths: str,
+                             floor: int = 8,
+                             bytes_per_partition: int = 64 << 20,
+                             cap: int = 2048) -> str:
+    """State-store partition count for a bounded AvailableNow drain,
+    derived from the STAGED arrival size (r9 opt, guide §2:
+    scale-dependent settings derive from input, never a constant
+    tuned for one SF). Stateful streaming disables AQE and pins the
+    state-store count at the FIRST batch, so the initial
+    ``spark.sql.shuffle.partitions`` is the drain's final stateful
+    parallelism — the one setting AQE cannot rescue.
+
+    Sizing: one partition per ``bytes_per_partition`` of staged
+    arrival bytes (state for these drains is a bounded fraction of
+    arrival volume), floored at ``floor`` — near-empty HDFS-backed
+    state stores are pure per-batch overhead, the r6-r9 A/Bs'
+    finding — and capped defensively. At the bench SFs every drain's
+    staging is far below one partition's budget, so the floor binds
+    and bench readings are unchanged by construction; the value only
+    grows when the arrival data does. Returns a string, ready for
+    ``pinned_conf``. Paths may be files or directories (walked)."""
+    import math
+    total = 0
+    for p in staged_paths:
+        if os.path.isdir(p):
+            for dp, _dn, fns in os.walk(p):
+                for f in fns:
+                    try:
+                        total += os.path.getsize(os.path.join(dp, f))
+                    except OSError:
+                        pass
+        else:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    return str(max(floor, min(cap, math.ceil(total / bytes_per_partition))))
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine confs to an externally
     provided session (the driver passes its own session to
