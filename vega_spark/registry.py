@@ -8516,6 +8516,16 @@ SCALE_NOTES["dedup_simhash_collapsed"] = (
     "the win appears exactly when a real corpus's boilerplate "
     "does. fp is checkpointed once (the UDF re-ran per consumer "
     "before r9: 141s vs 78s at 1000x)")
+SCALE_NOTES["mine_duplicate_spans"] = (
+    "k-gram digest census: one corpus-wide digest-keyed shuffle "
+    "(32-byte unhexed digests, guide §2.3) + per-doc island windows. "
+    "Decades: 38.4x at 300x, 143.5x at 1000x — sub-quadratic "
+    "(output and candidate rows are provably linear: the duplicate "
+    "join is one-to-many against a count>=2 digest set), but the "
+    "300x->1000x in-decade wall ratio is 4.36x for 3.33x data — "
+    "consistent with single-box shuffle/sort spill at 16.6 GB input "
+    "on a 16 GiB heap, not with a quadratic term; decompose "
+    "(join stage vs window stage timing) before optimizing")
 SCALE_NOTES["streaming_windowed_counts"] = (
     "drain state partitions derive from STAGED ARRIVAL BYTES since "
     "the r9 opt round (drain_shuffle_partitions: one partition per "
