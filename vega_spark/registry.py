@@ -8524,8 +8524,14 @@ SCALE_NOTES["mine_duplicate_spans"] = (
     "join is one-to-many against a count>=2 digest set), but the "
     "300x->1000x in-decade wall ratio is 4.36x for 3.33x data — "
     "consistent with single-box shuffle/sort spill at 16.6 GB input "
-    "on a 16 GiB heap, not with a quadratic term; decompose "
-    "(join stage vs window stage timing) before optimizing")
+    "on a 16 GiB heap, not with a quadratic term. DECOMPOSED (r9): "
+    "narrow fan-out alone 172s; fan-out + digest shuffle + join "
+    "488-588s — the shuffle/sort leg carries the band. A 16-byte-md5 "
+    "key (halve shuffle key bytes, guide §2.3) was MEASURED AND "
+    "REJECTED: the marked-leg cold-first A/B favored it (488->438s) "
+    "but the full query did not (532->571s cross-session) and sf0.1 "
+    "read consistently ~0.1s worse across two paired min-of-N "
+    "rounds (3.24/3.31 sha2 vs 3.40-3.55 md5) — sha2-256 keys stay")
 SCALE_NOTES["streaming_windowed_counts"] = (
     "drain state partitions derive from STAGED ARRIVAL BYTES since "
     "the r9 opt round (drain_shuffle_partitions: one partition per "
