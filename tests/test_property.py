@@ -341,3 +341,27 @@ def test_acf_bounded(spark, counts):
     for r in out:
         if r.acf is not None:
             assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+
+
+def test_graph_broadcast_state_paths_agree(spark):
+    """r10 opt: the size-gated broadcast_state loops (broadcast the
+    node-sized state + loop-scoped AQE pin) must produce exactly the
+    rows of the adaptive path for sssp, bfs and k-core — the hint
+    and the pin change plan shape only."""
+    from vega_spark.functions.graph import (bfs_distances, k_core,
+                                            shortest_paths)
+    edges = [(0, 1, 1), (1, 2, 2), (2, 3, 1), (3, 4, 2), (0, 4, 9),
+             (4, 5, 1), (5, 6, 1), (2, 6, 2), (6, 7, 1), (1, 7, 5)]
+    wdf = spark.createDataFrame(edges, "u long, v long, w long")
+    udf_ = wdf.select("u", "v")
+    for fn, kwargs in ((shortest_paths, {"max_rounds": 4}),
+                       (bfs_distances, {"max_hops": 4}),
+                       (k_core, {"k": 2, "max_rounds": 2})):
+        df = wdf if fn is shortest_paths else udf_
+        a = sorted(map(tuple, fn(df, broadcast_state=True,
+                                 **kwargs).collect()))
+        b = sorted(map(tuple, fn(df, broadcast_state=False,
+                                 **kwargs).collect()))
+        assert a == b, fn.__name__
+    # the pin must restore the session conf afterwards
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

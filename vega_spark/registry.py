@@ -5580,7 +5580,14 @@ def bfs_parts_distance_q(spark, sf_dir):
     pairs = (x.join(y, "b").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= 2).select("u", "v"))
-    return bfs_distances(pairs, "u", "v", max_hops=4)
+    # r10 opt: node set bounded by the part-key space (<= li_rows/30
+    # entities) — broadcast the frontier/visited state and skip AQE
+    # re-planning inside the hop loop; scale path (big inputs) keeps
+    # the adaptive join
+    li_rows = _meta_rows(sf_dir, "lineitem")
+    return bfs_distances(pairs, "u", "v", max_hops=4,
+                         broadcast_state=li_rows is not None
+                         and li_rows <= 50_000_000)
 
 
 @_q("forecast_backtest_events", """
@@ -5684,7 +5691,12 @@ def sssp_parts_weighted_q(spark, sf_dir):
              .filter(F.col("n") >= 2))
     we = pairs.select("u", "v", F.when(F.col("n") >= 3, 1)
                       .otherwise(2).alias("w"))
-    return shortest_paths(we, "u", "v", "w", max_rounds=4)
+    # r10 opt: see bfs_parts_distance — size-gated broadcast of the
+    # node-sized dists frame + loop-scoped AQE pin
+    li_rows = _meta_rows(sf_dir, "lineitem")
+    return shortest_paths(we, "u", "v", "w", max_rounds=4,
+                          broadcast_state=li_rows is not None
+                          and li_rows <= 50_000_000)
 
 
 @_q("jackknife_event_means", """
@@ -5868,7 +5880,12 @@ def kcore_parts_q(spark, sf_dir):
     pairs = (x.join(y, "b").filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= 2).select("u", "v"))
-    return k_core(pairs, "u", "v", k=2, max_rounds=2)
+    # r10 opt: see bfs_parts_distance — size-gated broadcast of the
+    # node-sized keep set + loop-scoped AQE pin
+    li_rows = _meta_rows(sf_dir, "lineitem")
+    return k_core(pairs, "u", "v", k=2, max_rounds=2,
+                  broadcast_state=li_rows is not None
+                  and li_rows <= 50_000_000)
 
 
 @_q("chi2_event_type_value", """
