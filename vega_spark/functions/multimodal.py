@@ -808,7 +808,15 @@ def hamming_near_dup_pair_counts(hashes: DataFrame,
     once (distinct fps × 16 bytes). Null signatures are excluded,
     matching the pair form (a null key never equi-joins).
     ``id_col`` is unused for counting but kept for signature parity
-    with ``hamming_near_dup_pairs``."""
+    with ``hamming_near_dup_pairs``.
+
+    PRECONDITION (r9 ADVICE): rows must be distinct documents — one
+    row per ``id_col`` value. A duplicated id contributes class
+    multiplicity here (counted) but is dropped by the pair form's
+    ``doc_a < doc_b`` / ``distinct()``, so the two plans diverge on
+    non-unique ids. Callers with possibly-duplicated ids must dedup
+    on (id_col, hash_col) first; every registry caller feeds one row
+    per asset by construction."""
     classes = (hashes
                .filter(F.col(hash_col).isNotNull())
                .groupBy(F.col(hash_col).alias("__fp"))

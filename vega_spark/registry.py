@@ -186,6 +186,31 @@ def _meta_rows(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def _meta_uncompressed_bytes(sf_dir: str, name: str) -> int | None:
+    """Total UNCOMPRESSED byte size of a table from parquet footer
+    row-group metadata — zero Spark jobs (r10: sizes the
+    mine_duplicate_spans digest shuffle from input scale). None when
+    footers can't be read (caller skips the hint)."""
+    import os
+
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            import pyarrow.dataset as pads
+            frags = [pq.ParquetFile(fr.path) for fr in
+                     pads.dataset(path, format="parquet").get_fragments()]
+        else:
+            frags = [pq.ParquetFile(path)]
+        total = 0
+        for pf in frags:
+            for g in range(pf.metadata.num_row_groups):
+                total += pf.metadata.row_group(g).total_byte_size
+        return total
+    except Exception:
+        return None
+
+
 def _meta_col_max(sf_dir: str, name: str, col: str):
     """Max of a column from parquet FOOTER column statistics — zero
     Spark jobs (the streaming_left_outer_interval_join probe, r8,
@@ -9801,7 +9826,12 @@ def mine_duplicate_spans_q(spark, sf_dir):
                    F.lit(" one two three four five six seven eight"
                          " nine ten")).otherwise(F.lit(""))
         ).alias("text"))
-    out = mine_duplicate_spans(aug, "text", "doc_id", k=8, min_count=2)
+    out = mine_duplicate_spans(aug, "text", "doc_id", k=8, min_count=2,
+                               # size the digest shuffle from footer
+                               # metadata (no Spark job; no-op below
+                               # the session partition count)
+                               est_text_bytes=_meta_uncompressed_bytes(
+                                   sf_dir, "documents"))
     return out.select("doc_id",
                       F.col("start_pos").cast("long").alias("start_pos"),
                       F.col("span_len").cast("long").alias("span_len"))

@@ -115,7 +115,12 @@ def drain_shuffle_partitions(*staged_paths: str,
     staging is far below one partition's budget, so the floor binds
     and bench readings are unchanged by construction; the value only
     grows when the arrival data does. Returns a string, ready for
-    ``pinned_conf``. Paths may be files or directories (walked)."""
+    ``pinned_conf``. Paths may be files or directories (walked).
+    The walk deliberately counts EVERY directory entry: Spark
+    sidecars (_SUCCESS, .crc) are noise well under the 64 MB
+    granularity, and hardlinked duplicate arrivals (streaming_dedup's
+    staging) SHOULD count once per link — each is a real arrival the
+    drain processes (r9 ADVICE, documented rather than filtered)."""
     import math
     total = 0
     for p in staged_paths:
