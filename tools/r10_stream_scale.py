@@ -61,11 +61,23 @@ def _sized_session(scale_dir: str):
     return spark
 
 
-def run_dedup(spark, scale_dir: str) -> dict:
+def run_dedup(spark, scale_dir: str, rocksdb: bool = False) -> dict:
     from vega_spark.session import drain_shuffle_partitions, pinned_conf
     from vega_spark.streaming import sources as SS
     from vega_spark.streaming.stateful import dedup_exact_stream
     from vega_spark.tables import load_table
+
+    if rocksdb:
+        # dedup state is UNBOUNDED key state (every id ever seen) and
+        # the HDFS-backed provider keeps every loaded partition's map
+        # in the (single, local-mode) JVM — at 1000x that is ~20M
+        # keys x rows resident at once and the heap dies (observed).
+        # RocksDB moves it to native/disk: VERDICT r9 #6's "re-A/B at
+        # real state volume". Runtime-settable; pinned per run.
+        for k, v in (__import__(
+                "vega_spark.streaming.sources", fromlist=["x"])
+                .rocksdb_state_store_conf().items()):
+            spark.conf.set(k, v)
 
     ev = load_table(spark, scale_dir, "events").select(
         "event_id", "event_type", "value")
@@ -128,12 +140,42 @@ def run_sessions(spark, scale_dir: str) -> dict:
     sink = tempfile.mkdtemp(prefix="vega_sscale_sess_sink_")
     ckpt = tempfile.mkdtemp(prefix="vega_sscale_sess_ckpt_")
     try:
+        # Stage a TIME-ORDERED arrival (the production shape a
+        # watermark models): range-partition by ts so file k's events
+        # all precede file k+1's, with ascending mtimes so the file
+        # source replays them in order. One giant AvailableNow batch
+        # would build ALL session state before the first eviction
+        # (observed 300x heap-OOM with the unordered single-batch
+        # form); ordered incremental batches let the 0-second
+        # watermark evict closed sessions as the drain progresses —
+        # the steady-state behavior of a real session stream.
+        raw_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fns in os.walk(
+                os.path.join(scale_dir, "events.parquet"))
+            for f in fns)
+        n_range = max(8, raw_bytes // (32 << 20))
         (ev.select("user_id",
                    F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+         .repartitionByRange(n_range, "ts")
+         .sortWithinPartitions("ts")
          .write.mode("overwrite").parquet(stage))
-        parts = drain_shuffle_partitions(stage)
+        pfiles = sorted(f for f in os.listdir(stage)
+                        if f.endswith(".parquet"))
+        base_t = time.time() - 10 * len(pfiles)
+        for i, f in enumerate(pfiles):
+            os.utime(os.path.join(stage, f),
+                     (base_t + 10 * i, base_t + 10 * i))
+        # session-window state is ~ARRIVAL-sized between evictions
+        # (every event sits in an open session until the watermark
+        # passes it) — size at 16 MB/partition, not the 64 MB
+        # bounded-fraction default of the contract drains
+        parts = drain_shuffle_partitions(
+            stage, bytes_per_partition=16 << 20)
         stream = SS.stream_parquet(spark, stage,
-                                   "user_id long, ts timestamp")
+                                   "user_id long, ts timestamp",
+                                   max_files_per_trigger=max(
+                                       1, len(pfiles) // 8))
         agg = (stream
                .withWatermark("ts", "0 seconds")
                .groupBy(F.session_window("ts", "30 minutes")
@@ -161,9 +203,14 @@ def run_sessions(spark, scale_dir: str) -> dict:
                          F.timestamp_micros(F.expr("ts div 1000"))
                          .alias("ts"))
         w = Window.partitionBy("user_id").orderBy("ts")
+        # exact-microsecond gap, matching session_window's arithmetic
+        # (cast("long") truncates to seconds and mis-breaks pairs in
+        # [1799s, 1800s) — measured as exactly one false split per
+        # replica before the fix)
         brk = F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w) >= 1800,
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            >= 1800 * 1_000_000,
             1).otherwise(0)
         truth = (base.withColumn("__b", brk)
                  .withColumn("__s", F.sum("__b").over(
@@ -190,15 +237,18 @@ def run_sessions(spark, scale_dir: str) -> dict:
 def main() -> None:
     factor = int(sys.argv[1])
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    rocksdb = "--rocksdb" in sys.argv
     scale_dir = f"/tmp/vega_scale_sf{factor}x"
     assert os.path.isdir(os.path.join(scale_dir, "events.parquet")), \
         f"replica missing — run tools/scale_bench.py {factor} first"
     spark = _sized_session(scale_dir)
     out: dict[str, dict] = {}
     if which in ("dedup", "both"):
-        out["streaming_dedup_exact"] = run_dedup(spark, scale_dir)
-        print(json.dumps({"streaming_dedup_exact":
-                          out["streaming_dedup_exact"]}), flush=True)
+        key = ("streaming_dedup_exact_rocksdb" if rocksdb
+               else "streaming_dedup_exact")
+        out[key] = run_dedup(spark, scale_dir, rocksdb=rocksdb)
+        out[key]["provider"] = "rocksdb" if rocksdb else "hdfs"
+        print(json.dumps({key: out[key]}), flush=True)
     if which in ("sessions", "both"):
         out["streaming_session_windows"] = run_sessions(spark, scale_dir)
         print(json.dumps({"streaming_session_windows":

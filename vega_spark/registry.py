@@ -8559,21 +8559,20 @@ SCALE_NOTES["dedup_simhash_collapsed"] = (
     "does. fp is checkpointed once (the UDF re-ran per consumer "
     "before r9: 141s vs 78s at 1000x)")
 SCALE_NOTES["mine_duplicate_spans"] = (
-    "k-gram digest census: one corpus-wide digest-keyed shuffle "
-    "(32-byte unhexed digests, guide §2.3) + per-doc island windows. "
-    "Decades: 38.4x at 300x, 143.5x at 1000x — sub-quadratic "
-    "(output and candidate rows are provably linear: the duplicate "
-    "join is one-to-many against a count>=2 digest set), but the "
-    "300x->1000x in-decade wall ratio is 4.36x for 3.33x data — "
-    "consistent with single-box shuffle/sort spill at 16.6 GB input "
-    "on a 16 GiB heap, not with a quadratic term. DECOMPOSED (r9): "
-    "narrow fan-out alone 172s; fan-out + digest shuffle + join "
-    "488-588s — the shuffle/sort leg carries the band. A 16-byte-md5 "
-    "key (halve shuffle key bytes, guide §2.3) was MEASURED AND "
-    "REJECTED: the marked-leg cold-first A/B favored it (488->438s) "
-    "but the full query did not (532->571s cross-session) and sf0.1 "
-    "read consistently ~0.1s worse across two paired min-of-N "
-    "rounds (3.24/3.31 sha2 vs 3.40-3.55 md5) — sha2-256 keys stay")
+    "k-gram digest census: ONE corpus-wide digest-keyed shuffle "
+    "(32-byte unhexed digests) + per-doc island windows. r10: the "
+    "duplicate mark is a count() OVER (PARTITION BY digest) window — "
+    "the r1-r9 groupBy+join-back shape re-derived the whole gram "
+    "fan-out as the join's probe side (exchange not reusable across "
+    "the differing map stages), which carried most of the r9 "
+    "300x->1000x spill band (4.36x wall for 3.33x data). Measured "
+    "same-session at 1000x: join shape 429.9s, window 284.8s, window "
+    "+ footer-sized repartition 277.7s -> in-decade ratio 2.35x for "
+    "3.33x data (sub-linear; band closed). The digest shuffle is "
+    "additionally sized from footer text bytes (~44B gram per 6B "
+    "text, 128 MB/partition target; no-op at small SF where the "
+    "session default exceeds it). r9's 16-byte-md5 key rejection "
+    "stands — sha2-256 keys stay")
 SCALE_NOTES["streaming_windowed_counts"] = (
     "drain state partitions derive from STAGED ARRIVAL BYTES since "
     "the r9 opt round (drain_shuffle_partitions: one partition per "

@@ -96,7 +96,7 @@ def get_session(
 
 
 def drain_shuffle_partitions(*staged_paths: str,
-                             floor: int = 8,
+                             floor: int = 4,
                              bytes_per_partition: int = 64 << 20,
                              cap: int = 2048) -> str:
     """State-store partition count for a bounded AvailableNow drain,
@@ -111,7 +111,13 @@ def drain_shuffle_partitions(*staged_paths: str,
     arrival bytes (state for these drains is a bounded fraction of
     arrival volume), floored at ``floor`` — near-empty HDFS-backed
     state stores are pure per-batch overhead, the r6-r9 A/Bs'
-    finding — and capped defensively. At the bench SFs every drain's
+    finding — and capped defensively. Floor 4 since r10: the
+    micro-batch profile showed even a ZERO-row batch costs
+    0.6-0.8 s, mostly per-partition store open/commit; an
+    interleaved floor A/B over 5 drains read 8 → 4 as −0.8 s total
+    (loj 3.36→3.00, pairs 2.55→2.25, watermark 1.85→1.61) with
+    floor 2 a wash vs 4 — 4 keeps task parallelism for the
+    non-state stages. At the bench SFs every drain's
     staging is far below one partition's budget, so the floor binds
     and bench readings are unchanged by construction; the value only
     grows when the arrival data does. Returns a string, ready for
