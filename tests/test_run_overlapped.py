@@ -66,8 +66,8 @@ def test_spark_actions_from_threads_match_serial(spark):
 
 def test_drain_shuffle_partitions_sizing(tmp_path):
     # the drain partition count derives from staged arrival bytes:
-    # floor binds for small staging (bench SFs — behavior identical
-    # to the old constant 8), grows one partition per
+    # floor binds for small staging (bench SFs; 4 since the r10
+    # micro-batch-floor A/B), grows one partition per
     # bytes_per_partition, caps defensively, sums multiple paths,
     # walks directories, and tolerates missing paths
     from vega_spark.session import drain_shuffle_partitions
@@ -75,7 +75,7 @@ def test_drain_shuffle_partitions_sizing(tmp_path):
     d = tmp_path / "stage"
     d.mkdir()
     (d / "a.parquet").write_bytes(b"x" * 1024)
-    assert drain_shuffle_partitions(str(d)) == "8"          # floor
+    assert drain_shuffle_partitions(str(d)) == "4"          # floor
     assert drain_shuffle_partitions(
         str(d), floor=2, bytes_per_partition=512) == "2"    # ceil(1)<floor
     assert drain_shuffle_partitions(

@@ -31,9 +31,12 @@ SHOWCASE: list[tuple[str, str]] = [
      "as literals: the corpus side is one narrow explode + ONE keyed "
      "aggregate; no join against a query table at all."),
     ("mine_duplicate_spans",
-     "Sliding k-gram digests (narrow in-row fan-out) → one uniform "
-     "digest-keyed count shuffle → per-document bounded island "
-     "windows. Text never enters the wide stage."),
+     "Sliding k-gram digests (narrow in-row fan-out, computed ONCE) "
+     "→ one uniform digest-keyed shuffle whose count() window marks "
+     "duplicates in place (r10: the groupBy+join-back form re-ran "
+     "the fan-out as the probe side) → per-document bounded island "
+     "windows. Text never enters the wide stage; the digest shuffle "
+     "is sized from footer text bytes at scale."),
     ("mmr_diverse_rerank",
      "Bounded BM25 head materialized once; the pairwise sim matrix "
      "is a token equi-join restricted to ≤top_n candidates; the "

@@ -172,10 +172,16 @@ def run_sessions(spark, scale_dir: str) -> dict:
         # bounded-fraction default of the contract drains
         parts = drain_shuffle_partitions(
             stage, bytes_per_partition=16 << 20)
+        # watermark eviction lags one batch, so peak open state spans
+        # ~2 batch time-bands; ~2 files/batch keeps that band small
+        # (8-file batches still held ~2/8 of the timeline's sessions
+        # → heap-OOM at 1000x), and retaining a single in-memory map
+        # version halves the HDFS provider's residency
+        spark.conf.set("spark.sql.streaming.maxBatchesToRetainInMemory",
+                       "1")
         stream = SS.stream_parquet(spark, stage,
                                    "user_id long, ts timestamp",
-                                   max_files_per_trigger=max(
-                                       1, len(pfiles) // 8))
+                                   max_files_per_trigger=2)
         agg = (stream
                .withWatermark("ts", "0 seconds")
                .groupBy(F.session_window("ts", "30 minutes")
